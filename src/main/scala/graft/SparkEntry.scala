@@ -1,13 +1,276 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.model.Flatten
+import graft.operators.Dedup
+import graft.paths.PathTemplate
+import graft.sources.TopicFiles
+import graft.time.TimeExtract
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2, each with a DuckDB oracle in `oracleSql`.
+  *
+  * Numeric-determinism policy for oracle parity: aggregated doubles are
+  * converted to exact integer cents (`round(x*100)::bigint`) BEFORE the sum,
+  * so results are associative and bit-identical regardless of partial-agg
+  * order; passthrough doubles (untouched source values, min/max) are emitted
+  * raw; timestamps are emitted as formatted strings (micro truncation matches
+  * DuckDB `%f`).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q_agg_pricing")(spark, "/root/testdata/sf0.001")
+
+  private def t(name: String)(implicit spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, name)
+
+  private def cents(c: Column): Column = round(c * 100).cast(LongType)
+
+  // ---------------------------------------------------------------- queries
+
+  private def qAggPricing(implicit s: SparkSession, d: String): DataFrame =
+    t("lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(cents(col("l_quantity"))).as("sum_qty_cents"),
+        sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue_cents"),
+        min(col("l_extendedprice")).as("min_price"),
+        max(col("l_extendedprice")).as("max_price"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** G9 hourly time binning (path/FixedPathFormatterPlugin.kt:26-35). */
+  private def qTimeBinning(implicit s: SparkSession, d: String): DataFrame =
+    t("events")
+      .withColumn("bin", date_format(col("ts"), "yyyyMMdd_HH00"))
+      .groupBy(col("bin"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("sum_value_cents"))
+      .orderBy(col("bin"), col("event_type"))
+
+  /** §1.4 prioritized time-extraction chain as a single coalesce column. */
+  private def qTimeExtract(implicit s: SparkSession, d: String): DataFrame = {
+    val nested = t("events").select(
+      col("event_id"),
+      struct(
+        when(col("event_type") === "purchase", col("value")).as("time"),
+        col("ts").cast(DoubleType).as("timeReceived")).as("value"))
+    val time = TimeExtract.timeColumn(nested.schema)
+    nested
+      .select(col("event_id"), floor(time * 1e6).cast(LongType).as("extracted_us"))
+      .orderBy(col("event_id"))
+  }
+
+  /** G1-G3 record→path routing through the compiled template expression. */
+  private def qPathRouting(implicit s: SparkSession, d: String): DataFrame = {
+    val ev = t("events")
+    val epochSec = col("ts").cast(DoubleType)
+    val params = Map(
+      "projectId" -> concat(lit("p"), (col("user_id") % 4).cast(StringType)),
+      "userId"    -> concat(lit("u"), col("user_id").cast(StringType)),
+      "topic"     -> PathTemplate.sanitizeId(col("event_type"), "unknown-topic"),
+      "filename"  -> concat(TimeExtract.timeBin(epochSec), lit(".csv")))
+    val path = PathTemplate.compile(PathTemplate.defaultTemplate, params)
+    ev.withColumn("path", path)
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_records"),
+        min(col("event_id")).as("min_event"),
+        max(col("event_id")).as("max_event"))
+      .orderBy(col("path"))
+  }
+
+  /** P7 id sanitization (path/RecordPathFactory.kt:119-125). */
+  private def qSanitizeId(implicit s: SparkSession, d: String): DataFrame =
+    t("part")
+      .select(col("p_partkey"),
+        PathTemplate.sanitizeId(col("p_name"), "unknown-part").as("clean_name"))
+      .orderBy(col("p_partkey"))
+
+  /** A1 keep-last dedup (format/CsvAvroConverterFactory.kt:30-86). */
+  private def qDedupKeepLast(implicit s: SparkSession, d: String): DataFrame =
+    Dedup.keepLast(t("events"), Seq(col("user_id"), col("event_type")), col("event_id"))
+      .select(col("user_id"), col("event_type"), col("event_id").as("last_event_id"), col("value"))
+      .orderBy(col("user_id"), col("event_type"))
+
+  /** A2 keep-first dedup (format/RecordConverterFactory.kt:63-92). */
+  private def qDedupKeepFirst(implicit s: SparkSession, d: String): DataFrame =
+    Dedup.keepFirst(t("events"), Seq(col("user_id"), col("event_type")), col("event_id"))
+      .select(col("user_id"), col("event_type"), col("event_id").as("first_event_id"), col("value"))
+      .orderBy(col("user_id"), col("event_type"))
+
+  /** G6 enrichment lookup as broadcast joins (path/MPPathFormatterPlugin.kt). */
+  private def qEnrichBroadcast(implicit s: SparkSession, d: String): DataFrame =
+    t("customer")
+      .join(broadcast(t("nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t("region")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_customers"), sum(cents(col("c_acctbal"))).as("sum_bal_cents"))
+      .orderBy(col("r_name"), col("n_name"))
+
+  /** A3 record-containment as left-semi join. */
+  private def qSemiJoin(implicit s: SparkSession, d: String): DataFrame =
+    t("orders")
+      .join(t("lineitem"), col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("o_orderstatus"))
+
+  /** A4/C2 extraction-verification as left-anti join: customers with no
+    * fulfilled (`F`) order — the "not yet extracted" set.
+    */
+  private def qAntiJoin(implicit s: SparkSession, d: String): DataFrame =
+    t("customer")
+      .join(t("orders").filter(col("o_orderstatus") === "F"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+
+  /** P1 recursive struct flatten to dot-named columns. */
+  private def qFlattenNested(implicit s: SparkSession, d: String): DataFrame = {
+    val li = t("lineitem").filter(col("l_orderkey") < 1000)
+    val nested = li.select(
+      struct(col("l_orderkey"), col("l_linenumber")).as("key"),
+      struct(col("l_partkey"), col("l_suppkey"), col("l_quantity"),
+        col("l_extendedprice"), col("l_returnflag")).as("value"))
+    Flatten.flatten(nested)
+      .orderBy(col("`key.l_orderkey`"), col("`key.l_linenumber`"))
+  }
+
+  /** S8 `topic+partition+from[+to].avro` filename parsing. */
+  private def qOffsetParse(implicit s: SparkSession, d: String): DataFrame = {
+    val fname = concat(
+      col("event_type"), lit("+"), (col("user_id") % 8).cast(StringType), lit("+"),
+      lpad(col("event_id").cast(StringType), 10, "0"), lit(".avro"))
+    t("events")
+      .withColumn("fname", fname)
+      .select(
+        TopicFiles.topicCol(col("fname")).as("topic"),
+        TopicFiles.partitionCol(col("fname")).as("partition"),
+        TopicFiles.fromOffsetCol(col("fname")).as("from_offset"))
+      .groupBy(col("topic"), col("partition"))
+      .agg(count(lit(1)).as("n_files"),
+        min(col("from_offset")).as("min_offset"),
+        max(col("from_offset")).as("max_offset"))
+      .orderBy(col("topic"), col("partition"))
+  }
+
+  /** A5 distributed offset-interval merge (gaps-and-islands). */
+  private def qIntervalMerge(implicit s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    val prev = lag(col("event_id"), 1).over(w)
+    val brk = when(prev.isNull || (col("event_id") - prev) > 1, 1).otherwise(0)
+    t("events")
+      .withColumn("brk", brk)
+      .withColumn("island",
+        sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("island"))
+      .agg(min(col("event_id")).as("from_offset"), max(col("event_id")).as("to_offset"))
+      .select(col("user_id"), col("from_offset"), col("to_offset"))
+      .orderBy(col("user_id"), col("from_offset"))
+  }
+
+  // ------------------------------------------------------------- registry
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_pricing"      -> mk(qAggPricing(_, _)),
+    "q_time_binning"     -> mk(qTimeBinning(_, _)),
+    "q_time_extract"     -> mk(qTimeExtract(_, _)),
+    "q_path_routing"     -> mk(qPathRouting(_, _)),
+    "q_sanitize_id"      -> mk(qSanitizeId(_, _)),
+    "q_dedup_keep_last"  -> mk(qDedupKeepLast(_, _)),
+    "q_dedup_keep_first" -> mk(qDedupKeepFirst(_, _)),
+    "q_enrich_broadcast" -> mk(qEnrichBroadcast(_, _)),
+    "q_semi_join"        -> mk(qSemiJoin(_, _)),
+    "q_anti_join"        -> mk(qAntiJoin(_, _)),
+    "q_flatten_nested"   -> mk(qFlattenNested(_, _)),
+    "q_offset_parse"     -> mk(qOffsetParse(_, _)),
+    "q_interval_merge"   -> mk(qIntervalMerge(_, _)))
+
+  private def mk(f: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame = f
+
+  // ------------------------------------------------------------- oracles
+
+  def oracleSql: Map[String, String] = Map(
+    "q_agg_pricing" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+        |CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+        |CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+        |min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price
+        |FROM lineitem GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q_time_binning" ->
+      """SELECT strftime(ts, '%Y%m%d_%H00') AS bin, event_type, count(*) AS n,
+        |CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+        |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q_time_extract" ->
+      """SELECT event_id,
+        |CAST(floor((CASE WHEN event_type='purchase' THEN value ELSE epoch_us(ts)/1000000.0 END)*1000000.0) AS BIGINT) AS extracted_us
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_path_routing" ->
+      """SELECT 'p' || CAST(user_id % 4 AS VARCHAR) || '/u' || CAST(user_id AS VARCHAR) || '/'
+        | || event_type || '/' || strftime(ts, '%Y%m%d_%H00') || '.csv' AS path,
+        |count(*) AS n_records, min(event_id) AS min_event, max(event_id) AS max_event
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_sanitize_id" ->
+      """SELECT p_partkey,
+        |CASE WHEN regexp_replace(p_name, '[^a-zA-Z0-9_-]+', '', 'g') = '' OR p_name IS NULL
+        | THEN 'unknown-part' ELSE regexp_replace(p_name, '[^a-zA-Z0-9_-]+', '', 'g') END AS clean_name
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q_dedup_keep_last" ->
+      """SELECT user_id, event_type, event_id AS last_event_id, value FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+    "q_dedup_keep_first" ->
+      """SELECT user_id, event_type, event_id AS first_event_id, value FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id ASC) AS rn
+        |  FROM events) WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+    "q_enrich_broadcast" ->
+      """SELECT r_name, n_name, count(*) AS n_customers,
+        |CAST(sum(CAST(round(c_acctbal*100) AS BIGINT)) AS BIGINT) AS sum_bal_cents
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q_semi_join" ->
+      """SELECT o_orderstatus, count(*) AS n FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_anti_join" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin,
+    "q_flatten_nested" ->
+      """SELECT l_orderkey AS "key.l_orderkey", l_linenumber AS "key.l_linenumber",
+        |l_partkey AS "value.l_partkey", l_suppkey AS "value.l_suppkey",
+        |l_quantity AS "value.l_quantity", l_extendedprice AS "value.l_extendedprice",
+        |l_returnflag AS "value.l_returnflag"
+        |FROM lineitem WHERE l_orderkey < 1000 ORDER BY 1, 2""".stripMargin,
+    "q_offset_parse" ->
+      """WITH f AS (
+        |  SELECT event_type || '+' || CAST(user_id % 8 AS VARCHAR) || '+'
+        |    || lpad(CAST(event_id AS VARCHAR), 10, '0') || '.avro' AS fname FROM events),
+        |p AS (
+        |  SELECT regexp_extract(fname, '^(.+)\+(\d+)\+(\d+)(?:\+(\d+))?\.avro$', 1) AS topic,
+        |    CAST(regexp_extract(fname, '^(.+)\+(\d+)\+(\d+)(?:\+(\d+))?\.avro$', 2) AS INTEGER) AS "partition",
+        |    CAST(regexp_extract(fname, '^(.+)\+(\d+)\+(\d+)(?:\+(\d+))?\.avro$', 3) AS BIGINT) AS from_offset
+        |  FROM f)
+        |SELECT topic, "partition", count(*) AS n_files, min(from_offset) AS min_offset,
+        |  max(from_offset) AS max_offset
+        |FROM p GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q_interval_merge" ->
+      """WITH marked AS (
+        |  SELECT user_id, event_id,
+        |    CASE WHEN lag(event_id) OVER (PARTITION BY user_id ORDER BY event_id) IS NULL
+        |      OR event_id - lag(event_id) OVER (PARTITION BY user_id ORDER BY event_id) > 1
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |isl AS (
+        |  SELECT user_id, event_id,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY event_id) AS island
+        |  FROM marked)
+        |SELECT user_id, min(event_id) AS from_offset, max(event_id) AS to_offset
+        |FROM isl GROUP BY user_id, island ORDER BY user_id, from_offset""".stripMargin)
 }

@@ -1,0 +1,137 @@
+package graft.paths
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.time.TimeExtract
+
+/** Output-path computation: the reference's `${param}` path template
+  * (path/PathFormatter.kt:26-68) compiled ONCE into a single `concat`
+  * Column expression of literals and parameter expressions — evaluated
+  * per row in codegen; no per-record driver work.
+  *
+  * Built-in parameter plugins mirror the reference set:
+  *  - fixed: projectId / userId / sourceId / topic / filename / attempt /
+  *    extension (path/FixedPathFormatterPlugin.kt:20-58)
+  *  - time:&lt;java-datetime-pattern&gt; (path/TimePathFormatterPlugin.kt:7-23)
+  *  - key:a.b / value:a.b nested lookups (path/KeyPathFormatterPlugin.kt,
+  *    path/ValuePathFormatterPlugin.kt)
+  * Extension point: callers pass extra `params` (e.g. an `mp:`-style
+  * enrichment resolves to columns of a broadcast-joined dimension frame,
+  * cf. path/MPPathFormatterPlugin.kt:30-157).
+  */
+object PathTemplate {
+
+  /** `[^a-zA-Z0-9_-]+` removed; empty → `default`
+    * (path/RecordPathFactory.kt:119-125).
+    */
+  def sanitizeId(c: Column, default: String): Column = {
+    val cleaned = regexp_replace(c.cast(StringType), "[^a-zA-Z0-9_-]+", "")
+    when(cleaned.isNull || length(cleaned) === 0, lit(default)).otherwise(cleaned)
+  }
+
+  sealed trait Token
+  final case class Literal(s: String) extends Token
+  final case class Param(name: String) extends Token
+
+  private val paramRe = "\\$\\{([^}]+)\\}".r
+
+  /** Split a template into literal and `${param}` tokens. */
+  def tokenize(template: String): Seq[Token] = {
+    val out = Seq.newBuilder[Token]
+    var last = 0
+    for (m <- paramRe.findAllMatchIn(template)) {
+      if (m.start > last) out += Literal(template.substring(last, m.start))
+      out += Param(m.group(1))
+      last = m.end
+    }
+    if (last < template.length) out += Literal(template.substring(last))
+    out.result()
+  }
+
+  /** Validation rule of the reference: template must reference `topic` and
+    * `filename` (or `attempt` + `extension`) (path/PathFormatter.kt:52-60).
+    */
+  def validate(template: String): Either[String, Unit] = {
+    val params = tokenize(template).collect { case Param(n) => n }.toSet
+    if (!params.contains("topic")) Left("template must contain ${topic}")
+    else if (!params.contains("filename") &&
+             !(params.contains("attempt") && params.contains("extension")))
+      Left("template must contain ${filename} or ${attempt}+${extension}")
+    else Right(())
+  }
+
+  /** Compile `template` to a Column. `params` supplies fixed-name parameter
+    * expressions; `timeEpochSec` powers `time:<fmt>` parameters;
+    * `recordSchema` resolves `key:`/`value:` lookups (null-safe with
+    * `unknown-key`/`unknown-value` fallbacks).
+    */
+  def compile(
+      template: String,
+      params: Map[String, Column],
+      timeEpochSec: Option[Column] = None,
+      recordSchema: Option[StructType] = None): Column = {
+
+    def lookup(root: String, path: String, default: String): Column = {
+      val full = root +: path.split('.').toSeq
+      val ok = recordSchema.exists { st =>
+        full.foldLeft(Option(st: DataType)) {
+          case (Some(s: StructType), n) =>
+            s.fields.find(_.name.equalsIgnoreCase(n)).map(_.dataType)
+          case _ => None
+        }.isDefined
+      }
+      if (!ok) lit(default)
+      else sanitizeId(col(full.mkString(".")).cast(StringType), default)
+    }
+
+    val cols = tokenize(template).map {
+      case Literal(s) => lit(s)
+      case Param(p) if params.contains(p) => params(p)
+      case Param(p) if p.startsWith("time:") =>
+        val fmt = p.stripPrefix("time:")
+        timeEpochSec match {
+          case Some(t) =>
+            when(t.isNull, lit("unknown-time"))
+              .otherwise(sanitizeId(date_format(timestamp_seconds(t), fmt), "unknown-time"))
+          case None => lit("unknown-time")
+        }
+      case Param(p) if p.startsWith("key:")   => lookup("key", p.stripPrefix("key:"), "unknown-key")
+      case Param(p) if p.startsWith("value:") => lookup("value", p.stripPrefix("value:"), "unknown-value")
+      case Param(p) => lit(s"unknown-$p")
+    }
+    concat(cols: _*)
+  }
+
+  /** The reference's default template
+    * (config/PathFormatterConfig.kt:32).
+    */
+  val defaultTemplate = "${projectId}/${userId}/${topic}/${filename}"
+
+  /** Fixed-plugin parameter set for a RADAR-shaped record frame: sanitized
+    * ids from `key`, hourly time-bin filename
+    * (path/FixedPathFormatterPlugin.kt:20-58).
+    */
+  def fixedParams(
+      schema: StructType,
+      timeEpochSec: Column,
+      topic: Column,
+      extension: String,
+      timeBinFormat: String = "yyyyMMdd_HH00"): Map[String, Column] = {
+    def keyField(n: String, default: String): Column = {
+      val exists = schema.fields.find(_.name.equalsIgnoreCase("key")).map(_.dataType) match {
+        case Some(st: StructType) => st.fields.exists(_.name.equalsIgnoreCase(n))
+        case _ => false
+      }
+      if (exists) sanitizeId(col(s"key.$n").cast(StringType), default) else lit(default)
+    }
+    Map(
+      "projectId" -> keyField("projectId", "unknown-project"),
+      "userId"    -> keyField("userId", "unknown-user"),
+      "sourceId"  -> keyField("sourceId", "unknown-source"),
+      "topic"     -> topic,
+      "extension" -> lit(extension),
+      "filename"  -> concat(TimeExtract.timeBin(timeEpochSec, timeBinFormat), lit(extension)))
+  }
+}

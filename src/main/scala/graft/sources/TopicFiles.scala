@@ -1,0 +1,62 @@
+package graft.sources
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType}
+
+/** Kafka-connector file-layout semantics: topic discovery and
+  * `topic+partition+startOffset[+endOffset].avro` filename parsing
+  * (reference: util/AvroTopicLister.kt:19-30,
+  * accounting/TopicPartitionOffsetRange.kt:61-76).
+  *
+  * Both a driver-side form (for work-list planning against the ledger) and a
+  * Column form (for deriving offsets inside a distributed scan via
+  * `input_file_name()`).
+  */
+object TopicFiles {
+
+  /** Parsed `topic+partition+from[+to]` filename. */
+  final case class OffsetRange(topic: String, partition: Int, from: Long, to: Option[Long])
+
+  private val fileRe = "^(.+)\\+(\\d+)\\+(\\d+)(?:\\+(\\d+))?\\.avro$".r
+
+  /** Driver-side parse of one file name (no directory components). */
+  def parseFilename(name: String): Option[OffsetRange] = name match {
+    case fileRe(topic, part, from, to) =>
+      Some(OffsetRange(topic, part.toInt, from.toLong,
+        Option(to).map(_.toLong)))
+    case _ => None
+  }
+
+  val filenamePattern = "^(.+)\\+(\\d+)\\+(\\d+)(?:\\+(\\d+))?\\.avro$"
+
+  /** Column-side parse over a filename column (e.g.
+    * `element_at(split(input_file_name(), "/"), -1)`).
+    */
+  def topicCol(fname: Column): Column = regexp_extract(fname, filenamePattern, 1)
+  def partitionCol(fname: Column): Column =
+    regexp_extract(fname, filenamePattern, 2).cast(IntegerType)
+  def fromOffsetCol(fname: Column): Column =
+    regexp_extract(fname, filenamePattern, 3).cast(LongType)
+  def toOffsetCol(fname: Column): Column = {
+    val g = regexp_extract(fname, filenamePattern, 4)
+    when(g === "", lit(null).cast(LongType)).otherwise(g.cast(LongType))
+  }
+
+  /** Topic discovery on a local/Hadoop-visible tree: a directory containing
+    * `*.avro` files marks `parent.parent` as the topic root; `+tmp` skipped
+    * (util/AvroTopicLister.kt:11-31). Driver-side planning step.
+    */
+  def listTopics(root: java.nio.file.Path): Map[String, Seq[java.nio.file.Path]] = {
+    import scala.jdk.CollectionConverters._
+    if (!java.nio.file.Files.isDirectory(root)) return Map.empty
+    val avroFiles = java.nio.file.Files.walk(root).iterator().asScala
+      .filter(p => p.toString.endsWith(".avro") && !p.toString.contains("+tmp"))
+      .toSeq
+    avroFiles.groupBy { p =>
+      // file → partition dir → topic dir
+      val topicDir = p.getParent.getParent
+      topicDir.getFileName.toString
+    }.map { case (t, fs) => t -> fs.sortBy(_.toString) }
+  }
+}

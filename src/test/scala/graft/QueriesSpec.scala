@@ -1,0 +1,24 @@
+package graft
+
+/** Smoke: every registered query runs on sf0.001 and yields rows; every
+  * query has a matching oracle (or is intentionally rows-only).
+  */
+class QueriesSpec extends SparkSpec {
+
+  test("every query returns rows at sf0.001") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, sf)
+      val n = df.count()
+      assert(n > 0, s"$name returned no rows")
+    }
+  }
+
+  test("oracleSql keys are a subset of queries") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracles without queries: $missing")
+  }
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}

@@ -1,0 +1,55 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's DuckDB-oracle correctness gate.
+
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+
+Reads each <outDir>/<name> parquet (written by graft.Verify), runs the
+matching oracle SQL from <outDir>/oracle_sql.json in DuckDB over the sfDir
+tables, sorts columns by name, and compares row count + values.
+"""
+import json, sys, glob, os
+import duckdb
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in ["region","nation","customer","supplier","part","orders",
+              "lineitem","events","documents","embeddings"]:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name in sorted(oracle):
+        qdir = f"{out_dir}/{name}"
+        files = glob.glob(f"{qdir}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output"); n_fail += 1; continue
+        try:
+            got = con.sql(f"SELECT * FROM read_parquet({files!r})").df()
+            exp = con.sql(oracle[name]).df()
+        except Exception as e:
+            print(f"FAIL {name}: {e}"); n_fail += 1; continue
+        got = got[sorted(got.columns)]
+        exp = exp[sorted(exp.columns)]
+        if list(got.columns) != list(exp.columns):
+            print(f"FAIL {name}: columns {list(got.columns)} != {list(exp.columns)}")
+            n_fail += 1; continue
+        if len(got) != len(exp):
+            print(f"FAIL {name}: rows {len(got)} != {len(exp)}"); n_fail += 1; continue
+        mismatch = None
+        for c in got.columns:
+            a, b = got[c].tolist(), exp[c].tolist()
+            if a != b:
+                bad = next(i for i in range(len(a)) if a[i] != b[i])
+                mismatch = (c, bad, a[bad], b[bad]); break
+        if mismatch:
+            c, i, a, b = mismatch
+            print(f"FAIL {name}: col {c} row {i}: spark={a!r} oracle={b!r}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(got)} rows)"); n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    return 1 if n_fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
