@@ -174,6 +174,115 @@ object SparkEntry {
       .orderBy(col("user_id"), col("from_offset"))
   }
 
+  // ----------------------------------------------- LLM-pipeline operators
+
+  import graft.functions.{GraftExpressions, TextFunctions}
+  import graft.operators.{Multimodal, Similarity, TextDedup}
+
+  /** Text statistics: token/char/punct/stopword counts. */
+  private def qTextStats(implicit s: SparkSession, d: String): DataFrame =
+    t("documents").select(
+      col("doc_id"),
+      TextFunctions.tokenCount(col("text")).cast(LongType).as("n_tokens"),
+      TextFunctions.bpeTokenCount(col("text")).cast(LongType).as("n_bpe_tokens"),
+      length(col("text")).cast(LongType).as("n_chars"),
+      TextFunctions.punctCount(col("text")).cast(LongType).as("n_punct"),
+      TextFunctions.stopwordCount(col("text")).cast(LongType).as("n_stopwords"))
+      .orderBy(col("doc_id"))
+
+  /** Quality scoring in exact basis points. */
+  private def qQualityScore(implicit s: SparkSession, d: String): DataFrame =
+    t("documents")
+      .select(col("doc_id"), TextFunctions.qualityScoreBp(col("text")).as("score_bp"))
+      .orderBy(col("doc_id"))
+
+  /** Language-ID heuristic (marker-word argmax, fixed tie order). */
+  private def qLangId(implicit s: SparkSession, d: String): DataFrame =
+    t("documents")
+      .select(col("doc_id"), col("lang"), TextFunctions.langId(col("text")).as("predicted"))
+      .orderBy(col("doc_id"))
+
+  /** Exact dedup by content-prefix digest (hash groupBy). */
+  private def qDedupExact(implicit s: SparkSession, d: String): DataFrame = {
+    val prefix = concat_ws(" ", slice(TextFunctions.words(col("text")), 1, 5))
+    t("documents")
+      .groupBy(md5(prefix.cast(BinaryType)).as("prefix_hash"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc_id"))
+      .orderBy(col("prefix_hash"))
+  }
+
+  /** Whole-document fingerprint. */
+  private def qDocFingerprint(implicit s: SparkSession, d: String): DataFrame =
+    t("documents")
+      .select(col("doc_id"), TextFunctions.fingerprintMd5(col("text")).as("fp"),
+        length(col("text")).cast(LongType).as("n_chars"))
+      .orderBy(col("doc_id"))
+
+  /** n-gram Jaccard between adjacent doc pairs (exact set counts). */
+  private def qNgramJaccard(implicit s: SparkSession, d: String): DataFrame = {
+    val docs = t("documents")
+      .select(col("doc_id"), array_distinct(TextDedup.shingles(col("text"), 3)).as("ds"))
+    val a = docs.select(col("doc_id").as("doc_a"), col("ds").as("dsa"))
+    val b = docs.select(col("doc_id").as("doc_b"), col("ds").as("dsb"))
+    val joined = a.join(b, col("doc_b") === col("doc_a") + 1)
+    val inter = size(array_intersect(col("dsa"), col("dsb")))
+    joined.select(
+      col("doc_a"), col("doc_b"),
+      inter.cast(LongType).as("inter_size"),
+      (size(col("dsa")) + size(col("dsb")) - inter).cast(LongType).as("union_size"))
+      .orderBy(col("doc_a"))
+  }
+
+  /** MinHash + LSH candidate near-duplicate pairs. */
+  private def qMinhashPairs(implicit s: SparkSession, d: String): DataFrame =
+    TextDedup.minhashCandidatePairs(t("documents"), "doc_id", "text",
+        shingleN = 3, k = 12, bands = 6, rowsPerBand = 2)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** SimHash64 via custom Catalyst expression (no SQL oracle — rows-only). */
+  private def qSimhash(implicit s: SparkSession, d: String): DataFrame = {
+    GraftExpressions.register(s)
+    t("documents")
+      .select(col("doc_id"),
+        GraftExpressions.simHash64(TextFunctions.words(col("text"))).as("simhash"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Rolling-hash fingerprint via custom expression (rows-only check). */
+  private def qRollingHash(implicit s: SparkSession, d: String): DataFrame = {
+    GraftExpressions.register(s)
+    t("documents")
+      .select(col("doc_id"), GraftExpressions.rollingHash(col("text")).as("rhash"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Brute-force cosine top-k (exact ANN baseline). */
+  private def qCosineTopk(implicit s: SparkSession, d: String): DataFrame = {
+    val emb = t("embeddings")
+    Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 8), k = 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** IVF-bucketed cosine top-k (the scale path: one shuffle on cell id). */
+  private def qIvfTopk(implicit s: SparkSession, d: String): DataFrame = {
+    val emb = t("embeddings")
+    val assigned = Similarity.ivfAssign(emb, emb.filter(col("vec_id") < 16))
+    Similarity.ivfTopK(assigned, emb.select(col("vec_id")).filter(col("vec_id") < 8), k = 3)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Multimodal metadata over opaque binary payloads. */
+  private def qMultimodalMeta(implicit s: SparkSession, d: String): DataFrame = {
+    val media = Multimodal.toMediaFrame(t("documents"))
+    val blen = octet_length(col("payload"))
+    media.select(
+      col("doc_id"),
+      blen.cast(LongType).as("byte_len"),
+      floor(blen / lit(256.0)).cast(LongType).as("n_frames"),
+      (blen % 251).cast(LongType).as("stub_code"))
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -189,13 +298,138 @@ object SparkEntry {
     "q_anti_join"        -> mk(qAntiJoin(_, _)),
     "q_flatten_nested"   -> mk(qFlattenNested(_, _)),
     "q_offset_parse"     -> mk(qOffsetParse(_, _)),
-    "q_interval_merge"   -> mk(qIntervalMerge(_, _)))
+    "q_interval_merge"   -> mk(qIntervalMerge(_, _)),
+    "q_text_stats"       -> mk(qTextStats(_, _)),
+    "q_quality_score"    -> mk(qQualityScore(_, _)),
+    "q_lang_id"          -> mk(qLangId(_, _)),
+    "q_dedup_exact"      -> mk(qDedupExact(_, _)),
+    "q_doc_fingerprint"  -> mk(qDocFingerprint(_, _)),
+    "q_ngram_jaccard"    -> mk(qNgramJaccard(_, _)),
+    "q_minhash_pairs"    -> mk(qMinhashPairs(_, _)),
+    "q_simhash"          -> mk(qSimhash(_, _)),
+    "q_rolling_hash"     -> mk(qRollingHash(_, _)),
+    "q_cosine_topk"      -> mk(qCosineTopk(_, _)),
+    "q_ivf_topk"         -> mk(qIvfTopk(_, _)),
+    "q_multimodal_meta"  -> mk(qMultimodalMeta(_, _)))
 
   private def mk(f: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame = f
 
   // ------------------------------------------------------------- oracles
 
-  def oracleSql: Map[String, String] = Map(
+  /** Shared DuckDB fragments mirroring the Column expressions above. */
+  private object Frag {
+    // whitespace tokens of `text`, empties dropped
+    val wordsCte =
+      """w AS (SELECT doc_id, lang, text, trim(text) AS tt,
+        |  list_filter(regexp_split_to_array(trim(text), '\s+'), w -> len(w) > 0) AS ws
+        |  FROM documents)""".stripMargin
+    // 3-gram shingles (short docs → whole trimmed text)
+    val shinglesCte =
+      """sh AS (SELECT doc_id, CASE WHEN len(ws) < 3 THEN [tt]
+        |  ELSE list_transform(range(0, len(ws)-2), i -> array_to_string(ws[i+1:i+3], ' ')) END AS sh
+        |  FROM w)""".stripMargin
+    def stopIn(ws: Seq[String]): String = ws.map(w => s"'$w'").mkString(", ")
+    // strict left-fold dot product over 1-based double lists
+    def dot(a: String, b: String): String =
+      s"list_reduce(list_prepend(0.0, list_transform(range(1, len($a)+1), i -> $a[i]*$b[i])), (acc, x) -> acc + x)"
+    def l2sq(a: String, b: String): String =
+      s"list_reduce(list_prepend(0.0, list_transform(range(1, len($a)+1), i -> ($a[i]-$b[i])*($a[i]-$b[i]))), (acc, x) -> acc + x)"
+    def cosine(a: String, b: String): String =
+      s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
+    val embCte =
+      "e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)"
+  }
+
+  private def llmOracles: Map[String, String] = {
+    val stopwords = Frag.stopIn(TextFunctions.defaultStopwords)
+    val nStop = s"len(list_filter(ws, x -> x IN ($stopwords)))"
+    val langCounts = TextFunctions.langMarkers.map { case (lang, ms) =>
+      lang -> s"len(list_filter(ws, x -> x IN (${Frag.stopIn(ms)})))"
+    }
+    // CASE chain identical to TextFunctions.langId (priority = declaration order)
+    val langCase = {
+      val body = langCounts.zipWithIndex.dropRight(1).map { case ((lang, cnt), i) =>
+        val conds = langCounts.drop(i + 1).map { case (_, o) => s"$cnt >= $o" }.mkString(" AND ")
+        s"WHEN $conds THEN '$lang'"
+      }.mkString(" ")
+      s"CASE $body ELSE '${langCounts.last._1}' END"
+    }
+    val sigList = (0 until 12).map(i =>
+      s"list_min(list_transform(sh, s -> md5('$i:' || s)))").mkString("[", ", ", "]")
+
+    Map(
+      "q_text_stats" ->
+        s"""WITH ${Frag.wordsCte}
+           |SELECT doc_id, len(ws) AS n_tokens,
+           |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT) AS n_bpe_tokens,
+           |  CAST(length(text) AS BIGINT) AS n_chars,
+           |  CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS BIGINT) AS n_punct,
+           |  CAST($nStop AS BIGINT) AS n_stopwords
+           |FROM w ORDER BY doc_id""".stripMargin,
+      "q_quality_score" ->
+        s"""WITH ${Frag.wordsCte}
+           |SELECT doc_id, CAST(floor((
+           |  0.4 * (CASE WHEN CAST(len(ws) AS DOUBLE) > 0 THEN CAST($nStop AS DOUBLE) / CAST(len(ws) AS DOUBLE) ELSE 0.0 END)
+           |  + 0.3 * least(1.0, CAST(len(ws) AS DOUBLE) / 100.0)
+           |  + 0.3 * (1.0 - (CASE WHEN CAST(length(text) AS DOUBLE) > 0 THEN CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) ELSE 0.0 END))
+           |) * 10000) AS BIGINT) AS score_bp
+           |FROM w ORDER BY doc_id""".stripMargin,
+      "q_lang_id" ->
+        s"""WITH ${Frag.wordsCte}
+           |SELECT doc_id, lang, $langCase AS predicted FROM w ORDER BY doc_id""".stripMargin,
+      "q_dedup_exact" ->
+        s"""WITH ${Frag.wordsCte},
+           |p AS (SELECT doc_id, md5(array_to_string(ws[1:5], ' ')) AS prefix_hash FROM w)
+           |SELECT prefix_hash, count(*) AS n_docs, min(doc_id) AS min_doc_id
+           |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+      "q_doc_fingerprint" ->
+        """SELECT doc_id, md5(text) AS fp, CAST(length(text) AS BIGINT) AS n_chars
+          |FROM documents ORDER BY doc_id""".stripMargin,
+      "q_ngram_jaccard" ->
+        s"""WITH ${Frag.wordsCte},
+           |${Frag.shinglesCte},
+           |dd AS (SELECT doc_id, list_distinct(sh) AS ds FROM sh)
+           |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |  CAST(len(list_intersect(a.ds, b.ds)) AS BIGINT) AS inter_size,
+           |  CAST(len(a.ds) + len(b.ds) - len(list_intersect(a.ds, b.ds)) AS BIGINT) AS union_size
+           |FROM dd a JOIN dd b ON b.doc_id = a.doc_id + 1 ORDER BY doc_a""".stripMargin,
+      "q_minhash_pairs" ->
+        s"""WITH ${Frag.wordsCte},
+           |${Frag.shinglesCte},
+           |sig AS (SELECT doc_id, $sigList AS sig FROM sh),
+           |bands AS (SELECT doc_id, j, md5(array_to_string(sig[j*2+1:j*2+2], ',')) AS bh
+           |  FROM sig CROSS JOIN generate_series(0, 5) AS tt(j))
+           |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |FROM bands a JOIN bands b ON a.j = b.j AND a.bh = b.bh AND a.doc_id < b.doc_id
+           |ORDER BY doc_a, doc_b""".stripMargin,
+      "q_cosine_topk" ->
+        s"""WITH ${Frag.embCte},
+           |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+           |s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+           |  ${Frag.cosine("q.qv", "e.v")} AS sim
+           |  FROM e CROSS JOIN q WHERE e.vec_id != q.query_id)
+           |SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS INTEGER) AS "rank", neighbor_id
+           |FROM s QUALIFY "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin,
+      "q_ivf_topk" ->
+        s"""WITH ${Frag.embCte},
+           |c AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 16),
+           |ad AS (SELECT e.vec_id, e.v, c.cent_id, ${Frag.l2sq("e.v", "c.cv")} AS dist FROM e CROSS JOIN c),
+           |cl AS (SELECT vec_id, v, cent_id AS cell FROM
+           |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cent_id ASC) AS rn FROM ad)
+           |  WHERE rn = 1),
+           |q AS (SELECT vec_id AS query_id, v AS qv, cell FROM cl WHERE vec_id < 8),
+           |s AS (SELECT q.query_id, cl.vec_id AS neighbor_id, ${Frag.cosine("q.qv", "cl.v")} AS sim
+           |  FROM cl JOIN q ON cl.cell = q.cell AND cl.vec_id != q.query_id)
+           |SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS INTEGER) AS "rank", neighbor_id
+           |FROM s QUALIFY "rank" <= 3 ORDER BY query_id, "rank"""".stripMargin,
+      "q_multimodal_meta" ->
+        """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+          |CAST(floor(octet_length(encode(text)) / 256.0) AS BIGINT) AS n_frames,
+          |CAST(octet_length(encode(text)) % 251 AS BIGINT) AS stub_code
+          |FROM documents ORDER BY doc_id""".stripMargin)
+  }
+
+  def oracleSql: Map[String, String] = llmOracles ++ Map(
     "q_agg_pricing" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
         |CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty_cents,

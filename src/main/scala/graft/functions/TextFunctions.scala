@@ -1,0 +1,85 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis columns for large-scale training-data pipelines: token
+  * counting, quality scoring, language-ID heuristics. All pure Column
+  * expressions (codegen'd, no UDFs), deterministic, and mirrored 1:1 by the
+  * DuckDB oracle SQL in SparkEntry.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens, empty strings dropped. */
+  def words(c: Column): Column =
+    filter(split(trim(c), "\\s+"), w => length(w) > 0)
+
+  def tokenCount(c: Column): Column = size(words(c))
+
+  /** BPE-ish pre-tokenization: letter runs, digit runs, single punctuation.
+    * (The classic GPT-2 pre-tokenizer regex family, ASCII simplification.)
+    */
+  def bpeTokens(c: Column): Column =
+    regexp_extract_all(c, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0))
+
+  def bpeTokenCount(c: Column): Column = size(bpeTokens(c))
+
+  def charCount(c: Column): Column = length(c)
+
+  /** Count of non-alphanumeric, non-whitespace characters. */
+  def punctCount(c: Column): Column =
+    length(c) - length(regexp_replace(c, "[^a-zA-Z0-9\\s]", ""))
+
+  val defaultStopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+  def stopwordCount(c: Column, stopwords: Seq[String] = defaultStopwords): Column =
+    size(filter(words(c), w => w.isin(stopwords.map(x => x: Any): _*)))
+
+  /** Heuristic quality score in basis points [0, 10000]:
+    * 0.4·stopword-ratio + 0.3·min(1, tokens/100) + 0.3·(1 − punct-ratio).
+    * Emitted as integer basis points so the result is bit-exact across
+    * engines (double ops in fixed order, then floor).
+    */
+  def qualityScoreBp(c: Column): Column = {
+    val nTok = tokenCount(c).cast(DoubleType)
+    val nChar = charCount(c).cast(DoubleType)
+    val stopRatio = when(nTok > 0, stopwordCount(c).cast(DoubleType) / nTok).otherwise(lit(0.0))
+    val lengthScore = least(lit(1.0), nTok / lit(100.0))
+    val punctRatio = when(nChar > 0, punctCount(c).cast(DoubleType) / nChar).otherwise(lit(0.0))
+    val score = lit(0.4) * stopRatio + lit(0.3) * lengthScore + lit(0.3) * (lit(1.0) - punctRatio)
+    floor(score * 10000).cast(LongType)
+  }
+
+  /** Language marker words (n-gram/stopword heuristic). */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "is"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "es" -> Seq("el", "los", "las", "es", "una"),
+    "fr" -> Seq("le", "la", "les", "est", "une"),
+    "zh" -> Seq("的", "是", "了", "在", "我"))
+
+  def langMarkerCount(c: Column, markers: Seq[String]): Column =
+    size(filter(words(c), w => w.isin(markers.map(x => x: Any): _*)))
+
+  /** Predicted language = argmax marker count, ties broken by the fixed
+    * priority order of `langMarkers` (en first). A deterministic CASE chain
+    * so the oracle mirrors it exactly.
+    */
+  def langId(c: Column): Column = {
+    val counts = langMarkers.map { case (lang, ms) => lang -> langMarkerCount(c, ms) }
+    val chain = counts.zipWithIndex.foldRight(lit(counts.last._1): Column) {
+      case (((lang, cnt), i), els) =>
+        val rest = counts.drop(i + 1).map(_._2)
+        if (rest.isEmpty) els
+        else when(rest.foldLeft(lit(true): Column)((acc, o) => acc && cnt >= o), lit(lang)).otherwise(els)
+    }
+    chain
+  }
+
+  /** Whole-document fingerprint (hex MD5). The rolling-hash variant lives in
+    * [[graft.functions.RollingHash]].
+    */
+  def fingerprintMd5(c: Column): Column = md5(c.cast(BinaryType))
+}

@@ -1,0 +1,41 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class GraftExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("rollingHash matches direct computation and is shift-sensitive") {
+    GraftExpressions.register(spark)
+    def ref(s: String): Long =
+      s.getBytes("UTF-8").foldLeft(0L)((h, b) => (h * 257 + (b & 0xff)) % 1000000007L)
+    val got = Seq("hello world", "hello worle", "")
+      .toDF("t").select(GraftExpressions.rollingHash(col("t"))).collect().map(_.getLong(0))
+    assert(got(0) == ref("hello world"))
+    assert(got(1) == ref("hello worle"))
+    assert(got(0) != got(1))
+    assert(got(2) == 0L)
+  }
+
+  test("simhash: near-identical docs closer in hamming than unrelated docs") {
+    GraftExpressions.register(spark)
+    val docs = Seq(
+      ("a", "the quick brown fox jumps over the lazy dog again and again today"),
+      ("b", "the quick brown fox jumps over the lazy dog again and again tonight"),
+      ("c", "completely different content about spark catalyst optimizer internals"))
+      .toDF("id", "text")
+    val sh = docs.select(col("id"),
+      GraftExpressions.simHash64(TextFunctions.words(col("text"))).as("h"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh("a"), sh("b")) < ham(sh("a"), sh("c")))
+  }
+
+  test("hammingDist64 column matches bitCount") {
+    GraftExpressions.register(spark)
+    val got = Seq((0xffL, 0x0fL)).toDF("a", "b")
+      .select(GraftExpressions.hammingDist64(col("a"), col("b"))).collect()(0).getInt(0)
+    assert(got == 4)
+  }
+}
