@@ -487,9 +487,9 @@ object SparkEntry {
         |  SELECT event_type || '+' || CAST(user_id % 8 AS VARCHAR) || '+'
         |    || lpad(CAST(event_id AS VARCHAR), 10, '0') || '.avro' AS fname FROM events),
         |p AS (
-        |  SELECT regexp_extract(fname, '^(.+)\+(\d+)\+(\d+)(?:\+(\d+))?\.avro$', 1) AS topic,
-        |    CAST(regexp_extract(fname, '^(.+)\+(\d+)\+(\d+)(?:\+(\d+))?\.avro$', 2) AS INTEGER) AS "partition",
-        |    CAST(regexp_extract(fname, '^(.+)\+(\d+)\+(\d+)(?:\+(\d+))?\.avro$', 3) AS BIGINT) AS from_offset
+        |  SELECT regexp_extract(fname, '^(.+?)\+(\d+)\+(\d+)(?:\+(\d+))?\.avro$', 1) AS topic,
+        |    CAST(regexp_extract(fname, '^(.+?)\+(\d+)\+(\d+)(?:\+(\d+))?\.avro$', 2) AS INTEGER) AS "partition",
+        |    CAST(regexp_extract(fname, '^(.+?)\+(\d+)\+(\d+)(?:\+(\d+))?\.avro$', 3) AS BIGINT) AS from_offset
         |  FROM f)
         |SELECT topic, "partition", count(*) AS n_files, min(from_offset) AS min_offset,
         |  max(from_offset) AS max_offset

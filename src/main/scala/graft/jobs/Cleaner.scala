@@ -1,0 +1,117 @@
+package graft.jobs
+
+import java.time.Instant
+
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.spark.sql.{SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.paths.PathTemplate
+import graft.sources.{AvroRead, TopicFiles}
+import graft.time.TimeExtract
+
+/** The cleaner job (§3.2 / §2.6 of SURVEY.md): delete source Avro files whose
+  * records are verifiably present in the output.
+  *
+  *  - C1 eligibility: file older than `ageMs` AND the ledger also covers
+  *    `to+1` (a later offset was processed — the newest file is never
+  *    deleted, cleaner/SourceDataCleaner.kt:106-113).
+  *  - C2 verification: re-derive every record's (bin path, time) and
+  *    anti-join against the distinct time values of the target bins
+  *    (timestamp-set containment, cleaner/TimestampExtractionCheck.kt) —
+  *    one distributed join per topic instead of per-record file reads.
+  *  - C3 rollback: a file that fails verification has its range removed
+  *    from the ledger so the next restructure run re-extracts it.
+  */
+object Cleaner {
+
+  final case class CleanResult(deleted: Seq[String], rolledBack: Seq[String])
+
+  def run(spark: SparkSession, cfg: RestructureJobConfig, ageMs: Long = 7L * 24 * 3600 * 1000): CleanResult = {
+    val fs = new HPath(cfg.outputRoot).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.setWriteChecksum(false)
+    fs.setVerifyChecksum(false)
+    val ledger = Restructure.loadLedger(fs, cfg.ledger)
+    val now = System.currentTimeMillis()
+    val deleted = Seq.newBuilder[String]
+    val rolledBack = Seq.newBuilder[String]
+
+    val topics = TopicFiles.listTopics(java.nio.file.Paths.get(cfg.inputRoot))
+    for ((topic, files) <- topics.toSeq.sortBy(_._1)) {
+      val tCfg = cfg.topicConfig(topic)
+      if (!tCfg.exclude && !tCfg.excludeFromDelete) {
+        val eligible = files
+          .map(p => (p, TopicFiles.parseFilename(p.getFileName.toString)))
+          .collect { case (p, Some(r)) => (p, r) }
+          .filter { case (p, r) =>
+            val f = p.toFile
+            f.length > 0 &&
+            (now - f.lastModified) >= ageMs &&
+            r.to.isDefined && // open-ended file = newest slice, keep
+            ledger.contains(r.topic, r.partition, r.from, r.to.get + 1,
+              Instant.ofEpochMilli(f.lastModified))
+          }
+        if (eligible.nonEmpty) {
+          val missingByFile = verifyTopic(spark, cfg, topic, eligible.map(_._1.toString))
+          eligible.foreach { case (p, r) =>
+            val name = p.getFileName.toString
+            if (missingByFile.getOrElse(name, 0L) == 0L) {
+              fs.delete(new HPath(p.toString), false)
+              deleted += p.toString
+            } else {
+              ledger.remove(r.topic, r.partition, r.from, r.to.get)
+              rolledBack += p.toString
+            }
+          }
+        }
+      }
+    }
+    Restructure.saveLedger(fs, cfg.ledger, ledger)
+    CleanResult(deleted.result(), rolledBack.result())
+  }
+
+  /** Count of not-yet-extracted records per source file name (0 = safe to
+    * delete). Records without a time value count as extracted (A4 rule).
+    */
+  private def verifyTopic(
+      spark: SparkSession, cfg: RestructureJobConfig, topic: String,
+      files: Seq[String]): Map[String, Long] = {
+    val tCfg = cfg.topicConfig(topic)
+    val df = AvroRead.read(spark, files)
+    val dataSchema = StructType(df.schema.fields.filterNot(f =>
+      f.name == AvroRead.FileCol || f.name == AvroRead.PosCol))
+    val timeCol = TimeExtract.timeColumn(dataSchema)
+    val template = tCfg.pathTemplate.getOrElse(cfg.pathTemplate)
+    val params = PathTemplate.fixedParams(dataSchema, timeCol, lit(topic),
+      cfg.extension, cfg.timeBinFormat)
+    val pathCol = PathTemplate.compile(template, params, Some(timeCol), Some(dataSchema))
+
+    val source = df.select(col(AvroRead.FileCol).as("__src"),
+      pathCol.as("__path"), timeCol.as("__time"))
+
+    val paths = source.select("__path").distinct().collect().map(_.getString(0))
+    val timeFieldName = graft.model.Flatten.leafPaths(dataSchema)
+      .map(_._1).find(n => Seq("value.time", "key.timeStart", "key.start",
+        "value.timeReceived", "value.timeCompleted").exists(_.equalsIgnoreCase(n)))
+
+    val targetTimes = paths.toSeq.flatMap { p =>
+      val full = s"${cfg.outputRoot}/$p"
+      if (!new java.io.File(full).exists() || timeFieldName.isEmpty) None
+      else Some(
+        spark.read.option("header", "true").csv(full)
+          .select(col(s"`${timeFieldName.get}`").cast(DoubleType).as("__time"))
+          .withColumn("__path", lit(p)))
+    }
+
+    val withTime = source.filter(col("__time").isNotNull)
+    val missing =
+      if (targetTimes.isEmpty) withTime
+      else withTime.join(
+        targetTimes.reduce(_ unionByName _).distinct(),
+        Seq("__path", "__time"), "left_anti")
+    val counts = missing.groupBy(col("__src")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    files.map(f => new java.io.File(f).getName).map(n => n -> counts.getOrElse(n, 0L)).toMap
+  }
+}

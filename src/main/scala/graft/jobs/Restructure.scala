@@ -1,0 +1,265 @@
+package graft.jobs
+
+import java.time.Instant
+
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.ledger.OffsetRangeSet
+import graft.model.Flatten
+import graft.operators.Dedup
+import graft.paths.PathTemplate
+import graft.sources.{AvroRead, TopicFiles}
+import graft.time.TimeExtract
+
+/** The restructure job (§3.1 of SURVEY.md), Spark-shaped:
+  *
+  * driver: topic discovery → ledger filter → work list
+  * cluster: avro scan → derive(time, path) → flatten → [dedup] →
+  *          repartition(path) → one exactly-named file per bin
+  * driver: sidecars → ledger commit
+  *
+  * Output parity with the reference: flattened dot-named CSV headers,
+  * JVM-rendered values, unpadded base64, `""` nulls, minimal quoting,
+  * hourly UTC bins, `unknown-*` fallbacks, per-directory Avro schema
+  * sidecar, keep-last dedup, offset-interval ledger for incremental
+  * exactly-once re-runs (append-to-bin = merge-rewrite of existing file).
+  */
+object Restructure {
+
+  final case class TopicResult(topic: String, files: Seq[String], records: Long, paths: Seq[String])
+  final case class RunResult(processedTopics: Seq[TopicResult], ledger: OffsetRangeSet)
+
+  def run(spark: SparkSession, cfg: RestructureJobConfig): RunResult = {
+    val fs = new HPath(cfg.outputRoot).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // local-FS checksum sidecars (.crc) are not part of the output contract
+    fs.setWriteChecksum(false)
+    fs.setVerifyChecksum(false)
+    val ledger = loadLedger(fs, cfg.ledger)
+    val topics = TopicFiles.listTopics(java.nio.file.Paths.get(cfg.inputRoot))
+    val now = System.currentTimeMillis()
+
+    val results = topics.toSeq.sortBy(_._1).flatMap { case (topic, files) =>
+      val tCfg = cfg.topicConfig(topic)
+      if (tCfg.exclude) None
+      else {
+        // S7/P10/P13: unseen ∧ old-enough ∧ limit
+        val candidates = files
+          .map(p => (p, TopicFiles.parseFilename(p.getFileName.toString)))
+          .collect { case (p, Some(r)) => (p, r) }
+          .filter { case (p, r) =>
+            val f = p.toFile
+            f.length > 0 &&
+            (now - f.lastModified) >= cfg.minimumFileAgeMs &&
+            !ledger.contains(r.topic, r.partition, r.from,
+              r.to.getOrElse(r.from), Instant.ofEpochMilli(f.lastModified))
+          }
+        val limited = cfg.maxFilesPerTopic.fold(candidates)(candidates.take)
+        if (limited.isEmpty) None
+        else Some(processTopic(spark, cfg, fs, topic, limited.map(_._1.toString), ledger))
+      }
+    }
+    saveLedger(fs, cfg.ledger, ledger)
+    RunResult(results, ledger)
+  }
+
+  private def processTopic(
+      spark: SparkSession, cfg: RestructureJobConfig, fs: FileSystem,
+      topic: String, files: Seq[String], ledger: OffsetRangeSet): TopicResult = {
+    val tCfg = cfg.topicConfig(topic)
+    val avroSchema = AvroRead.readSchema(files.head)
+    val df = AvroRead.read(spark, files)
+    val dataSchema = StructType(df.schema.fields.filterNot(f =>
+      f.name == AvroRead.FileCol || f.name == AvroRead.PosCol))
+
+    val timeCol = TimeExtract.timeColumn(dataSchema)
+    val template = tCfg.pathTemplate.getOrElse(cfg.pathTemplate)
+    val params = PathTemplate.fixedParams(dataSchema, timeCol, lit(topic),
+      cfg.extension, cfg.timeBinFormat)
+    val pathCol = PathTemplate.compile(template, params, Some(timeCol), Some(dataSchema))
+
+    val written =
+      if (cfg.format == "json") writeJsonBins(spark, cfg, fs, topic, df, pathCol, tCfg)
+      else writeCsvBins(spark, cfg, fs, topic, df, dataSchema, pathCol, tCfg)
+
+    // K4 schema sidecar, once per output directory
+    written.map(p => p.substring(0, math.max(p.lastIndexOf('/'), 0))).distinct.foreach { dir =>
+      val sidecar = new HPath(s"${cfg.outputRoot}/$dir/schema-$topic.json")
+      if (!fs.exists(sidecar)) {
+        val out = fs.create(sidecar, true)
+        try out.write(avroSchema.toString(true).getBytes("UTF-8")) finally out.close()
+      }
+    }
+
+    // ledger commit: per-file ranges (open-ended ranges closed by record count)
+    val counts = df.groupBy(col(AvroRead.FileCol)).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val processedAt = Instant.now()
+    files.foreach { f =>
+      val name = new java.io.File(f).getName
+      TopicFiles.parseFilename(name).foreach { r =>
+        val to = r.to.getOrElse(r.from + counts.getOrElse(name, 1L) - 1)
+        ledger.add(r.topic, r.partition, r.from, to, processedAt)
+      }
+    }
+    TopicResult(topic, files, counts.values.sum, written)
+  }
+
+  /** Flattened CSV output projection: dot-named leaves in schema order,
+    * binary → unpadded base64, NullType → string, excludeFields dropped,
+    * everything cast to its CSV string form (so merge-with-existing unions
+    * are type-aligned).
+    */
+  private def csvColumns(dataSchema: StructType, exclude: Set[String]): Seq[Column] =
+    Flatten.leafPaths(dataSchema)
+      .filterNot { case (n, _) => exclude(n) }
+      .map { case (n, dt) =>
+        val c = Flatten.leafColumn(n)
+        val rendered = dt match {
+          case BinaryType => regexp_replace(base64(c), "=+$", "") // P5 unpadded
+          case NullType => lit(null).cast(StringType)
+          case _ => c.cast(StringType) // JVM toString parity incl. doubles
+        }
+        rendered.as(n)
+      }
+
+  private def writeCsvBins(
+      spark: SparkSession, cfg: RestructureJobConfig, fs: FileSystem, topic: String,
+      df: DataFrame, dataSchema: StructType, pathCol: Column, tCfg: TopicJobConfig): Seq[String] = {
+    val outCols = csvColumns(dataSchema, tCfg.excludeFields)
+    val prepared = df.select(outCols ++ Seq(
+      pathCol.as("__path"), col(AvroRead.FileCol), col(AvroRead.PosCol)): _*)
+
+    // K2 append-to-existing: merge current bin contents (they sort first and
+    // participate in dedup, FileCache.kt:147-179)
+    val targetPaths = prepared.select(col("__path")).distinct().collect().map(_.getString(0))
+    val existing = targetPaths.filter(p => fs.exists(new HPath(s"${cfg.outputRoot}/$p")))
+    val withExisting = existing.foldLeft(prepared) { (acc, p) =>
+      val old = spark.read.option("header", "true").option("inferSchema", "false")
+        .csv(s"${cfg.outputRoot}/$p")
+        .withColumn("__path", lit(p))
+        .withColumn(AvroRead.FileCol, lit("")) // sorts before any real file
+        .withColumn(AvroRead.PosCol, monotonically_increasing_id())
+      acc.unionByName(old, allowMissingColumns = true)
+    }
+
+    // A1 keep-last dedup on the configured key projection, per bin
+    val deduped =
+      if (!cfg.dedup) withExisting
+      else {
+        val dataNames = withExisting.columns.toSeq
+          .filterNot(Seq("__path", AvroRead.FileCol, AvroRead.PosCol).contains)
+        val keys =
+          if (tCfg.distinctFields.nonEmpty && tCfg.distinctFields.subsetOf(dataNames.toSet))
+            dataNames.filter(tCfg.distinctFields)
+          else if (tCfg.ignoreFields.nonEmpty) dataNames.filterNot(tCfg.ignoreFields)
+          else dataNames
+        val keyCols = col("__path") +: keys.map(n => col(s"`$n`"))
+        Dedup.keepLast(withExisting, keyCols,
+          struct(col(AvroRead.FileCol), col(AvroRead.PosCol)))
+      }
+
+    commitBins(spark, cfg, fs, deduped, "csv")
+  }
+
+  private def writeJsonBins(
+      spark: SparkSession, cfg: RestructureJobConfig, fs: FileSystem, topic: String,
+      df: DataFrame, pathCol: Column, tCfg: TopicJobConfig): Seq[String] = {
+    val dataCols = df.columns.toSeq
+      .filterNot(Seq(AvroRead.FileCol, AvroRead.PosCol).contains)
+      .filterNot(tCfg.excludeFields)
+      .map(n => col(s"`$n`"))
+    val prepared = df.select(dataCols ++ Seq(
+      pathCol.as("__path"), col(AvroRead.FileCol), col(AvroRead.PosCol)): _*)
+    // A2 whole-record keep-first dedup
+    val deduped =
+      if (!cfg.dedup) prepared
+      else Dedup.keepFirst(prepared,
+        Seq(col("__path"), to_json(struct(dataCols: _*))),
+        struct(col(AvroRead.FileCol), col(AvroRead.PosCol)))
+    commitBins(spark, cfg, fs, deduped, "json")
+  }
+
+  /** One exactly-named output file per bin: shuffle on the bin path, write
+    * via dynamic partitioning (one file per bin per task), then rename each
+    * part file to its template-derived name — the K8 atomic temp→target
+    * commit, with Spark's committer providing task atomicity.
+    */
+  private def commitBins(
+      spark: SparkSession, cfg: RestructureJobConfig, fs: FileSystem,
+      df: DataFrame, format: String): Seq[String] = {
+    val tmp = s"${cfg.outputRoot}/.graft-tmp-${java.util.UUID.randomUUID()}"
+    val writer = df
+      .repartition(col("__path"))
+      .sortWithinPartitions(col("__path"), col(AvroRead.FileCol), col(AvroRead.PosCol))
+      .drop(AvroRead.FileCol, AvroRead.PosCol)
+      .write
+      .partitionBy("__path")
+      .mode("overwrite")
+    val configured =
+      if (format == "json")
+        writer.option("ignoreNullFields", "false")
+          .option("compression", if (cfg.gzip) "gzip" else "none")
+      else
+        writer.option("header", "true")
+          .option("emptyValue", "")
+          .option("compression", if (cfg.gzip) "gzip" else "none")
+    if (format == "json") configured.json(tmp) else configured.csv(tmp)
+
+    val written = Seq.newBuilder[String]
+    val tmpPath = new HPath(tmp)
+    for (st <- fs.listStatus(tmpPath) if st.isDirectory) {
+      val dirName = st.getPath.getName
+      if (dirName.startsWith("__path=")) {
+        val rel = unescapePartitionValue(dirName.stripPrefix("__path="))
+        val parts = fs.listStatus(st.getPath).filter(_.getPath.getName.startsWith("part-"))
+        require(parts.length == 1, s"expected 1 part file per bin, got ${parts.length} in $dirName")
+        val target = new HPath(s"${cfg.outputRoot}/$rel")
+        fs.mkdirs(target.getParent)
+        if (fs.exists(target)) fs.delete(target, false)
+        fs.rename(parts.head.getPath, target)
+        written += rel
+      }
+    }
+    fs.delete(tmpPath, true)
+    written.result().sorted
+  }
+
+  /** Inverse of Spark's partition-value escaping (%XX sequences). */
+  def unescapePartitionValue(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length + 1 && i + 3 <= s.length) {
+        sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+        i += 3
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  def loadLedger(fs: FileSystem, path: String): OffsetRangeSet = {
+    val p = new HPath(path)
+    if (!fs.exists(p)) new OffsetRangeSet
+    else {
+      val in = fs.open(p)
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val chunk = new Array[Byte](8192)
+        var n = in.read(chunk)
+        while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+        OffsetRangeSet.fromJson(new String(buf.toByteArray, "UTF-8"))
+      } finally in.close()
+    }
+  }
+
+  def saveLedger(fs: FileSystem, path: String, ledger: OffsetRangeSet): Unit = {
+    val p = new HPath(path)
+    fs.mkdirs(p.getParent)
+    val out = fs.create(p, true)
+    try out.write(ledger.toJson.getBytes("UTF-8")) finally out.close()
+  }
+}

@@ -1,0 +1,134 @@
+package graft.sources
+
+import java.io.File
+import scala.jdk.CollectionConverters._
+
+import org.apache.avro.Schema
+import org.apache.avro.file.DataFileReader
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericFixed, GenericRecord}
+import org.apache.avro.util.Utf8
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Distributed Avro container-file scan built directly on the Avro Java
+  * library (no spark-avro connector in this environment) — the S1 operator
+  * (reference: util/GenericRecordReader.kt:11-42).
+  *
+  * Planning happens on the driver (schema read from one file header);
+  * record decoding runs on executors, one task per group of files, streaming
+  * — the same per-file parallelism a Kafka-connector output tree offers at
+  * cluster scale (files are the natural split unit; Avro blocks could
+  * subdivide further for huge files).
+  *
+  * Appends two provenance columns used for offset accounting and
+  * order-preserving dedup: `__file` (file name) and `__pos` (record index
+  * within the file).
+  */
+object AvroRead {
+
+  val FileCol = "__file"
+  val PosCol = "__pos"
+
+  /** Avro → Spark type mapping (§1.2 of SURVEY.md). Multi-branch non-null
+    * unions render as strings (the reference resolves the runtime branch and
+    * stringifies into one CSV column).
+    */
+  def sparkType(s: Schema): DataType = s.getType match {
+    case Schema.Type.RECORD =>
+      StructType(s.getFields.asScala.toSeq.map(f =>
+        StructField(f.name, sparkType(f.schema), nullable = true)))
+    case Schema.Type.ENUM | Schema.Type.STRING => StringType
+    case Schema.Type.BYTES | Schema.Type.FIXED => BinaryType
+    case Schema.Type.INT => IntegerType
+    case Schema.Type.LONG => LongType
+    case Schema.Type.FLOAT => FloatType
+    case Schema.Type.DOUBLE => DoubleType
+    case Schema.Type.BOOLEAN => BooleanType
+    case Schema.Type.NULL => NullType
+    case Schema.Type.MAP => MapType(StringType, sparkType(s.getValueType))
+    case Schema.Type.ARRAY => ArrayType(sparkType(s.getElementType))
+    case Schema.Type.UNION =>
+      val nonNull = s.getTypes.asScala.filter(_.getType != Schema.Type.NULL)
+      if (nonNull.size == 1) sparkType(nonNull.head) else StringType
+  }
+
+  /** Avro datum → Spark external row value, following [[sparkType]]. */
+  def convert(datum: Any, s: Schema): Any = {
+    if (datum == null) return null
+    s.getType match {
+      case Schema.Type.RECORD =>
+        val rec = datum.asInstanceOf[GenericRecord]
+        Row.fromSeq(s.getFields.asScala.toSeq.map(f => convert(rec.get(f.pos()), f.schema)))
+      case Schema.Type.ENUM => datum.toString
+      case Schema.Type.STRING => datum match {
+        case u: Utf8 => u.toString
+        case other => other.toString
+      }
+      case Schema.Type.BYTES =>
+        val bb = datum.asInstanceOf[java.nio.ByteBuffer]
+        val out = new Array[Byte](bb.remaining())
+        bb.duplicate().get(out)
+        out
+      case Schema.Type.FIXED => datum.asInstanceOf[GenericFixed].bytes().clone()
+      case Schema.Type.INT | Schema.Type.LONG | Schema.Type.FLOAT |
+           Schema.Type.DOUBLE | Schema.Type.BOOLEAN => datum
+      case Schema.Type.NULL => null
+      case Schema.Type.MAP =>
+        datum.asInstanceOf[java.util.Map[Any, Any]].asScala.map { case (k, v) =>
+          k.toString -> convert(v, s.getValueType)
+        }.toMap
+      case Schema.Type.ARRAY =>
+        datum.asInstanceOf[java.util.Collection[Any]].asScala.toSeq
+          .map(convert(_, s.getElementType))
+      case Schema.Type.UNION =>
+        val nonNull = s.getTypes.asScala.filter(_.getType != Schema.Type.NULL)
+        if (nonNull.size == 1) convert(datum, nonNull.head)
+        else {
+          // runtime-branch resolution, stringified (CsvAvroDataConverter.kt:64-67)
+          val idx = GenericData.get().resolveUnion(s, datum)
+          val branch = s.getTypes.get(idx)
+          if (branch.getType == Schema.Type.NULL) null
+          else String.valueOf(convert(datum, branch))
+        }
+    }
+  }
+
+  /** Read the writer schema from a container file header (driver-side). */
+  def readSchema(path: String): Schema = {
+    val r = new DataFileReader[GenericRecord](new File(path), new GenericDatumReader[GenericRecord]())
+    try r.getSchema finally r.close()
+  }
+
+  /** Distributed read of `files` (all sharing one topic schema) into a
+    * DataFrame with `__file`/`__pos` provenance columns. Skips zero-length
+    * files (P11 guard).
+    */
+  def read(spark: SparkSession, files: Seq[String]): DataFrame = {
+    val nonEmpty = files.filter(f => new File(f).length() > 0)
+    require(nonEmpty.nonEmpty, "no non-empty avro files to read")
+    val schemaJson = readSchema(nonEmpty.head).toString
+    val dataSchema = sparkType(new Schema.Parser().parse(schemaJson)).asInstanceOf[StructType]
+    val fullSchema = StructType(dataSchema.fields.toSeq :+
+      StructField(FileCol, StringType, nullable = false) :+
+      StructField(PosCol, LongType, nullable = false))
+    val slices = math.min(nonEmpty.size, math.max(1, spark.sparkContext.defaultParallelism))
+    val rdd = spark.sparkContext.parallelize(nonEmpty, slices).flatMap { path =>
+      val schema = new Schema.Parser().parse(schemaJson)
+      val reader = new DataFileReader[GenericRecord](new File(path), new GenericDatumReader[GenericRecord](schema))
+      val fname = new File(path).getName
+      val fields = schema.getFields.asScala.toSeq
+      new Iterator[Row] {
+        private var i = 0L
+        def hasNext: Boolean = { val h = reader.hasNext; if (!h) reader.close(); h }
+        def next(): Row = {
+          val rec = reader.next()
+          val vals = fields.map(f => convert(rec.get(f.pos()), f.schema))
+          val row = Row.fromSeq(vals :+ fname :+ i)
+          i += 1
+          row
+        }
+      }
+    }
+    spark.createDataFrame(rdd, fullSchema)
+  }
+}

@@ -18,7 +18,7 @@ object TopicFiles {
   /** Parsed `topic+partition+from[+to]` filename. */
   final case class OffsetRange(topic: String, partition: Int, from: Long, to: Option[Long])
 
-  private val fileRe = "^(.+)\\+(\\d+)\\+(\\d+)(?:\\+(\\d+))?\\.avro$".r
+  private val fileRe = "^(.+?)\\+(\\d+)\\+(\\d+)(?:\\+(\\d+))?\\.avro$".r
 
   /** Driver-side parse of one file name (no directory components). */
   def parseFilename(name: String): Option[OffsetRange] = name match {
@@ -28,7 +28,7 @@ object TopicFiles {
     case _ => None
   }
 
-  val filenamePattern = "^(.+)\\+(\\d+)\\+(\\d+)(?:\\+(\\d+))?\\.avro$"
+  val filenamePattern = "^(.+?)\\+(\\d+)\\+(\\d+)(?:\\+(\\d+))?\\.avro$"
 
   /** Column-side parse over a filename column (e.g.
     * `element_at(split(input_file_name(), "/"), -1)`).

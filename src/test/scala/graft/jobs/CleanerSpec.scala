@@ -1,0 +1,57 @@
+package graft.jobs
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import graft.SparkSpec
+
+class CleanerSpec extends SparkSpec {
+
+  private val fixtures = Paths.get("/root/reference/src/integrationTest/resources")
+  private val closedFile =
+    "application_server_status/partition=1/application_server_status+1+0000000018+0000000020.avro"
+  private val openFile =
+    "application_server_status/partition=1/application_server_status+1+0000000021.avro"
+
+  private def setup(): (Path, Path, RestructureJobConfig) = {
+    val work = Files.createTempDirectory("graft-cleaner")
+    val in = work.resolve("in")
+    val out = work.resolve("out")
+    Seq(closedFile, openFile).foreach { f =>
+      Files.createDirectories(in.resolve(f).getParent)
+      Files.copy(fixtures.resolve(f), in.resolve(f), StandardCopyOption.REPLACE_EXISTING)
+    }
+    val cfg = RestructureJobConfig(
+      inputRoot = in.toString, outputRoot = out.toString,
+      topics = Map("application_server_status" -> TopicJobConfig(
+        pathTemplate = Some("${projectId}/${userId}/${topic}/${value:serverStatus}/${filename}"))))
+    (in, out, cfg)
+  }
+
+  test("cleaner deletes verified closed-range file, keeps newest open-ended file") {
+    val (in, _, cfg) = setup()
+    Restructure.run(spark, cfg)
+    val result = Cleaner.run(spark, cfg, ageMs = 0)
+    assert(result.deleted.map(p => Paths.get(p).getFileName.toString) ==
+      Seq("application_server_status+1+0000000018+0000000020.avro"))
+    assert(result.rolledBack.isEmpty)
+    assert(!Files.exists(in.resolve(closedFile)))
+    assert(Files.exists(in.resolve(openFile)))
+  }
+
+  test("failed verification rolls ledger back instead of deleting; re-run re-extracts") {
+    val (in, out, cfg) = setup()
+    val r1 = Restructure.run(spark, cfg)
+    // corrupt the output: remove one bin file the records live in
+    val bin = out.resolve(
+      "STAGING_PROJECT/1543bc93-3c17-4381-89a5-c5d6272b827c/application_server_status/CONNECTED/20200128_1300.csv")
+    Files.delete(bin)
+    val result = Cleaner.run(spark, cfg, ageMs = 0)
+    assert(result.deleted.isEmpty)
+    assert(result.rolledBack.nonEmpty)
+    assert(Files.exists(in.resolve(closedFile)))
+    // rollback makes the file visible to restructure again
+    val r2 = Restructure.run(spark, cfg)
+    assert(r2.processedTopics.exists(_.files.exists(_.endsWith("0000000018+0000000020.avro"))))
+    assert(Files.exists(bin))
+  }
+}
