@@ -354,8 +354,11 @@ object SparkEntry {
       }.mkString(" ")
       s"CASE $body ELSE '${langCounts.last._1}' END"
     }
-    val sigList = (0 until 12).map(i =>
-      s"list_min(list_transform(sh, s -> md5('$i:' || s)))").mkString("[", ", ", "]")
+    // one salted md5 = four 8-hex-char minhash lanes (mirrors
+    // TextDedup.minhashSignatures)
+    val sigList = (0 until 12).map { i =>
+      s"list_min(list_transform(sh, s -> substring(md5('${i / 4}:' || s), ${(i % 4) * 8 + 1}, 8)))"
+    }.mkString("[", ", ", "]")
 
     Map(
       "q_text_stats" ->

@@ -81,15 +81,72 @@ object GraftExpressions {
       copy(child = newChild)
   }
 
+  /** Strict sequential left-fold dot product over two numeric arrays in
+    * double precision — bit-identical to `list_reduce(list_prepend(0.0,
+    * products), +)` in the DuckDB oracle, but a tight loop instead of
+    * per-element interpreted lambdas (higher-order functions are not
+    * codegen'd; measured ~5× on 64-dim vectors).
+    */
+  abstract class BinaryVectorFold extends Expression with CodegenFallback {
+    def left: Expression
+    def right: Expression
+    override def children: Seq[Expression] = Seq(left, right)
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
+    protected def combine(x: Double, y: Double): Double
+    private def num(arr: ArrayData, i: Int, dt: DataType): Double = dt match {
+      case FloatType => arr.getFloat(i).toDouble
+      case DoubleType => arr.getDouble(i)
+      case IntegerType => arr.getInt(i).toDouble
+      case LongType => arr.getLong(i).toDouble
+      case _ => throw new IllegalArgumentException(s"unsupported element type $dt")
+    }
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+      val a = left.eval(input)
+      val b = right.eval(input)
+      if (a == null || b == null) return null
+      val aa = a.asInstanceOf[ArrayData]
+      val bb = b.asInstanceOf[ArrayData]
+      val at = left.dataType.asInstanceOf[ArrayType].elementType
+      val bt = right.dataType.asInstanceOf[ArrayType].elementType
+      val n = math.min(aa.numElements(), bb.numElements())
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        acc += combine(num(aa, i, at), num(bb, i, bt))
+        i += 1
+      }
+      java.lang.Double.valueOf(acc)
+    }
+  }
+
+  /** Σ aᵢ·bᵢ (sequential, double). */
+  case class DotProduct(left: Expression, right: Expression) extends BinaryVectorFold {
+    protected def combine(x: Double, y: Double): Double = x * y
+    override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): DotProduct =
+      copy(left = c(0), right = c(1))
+  }
+
+  /** Σ (aᵢ−bᵢ)² (sequential, double). */
+  case class L2Squared(left: Expression, right: Expression) extends BinaryVectorFold {
+    protected def combine(x: Double, y: Double): Double = (x - y) * (x - y)
+    override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): L2Squared =
+      copy(left = c(0), right = c(1))
+  }
+
   /** Register all graft scalar functions on a session (idempotent). */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("graft_rolling_hash", es => RollingHash(es.head), "built-in")
     reg.createOrReplaceTempFunction("graft_simhash64", es => SimHash64(es.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_dot", es => DotProduct(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_l2sq", es => L2Squared(es(0), es(1)), "built-in")
   }
 
   def rollingHash(c: Column): Column = call_function("graft_rolling_hash", c)
   def simHash64(c: Column): Column = call_function("graft_simhash64", c)
+  def dotProduct(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+  def l2Squared(a: Column, b: Column): Column = call_function("graft_l2sq", a, b)
 
   /** Hamming distance between two 64-bit simhashes (built-ins only). */
   def hammingDist64(a: Column, b: Column): Column =

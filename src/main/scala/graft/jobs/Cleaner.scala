@@ -37,31 +37,32 @@ object Cleaner {
     val deleted = Seq.newBuilder[String]
     val rolledBack = Seq.newBuilder[String]
 
-    val topics = TopicFiles.listTopics(java.nio.file.Paths.get(cfg.inputRoot))
+    val inFs = new HPath(cfg.inputRoot).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val topics = TopicFiles.listTopics(inFs, cfg.inputRoot)
     for ((topic, files) <- topics.toSeq.sortBy(_._1)) {
       val tCfg = cfg.topicConfig(topic)
       if (!tCfg.exclude && !tCfg.excludeFromDelete) {
         val eligible = files
-          .map(p => (p, TopicFiles.parseFilename(p.getFileName.toString)))
-          .collect { case (p, Some(r)) => (p, r) }
-          .filter { case (p, r) =>
-            val f = p.toFile
-            f.length > 0 &&
-            (now - f.lastModified) >= ageMs &&
+          .map(st => (st, TopicFiles.parseFilename(st.getPath.getName)))
+          .collect { case (st, Some(r)) => (st, r) }
+          .filter { case (st, r) =>
+            st.getLen > 0 &&
+            (now - st.getModificationTime) >= ageMs &&
             r.to.isDefined && // open-ended file = newest slice, keep
             ledger.contains(r.topic, r.partition, r.from, r.to.get + 1,
-              Instant.ofEpochMilli(f.lastModified))
+              Instant.ofEpochMilli(st.getModificationTime))
           }
         if (eligible.nonEmpty) {
-          val missingByFile = verifyTopic(spark, cfg, topic, eligible.map(_._1.toString))
-          eligible.foreach { case (p, r) =>
-            val name = p.getFileName.toString
+          val missingByFile = verifyTopic(spark, cfg, topic,
+            eligible.map(_._1.getPath.toString))
+          eligible.foreach { case (st, r) =>
+            val name = st.getPath.getName
             if (missingByFile.getOrElse(name, 0L) == 0L) {
-              fs.delete(new HPath(p.toString), false)
-              deleted += p.toString
+              inFs.delete(st.getPath, false)
+              deleted += st.getPath.toString
             } else {
               ledger.remove(r.topic, r.partition, r.from, r.to.get)
-              rolledBack += p.toString
+              rolledBack += st.getPath.toString
             }
           }
         }
@@ -95,11 +96,12 @@ object Cleaner {
       .map(_._1).find(n => Seq("value.time", "key.timeStart", "key.start",
         "value.timeReceived", "value.timeCompleted").exists(_.equalsIgnoreCase(n)))
 
+    val outFs = new HPath(cfg.outputRoot).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val targetTimes = paths.toSeq.flatMap { p =>
       val full = s"${cfg.outputRoot}/$p"
-      if (!new java.io.File(full).exists() || timeFieldName.isEmpty) None
+      if (!outFs.exists(new HPath(full)) || timeFieldName.isEmpty) None
       else Some(
-        spark.read.option("header", "true").csv(full)
+        spark.read.option("header", "true").option("escape", "\"").csv(full)
           .select(col(s"`${timeFieldName.get}`").cast(DoubleType).as("__time"))
           .withColumn("__path", lit(p)))
     }
@@ -112,6 +114,6 @@ object Cleaner {
         Seq("__path", "__time"), "left_anti")
     val counts = missing.groupBy(col("__src")).count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    files.map(f => new java.io.File(f).getName).map(n => n -> counts.getOrElse(n, 0L)).toMap
+    files.map(f => new HPath(f).getName).map(n => n -> counts.getOrElse(n, 0L)).toMap
   }
 }

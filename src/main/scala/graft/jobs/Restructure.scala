@@ -38,7 +38,8 @@ object Restructure {
     fs.setWriteChecksum(false)
     fs.setVerifyChecksum(false)
     val ledger = loadLedger(fs, cfg.ledger)
-    val topics = TopicFiles.listTopics(java.nio.file.Paths.get(cfg.inputRoot))
+    val inFs = new HPath(cfg.inputRoot).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val topics = TopicFiles.listTopics(inFs, cfg.inputRoot)
     val now = System.currentTimeMillis()
 
     val results = topics.toSeq.sortBy(_._1).flatMap { case (topic, files) =>
@@ -47,18 +48,17 @@ object Restructure {
       else {
         // S7/P10/P13: unseen ∧ old-enough ∧ limit
         val candidates = files
-          .map(p => (p, TopicFiles.parseFilename(p.getFileName.toString)))
-          .collect { case (p, Some(r)) => (p, r) }
-          .filter { case (p, r) =>
-            val f = p.toFile
-            f.length > 0 &&
-            (now - f.lastModified) >= cfg.minimumFileAgeMs &&
+          .map(st => (st, TopicFiles.parseFilename(st.getPath.getName)))
+          .collect { case (st, Some(r)) => (st, r) }
+          .filter { case (st, r) =>
+            st.getLen > 0 &&
+            (now - st.getModificationTime) >= cfg.minimumFileAgeMs &&
             !ledger.contains(r.topic, r.partition, r.from,
-              r.to.getOrElse(r.from), Instant.ofEpochMilli(f.lastModified))
+              r.to.getOrElse(r.from), Instant.ofEpochMilli(st.getModificationTime))
           }
         val limited = cfg.maxFilesPerTopic.fold(candidates)(candidates.take)
         if (limited.isEmpty) None
-        else Some(processTopic(spark, cfg, fs, topic, limited.map(_._1.toString), ledger))
+        else Some(processTopic(spark, cfg, fs, topic, limited.map(_._1.getPath.toString), ledger))
       }
     }
     saveLedger(fs, cfg.ledger, ledger)
@@ -98,7 +98,7 @@ object Restructure {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val processedAt = Instant.now()
     files.foreach { f =>
-      val name = new java.io.File(f).getName
+      val name = new HPath(f).getName
       TopicFiles.parseFilename(name).foreach { r =>
         val to = r.to.getOrElse(r.from + counts.getOrElse(name, 1L) - 1)
         ledger.add(r.topic, r.partition, r.from, to, processedAt)
@@ -125,7 +125,7 @@ object Restructure {
         rendered.as(n)
       }
 
-  private def writeCsvBins(
+  private[graft] def writeCsvBins(
       spark: SparkSession, cfg: RestructureJobConfig, fs: FileSystem, topic: String,
       df: DataFrame, dataSchema: StructType, pathCol: Column, tCfg: TopicJobConfig): Seq[String] = {
     val outCols = csvColumns(dataSchema, tCfg.excludeFields)
@@ -138,6 +138,7 @@ object Restructure {
     val existing = targetPaths.filter(p => fs.exists(new HPath(s"${cfg.outputRoot}/$p")))
     val withExisting = existing.foldLeft(prepared) { (acc, p) =>
       val old = spark.read.option("header", "true").option("inferSchema", "false")
+        .option("escape", "\"")
         .csv(s"${cfg.outputRoot}/$p")
         .withColumn("__path", lit(p))
         .withColumn(AvroRead.FileCol, lit("")) // sorts before any real file
@@ -205,6 +206,7 @@ object Restructure {
       else
         writer.option("header", "true")
           .option("emptyValue", "")
+          .option("escape", "\"") // RFC4180 quote doubling (opencsv parity)
           .option("compression", if (cfg.gzip) "gzip" else "none")
     if (format == "json") configured.json(tmp) else configured.csv(tmp)
 

@@ -1,0 +1,38 @@
+package graft.jobs
+
+import org.apache.spark.sql.SparkSession
+
+/** Service mode (§3.3 of SURVEY.md): fixed-interval conflated job loop —
+  * restructure and cleaner never overlap (the reference serializes them via
+  * a shared mutex, worker/Job.kt:26-49; a single driver loop gives the same
+  * guarantee). Errors are caught and logged per iteration; the loop never
+  * dies.
+  */
+object Service {
+
+  final case class ServiceConfig(
+      intervalMs: Long = 300000L,            // service.interval default 300 s
+      cleanerEnabled: Boolean = false,
+      cleanerAgeMs: Long = 7L * 24 * 3600 * 1000,
+      maxIterations: Option[Int] = None)     // bounded loops for tests
+
+  def runLoop(spark: SparkSession, cfg: RestructureJobConfig, svc: ServiceConfig): Unit = {
+    var iter = 0
+    while (svc.maxIterations.forall(iter < _)) {
+      val t0 = System.currentTimeMillis()
+      try {
+        Restructure.run(spark, cfg)
+        if (svc.cleanerEnabled) Cleaner.run(spark, cfg, svc.cleanerAgeMs)
+      } catch {
+        case e: Exception =>
+          System.err.println(s"[graft-service] iteration $iter failed: ${e.getMessage}")
+      }
+      iter += 1
+      if (svc.maxIterations.forall(iter < _)) {
+        val elapsed = System.currentTimeMillis() - t0
+        val sleep = svc.intervalMs - elapsed
+        if (sleep > 0) Thread.sleep(sleep) // conflated: no overlap, no backlog
+      }
+    }
+  }
+}

@@ -20,17 +20,18 @@ import org.apache.spark.sql.types._
   */
 object Similarity {
 
-  private def d(arr: Column): Column = transform(arr, x => x.cast(DoubleType))
+  import graft.functions.GraftExpressions
 
-  /** Strict sequential left fold: sum of elementwise products. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(d(a), d(b), (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Strict sequential left fold: sum of elementwise products (double).
+    * Requires [[GraftExpressions.register]] on the session (the public
+    * operators below do it automatically).
+    */
+  def dot(a: Column, b: Column): Column = GraftExpressions.dotProduct(a, b)
 
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
-  def l2sq(a: Column, b: Column): Column =
-    aggregate(zip_with(d(a), d(b), (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
+  def l2sq(a: Column, b: Column): Column = GraftExpressions.l2Squared(a, b)
 
   /** Exact top-k cosine neighbors of each query vector (brute force — the
     * correctness baseline). Output: (query_id, rank, neighbor_id).
@@ -38,10 +39,15 @@ object Similarity {
   def bruteForceTopK(
       corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    GraftExpressions.register(corpus.sparkSession)
+    // norms once per vector, not once per pair (values identical:
+    // sim = dot/(sqrt(dot(q,q))·sqrt(dot(c,c))) either way)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+      sqrt(dot(col(vecCol), col(vecCol))).as("__qn"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+      sqrt(dot(col(vecCol), col(vecCol))).as("__cn"))
     val scored = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
-      .withColumn("__sim", cosine(col("__qv"), col("__cv")))
+      .withColumn("__sim", dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("__sim").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -54,6 +60,7 @@ object Similarity {
   def ivfAssign(
       vectors: DataFrame, centroids: DataFrame,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    GraftExpressions.register(vectors.sparkSession)
     val c = centroids.select(col(idCol).as("__cent_id"), col(vecCol).as("__cent_v"))
     val scored = vectors.join(broadcast(c))
       .withColumn("__dist", l2sq(col(vecCol), col("__cent_v")))
@@ -70,12 +77,15 @@ object Similarity {
   def ivfTopK(
       assigned: DataFrame, queryIds: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    GraftExpressions.register(assigned.sparkSession)
     val q = assigned.join(queryIds, Seq(idCol), "left_semi")
-      .select(col(idCol).as("query_id"), col(vecCol).as("__qv"), col("cell"))
-    val c = assigned.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"), col("cell"))
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qv"), col("cell"),
+        sqrt(dot(col(vecCol), col(vecCol))).as("__qn"))
+    val c = assigned.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"), col("cell"),
+      sqrt(dot(col(vecCol), col(vecCol))).as("__cn"))
     val scored = c.join(broadcast(q), Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("__sim", cosine(col("__qv"), col("__cv")))
+      .withColumn("__sim", dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("__sim").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

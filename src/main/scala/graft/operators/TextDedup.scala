@@ -41,13 +41,19 @@ object TextDedup {
     */
   def minhashSignatures(
       df: DataFrame, idCol: String, textCol: String,
-      shingleN: Int, k: Int): DataFrame =
-    df.select(col(idCol), explode(shingles(col(textCol), shingleN)).as("__sh"))
-      .groupBy(col(idCol))
-      .agg(
-        min(md5(concat(lit("0:"), col("__sh")))).as("__mh_0"),
-        (1 until k).map(i =>
-          min(md5(concat(lit(s"$i:"), col("__sh")))).as(s"__mh_$i")): _*)
+      shingleN: Int, k: Int): DataFrame = {
+    // one salted md5 yields FOUR 32-bit (8-hex-char) minhash lanes — 3 md5
+    // calls per shingle for k=12 instead of 12 (md5 dominates the stage)
+    val nSalts = (k + 3) / 4
+    val hashed = df
+      .select(col(idCol), explode(shingles(col(textCol), shingleN)).as("__sh"))
+      .select(col(idCol) +: (0 until nSalts).map(s =>
+        md5(concat(lit(s"$s:"), col("__sh"))).as(s"__h$s")): _*)
+    val aggs = (0 until k).map { i =>
+      min(substring(col(s"__h${i / 4}"), (i % 4) * 8 + 1, 8)).as(s"__mh_$i")
+    }
+    hashed.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
 
   /** Candidate near-duplicate pairs (idA < idB) that share at least one LSH
     * band bucket. `df` must have `idCol` and `textCol`. One shuffle for the
@@ -65,6 +71,11 @@ object TextDedup {
     }: _*)
     val withBands = sigs
       .select(col(idCol).as("__id"), posexplode(bandArr).as(Seq("__band_idx", "__band_hash")))
+      // the self-join would otherwise recompute the whole shingle→minhash
+      // pipeline on both sides (measured ~2×); the band table is tiny
+      // (bands·|docs| rows of (long, int, hash)) — at cluster scale this is
+      // the classic LSH materialization point (persist or checkpoint)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = withBands.alias("a")
     val b = withBands.alias("b")
     a.join(b,

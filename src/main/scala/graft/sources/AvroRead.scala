@@ -93,29 +93,44 @@ object AvroRead {
     }
   }
 
-  /** Read the writer schema from a container file header (driver-side). */
+  private def open(path: String): DataFileReader[GenericRecord] = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val in = new org.apache.avro.mapred.FsInput(
+      new org.apache.hadoop.fs.Path(path), conf)
+    DataFileReader.openReader(in, new GenericDatumReader[GenericRecord]())
+      .asInstanceOf[DataFileReader[GenericRecord]]
+  }
+
+  /** Read the writer schema from a container file header (driver-side; any
+    * Hadoop filesystem).
+    */
   def readSchema(path: String): Schema = {
-    val r = new DataFileReader[GenericRecord](new File(path), new GenericDatumReader[GenericRecord]())
+    val r = open(path)
     try r.getSchema finally r.close()
   }
 
   /** Distributed read of `files` (all sharing one topic schema) into a
-    * DataFrame with `__file`/`__pos` provenance columns. Skips zero-length
-    * files (P11 guard).
+    * DataFrame with `__file`/`__pos` provenance columns. Callers filter
+    * zero-length files (P11 guard) from the listing. Works against any
+    * Hadoop filesystem via avro-mapred's `FsInput`.
     */
   def read(spark: SparkSession, files: Seq[String]): DataFrame = {
-    val nonEmpty = files.filter(f => new File(f).length() > 0)
-    require(nonEmpty.nonEmpty, "no non-empty avro files to read")
-    val schemaJson = readSchema(nonEmpty.head).toString
+    require(files.nonEmpty, "no avro files to read")
+    val schemaJson = readSchema(files.head).toString
     val dataSchema = sparkType(new Schema.Parser().parse(schemaJson)).asInstanceOf[StructType]
     val fullSchema = StructType(dataSchema.fields.toSeq :+
       StructField(FileCol, StringType, nullable = false) :+
       StructField(PosCol, LongType, nullable = false))
-    val slices = math.min(nonEmpty.size, math.max(1, spark.sparkContext.defaultParallelism))
-    val rdd = spark.sparkContext.parallelize(nonEmpty, slices).flatMap { path =>
+    val slices = math.min(files.size, math.max(1, spark.sparkContext.defaultParallelism))
+    val rdd = spark.sparkContext.parallelize(files, slices).flatMap { path =>
+      // decode against the topic (reader) schema — per-file writer schemas
+      // resolve through Avro schema evolution
       val schema = new Schema.Parser().parse(schemaJson)
-      val reader = new DataFileReader[GenericRecord](new File(path), new GenericDatumReader[GenericRecord](schema))
-      val fname = new File(path).getName
+      val conf = new org.apache.hadoop.conf.Configuration()
+      val in = new org.apache.avro.mapred.FsInput(new org.apache.hadoop.fs.Path(path), conf)
+      val reader = DataFileReader.openReader(in, new GenericDatumReader[GenericRecord](null, schema))
+        .asInstanceOf[DataFileReader[GenericRecord]]
+      val fname = new org.apache.hadoop.fs.Path(path).getName
       val fields = schema.getFields.asScala.toSeq
       new Iterator[Row] {
         private var i = 0L

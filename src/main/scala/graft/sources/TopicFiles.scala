@@ -43,20 +43,25 @@ object TopicFiles {
     when(g === "", lit(null).cast(LongType)).otherwise(g.cast(LongType))
   }
 
-  /** Topic discovery on a local/Hadoop-visible tree: a directory containing
-    * `*.avro` files marks `parent.parent` as the topic root; `+tmp` skipped
-    * (util/AvroTopicLister.kt:11-31). Driver-side planning step.
+  /** Topic discovery over any Hadoop filesystem (local/HDFS/S3A/ABFS): a
+    * `*.avro` file marks `parent.parent` as its topic; `+tmp` dirs skipped
+    * (util/AvroTopicLister.kt:11-31). Driver-side planning step; one
+    * recursive listing call (S3A turns this into paged LIST requests — the
+    * S2/S3 operators of SURVEY.md §2.1).
     */
-  def listTopics(root: java.nio.file.Path): Map[String, Seq[java.nio.file.Path]] = {
-    import scala.jdk.CollectionConverters._
-    if (!java.nio.file.Files.isDirectory(root)) return Map.empty
-    val avroFiles = java.nio.file.Files.walk(root).iterator().asScala
-      .filter(p => p.toString.endsWith(".avro") && !p.toString.contains("+tmp"))
-      .toSeq
-    avroFiles.groupBy { p =>
-      // file → partition dir → topic dir
-      val topicDir = p.getParent.getParent
-      topicDir.getFileName.toString
-    }.map { case (t, fs) => t -> fs.sortBy(_.toString) }
+  def listTopics(fs: org.apache.hadoop.fs.FileSystem, root: String)
+      : Map[String, Seq[org.apache.hadoop.fs.FileStatus]] = {
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    if (!fs.exists(rootPath)) return Map.empty
+    val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.FileStatus]
+    val it = fs.listFiles(rootPath, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val p = st.getPath
+      if (p.getName.endsWith(".avro") && !p.toString.contains("+tmp")) buf += st
+    }
+    buf.toSeq
+      .groupBy(st => st.getPath.getParent.getParent.getName)
+      .map { case (t, fss) => t -> fss.sortBy(_.getPath.toString) }
   }
 }

@@ -1,0 +1,52 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming analytics operators on event streams: watermarked event-time
+  * window aggregation and custom keyed state — the Structured-Streaming
+  * counterparts of the engine's batch time-binning (G9) and statistics
+  * (A8/A9) operators.
+  */
+object StreamingOps {
+
+  /** Tumbling event-time window counts with a watermark (bounded state).
+    * Used for monitoring-style aggregates where dropping very-late rows is
+    * acceptable — the restructure path itself never drops (see
+    * [[StreamingRestructure]]).
+    */
+  def windowedBinCounts(
+      events: DataFrame, tsCol: String = "ts",
+      watermark: String = "10 minutes", win: String = "1 hour"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), win), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+
+  final case class EventRow(event_id: Long, user_id: Long, event_type: String, value: Double)
+  final case class UserState(n: Long, sum: Double, maxEventId: Long)
+  final case class UserUpdate(user_id: Long, n: Long, sum: Double, max_event_id: Long)
+
+  /** Per-user running statistics via explicit keyed state
+    * (`flatMapGroupsWithState`) — the custom-state extension point
+    * (KeyValueGroupedDataset) the reference's accountant role maps to.
+    * Emits the updated running totals for each user seen in a micro-batch.
+    */
+  def userStats(events: Dataset[EventRow])(implicit spark: SparkSession): Dataset[UserUpdate] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserState, UserUpdate](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[EventRow], state: GroupState[UserState]) =>
+          val prev = state.getOption.getOrElse(UserState(0L, 0.0, -1L))
+          var n = prev.n; var sum = prev.sum; var maxId = prev.maxEventId
+          rows.foreach { r =>
+            n += 1; sum += r.value; if (r.event_id > maxId) maxId = r.event_id
+          }
+          state.update(UserState(n, sum, maxId))
+          Iterator(UserUpdate(userId, n, sum, maxId))
+      }
+  }
+}
