@@ -78,7 +78,10 @@ object Restructure {
     val template = tCfg.pathTemplate.getOrElse(cfg.pathTemplate)
     val params = PathTemplate.fixedParams(dataSchema, timeCol, lit(topic),
       cfg.extension, cfg.timeBinFormat)
-    val pathCol = PathTemplate.compile(template, params, Some(timeCol), Some(dataSchema))
+    val basePath = PathTemplate.compile(template, params, Some(timeCol), Some(dataSchema))
+    // G8 bucket routing: a second template prefixes the output path
+    val pathCol = cfg.bucketTemplate.fold(basePath)(bt =>
+      concat(PathTemplate.compile(bt, params, Some(timeCol), Some(dataSchema)), lit("/"), basePath))
 
     val written =
       if (cfg.format == "json") writeJsonBins(spark, cfg, fs, topic, df, pathCol, tCfg)
@@ -128,34 +131,45 @@ object Restructure {
   private[graft] def writeCsvBins(
       spark: SparkSession, cfg: RestructureJobConfig, fs: FileSystem, topic: String,
       df: DataFrame, dataSchema: StructType, pathCol: Column, tCfg: TopicJobConfig): Seq[String] = {
-    val outCols = csvColumns(dataSchema, tCfg.excludeFields)
+    val outCols = csvColumns(dataSchema, cfg.allExcludeFields(topic))
     val prepared = df.select(outCols ++ Seq(
       pathCol.as("__path"), col(AvroRead.FileCol), col(AvroRead.PosCol)): _*)
 
     // K2 append-to-existing: merge current bin contents (they sort first and
-    // participate in dedup, FileCache.kt:147-179)
+    // participate in dedup, FileCache.kt:147-179). K9: an unreadable target
+    // is quarantined as <name>.corrupted[-i] and the bin starts fresh
+    // (FileCache.kt:205-235).
     val targetPaths = prepared.select(col("__path")).distinct().collect().map(_.getString(0))
     val existing = targetPaths.filter(p => fs.exists(new HPath(s"${cfg.outputRoot}/$p")))
     val withExisting = existing.foldLeft(prepared) { (acc, p) =>
-      val old = spark.read.option("header", "true").option("inferSchema", "false")
-        .option("escape", "\"")
-        .csv(s"${cfg.outputRoot}/$p")
-        .withColumn("__path", lit(p))
-        .withColumn(AvroRead.FileCol, lit("")) // sorts before any real file
-        .withColumn(AvroRead.PosCol, monotonically_increasing_id())
-      acc.unionByName(old, allowMissingColumns = true)
+      try {
+        val old = spark.read.option("header", "true").option("inferSchema", "false")
+          .option("escape", "\"")
+          .csv(s"${cfg.outputRoot}/$p")
+          .withColumn("__path", lit(p))
+          .withColumn(AvroRead.FileCol, lit("")) // sorts before any real file
+          .withColumn(AvroRead.PosCol, monotonically_increasing_id())
+        old.limit(1).count() // force decompression/parse now (K9 probe)
+        acc.unionByName(old, allowMissingColumns = true)
+      } catch {
+        case _: Exception =>
+          quarantine(fs, new HPath(s"${cfg.outputRoot}/$p"))
+          acc
+      }
     }
 
     // A1 keep-last dedup on the configured key projection, per bin
     val deduped =
-      if (!cfg.dedup) withExisting
+      if (!cfg.dedupEnabled(topic)) withExisting
       else {
         val dataNames = withExisting.columns.toSeq
           .filterNot(Seq("__path", AvroRead.FileCol, AvroRead.PosCol).contains)
+        val distinctFields = cfg.dedupDistinctFields(topic)
+        val ignoreFields = cfg.dedupIgnoreFields(topic)
         val keys =
-          if (tCfg.distinctFields.nonEmpty && tCfg.distinctFields.subsetOf(dataNames.toSet))
-            dataNames.filter(tCfg.distinctFields)
-          else if (tCfg.ignoreFields.nonEmpty) dataNames.filterNot(tCfg.ignoreFields)
+          if (distinctFields.nonEmpty && distinctFields.subsetOf(dataNames.toSet))
+            dataNames.filter(distinctFields)
+          else if (ignoreFields.nonEmpty) dataNames.filterNot(ignoreFields)
           else dataNames
         val keyCols = col("__path") +: keys.map(n => col(s"`$n`"))
         Dedup.keepLast(withExisting, keyCols,
@@ -165,18 +179,29 @@ object Restructure {
     commitBins(spark, cfg, fs, deduped, "csv")
   }
 
+  /** K9: move an unreadable target aside as `<name>.corrupted[-i]`. */
+  private def quarantine(fs: FileSystem, target: HPath): Unit = {
+    var candidate = new HPath(target.toString + ".corrupted")
+    var i = 0
+    while (fs.exists(candidate)) {
+      i += 1
+      candidate = new HPath(target.toString + s".corrupted-$i")
+    }
+    fs.rename(target, candidate)
+  }
+
   private def writeJsonBins(
       spark: SparkSession, cfg: RestructureJobConfig, fs: FileSystem, topic: String,
       df: DataFrame, pathCol: Column, tCfg: TopicJobConfig): Seq[String] = {
     val dataCols = df.columns.toSeq
       .filterNot(Seq(AvroRead.FileCol, AvroRead.PosCol).contains)
-      .filterNot(tCfg.excludeFields)
+      .filterNot(cfg.allExcludeFields(topic))
       .map(n => col(s"`$n`"))
     val prepared = df.select(dataCols ++ Seq(
       pathCol.as("__path"), col(AvroRead.FileCol), col(AvroRead.PosCol)): _*)
     // A2 whole-record keep-first dedup
     val deduped =
-      if (!cfg.dedup) prepared
+      if (!cfg.dedupEnabled(topic)) prepared
       else Dedup.keepFirst(prepared,
         Seq(col("__path"), to_json(struct(dataCols: _*))),
         struct(col(AvroRead.FileCol), col(AvroRead.PosCol)))

@@ -5,13 +5,14 @@ import graft.paths.PathTemplate
 /** Job configuration mirroring the semantics of the reference's
   * `restructure.yml` surface (config/RestructureConfig.kt,
   * config/TopicConfig.kt, config/FormatConfig.kt) — as plain case classes;
-  * the YAML front-end is orthogonal to engine behavior.
+  * [[ConfigLoader]] provides the YAML front-end.
   */
 final case class TopicJobConfig(
     pathTemplate: Option[String] = None,      // topics.<t>.pathProperties.format
     exclude: Boolean = false,                 // topics.<t>.exclude
     excludeFromDelete: Boolean = false,       // topics.<t>.excludeFromDelete
     excludeFields: Set[String] = Set.empty,   // flattened-name projection drop
+    dedup: Option[Boolean] = None,            // topics.<t>.deduplication.enable
     distinctFields: Set[String] = Set.empty,  // dedup key fields
     ignoreFields: Set[String] = Set.empty)    // dedup ignored fields
 
@@ -19,9 +20,13 @@ final case class RestructureJobConfig(
     inputRoot: String,
     outputRoot: String,
     pathTemplate: String = PathTemplate.defaultTemplate,
+    bucketTemplate: Option[String] = None,    // G8 per-record bucket routing
     format: String = "csv",                   // csv | json
     gzip: Boolean = false,
     dedup: Boolean = false,                   // format.deduplication.enable
+    distinctFields: Set[String] = Set.empty,  // global dedup key fields
+    ignoreFields: Set[String] = Set.empty,
+    excludeFields: Set[String] = Set.empty,   // format.excludeFields
     topics: Map[String, TopicJobConfig] = Map.empty,
     ledgerPath: Option[String] = None,        // default <outputRoot>/_ledger.json
     maxFilesPerTopic: Option[Int] = None,
@@ -33,4 +38,16 @@ final case class RestructureJobConfig(
     (if (format == "json") ".json" else ".csv") + (if (gzip) ".gz" else "")
   def topicConfig(topic: String): TopicJobConfig =
     topics.getOrElse(topic, TopicJobConfig())
+  def dedupEnabled(topic: String): Boolean =
+    topicConfig(topic).dedup.getOrElse(dedup)
+  def dedupDistinctFields(topic: String): Set[String] = {
+    val t = topicConfig(topic).distinctFields
+    if (t.nonEmpty) t else distinctFields
+  }
+  def dedupIgnoreFields(topic: String): Set[String] = {
+    val t = topicConfig(topic).ignoreFields
+    if (t.nonEmpty) t else ignoreFields
+  }
+  def allExcludeFields(topic: String): Set[String] =
+    excludeFields ++ topicConfig(topic).excludeFields
 }

@@ -1,0 +1,80 @@
+package graft.jobs
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class ConfigLoaderSpec extends AnyFunSuite {
+
+  private val yml =
+    """service:
+      |  enable: true
+      |  interval: 30
+      |source:
+      |  type: s3
+      |  s3:
+      |    endpoint: http://localhost:9000
+      |    bucket: radar
+      |    accessToken: ak
+      |    secretKey: sk
+      |target:
+      |  type: local
+      |compression:
+      |  type: gzip
+      |format:
+      |  type: csv
+      |  deduplication:
+      |    enable: true
+      |    distinctFields: [key.sourceId, value.time]
+      |  excludeFields: [key.projectId]
+      |worker:
+      |  maxFilesPerTopic: 7
+      |  minimumFileAge: 60
+      |cleaner:
+      |  enable: true
+      |  age: 7
+      |paths:
+      |  inputs: [in]
+      |  output: out
+      |  properties:
+      |    format: ${projectId}/${userId}/${topic}/${filename}
+      |topics:
+      |  topic_a:
+      |    deduplication:
+      |      enable: false
+      |    excludeFields: [value.x]
+      |  topic_b:
+      |    exclude: true
+      |  topic_c:
+      |    pathProperties:
+      |      format: ${projectId}/${topic}/${value:name}/${filename}
+      |""".stripMargin
+
+  test("restructure.yml surface maps to job config") {
+    val l = ConfigLoader.load(yml)
+    assert(l.job.inputRoot == "s3a://radar/in")
+    assert(l.hadoopConf("fs.s3a.endpoint") == "http://localhost:9000")
+    assert(l.hadoopConf("fs.s3a.access.key") == "ak")
+    assert(l.job.outputRoot == "out")
+    assert(l.job.gzip)
+    assert(l.job.extension == ".csv.gz")
+    assert(l.job.dedup && l.job.distinctFields == Set("key.sourceId", "value.time"))
+    assert(l.job.excludeFields == Set("key.projectId"))
+    assert(l.job.maxFilesPerTopic.contains(7))
+    assert(l.job.minimumFileAgeMs == 60000L)
+    assert(l.job.pathTemplate == "${projectId}/${userId}/${topic}/${filename}")
+    assert(!l.job.dedupEnabled("topic_a")) // per-topic override
+    assert(l.job.dedupEnabled("topic_x"))  // global default
+    assert(l.job.allExcludeFields("topic_a") == Set("key.projectId", "value.x"))
+    assert(l.job.topicConfig("topic_b").exclude)
+    assert(l.job.topicConfig("topic_c").pathTemplate.contains(
+      "${projectId}/${topic}/${value:name}/${filename}"))
+    assert(l.serviceEnabled && l.serviceIntervalSec == 30)
+    assert(l.cleanerEnabled && l.cleanerAgeDays == 7)
+  }
+
+  test("defaults for an empty config") {
+    val l = ConfigLoader.load("{}")
+    assert(l.job.inputRoot == "in" && l.job.outputRoot == "output")
+    assert(!l.job.gzip && !l.job.dedup && !l.serviceEnabled)
+    assert(l.job.minimumFileAgeMs == 60000L)
+  }
+}

@@ -1,0 +1,77 @@
+package graft.jobs
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util.zip.GZIPInputStream
+
+import graft.SparkSpec
+
+/** Output-format coverage: gzip bins (K5), JSON-lines bins (K3), corrupt-
+  * target quarantine (K9), bucket routing (G8).
+  */
+class FormatsSpec extends SparkSpec {
+
+  private val fixtures = Paths.get("/root/reference/src/integrationTest/resources")
+  private val statusFile =
+    "application_server_status/partition=1/application_server_status+1+0000000018+0000000020.avro"
+
+  private def setup(): (Path, Path) = {
+    val work = Files.createTempDirectory("graft-fmt")
+    val in = work.resolve("in")
+    Files.createDirectories(in.resolve(statusFile).getParent)
+    Files.copy(fixtures.resolve(statusFile), in.resolve(statusFile),
+      StandardCopyOption.REPLACE_EXISTING)
+    (in, work.resolve("out"))
+  }
+
+  private val binDir =
+    "STAGING_PROJECT/1543bc93-3c17-4381-89a5-c5d6272b827c/application_server_status"
+
+  test("gzip CSV bins: .csv.gz extension, valid gzip, same content") {
+    val (in, out) = setup()
+    Restructure.run(spark, RestructureJobConfig(
+      inputRoot = in.toString, outputRoot = out.toString, gzip = true))
+    val bin = out.resolve(s"$binDir/20200128_1300.csv.gz")
+    assert(Files.exists(bin))
+    val content = new String(
+      new GZIPInputStream(Files.newInputStream(bin)).readAllBytes(), "UTF-8")
+    assert(content.startsWith("key.projectId,key.userId,key.sourceId,value.time"))
+    assert(content.contains("1.58021982003E9,CONNECTED,"))
+  }
+
+  test("JSON-lines bins: nested objects, explicit nulls, one record per line") {
+    val (in, out) = setup()
+    Restructure.run(spark, RestructureJobConfig(
+      inputRoot = in.toString, outputRoot = out.toString, format = "json"))
+    // fixture file: 1 record in the 1300 bin, 2 in the 1400 bin
+    val bin = out.resolve(s"$binDir/20200128_1300.json")
+    assert(Files.exists(bin))
+    val lines = Files.readAllLines(bin)
+    assert(lines.size() == 1)
+    assert(Files.readAllLines(out.resolve(s"$binDir/20200128_1400.json")).size() == 2)
+    assert(lines.get(0).startsWith("{\"key\":{\"projectId\":\"STAGING_PROJECT\""))
+    assert(lines.get(0).contains("\"ipAddress\":null")) // nulls written, not dropped
+  }
+
+  test("corrupt existing target is quarantined, fresh bin written (K9)") {
+    val (in, out) = setup()
+    val cfg = RestructureJobConfig(inputRoot = in.toString, outputRoot = out.toString, gzip = true)
+    // plant a corrupt .csv.gz where the bin will land
+    val bin = out.resolve(s"$binDir/20200128_1300.csv.gz")
+    Files.createDirectories(bin.getParent)
+    Files.write(bin, Array[Byte](1, 2, 3, 4, 5))
+    Restructure.run(spark, cfg)
+    assert(Files.exists(out.resolve(s"$binDir/20200128_1300.csv.gz.corrupted")))
+    val content = new String(
+      new GZIPInputStream(Files.newInputStream(bin)).readAllBytes(), "UTF-8")
+    assert(content.contains("CONNECTED"))
+  }
+
+  test("bucket routing prefixes the template-derived bucket (G8)") {
+    val (in, out) = setup()
+    Restructure.run(spark, RestructureJobConfig(
+      inputRoot = in.toString, outputRoot = out.toString,
+      bucketTemplate = Some("bucket-${value:serverStatus}")))
+    assert(Files.exists(out.resolve(
+      s"bucket-CONNECTED/$binDir/20200128_1300.csv")))
+  }
+}
