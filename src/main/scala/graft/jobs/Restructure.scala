@@ -83,8 +83,14 @@ object Restructure {
     val pathCol = cfg.bucketTemplate.fold(basePath)(bt =>
       concat(PathTemplate.compile(bt, params, Some(timeCol), Some(dataSchema)), lit("/"), basePath))
 
+    val hasDynamic = Flatten.leafPaths(dataSchema).exists {
+      case (_, _: MapType) | (_, _: ArrayType) => true
+      case _ => false
+    }
     val written =
       if (cfg.format == "json") writeJsonBins(spark, cfg, fs, topic, df, pathCol, tCfg)
+      else if (hasDynamic)
+        writeCsvBinsDynamic(spark, cfg, fs, topic, df, dataSchema, timeCol, template, tCfg)
       else writeCsvBins(spark, cfg, fs, topic, df, dataSchema, pathCol, tCfg)
 
     // K4 schema sidecar, once per output directory
@@ -177,6 +183,76 @@ object Restructure {
       }
 
     commitBins(spark, cfg, fs, deduped, "csv")
+  }
+
+  /** §7.4-1 data-dependent CSV schemas: map keys and array indices become
+    * columns per record (CsvAvroDataConverter.kt:52-63); records whose
+    * flattened header differs (different key sets / arity) go to attempt
+    * files `bin_1.csv`, `bin_2.csv`, … (RestructureWorker.kt:163-183).
+    *
+    * Spark shape: one pass computes a per-record header fingerprint; attempt
+    * numbers are assigned by first appearance (file, pos) of each
+    * fingerprint within the topic batch; each fingerprint group is written
+    * with ITS OWN flattened header (per-group dynamic key/arity expansion —
+    * one tiny aggregation per group, groups are few by construction).
+    */
+  private[graft] def writeCsvBinsDynamic(
+      spark: SparkSession, cfg: RestructureJobConfig, fs: FileSystem, topic: String,
+      df: DataFrame, dataSchema: StructType, timeCol: Column, template: String,
+      tCfg: TopicJobConfig): Seq[String] = {
+    val dynLeaves = Flatten.leafPaths(dataSchema).collect {
+      case (n, _: MapType) => n -> true
+      case (n, _: ArrayType) => n -> false
+    }
+    // per-record flattened-header fingerprint: present map keys + array arity
+    val fpCol = md5(concat_ws("|",
+      dynLeaves.map { case (n, isMap) =>
+        val c = Flatten.leafColumn(n)
+        if (isMap) concat_ws(",", array_sort(map_keys(c)))
+        else coalesce(size(c), lit(-1)).cast(StringType)
+      }: _*).cast(BinaryType))
+    val withFp = df.withColumn("__fp", fpCol)
+
+    // attempt index = order of first appearance (reference: arrival order)
+    val firstSeen = withFp
+      .groupBy(col("__fp"))
+      .agg(min(struct(col(AvroRead.FileCol), col(AvroRead.PosCol))).as("__first"))
+      .orderBy(col("__first"))
+      .collect().map(_.getString(0))
+
+    firstSeen.zipWithIndex.flatMap { case (fp, attempt) =>
+      val group = withFp.filter(col("__fp") === fp).drop("__fp")
+      // this group's concrete header: expand map keys / array indices
+      val dynAggs = dynLeaves.map { case (n, isMap) =>
+        val c = Flatten.leafColumn(n)
+        if (isMap) array_sort(array_distinct(flatten(collect_list(map_keys(c))))).as(s"k:$n")
+        else max(size(c)).as(s"l:$n")
+      }
+      val row = group.agg(dynAggs.head, dynAggs.tail: _*).collect()(0)
+      val outCols = Flatten.leafPaths(dataSchema)
+        .filterNot { case (n, _) => cfg.allExcludeFields(topic)(n) }
+        .flatMap {
+          case (n, _: MapType) =>
+            row.getSeq[String](row.fieldIndex(s"k:$n")).map(k =>
+              try_element_at(Flatten.leafColumn(n), lit(k)).cast(StringType).as(s"$n.$k"))
+          case (n, _: ArrayType) =>
+            (0 until math.max(0, row.getInt(row.fieldIndex(s"l:$n")))).map(i =>
+              get(Flatten.leafColumn(n), lit(i)).cast(StringType).as(s"$n.$i"))
+          case (n, BinaryType) =>
+            Seq(regexp_replace(base64(Flatten.leafColumn(n)), "=+$", "").as(n))
+          case (n, _) => Seq(Flatten.leafColumn(n).cast(StringType).as(n))
+        }
+      val suffix = if (attempt == 0) "" else s"_$attempt"
+      val params = PathTemplate.fixedParams(dataSchema, timeCol, lit(topic),
+        cfg.extension, cfg.timeBinFormat) ++ Map(
+        "attempt" -> lit(suffix),
+        "filename" -> concat(TimeExtract.timeBin(timeCol, cfg.timeBinFormat),
+          lit(suffix), lit(cfg.extension)))
+      val pathCol = PathTemplate.compile(template, params, Some(timeCol), Some(dataSchema))
+      val prepared = group.select(outCols ++ Seq(
+        pathCol.as("__path"), col(AvroRead.FileCol), col(AvroRead.PosCol)): _*)
+      commitBins(spark, cfg, fs, prepared, "csv")
+    }.toSeq
   }
 
   /** K9: move an unreadable target aside as `<name>.corrupted[-i]`. */

@@ -1,0 +1,74 @@
+package graft.jobs
+
+import java.io.File
+import java.nio.file.Files
+import scala.jdk.CollectionConverters._
+
+import org.apache.avro.Schema
+import org.apache.avro.file.DataFileWriter
+import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+
+import graft.SparkSpec
+
+/** §7.4-1: data-dependent map/array CSV columns and attempt-file grouping
+  * (different flattened headers → `bin.csv`, `bin_1.csv`, …).
+  */
+class DynamicSchemaSpec extends SparkSpec {
+
+  private val schemaJson =
+    """{"type":"record","name":"Rec","fields":[
+      |{"name":"key","type":{"type":"record","name":"K","fields":[
+      |  {"name":"userId","type":"string"}]}},
+      |{"name":"value","type":{"type":"record","name":"V","fields":[
+      |  {"name":"time","type":"double"},
+      |  {"name":"props","type":{"type":"map","values":"int"}},
+      |  {"name":"arr","type":{"type":"array","items":"string"}}]}}]}""".stripMargin
+
+  private def rec(schema: Schema, user: String, time: Double,
+      props: Map[String, Int], arr: Seq[String]): GenericRecord = {
+    val k = new GenericData.Record(schema.getField("key").schema)
+    k.put("userId", user)
+    val v = new GenericData.Record(schema.getField("value").schema)
+    v.put("time", time)
+    v.put("props", props.map { case (a, b) => a -> Int.box(b) }.asJava)
+    v.put("arr", arr.asJava)
+    val r = new GenericData.Record(schema)
+    r.put("key", k); r.put("value", v)
+    r
+  }
+
+  test("map keys/array indices become columns; header mismatch goes to attempt file") {
+    val schema = new Schema.Parser().parse(schemaJson)
+    val work = Files.createTempDirectory("graft-dyn")
+    val dir = work.resolve("in/map_topic/partition=0")
+    Files.createDirectories(dir)
+    val f = new File(dir.toFile, "map_topic+0+0000000001+0000000003.avro")
+    val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
+    w.create(schema, f)
+    val t = 1.6095816E9 // 2021-01-02T10:00Z
+    w.append(rec(schema, "u1", t, Map("a" -> 1, "b" -> 2), Seq("x", "y")))
+    w.append(rec(schema, "u1", t, Map("a" -> 3, "b" -> 4), Seq("p", "q")))
+    w.append(rec(schema, "u1", t, Map("c" -> 5), Seq("z")))
+    w.close()
+
+    val out = work.resolve("out")
+    Restructure.run(spark, RestructureJobConfig(
+      inputRoot = work.resolve("in").toString, outputRoot = out.toString))
+
+    val base = out.resolve("unknown-project/u1/map_topic/20210102_1000.csv")
+    val attempt = out.resolve("unknown-project/u1/map_topic/20210102_1000_1.csv")
+    assert(Files.exists(base), "base attempt file missing")
+    assert(Files.exists(attempt), "attempt _1 file missing")
+
+    val baseLines = Files.readAllLines(base).asScala
+    assert(baseLines.head ==
+      "key.userId,value.time,value.props.a,value.props.b,value.arr.0,value.arr.1")
+    assert(baseLines.size == 3)
+    assert(baseLines(1) == "u1,1.6095816E9,1,2,x,y")
+
+    val attemptLines = Files.readAllLines(attempt).asScala
+    assert(attemptLines.head == "key.userId,value.time,value.props.c,value.arr.0")
+    assert(attemptLines.size == 2)
+    assert(attemptLines(1) == "u1,1.6095816E9,5,z")
+  }
+}
