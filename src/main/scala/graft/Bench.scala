@@ -42,7 +42,36 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val timerJson = benchRestructureStages(spark)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","timer":$timerJson}""")
     spark.stop()
   }
+
+  /** Reference-Timer-named stage metrics (BASELINE.md) from a restructure
+    * run over the integration fixtures.
+    */
+  private def benchRestructureStages(spark: SparkSession): String =
+    try {
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      val fixtures = Paths.get("/root/reference/src/integrationTest/resources")
+      if (!Files.isDirectory(fixtures)) return "{}"
+      val work = Files.createTempDirectory("graft-bench-timer")
+      Seq(
+        "application_server_status/partition=1/application_server_status+1+0000000018+0000000020.avro",
+        "application_server_status/partition=1/application_server_status+1+0000000021.avro",
+        "android_phone_acceleration/partition=0/android_phone_acceleration+0+0003018784.avro")
+        .foreach { f =>
+          val dst = work.resolve("in").resolve(f)
+          Files.createDirectories(dst.getParent)
+          Files.copy(fixtures.resolve(f), dst, StandardCopyOption.REPLACE_EXISTING)
+        }
+      graft.util.Timer.reset()
+      graft.util.Timer.enabled = true
+      graft.jobs.Restructure.run(spark, graft.jobs.RestructureJobConfig(
+        inputRoot = work.resolve("in").toString,
+        outputRoot = work.resolve("out").toString,
+        dedup = true))
+      graft.util.Timer.enabled = false
+      graft.util.Timer.toJson
+    } catch { case _: Throwable => "{}" }
 }

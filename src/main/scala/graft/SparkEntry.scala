@@ -174,6 +174,29 @@ object SparkEntry {
       .orderBy(col("user_id"), col("from_offset"))
   }
 
+  /** P3 union-branch resolution: runtime branch pick + single-column render
+    * (CsvAvroDataConverter.kt:64-67) modeled as branch-tagged coalesce.
+    */
+  private def qUnionResolve(implicit s: SparkSession, d: String): DataFrame = {
+    val ev = t("events")
+    val branchA = when(col("event_type") === "purchase", col("value").cast(StringType))
+    val branchB = when(col("event_type") =!= "purchase", col("props"))
+    ev.select(
+      col("event_id"),
+      coalesce(branchA, branchB).as("resolved"),
+      when(branchA.isNotNull, lit("double")).otherwise(lit("string")).as("branch"))
+      .orderBy(col("event_id"))
+  }
+
+  /** P4 excludeFields projection drop on a flattened frame. */
+  private def qExcludeFields(implicit s: SparkSession, d: String): DataFrame = {
+    val excluded = Set("value", "props") // configured flattened names
+    val ev = t("events")
+    val keep = ev.columns.filterNot(excluded).filterNot(_ == "ts").map(n => col(n)) :+
+      date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_str")
+    ev.select(keep: _*).orderBy(col("event_id"))
+  }
+
   // ----------------------------------------------- LLM-pipeline operators
 
   import graft.functions.{GraftExpressions, TextFunctions}
@@ -299,6 +322,8 @@ object SparkEntry {
     "q_flatten_nested"   -> mk(qFlattenNested(_, _)),
     "q_offset_parse"     -> mk(qOffsetParse(_, _)),
     "q_interval_merge"   -> mk(qIntervalMerge(_, _)),
+    "q_union_resolve"    -> mk(qUnionResolve(_, _)),
+    "q_exclude_fields"   -> mk(qExcludeFields(_, _)),
     "q_text_stats"       -> mk(qTextStats(_, _)),
     "q_quality_score"    -> mk(qQualityScore(_, _)),
     "q_lang_id"          -> mk(qLangId(_, _)),
@@ -497,6 +522,15 @@ object SparkEntry {
         |SELECT topic, "partition", count(*) AS n_files, min(from_offset) AS min_offset,
         |  max(from_offset) AS max_offset
         |FROM p GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q_union_resolve" ->
+      """SELECT event_id,
+        |CASE WHEN event_type = 'purchase' THEN CAST(value AS VARCHAR) ELSE props END AS resolved,
+        |CASE WHEN event_type = 'purchase' THEN 'double' ELSE 'string' END AS branch
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_exclude_fields" ->
+      """SELECT event_id, user_id, event_type,
+        |strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str
+        |FROM events ORDER BY event_id""".stripMargin,
     "q_interval_merge" ->
       """WITH marked AS (
         |  SELECT user_id, event_id,

@@ -53,12 +53,12 @@ object Cleaner {
               Instant.ofEpochMilli(st.getModificationTime))
           }
         if (eligible.nonEmpty) {
-          val missingByFile = verifyTopic(spark, cfg, topic,
-            eligible.map(_._1.getPath.toString))
+          val missingByFile = graft.util.Timer.time("cleaner.contains")(
+            verifyTopic(spark, cfg, topic, eligible.map(_._1.getPath.toString)))
           eligible.foreach { case (st, r) =>
             val name = st.getPath.getName
             if (missingByFile.getOrElse(name, 0L) == 0L) {
-              inFs.delete(st.getPath, false)
+              graft.util.Timer.time("cleaner.delete")(inFs.delete(st.getPath, false))
               deleted += st.getPath.toString
             } else {
               ledger.remove(r.topic, r.partition, r.from, r.to.get)

@@ -60,7 +60,9 @@ object ConfigLoader {
 
     // --- format / compression / dedup --------------------------------
     val format = str(root, "format", "type").map(_.toLowerCase).getOrElse("csv")
-    val gzip = str(root, "compression", "type").map(_.toLowerCase).contains("gzip")
+    val compressionType = str(root, "compression", "type").map(_.toLowerCase)
+    val gzip = compressionType.contains("gzip")
+    val zip = compressionType.contains("zip")
     val dedup = bool(root, default = false, "format", "deduplication", "enable")
 
     // --- topics -------------------------------------------------------
@@ -85,6 +87,9 @@ object ConfigLoader {
         .getOrElse(graft.paths.PathTemplate.defaultTemplate),
       format = format,
       gzip = gzip,
+      zip = zip,
+      topicParallelism = opt(root, "worker", "numThreads")
+        .filter(_.isNumber).map(_.asInt()).getOrElse(1),
       dedup = dedup,
       distinctFields = strSet(root, "format", "deduplication", "distinctFields"),
       ignoreFields = strSet(root, "format", "deduplication", "ignoreFields"),

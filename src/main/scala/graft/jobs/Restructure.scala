@@ -8,6 +8,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.ledger.OffsetRangeSet
+import graft.util.Timer
 import graft.model.Flatten
 import graft.operators.Dedup
 import graft.paths.PathTemplate
@@ -42,7 +43,7 @@ object Restructure {
     val topics = TopicFiles.listTopics(inFs, cfg.inputRoot)
     val now = System.currentTimeMillis()
 
-    val results = topics.toSeq.sortBy(_._1).flatMap { case (topic, files) =>
+    def processOne(topic: String, files: Seq[org.apache.hadoop.fs.FileStatus]): Option[TopicResult] = {
       val tCfg = cfg.topicConfig(topic)
       if (tCfg.exclude) None
       else {
@@ -61,7 +62,24 @@ object Restructure {
         else Some(processTopic(spark, cfg, fs, topic, limited.map(_._1.getPath.toString), ledger))
       }
     }
-    saveLedger(fs, cfg.ledger, ledger)
+
+    val topicSeq = topics.toSeq.sortBy(_._1)
+    // per-topic fan-out (reference worker.numThreads): topics are
+    // independent pipelines sharing the session's scheduler; the ledger is
+    // synchronized internally
+    val results =
+      if (cfg.topicParallelism <= 1) topicSeq.flatMap { case (t, f) => processOne(t, f) }
+      else {
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        import scala.concurrent.duration.Duration
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(cfg.topicParallelism)
+        implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+        try Await.result(
+          Future.sequence(topicSeq.map { case (t, f) => Future(processOne(t, f)) }),
+          Duration.Inf).flatten
+        finally pool.shutdown()
+      }
+    Timer.time("accounting.flush")(saveLedger(fs, cfg.ledger, ledger))
     RunResult(results, ledger)
   }
 
@@ -69,7 +87,7 @@ object Restructure {
       spark: SparkSession, cfg: RestructureJobConfig, fs: FileSystem,
       topic: String, files: Seq[String], ledger: OffsetRangeSet): TopicResult = {
     val tCfg = cfg.topicConfig(topic)
-    val avroSchema = AvroRead.readSchema(files.head)
+    val avroSchema = Timer.time("read")(AvroRead.readSchema(files.head))
     val df = AvroRead.read(spark, files)
     val dataSchema = StructType(df.schema.fields.filterNot(f =>
       f.name == AvroRead.FileCol || f.name == AvroRead.PosCol))
@@ -87,32 +105,34 @@ object Restructure {
       case (_, _: MapType) | (_, _: ArrayType) => true
       case _ => false
     }
-    val written =
+    val written = Timer.time("close.store") {
       if (cfg.format == "json") writeJsonBins(spark, cfg, fs, topic, df, pathCol, tCfg)
       else if (hasDynamic)
         writeCsvBinsDynamic(spark, cfg, fs, topic, df, dataSchema, timeCol, template, tCfg)
       else writeCsvBins(spark, cfg, fs, topic, df, dataSchema, pathCol, tCfg)
+    }
 
     // K4 schema sidecar, once per output directory
+    Timer.time("write.schema")(
     written.map(p => p.substring(0, math.max(p.lastIndexOf('/'), 0))).distinct.foreach { dir =>
       val sidecar = new HPath(s"${cfg.outputRoot}/$dir/schema-$topic.json")
       if (!fs.exists(sidecar)) {
         val out = fs.create(sidecar, true)
         try out.write(avroSchema.toString(true).getBytes("UTF-8")) finally out.close()
       }
-    }
+    })
 
     // ledger commit: per-file ranges (open-ended ranges closed by record count)
     val counts = df.groupBy(col(AvroRead.FileCol)).count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val processedAt = Instant.now()
-    files.foreach { f =>
+    Timer.time("accounting.add")(files.foreach { f =>
       val name = new HPath(f).getName
       TopicFiles.parseFilename(name).foreach { r =>
         val to = r.to.getOrElse(r.from + counts.getOrElse(name, 1L) - 1)
         ledger.add(r.topic, r.partition, r.from, to, processedAt)
       }
-    }
+    })
     TopicResult(topic, files, counts.values.sum, written)
   }
 
@@ -149,9 +169,11 @@ object Restructure {
     val existing = targetPaths.filter(p => fs.exists(new HPath(s"${cfg.outputRoot}/$p")))
     val withExisting = existing.foldLeft(prepared) { (acc, p) =>
       try {
+        val srcPath = s"${cfg.outputRoot}/$p"
+        val readPath = if (cfg.zip) unzipToLocalTemp(fs, srcPath) else srcPath
         val old = spark.read.option("header", "true").option("inferSchema", "false")
           .option("escape", "\"")
-          .csv(s"${cfg.outputRoot}/$p")
+          .csv(readPath)
           .withColumn("__path", lit(p))
           .withColumn(AvroRead.FileCol, lit("")) // sorts before any real file
           .withColumn(AvroRead.PosCol, monotonically_increasing_id())
@@ -255,6 +277,21 @@ object Restructure {
     }.toSeq
   }
 
+  /** Decompress a zip bin to a local temp file for the merge read. */
+  private def unzipToLocalTemp(fs: FileSystem, path: String): String = {
+    val zin = new java.util.zip.ZipInputStream(fs.open(new HPath(path)))
+    val tmp = java.io.File.createTempFile("graft-unzip", ".csv")
+    tmp.deleteOnExit()
+    val out = new java.io.FileOutputStream(tmp)
+    try {
+      require(zin.getNextEntry != null, s"empty zip: $path")
+      val buf = new Array[Byte](65536)
+      var n = zin.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = zin.read(buf) }
+    } finally { zin.close(); out.close() }
+    "file://" + tmp.getAbsolutePath
+  }
+
   /** K9: move an unreadable target aside as `<name>.corrupted[-i]`. */
   private def quarantine(fs: FileSystem, target: HPath): Unit = {
     var candidate = new HPath(target.toString + ".corrupted")
@@ -322,12 +359,32 @@ object Restructure {
         val target = new HPath(s"${cfg.outputRoot}/$rel")
         fs.mkdirs(target.getParent)
         if (fs.exists(target)) fs.delete(target, false)
-        fs.rename(parts.head.getPath, target)
+        if (cfg.zip) zipPack(fs, parts.head.getPath, target)
+        else fs.rename(parts.head.getPath, target)
         written += rel
       }
     }
     fs.delete(tmpPath, true)
     written.result().sorted
+  }
+
+  /** K6 zip compression: single entry (file name without `.zip`), level 7
+    * (compression/ZipCompression.kt:10-25). Driver-side repack during the
+    * commit rename — one streamed copy per bin.
+    */
+  private def zipPack(fs: FileSystem, part: HPath, target: HPath): Unit = {
+    val entryName = target.getName.stripSuffix(".zip")
+    val in = fs.open(part)
+    val out = new java.util.zip.ZipOutputStream(fs.create(target, true))
+    try {
+      out.setLevel(7)
+      out.putNextEntry(new java.util.zip.ZipEntry(entryName))
+      val buf = new Array[Byte](65536)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      out.closeEntry()
+    } finally { in.close(); out.close() }
+    fs.delete(part, false)
   }
 
   /** Inverse of Spark's partition-value escaping (%XX sequences). */

@@ -23,6 +23,8 @@ final case class RestructureJobConfig(
     bucketTemplate: Option[String] = None,    // G8 per-record bucket routing
     format: String = "csv",                   // csv | json
     gzip: Boolean = false,
+    zip: Boolean = false,                     // K6: single-entry zip, level 7
+    topicParallelism: Int = 1,                // worker.numThreads analog
     dedup: Boolean = false,                   // format.deduplication.enable
     distinctFields: Set[String] = Set.empty,  // global dedup key fields
     ignoreFields: Set[String] = Set.empty,
@@ -35,7 +37,8 @@ final case class RestructureJobConfig(
 
   def ledger: String = ledgerPath.getOrElse(s"$outputRoot/_ledger.json")
   def extension: String =
-    (if (format == "json") ".json" else ".csv") + (if (gzip) ".gz" else "")
+    (if (format == "json") ".json" else ".csv") +
+      (if (gzip) ".gz" else if (zip) ".zip" else "")
   def topicConfig(topic: String): TopicJobConfig =
     topics.getOrElse(topic, TopicJobConfig())
   def dedupEnabled(topic: String): Boolean =

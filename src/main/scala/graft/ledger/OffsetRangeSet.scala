@@ -14,21 +14,22 @@ import scala.collection.mutable
 final class OffsetRangeSet {
   private val map = mutable.LinkedHashMap.empty[(String, Int), OffsetIntervals]
 
-  def apply(topic: String, partition: Int): OffsetIntervals =
+  def apply(topic: String, partition: Int): OffsetIntervals = synchronized {
     map.getOrElseUpdate((topic, partition), new OffsetIntervals)
+  }
 
   def add(topic: String, partition: Int, from: Long, to: Long, processed: Instant): Unit =
-    apply(topic, partition).add(from, to, processed)
+    synchronized { apply(topic, partition).add(from, to, processed) }
 
   def contains(topic: String, partition: Int, from: Long, to: Long, lastModified: Instant): Boolean =
-    map.get((topic, partition)).exists(_.contains(from, to, lastModified))
+    synchronized { map.get((topic, partition)).exists(_.contains(from, to, lastModified)) }
 
   def remove(topic: String, partition: Int, from: Long, to: Long): Unit =
-    map.get((topic, partition)).foreach(_.remove(from, to))
+    synchronized { map.get((topic, partition)).foreach(_.remove(from, to)) }
 
-  def topicPartitions: Seq[(String, Int)] = map.keys.toSeq.sortBy(identity)
+  def topicPartitions: Seq[(String, Int)] = synchronized { map.keys.toSeq.sortBy(identity) }
 
-  def toJson: String = {
+  def toJson: String = synchronized {
     val sb = new StringBuilder("{\"partitions\":[")
     var first = true
     for (((topic, partition), ivs) <- map.toSeq.sortBy(_._1)) {

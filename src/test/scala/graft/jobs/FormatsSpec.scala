@@ -66,6 +66,47 @@ class FormatsSpec extends SparkSpec {
     assert(content.contains("CONNECTED"))
   }
 
+  test("zip bins: single level-7 entry named without .zip, valid content (K6)") {
+    val (in, out) = setup()
+    Restructure.run(spark, RestructureJobConfig(
+      inputRoot = in.toString, outputRoot = out.toString, zip = true))
+    val bin = out.resolve(s"$binDir/20200128_1300.csv.zip")
+    assert(Files.exists(bin))
+    val zin = new java.util.zip.ZipInputStream(Files.newInputStream(bin))
+    val entry = zin.getNextEntry
+    assert(entry.getName == "20200128_1300.csv")
+    val content = new String(zin.readAllBytes(), "UTF-8")
+    assert(content.contains("1.58021982003E9,CONNECTED,"))
+    assert(zin.getNextEntry == null) // single entry
+    // idempotent re-run over same bin must merge through the zip
+    val in2 = Files.createTempDirectory("graft-fmt-zip2")
+    val f2 = "application_server_status/partition=1/application_server_status+1+0000000021.avro"
+    Files.createDirectories(in2.resolve(f2).getParent)
+    Files.copy(fixtures.resolve(f2), in2.resolve(f2))
+    Restructure.run(spark, RestructureJobConfig(
+      inputRoot = in2.toString, outputRoot = out.toString, zip = true,
+      ledgerPath = Some(out.resolve("_ledger2.json").toString)))
+    val zin2 = new java.util.zip.ZipInputStream(Files.newInputStream(bin))
+    zin2.getNextEntry
+    val merged = new String(zin2.readAllBytes(), "UTF-8")
+    assert(merged.linesIterator.size > content.linesIterator.size)
+  }
+
+  test("topic-parallel run produces the same output as sequential") {
+    val (in, out) = setup()
+    // add the second topic
+    val acc = "android_phone_acceleration/partition=0/android_phone_acceleration+0+0003018784.avro"
+    Files.createDirectories(in.resolve(acc).getParent)
+    Files.copy(fixtures.resolve(acc), in.resolve(acc))
+    val r = Restructure.run(spark, RestructureJobConfig(
+      inputRoot = in.toString, outputRoot = out.toString, topicParallelism = 2))
+    assert(r.processedTopics.map(_.topic).toSet ==
+      Set("application_server_status", "android_phone_acceleration"))
+    assert(Files.exists(out.resolve(s"$binDir/20200128_1300.csv")))
+    assert(r.ledger.contains("android_phone_acceleration", 0, 3018784, 3018784,
+      java.time.Instant.EPOCH))
+  }
+
   test("bucket routing prefixes the template-derived bucket (G8)") {
     val (in, out) = setup()
     Restructure.run(spark, RestructureJobConfig(
