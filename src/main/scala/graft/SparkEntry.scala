@@ -294,6 +294,14 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Embedding-cosine near-dup pairs (IVF-cell-bounded, threshold 0.3). */
+  private def qEmbeddingNeardup(implicit s: SparkSession, d: String): DataFrame = {
+    val emb = t("embeddings")
+    val assigned = Similarity.ivfAssign(emb, emb.filter(col("vec_id") < 16))
+    Similarity.cosineNearDupPairs(assigned, 0.3)
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
   /** Multimodal metadata over opaque binary payloads. */
   private def qMultimodalMeta(implicit s: SparkSession, d: String): DataFrame = {
     val media = Multimodal.toMediaFrame(t("documents"))
@@ -335,6 +343,7 @@ object SparkEntry {
     "q_rolling_hash"     -> mk(qRollingHash(_, _)),
     "q_cosine_topk"      -> mk(qCosineTopk(_, _)),
     "q_ivf_topk"         -> mk(qIvfTopk(_, _)),
+    "q_embedding_neardup" -> mk(qEmbeddingNeardup(_, _)),
     "q_multimodal_meta"  -> mk(qMultimodalMeta(_, _)))
 
   private def mk(f: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame = f
@@ -450,6 +459,17 @@ object SparkEntry {
            |  FROM cl JOIN q ON cl.cell = q.cell AND cl.vec_id != q.query_id)
            |SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS INTEGER) AS "rank", neighbor_id
            |FROM s QUALIFY "rank" <= 3 ORDER BY query_id, "rank"""".stripMargin,
+      "q_embedding_neardup" ->
+        s"""WITH ${Frag.embCte},
+           |c AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 16),
+           |ad AS (SELECT e.vec_id, e.v, c.cent_id, ${Frag.l2sq("e.v", "c.cv")} AS dist FROM e CROSS JOIN c),
+           |cl AS (SELECT vec_id, v, cent_id AS cell FROM
+           |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cent_id ASC) AS rn FROM ad)
+           |  WHERE rn = 1)
+           |SELECT vec_a, vec_b FROM (
+           |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, ${Frag.cosine("a.v", "b.v")} AS sim
+           |  FROM cl a JOIN cl b ON a.cell = b.cell AND a.vec_id < b.vec_id)
+           |WHERE sim > 0.3 ORDER BY vec_a, vec_b""".stripMargin,
       "q_multimodal_meta" ->
         """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
           |CAST(floor(octet_length(encode(text)) / 256.0) AS BIGINT) AS n_frames,

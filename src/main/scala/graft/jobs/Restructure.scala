@@ -166,7 +166,8 @@ object Restructure {
     // is quarantined as <name>.corrupted[-i] and the bin starts fresh
     // (FileCache.kt:205-235).
     val targetPaths = prepared.select(col("__path")).distinct().collect().map(_.getString(0))
-    val existing = targetPaths.filter(p => fs.exists(new HPath(s"${cfg.outputRoot}/$p")))
+    val existing = Timer.time("write.open")(parallelFilter(targetPaths.toSeq)(p =>
+      fs.exists(new HPath(s"${cfg.outputRoot}/$p"))))
     val withExisting = existing.foldLeft(prepared) { (acc, p) =>
       try {
         val srcPath = s"${cfg.outputRoot}/$p"
@@ -346,26 +347,50 @@ object Restructure {
           .option("emptyValue", "")
           .option("escape", "\"") // RFC4180 quote doubling (opencsv parity)
           .option("compression", if (cfg.gzip) "gzip" else "none")
-    if (format == "json") configured.json(tmp) else configured.csv(tmp)
+    Timer.time("write.convert")(
+      if (format == "json") configured.json(tmp) else configured.csv(tmp))
 
-    val written = Seq.newBuilder[String]
+    // finalize renames in parallel: the commit is O(bins) metadata calls and
+    // was measured driver-bound at ~3.5 ms/bin sequentially (95k bins →
+    // 330 s); a bounded pool turns it into the FS's concurrent-op latency
     val tmpPath = new HPath(tmp)
-    for (st <- fs.listStatus(tmpPath) if st.isDirectory) {
-      val dirName = st.getPath.getName
-      if (dirName.startsWith("__path=")) {
-        val rel = unescapePartitionValue(dirName.stripPrefix("__path="))
+    val dirs = fs.listStatus(tmpPath)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("__path="))
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(32)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val written = Timer.time("close.rename") {
+      try Await.result(Future.sequence(dirs.toSeq.map { st => Future {
+        val rel = unescapePartitionValue(st.getPath.getName.stripPrefix("__path="))
         val parts = fs.listStatus(st.getPath).filter(_.getPath.getName.startsWith("part-"))
-        require(parts.length == 1, s"expected 1 part file per bin, got ${parts.length} in $dirName")
+        require(parts.length == 1,
+          s"expected 1 part file per bin, got ${parts.length} in ${st.getPath.getName}")
         val target = new HPath(s"${cfg.outputRoot}/$rel")
         fs.mkdirs(target.getParent)
         if (fs.exists(target)) fs.delete(target, false)
         if (cfg.zip) zipPack(fs, parts.head.getPath, target)
         else fs.rename(parts.head.getPath, target)
-        written += rel
-      }
+        rel
+      }}), Duration.Inf)
+      finally pool.shutdown()
     }
     fs.delete(tmpPath, true)
-    written.result().sorted
+    written.sorted
+  }
+
+  /** Parallel predicate filter over a driver-side path list (bounded pool —
+    * FS metadata ops are latency-bound, not CPU-bound).
+    */
+  private def parallelFilter[T](xs: Seq[T])(p: T => Boolean): Seq[T] = {
+    if (xs.size < 64) return xs.filter(p)
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(32)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try Await.result(Future.sequence(xs.map(x => Future((x, p(x))))), Duration.Inf)
+      .collect { case (x, true) => x }
+    finally pool.shutdown()
   }
 
   /** K6 zip compression: single entry (file name without `.zip`), level 7

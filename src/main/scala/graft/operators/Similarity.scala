@@ -71,6 +71,26 @@ object Similarity {
       .withColumnRenamed("__cent_id", "cell")
   }
 
+  /** Embedding-cosine near-duplicate pairs: all pairs within the same IVF
+    * cell whose cosine exceeds `threshold` — the embedding member of the
+    * dedup family (cell restriction bounds the pair space to ~N²/cells;
+    * cells shuffle once, pair generation is a per-cell join).
+    */
+  def cosineNearDupPairs(
+      assigned: DataFrame, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    GraftExpressions.register(assigned.sparkSession)
+    val a = assigned.select(col("cell"), col(idCol).as("vec_a"), col(vecCol).as("__va"),
+      sqrt(dot(col(vecCol), col(vecCol))).as("__na"))
+    val b = assigned.select(col("cell"), col(idCol).as("vec_b"), col(vecCol).as("__vb"),
+      sqrt(dot(col(vecCol), col(vecCol))).as("__nb"))
+    a.join(b, Seq("cell"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("__sim", dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
+      .filter(col("__sim") > threshold)
+      .select(col("vec_a"), col("vec_b"))
+  }
+
   /** IVF-pruned top-k: search only the query's own cell. Same output shape
     * as [[bruteForceTopK]] (approximate: recall < 1 at cell boundaries).
     */

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Enforced physical-plan properties (see PLANS.md): these assertions pin
+  * the scale-relevant plan shapes so a regression (lost broadcast, lost
+  * pruning, extra shuffle) fails CI rather than silently degrading at scale.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def formatted(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+  }
+
+  test("q_agg_pricing: column-pruned scan + partial aggregation before the shuffle") {
+    val plan = formatted("q_agg_pricing")
+    assert(plan.contains("partial_sum"), "map-side combine missing")
+    val readSchema = plan.linesIterator.find(_.trim.startsWith("ReadSchema")).get
+    assert(!readSchema.contains("l_orderkey") && !readSchema.contains("l_shipdate"),
+      s"scan reads unused columns: $readSchema")
+  }
+
+  test("q_enrich_broadcast: both dimensions broadcast, no sort-merge join") {
+    val plan = formatted("q_enrich_broadcast")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2, "dimension joins not broadcast")
+    assert(!plan.contains("SortMergeJoin"), "unexpected shuffle join for small dims")
+  }
+
+  test("q_semi_join / q_anti_join: filters pushed to the scan") {
+    assert(formatted("q_semi_join").contains("PushedFilters: [IsNotNull(o_orderkey)]"))
+    // the status predicate must reach the orders scan, not a post-scan filter
+    assert(formatted("q_anti_join").contains("EqualTo(o_orderstatus,F)"))
+  }
+
+  test("q_flatten_nested: predicate pushed into parquet scan") {
+    val plan = formatted("q_flatten_nested")
+    assert(plan.contains("LessThan(l_orderkey,1000)"), "filter not pushed to scan")
+  }
+
+  test("q_cosine_topk: query set is the broadcast side") {
+    val plan = formatted("q_cosine_topk")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"))
+  }
+
+  test("q_dedup_keep_last: one shuffle for the window (+ the final orderBy), with pre-shuffle group limit") {
+    val plan = formatted("q_dedup_keep_last")
+    val exchanges = plan.linesIterator.count(_.matches("\\(\\d+\\) Exchange"))
+    assert(exchanges <= 2, s"extra shuffles in dedup plan ($exchanges)")
+    // Spark 4 inserts WindowGroupLimit BEFORE the shuffle for rank<=k —
+    // shuffle volume is one row per key, not all rows; pin it
+    assert(plan.contains("WindowGroupLimit"), "pre-shuffle window group limit missing")
+  }
+}
