@@ -33,14 +33,15 @@ object Restructure {
   final case class TopicResult(topic: String, files: Seq[String], records: Long, paths: Seq[String])
   final case class RunResult(processedTopics: Seq[TopicResult], ledger: OffsetRangeSet)
 
-  def run(spark: SparkSession, cfg: RestructureJobConfig): RunResult = {
+  def run(spark: SparkSession, cfg: RestructureJobConfig,
+      listing: Option[Map[String, Seq[org.apache.hadoop.fs.FileStatus]]] = None): RunResult = {
     val fs = new HPath(cfg.outputRoot).getFileSystem(spark.sparkContext.hadoopConfiguration)
     // local-FS checksum sidecars (.crc) are not part of the output contract
     fs.setWriteChecksum(false)
     fs.setVerifyChecksum(false)
     val ledger = loadLedger(fs, cfg.ledger)
     val inFs = new HPath(cfg.inputRoot).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val topics = TopicFiles.listTopics(inFs, cfg.inputRoot)
+    val topics = listing.getOrElse(TopicFiles.listTopics(inFs, cfg.inputRoot))
     val now = System.currentTimeMillis()
 
     def processOne(topic: String, files: Seq[org.apache.hadoop.fs.FileStatus]): Option[TopicResult] = {

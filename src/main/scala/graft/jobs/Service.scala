@@ -14,15 +14,25 @@ object Service {
       intervalMs: Long = 300000L,            // service.interval default 300 s
       cleanerEnabled: Boolean = false,
       cleanerAgeMs: Long = 7L * 24 * 3600 * 1000,
+      fullSyncIntervalMs: Long = 3600000L,   // source.index.fullSyncInterval
       maxIterations: Option[Int] = None)     // bounded loops for tests
 
   def runLoop(spark: SparkSession, cfg: RestructureJobConfig, svc: ServiceConfig): Unit = {
+    // S10: cached source listing between iterations, slow full-resync cadence
+    val index = try {
+      val inFs = new org.apache.hadoop.fs.Path(cfg.inputRoot)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      Some(new graft.sources.StorageIndex(inFs, cfg.inputRoot, svc.fullSyncIntervalMs))
+    } catch { case _: Exception => None }
     var iter = 0
     while (svc.maxIterations.forall(iter < _)) {
       val t0 = System.currentTimeMillis()
       try {
-        Restructure.run(spark, cfg)
-        if (svc.cleanerEnabled) Cleaner.run(spark, cfg, svc.cleanerAgeMs)
+        Restructure.run(spark, cfg, index.map(_.topics()))
+        if (svc.cleanerEnabled) {
+          Cleaner.run(spark, cfg, svc.cleanerAgeMs)
+          index.foreach(_.invalidate()) // deletes change the tree
+        }
       } catch {
         case e: Exception =>
           System.err.println(s"[graft-service] iteration $iter failed: ${e.getMessage}")

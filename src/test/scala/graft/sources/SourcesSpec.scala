@@ -1,0 +1,69 @@
+package graft.sources
+
+import java.io.File
+import java.nio.file.Files
+
+import org.apache.avro.Schema
+import org.apache.avro.file.DataFileWriter
+import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+
+import graft.SparkSpec
+
+class SourcesSpec extends SparkSpec {
+
+  private def fs: FileSystem =
+    new HPath("/tmp").getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  test("AvroRead resolves evolved writer schemas against the topic reader schema") {
+    val v1 = new Schema.Parser().parse(
+      """{"type":"record","name":"R","fields":[
+        |{"name":"value","type":{"type":"record","name":"V","fields":[
+        |  {"name":"time","type":"double"}]}}]}""".stripMargin)
+    val v2 = new Schema.Parser().parse(
+      """{"type":"record","name":"R","fields":[
+        |{"name":"value","type":{"type":"record","name":"V","fields":[
+        |  {"name":"time","type":"double"},
+        |  {"name":"label","type":["null","string"],"default":null}]}}]}""".stripMargin)
+    val dir = Files.createTempDirectory("graft-evo").resolve("t/partition=0")
+    Files.createDirectories(dir)
+    def write(schema: Schema, name: String, put: GenericData.Record => Unit): Unit = {
+      val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
+      w.create(schema, new File(dir.toFile, name))
+      val v = new GenericData.Record(schema.getField("value").schema)
+      put(v)
+      val r = new GenericData.Record(schema)
+      r.put("value", v)
+      w.append(r); w.close()
+    }
+    // NEWEST schema first in the sorted file list → reader schema = v2
+    write(v2, "t+0+0000000000.avro", v => { v.put("time", 1.0); v.put("label", "x") })
+    write(v1, "t+0+0000000001.avro", v => v.put("time", 2.0))
+    val df = AvroRead.read(spark,
+      Seq(dir.resolve("t+0+0000000000.avro"), dir.resolve("t+0+0000000001.avro")).map(_.toString))
+    val rows = df.select("value.time", "value.label").orderBy("time").collect()
+    assert(rows.map(_.getDouble(0)).toSeq == Seq(1.0, 2.0))
+    assert(rows(0).getString(1) == "x")
+    assert(rows(1).isNullAt(1)) // v1 file resolved with default null
+  }
+
+  test("StorageIndex caches between syncs and re-lists on cadence/invalidation") {
+    val root = Files.createTempDirectory("graft-idx")
+    val dir = root.resolve("topicA/partition=0")
+    Files.createDirectories(dir)
+    Files.write(dir.resolve("topicA+0+0000000000.avro"), Array[Byte](1))
+    val idx = new StorageIndex(fs, root.toString, fullSyncIntervalMs = 1000000L)
+    val t0 = 1000000L
+    assert(idx.topics(t0).keySet == Set("topicA"))
+    // new file appears but cache is fresh → not seen
+    Files.write(dir.resolve("topicA+0+0000000001.avro"), Array[Byte](1))
+    assert(idx.topics(t0 + 10).apply("topicA").size == 1)
+    // cadence expiry → re-list
+    assert(idx.topics(t0 + 1000001L).apply("topicA").size == 2)
+    assert(idx.syncs == 2)
+    // explicit invalidation → re-list immediately
+    idx.invalidate()
+    idx.topics(t0 + 1000002L)
+    assert(idx.syncs == 3)
+  }
+}
