@@ -302,6 +302,36 @@ object SparkEntry {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** Vocabulary building: token frequencies (explode → map-side-combined
+    * count), top 50 with deterministic tie order.
+    */
+  private def qTokenFreq(implicit s: SparkSession, d: String): DataFrame =
+    t("documents")
+      .select(explode(TextFunctions.words(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token").asc)
+      .limit(50)
+
+  /** Document-length histogram (50-char buckets). */
+  private def qDocHistogram(implicit s: SparkSession, d: String): DataFrame =
+    t("documents")
+      .groupBy((floor(length(col("text")) / lit(50.0)) * 50).cast(LongType).as("bucket"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("bucket"))
+
+  /** Multimodal batch feature extraction through the Dataset/mapPartitions
+    * decode boundary (stubbed codec — rows-only check; the deterministic
+    * stub features are unit-tested in MultimodalSpec).
+    */
+  private def qMediaFeatures(implicit s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val media = Multimodal.toMediaFrame(t("documents")).as[Multimodal.MediaRecord]
+    Multimodal.decodeFeatures(media)(s).toDF()
+      .select(col("doc_id"), col("byte_len"), col("n_frames"), col("brightness"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Multimodal metadata over opaque binary payloads. */
   private def qMultimodalMeta(implicit s: SparkSession, d: String): DataFrame = {
     val media = Multimodal.toMediaFrame(t("documents"))
@@ -344,7 +374,10 @@ object SparkEntry {
     "q_cosine_topk"      -> mk(qCosineTopk(_, _)),
     "q_ivf_topk"         -> mk(qIvfTopk(_, _)),
     "q_embedding_neardup" -> mk(qEmbeddingNeardup(_, _)),
-    "q_multimodal_meta"  -> mk(qMultimodalMeta(_, _)))
+    "q_multimodal_meta"  -> mk(qMultimodalMeta(_, _)),
+    "q_token_freq"       -> mk(qTokenFreq(_, _)),
+    "q_doc_histogram"    -> mk(qDocHistogram(_, _)),
+    "q_media_features"   -> mk(qMediaFeatures(_, _)))
 
   private def mk(f: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame = f
 
@@ -470,6 +503,13 @@ object SparkEntry {
            |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, ${Frag.cosine("a.v", "b.v")} AS sim
            |  FROM cl a JOIN cl b ON a.cell = b.cell AND a.vec_id < b.vec_id)
            |WHERE sim > 0.3 ORDER BY vec_a, vec_b""".stripMargin,
+      "q_token_freq" ->
+        s"""WITH ${Frag.wordsCte}
+           |SELECT token, count(*) AS freq FROM (SELECT unnest(ws) AS token FROM w)
+           |GROUP BY token ORDER BY freq DESC, token ASC LIMIT 50""".stripMargin,
+      "q_doc_histogram" ->
+        """SELECT CAST(floor(length(text) / 50.0) * 50 AS BIGINT) AS bucket,
+          |count(*) AS n_docs FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
       "q_multimodal_meta" ->
         """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
           |CAST(floor(octet_length(encode(text)) / 256.0) AS BIGINT) AS n_frames,
