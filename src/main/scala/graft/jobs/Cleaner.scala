@@ -101,7 +101,8 @@ object Cleaner {
       val full = s"${cfg.outputRoot}/$p"
       if (!outFs.exists(new HPath(full)) || timeFieldName.isEmpty) None
       else Some(
-        spark.read.option("header", "true").option("escape", "\"").csv(full)
+        spark.read.option("header", "true").option("escape", "\"")
+          .csv(Restructure.readableBinPath(outFs, full, cfg))
           .select(col(s"`${timeFieldName.get}`").cast(DoubleType).as("__time"))
           .withColumn("__path", lit(p)))
     }

@@ -172,7 +172,7 @@ object Restructure {
     val withExisting = existing.foldLeft(prepared) { (acc, p) =>
       try {
         val srcPath = s"${cfg.outputRoot}/$p"
-        val readPath = if (cfg.zip) unzipToLocalTemp(fs, srcPath) else srcPath
+        val readPath = readableBinPath(fs, srcPath, cfg)
         val old = spark.read.option("header", "true").option("inferSchema", "false")
           .option("escape", "\"")
           .csv(readPath)
@@ -279,6 +279,13 @@ object Restructure {
     }.toSeq
   }
 
+  /** A Spark-readable path for an existing bin: zip bins (which Spark's
+    * CSV reader cannot decompress) are unpacked to a local temp file; gzip
+    * and plain bins are readable in place.
+    */
+  private[jobs] def readableBinPath(fs: FileSystem, path: String, cfg: RestructureJobConfig): String =
+    if (cfg.zip && path.endsWith(".zip")) unzipToLocalTemp(fs, path) else path
+
   /** Decompress a zip bin to a local temp file for the merge read. */
   private def unzipToLocalTemp(fs: FileSystem, path: String): String = {
     val zin = new java.util.zip.ZipInputStream(fs.open(new HPath(path)))
@@ -305,7 +312,7 @@ object Restructure {
     fs.rename(target, candidate)
   }
 
-  private def writeJsonBins(
+  private[graft] def writeJsonBins(
       spark: SparkSession, cfg: RestructureJobConfig, fs: FileSystem, topic: String,
       df: DataFrame, pathCol: Column, tCfg: TopicJobConfig): Seq[String] = {
     val dataCols = df.columns.toSeq

@@ -57,7 +57,11 @@ object StreamingRestructure {
     val stamped = batch
       .withColumn(AvroRead.FileCol, lit(f"batch-$batchId%012d"))
       .withColumn(AvroRead.PosCol, monotonically_increasing_id())
-    Restructure.writeCsvBins(spark, cfg, fs, topic, stamped, dataSchema, pathCol,
-      cfg.topicConfig(topic))
+    if (cfg.format == "json")
+      Restructure.writeJsonBins(spark, cfg, fs, topic, stamped, pathCol,
+        cfg.topicConfig(topic))
+    else
+      Restructure.writeCsvBins(spark, cfg, fs, topic, stamped, dataSchema, pathCol,
+        cfg.topicConfig(topic))
   }
 }

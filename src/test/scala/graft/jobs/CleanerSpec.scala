@@ -38,6 +38,16 @@ class CleanerSpec extends SparkSpec {
     assert(Files.exists(in.resolve(openFile)))
   }
 
+  test("cleaner verifies through zip bins (decompressed read)") {
+    val (in, _, cfg0) = setup()
+    val cfg = cfg0.copy(zip = true)
+    Restructure.run(spark, cfg)
+    val result = Cleaner.run(spark, cfg, ageMs = 0)
+    assert(result.rolledBack.isEmpty, "zip bins must be readable during verification")
+    assert(result.deleted.nonEmpty)
+    assert(!Files.exists(in.resolve(closedFile)))
+  }
+
   test("failed verification rolls ledger back instead of deleting; re-run re-extracts") {
     val (in, out, cfg) = setup()
     val r1 = Restructure.run(spark, cfg)
