@@ -91,20 +91,40 @@ object Cleaner {
     val source = df.select(col(AvroRead.FileCol).as("__src"),
       pathCol.as("__path"), timeCol.as("__time"))
 
+    val cleanupTemps = scala.collection.mutable.ArrayBuffer.empty[HPath]
     val paths = source.select("__path").distinct().collect().map(_.getString(0))
-    val timeFieldName = graft.model.Flatten.leafPaths(dataSchema)
-      .map(_._1).find(n => Seq("value.time", "key.timeStart", "key.start",
-        "value.timeReceived", "value.timeCompleted").exists(_.equalsIgnoreCase(n)))
+    // The stored time field and its render-back-to-epoch-seconds converter,
+    // in the SAME priority order as TimeExtract's chain — so the value
+    // compared against __time is the one __time was derived from.
+    val chain: Seq[(String, org.apache.spark.sql.Column => org.apache.spark.sql.Column)] = Seq(
+      "value.time" -> (c => c.cast(DoubleType)),
+      "key.timeStart" -> (c => c.cast(DoubleType)),
+      "key.start" -> (c => c.cast(DoubleType) / 1000.0), // stored millis
+      "value.dateTime" -> (c => to_timestamp(regexp_replace(c, "Z$", "")).cast(DoubleType)),
+      "value.date" -> (c => to_date(c).cast(TimestampType).cast(DoubleType)),
+      "value.timeReceived" -> (c => c.cast(DoubleType)),
+      "value.timeCompleted" -> (c => c.cast(DoubleType)))
+    val leaves = graft.model.Flatten.leafPaths(dataSchema).map(_._1)
+    val timeField = chain.flatMap { case (n, conv) =>
+      leaves.find(_.equalsIgnoreCase(n)).map(_ -> conv)
+    }.headOption
 
     val outFs = new HPath(cfg.outputRoot).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val targetTimes = paths.toSeq.flatMap { p =>
       val full = s"${cfg.outputRoot}/$p"
-      if (!outFs.exists(new HPath(full)) || timeFieldName.isEmpty) None
-      else Some(
-        spark.read.option("header", "true").option("escape", "\"")
-          .csv(Restructure.readableBinPath(outFs, full, cfg))
-          .select(col(s"`${timeFieldName.get}`").cast(DoubleType).as("__time"))
-          .withColumn("__path", lit(p)))
+      if (!outFs.exists(new HPath(full)) || timeField.isEmpty) None
+      else {
+        val (name, conv) = timeField.get
+        val readPath = Restructure.readableBinPath(outFs, full, cfg, cleanupTemps)
+        val stored =
+          if (cfg.format == "json")
+            spark.read.json(readPath).select(graft.model.Flatten.leafColumn(name))
+          else
+            spark.read.option("header", "true").option("escape", "\"")
+              .csv(readPath).select(col(s"`$name`"))
+        val c0 = col("`" + stored.columns.head.replace("`", "``") + "`")
+        Some(stored.select(conv(c0).as("__time")).withColumn("__path", lit(p)))
+      }
     }
 
     val withTime = source.filter(col("__time").isNotNull)
@@ -113,8 +133,12 @@ object Cleaner {
       else withTime.join(
         targetTimes.reduce(_ unionByName _).distinct(),
         Seq("__path", "__time"), "left_anti")
-    val counts = missing.groupBy(col("__src")).count().collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val counts =
+      try missing.groupBy(col("__src")).count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      finally cleanupTemps.foreach(t =>
+        new HPath(cfg.outputRoot).getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(t, false))
     files.map(f => new HPath(f).getName).map(n => n -> counts.getOrElse(n, 0L)).toMap
   }
 }

@@ -88,7 +88,7 @@ object Restructure {
       spark: SparkSession, cfg: RestructureJobConfig, fs: FileSystem,
       topic: String, files: Seq[String], ledger: OffsetRangeSet): TopicResult = {
     val tCfg = cfg.topicConfig(topic)
-    val avroSchema = Timer.time("read")(AvroRead.readSchema(files.head))
+    val avroSchema = Timer.time("read")(AvroRead.topicReaderSchema(spark, files))
     val df = AvroRead.read(spark, files)
     val dataSchema = StructType(df.schema.fields.filterNot(f =>
       f.name == AvroRead.FileCol || f.name == AvroRead.PosCol))
@@ -123,18 +123,25 @@ object Restructure {
       }
     })
 
-    // ledger commit: per-file ranges (open-ended ranges closed by record count)
-    val counts = df.groupBy(col(AvroRead.FileCol)).count().collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // ledger commit: closed ranges are sized by their offset span; only
+    // open-ended files (no end offset in the name) need a counting scan
+    val parsed = files.map(f => new HPath(f).getName)
+      .flatMap(n => TopicFiles.parseFilename(n).map(n -> _))
+    val openEnded = parsed.collect { case (n, r) if r.to.isEmpty => n }
+    val counts: Map[String, Long] =
+      if (openEnded.isEmpty) Map.empty
+      else df.filter(col(AvroRead.FileCol).isin(openEnded: _*))
+        .groupBy(col(AvroRead.FileCol)).count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
     val processedAt = Instant.now()
-    Timer.time("accounting.add")(files.foreach { f =>
-      val name = new HPath(f).getName
-      TopicFiles.parseFilename(name).foreach { r =>
-        val to = r.to.getOrElse(r.from + counts.getOrElse(name, 1L) - 1)
-        ledger.add(r.topic, r.partition, r.from, to, processedAt)
-      }
+    Timer.time("accounting.add")(parsed.foreach { case (name, r) =>
+      val to = r.to.getOrElse(r.from + counts.getOrElse(name, 1L) - 1)
+      ledger.add(r.topic, r.partition, r.from, to, processedAt)
     })
-    TopicResult(topic, files, counts.values.sum, written)
+    val records = parsed.map { case (name, r) =>
+      r.to.map(_ - r.from + 1).getOrElse(counts.getOrElse(name, 1L))
+    }.sum
+    TopicResult(topic, files, records, written)
   }
 
   /** Flattened CSV output projection: dot-named leaves in schema order,
@@ -162,31 +169,8 @@ object Restructure {
     val prepared = df.select(outCols ++ Seq(
       pathCol.as("__path"), col(AvroRead.FileCol), col(AvroRead.PosCol)): _*)
 
-    // K2 append-to-existing: merge current bin contents (they sort first and
-    // participate in dedup, FileCache.kt:147-179). K9: an unreadable target
-    // is quarantined as <name>.corrupted[-i] and the bin starts fresh
-    // (FileCache.kt:205-235).
-    val targetPaths = prepared.select(col("__path")).distinct().collect().map(_.getString(0))
-    val existing = Timer.time("write.open")(parallelFilter(targetPaths.toSeq)(p =>
-      fs.exists(new HPath(s"${cfg.outputRoot}/$p"))))
-    val withExisting = existing.foldLeft(prepared) { (acc, p) =>
-      try {
-        val srcPath = s"${cfg.outputRoot}/$p"
-        val readPath = readableBinPath(fs, srcPath, cfg)
-        val old = spark.read.option("header", "true").option("inferSchema", "false")
-          .option("escape", "\"")
-          .csv(readPath)
-          .withColumn("__path", lit(p))
-          .withColumn(AvroRead.FileCol, lit("")) // sorts before any real file
-          .withColumn(AvroRead.PosCol, monotonically_increasing_id())
-        old.limit(1).count() // force decompression/parse now (K9 probe)
-        acc.unionByName(old, allowMissingColumns = true)
-      } catch {
-        case _: Exception =>
-          quarantine(fs, new HPath(s"${cfg.outputRoot}/$p"))
-          acc
-      }
-    }
+    val temps = scala.collection.mutable.ArrayBuffer.empty[HPath]
+    val withExisting = mergeExistingBins(spark, cfg, fs, prepared, "csv", None, temps)
 
     // A1 keep-last dedup on the configured key projection, per bin
     val deduped =
@@ -206,8 +190,70 @@ object Restructure {
           struct(col(AvroRead.FileCol), col(AvroRead.PosCol)))
       }
 
-    commitBins(spark, cfg, fs, deduped, "csv")
+    try commitBins(spark, cfg, fs, deduped, "csv")
+    finally temps.foreach(t => fs.delete(t, false))
   }
+
+  /** K2 append-to-existing: union the current contents of every bin this
+    * batch touches (existing rows sort before any new file and participate
+    * in dedup, FileCache.kt:147-179). K9: an unreadable target (corrupt
+    * gzip/zip) is quarantined as `<name>.corrupted[-i]` and the bin starts
+    * fresh (FileCache.kt:205-235) — readability is probed driver-side by
+    * streaming the compressed header bytes, no per-bin Spark job.
+    *
+    * `jsonSchema` is Some(nested schema) for JSON bins (read typed, no
+    * inference); None for CSV bins (read as strings by each file's header).
+    */
+  private def mergeExistingBins(
+      spark: SparkSession, cfg: RestructureJobConfig, fs: FileSystem,
+      prepared: DataFrame, format: String, jsonSchema: Option[StructType],
+      temps: scala.collection.mutable.Buffer[HPath]): DataFrame = {
+    val targetPaths = prepared.select(col("__path")).distinct().collect().map(_.getString(0))
+    val existing = Timer.time("write.open")(parallelFilter(targetPaths.toSeq)(p =>
+      fs.exists(new HPath(s"${cfg.outputRoot}/$p"))))
+    existing.foldLeft(prepared) { (acc, p) =>
+      val srcPath = s"${cfg.outputRoot}/$p"
+      if (!sniffReadable(fs, srcPath)) {
+        quarantine(fs, new HPath(srcPath))
+        acc
+      } else {
+        try {
+          val readPath = readableBinPath(fs, srcPath, cfg, temps)
+          val reader = spark.read
+          val base =
+            if (format == "json") jsonSchema.fold(reader)(reader.schema).json(readPath)
+            else reader.option("header", "true").option("inferSchema", "false")
+              .option("escape", "\"").csv(readPath)
+          val old = base
+            .withColumn("__path", lit(p))
+            .withColumn(AvroRead.FileCol, lit("")) // sorts before any real file
+            .withColumn(AvroRead.PosCol, monotonically_increasing_id())
+          acc.unionByName(old, allowMissingColumns = true)
+        } catch {
+          case _: Exception =>
+            quarantine(fs, new HPath(srcPath))
+            acc
+        }
+      }
+    }
+  }
+
+  /** Driver-side readability probe: stream the first bytes through the
+    * matching decompressor. Catches truncated/corrupt gzip and zip targets
+    * without launching a Spark job per bin.
+    */
+  private def sniffReadable(fs: FileSystem, path: String): Boolean =
+    try {
+      val raw = fs.open(new HPath(path))
+      val in =
+        if (path.endsWith(".gz")) new java.util.zip.GZIPInputStream(raw)
+        else if (path.endsWith(".zip")) {
+          val z = new java.util.zip.ZipInputStream(raw)
+          if (z.getNextEntry == null) throw new java.io.IOException("empty zip")
+          z
+        } else raw
+      try { in.read(new Array[Byte](1024)); true } finally in.close()
+    } catch { case _: Exception => false }
 
   /** §7.4-1 data-dependent CSV schemas: map keys and array indices become
     * columns per record (CsvAvroDataConverter.kt:52-63); records whose
@@ -260,7 +306,9 @@ object Restructure {
             row.getSeq[String](row.fieldIndex(s"k:$n")).map(k =>
               try_element_at(Flatten.leafColumn(n), lit(k)).cast(StringType).as(s"$n.$k"))
           case (n, _: ArrayType) =>
-            (0 until math.max(0, row.getInt(row.fieldIndex(s"l:$n")))).map(i =>
+            val idx = row.fieldIndex(s"l:$n")
+            val len = if (row.isNullAt(idx)) 0 else math.max(0, row.getInt(idx))
+            (0 until len).map(i =>
               get(Flatten.leafColumn(n), lit(i)).cast(StringType).as(s"$n.$i"))
           case (n, BinaryType) =>
             Seq(regexp_replace(base64(Flatten.leafColumn(n)), "=+$", "").as(n))
@@ -275,31 +323,34 @@ object Restructure {
       val pathCol = PathTemplate.compile(template, params, Some(timeCol), Some(dataSchema))
       val prepared = group.select(outCols ++ Seq(
         pathCol.as("__path"), col(AvroRead.FileCol), col(AvroRead.PosCol)): _*)
-      commitBins(spark, cfg, fs, prepared, "csv")
+      val temps = scala.collection.mutable.ArrayBuffer.empty[HPath]
+      try commitBins(spark, cfg, fs,
+        mergeExistingBins(spark, cfg, fs, prepared, "csv", None, temps), "csv")
+      finally temps.foreach(t => fs.delete(t, false))
     }.toSeq
   }
 
   /** A Spark-readable path for an existing bin: zip bins (which Spark's
-    * CSV reader cannot decompress) are unpacked to a local temp file; gzip
-    * and plain bins are readable in place.
+    * readers cannot decompress) are unpacked to a temp file ON THE OUTPUT
+    * FILESYSTEM (executor-visible on a real cluster); gzip and plain bins
+    * are readable in place. Created temps are appended to `temps` for
+    * cleanup after the consuming job completes.
     */
-  private[jobs] def readableBinPath(fs: FileSystem, path: String, cfg: RestructureJobConfig): String =
-    if (cfg.zip && path.endsWith(".zip")) unzipToLocalTemp(fs, path) else path
-
-  /** Decompress a zip bin to a local temp file for the merge read. */
-  private def unzipToLocalTemp(fs: FileSystem, path: String): String = {
-    val zin = new java.util.zip.ZipInputStream(fs.open(new HPath(path)))
-    val tmp = java.io.File.createTempFile("graft-unzip", ".csv")
-    tmp.deleteOnExit()
-    val out = new java.io.FileOutputStream(tmp)
-    try {
-      require(zin.getNextEntry != null, s"empty zip: $path")
-      val buf = new Array[Byte](65536)
-      var n = zin.read(buf)
-      while (n >= 0) { out.write(buf, 0, n); n = zin.read(buf) }
-    } finally { zin.close(); out.close() }
-    "file://" + tmp.getAbsolutePath
-  }
+  private[jobs] def readableBinPath(fs: FileSystem, path: String, cfg: RestructureJobConfig,
+      temps: scala.collection.mutable.Buffer[HPath]): String =
+    if (cfg.zip && path.endsWith(".zip")) {
+      val tmp = new HPath(s"${cfg.outputRoot}/graft-unzip-${java.util.UUID.randomUUID()}.tmp.csv")
+      val zin = new java.util.zip.ZipInputStream(fs.open(new HPath(path)))
+      val out = fs.create(tmp, true)
+      try {
+        require(zin.getNextEntry != null, s"empty zip: $path")
+        val buf = new Array[Byte](65536)
+        var n = zin.read(buf)
+        while (n >= 0) { out.write(buf, 0, n); n = zin.read(buf) }
+      } finally { zin.close(); out.close() }
+      temps += tmp
+      tmp.toString
+    } else path
 
   /** K9: move an unreadable target aside as `<name>.corrupted[-i]`. */
   private def quarantine(fs: FileSystem, target: HPath): Unit = {
@@ -321,13 +372,18 @@ object Restructure {
       .map(n => col(s"`$n`"))
     val prepared = df.select(dataCols ++ Seq(
       pathCol.as("__path"), col(AvroRead.FileCol), col(AvroRead.PosCol)): _*)
+    val dataOnly = StructType(prepared.schema.fields.filterNot(f =>
+      Seq("__path", AvroRead.FileCol, AvroRead.PosCol).contains(f.name)))
+    val temps = scala.collection.mutable.ArrayBuffer.empty[HPath]
+    val withExisting = mergeExistingBins(spark, cfg, fs, prepared, "json", Some(dataOnly), temps)
     // A2 whole-record keep-first dedup
     val deduped =
-      if (!cfg.dedupEnabled(topic)) prepared
-      else Dedup.keepFirst(prepared,
+      if (!cfg.dedupEnabled(topic)) withExisting
+      else Dedup.keepFirst(withExisting,
         Seq(col("__path"), to_json(struct(dataCols: _*))),
         struct(col(AvroRead.FileCol), col(AvroRead.PosCol)))
-    commitBins(spark, cfg, fs, deduped, "json")
+    try commitBins(spark, cfg, fs, deduped, "json")
+    finally temps.foreach(t => fs.delete(t, false))
   }
 
   /** One exactly-named output file per bin: shuffle on the bin path, write

@@ -14,7 +14,10 @@ object Service {
       intervalMs: Long = 300000L,            // service.interval default 300 s
       cleanerEnabled: Boolean = false,
       cleanerAgeMs: Long = 7L * 24 * 3600 * 1000,
-      fullSyncIntervalMs: Long = 3600000L,   // source.index.fullSyncInterval
+      // source.index.fullSyncInterval. Default 0 = fresh listing every
+      // iteration (no staleness); set higher only when listing cost
+      // dominates and up-to-interval-delayed pickup is acceptable.
+      fullSyncIntervalMs: Long = 0L,
       maxIterations: Option[Int] = None)     // bounded loops for tests
 
   def runLoop(spark: SparkSession, cfg: RestructureJobConfig, svc: ServiceConfig): Unit = {

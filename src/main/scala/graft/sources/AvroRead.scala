@@ -93,8 +93,29 @@ object AvroRead {
     }
   }
 
-  private def open(path: String): DataFileReader[GenericRecord] = {
-    val conf = new org.apache.hadoop.conf.Configuration()
+  /** Filesystem-relevant Hadoop settings to ship to tasks (S3A/ABFS
+    * endpoints and credentials set by [[graft.jobs.ConfigLoader]] live on
+    * the session's hadoopConfiguration, which is not serializable itself).
+    */
+  private def fsConfEntries(spark: SparkSession): Map[String, String] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val it = conf.iterator()
+    val b = Map.newBuilder[String, String]
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey.startsWith("fs.") || e.getKey.startsWith("hadoop.security"))
+        b += e.getKey -> e.getValue
+    }
+    b.result()
+  }
+
+  private def toConf(entries: Map[String, String]): org.apache.hadoop.conf.Configuration = {
+    val c = new org.apache.hadoop.conf.Configuration()
+    entries.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
+
+  private def open(path: String, conf: org.apache.hadoop.conf.Configuration): DataFileReader[GenericRecord] = {
     val in = new org.apache.avro.mapred.FsInput(
       new org.apache.hadoop.fs.Path(path), conf)
     DataFileReader.openReader(in, new GenericDatumReader[GenericRecord]())
@@ -104,19 +125,30 @@ object AvroRead {
   /** Read the writer schema from a container file header (driver-side; any
     * Hadoop filesystem).
     */
-  def readSchema(path: String): Schema = {
-    val r = open(path)
+  def readSchema(path: String,
+      conf: org.apache.hadoop.conf.Configuration = new org.apache.hadoop.conf.Configuration()): Schema = {
+    val r = open(path, conf)
     try r.getSchema finally r.close()
   }
+
+  /** The topic reader schema: taken from the lexicographically greatest
+    * filename (highest partition/offset = newest slice), so fields added by
+    * schema evolution are present and older files resolve via Avro defaults.
+    */
+  def topicReaderSchema(spark: SparkSession, files: Seq[String]): Schema =
+    readSchema(files.maxBy(p => new org.apache.hadoop.fs.Path(p).getName),
+      toConf(fsConfEntries(spark)))
 
   /** Distributed read of `files` (all sharing one topic schema) into a
     * DataFrame with `__file`/`__pos` provenance columns. Callers filter
     * zero-length files (P11 guard) from the listing. Works against any
-    * Hadoop filesystem via avro-mapred's `FsInput`.
+    * Hadoop filesystem via avro-mapred's `FsInput`, with the session's
+    * fs.* configuration propagated to tasks.
     */
   def read(spark: SparkSession, files: Seq[String]): DataFrame = {
     require(files.nonEmpty, "no avro files to read")
-    val schemaJson = readSchema(files.head).toString
+    val confEntries = fsConfEntries(spark)
+    val schemaJson = topicReaderSchema(spark, files).toString
     val dataSchema = sparkType(new Schema.Parser().parse(schemaJson)).asInstanceOf[StructType]
     val fullSchema = StructType(dataSchema.fields.toSeq :+
       StructField(FileCol, StringType, nullable = false) :+
@@ -126,7 +158,7 @@ object AvroRead {
       // decode against the topic (reader) schema — per-file writer schemas
       // resolve through Avro schema evolution
       val schema = new Schema.Parser().parse(schemaJson)
-      val conf = new org.apache.hadoop.conf.Configuration()
+      val conf = toConf(confEntries)
       val in = new org.apache.avro.mapred.FsInput(new org.apache.hadoop.fs.Path(path), conf)
       val reader = DataFileReader.openReader(in, new GenericDatumReader[GenericRecord](null, schema))
         .asInstanceOf[DataFileReader[GenericRecord]]

@@ -48,6 +48,42 @@ class CleanerSpec extends SparkSpec {
     assert(!Files.exists(in.resolve(closedFile)))
   }
 
+  test("verification converts key.start millis to seconds (priority chain parity)") {
+    import org.apache.avro.Schema
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    val schema = new Schema.Parser().parse(
+      """{"type":"record","name":"R","fields":[
+        |{"name":"key","type":{"type":"record","name":"K","fields":[
+        |  {"name":"userId","type":"string"},{"name":"start","type":"long"}]}},
+        |{"name":"value","type":{"type":"record","name":"V","fields":[
+        |  {"name":"n","type":"int"}]}}]}""".stripMargin)
+    val work = Files.createTempDirectory("graft-clean-ms")
+    val dir = work.resolve("in/ms_topic/partition=0")
+    Files.createDirectories(dir)
+    def write(name: String, startMs: Long): Unit = {
+      val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
+      w.create(schema, dir.resolve(name).toFile)
+      val k = new GenericData.Record(schema.getField("key").schema)
+      k.put("userId", "u1"); k.put("start", startMs)
+      val v = new GenericData.Record(schema.getField("value").schema)
+      v.put("n", 1)
+      val r = new GenericData.Record(schema)
+      r.put("key", k); r.put("value", v)
+      w.append(r); w.close()
+    }
+    write("ms_topic+0+0000000000+0000000000.avro", 1609581600000L) // 2021-01-02T10:00Z
+    write("ms_topic+0+0000000001.avro", 1609581601000L)            // newest, kept
+    val cfg = RestructureJobConfig(inputRoot = work.resolve("in").toString,
+      outputRoot = work.resolve("out").toString)
+    Restructure.run(spark, cfg)
+    val result = Cleaner.run(spark, cfg, ageMs = 0)
+    assert(result.rolledBack.isEmpty,
+      "millis/seconds mismatch would make verification fail and roll back")
+    assert(result.deleted.map(p => Paths.get(p).getFileName.toString) ==
+      Seq("ms_topic+0+0000000000+0000000000.avro"))
+  }
+
   test("failed verification rolls ledger back instead of deleting; re-run re-extracts") {
     val (in, out, cfg) = setup()
     val r1 = Restructure.run(spark, cfg)

@@ -70,5 +70,22 @@ class DynamicSchemaSpec extends SparkSpec {
     assert(attemptLines.head == "key.userId,value.time,value.props.c,value.arr.0")
     assert(attemptLines.size == 2)
     assert(attemptLines(1) == "u1,1.6095816E9,5,z")
+
+    // append: a second run with a new file into the same bin must merge
+    val work2 = Files.createTempDirectory("graft-dyn2")
+    val dir2 = work2.resolve("in/map_topic/partition=0")
+    Files.createDirectories(dir2)
+    val f2 = new File(dir2.toFile, "map_topic+0+0000000004+0000000004.avro")
+    val w2 = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
+    w2.create(schema, f2)
+    w2.append(rec(schema, "u1", t, Map("a" -> 7, "b" -> 8), Seq("m", "n")))
+    w2.close()
+    Restructure.run(spark, RestructureJobConfig(
+      inputRoot = work2.resolve("in").toString, outputRoot = out.toString,
+      ledgerPath = Some(out.resolve("_ledger2.json").toString)))
+    val merged = Files.readAllLines(base).asScala
+    assert(merged.size == 4, s"dynamic bin lost rows on append: ${merged.size}")
+    assert(merged.exists(_.contains("7,8,m,n")))
+    assert(merged.exists(_.contains("1,2,x,y")))
   }
 }

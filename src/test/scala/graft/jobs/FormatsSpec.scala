@@ -52,6 +52,24 @@ class FormatsSpec extends SparkSpec {
     assert(lines.get(0).contains("\"ipAddress\":null")) // nulls written, not dropped
   }
 
+  test("JSON append: second run merges with the existing bin (no data loss)") {
+    val (in, out) = setup()
+    val cfg = RestructureJobConfig(inputRoot = in.toString, outputRoot = out.toString, format = "json")
+    Restructure.run(spark, cfg)
+    val bin = out.resolve(s"$binDir/20200128_1400.json")
+    val before = Files.readAllLines(bin).size
+    // second file lands in the same bins
+    val in2 = Files.createTempDirectory("graft-fmt-json2")
+    val f2 = "application_server_status/partition=1/application_server_status+1+0000000021.avro"
+    Files.createDirectories(in2.resolve(f2).getParent)
+    Files.copy(fixtures.resolve(f2), in2.resolve(f2))
+    Restructure.run(spark, cfg.copy(inputRoot = in2.toString,
+      ledgerPath = Some(out.resolve("_ledger2.json").toString)))
+    val after = Files.readAllLines(bin).size
+    assert(after > before, s"JSON bin lost prior rows: $before -> $after")
+    assert(Files.readAllLines(bin).get(0).startsWith("{\"key\":"))
+  }
+
   test("corrupt existing target is quarantined, fresh bin written (K9)") {
     val (in, out) = setup()
     val cfg = RestructureJobConfig(inputRoot = in.toString, outputRoot = out.toString, gzip = true)

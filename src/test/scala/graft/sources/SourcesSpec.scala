@@ -36,9 +36,9 @@ class SourcesSpec extends SparkSpec {
       r.put("value", v)
       w.append(r); w.close()
     }
-    // NEWEST schema first in the sorted file list → reader schema = v2
-    write(v2, "t+0+0000000000.avro", v => { v.put("time", 1.0); v.put("label", "x") })
-    write(v1, "t+0+0000000001.avro", v => v.put("time", 2.0))
+    // reader schema comes from the newest slice (greatest filename) = v2
+    write(v1, "t+0+0000000000.avro", v => v.put("time", 2.0))
+    write(v2, "t+0+0000000001.avro", v => { v.put("time", 1.0); v.put("label", "x") })
     val df = AvroRead.read(spark,
       Seq(dir.resolve("t+0+0000000000.avro"), dir.resolve("t+0+0000000001.avro")).map(_.toString))
     val rows = df.select("value.time", "value.label").orderBy("time").collect()
