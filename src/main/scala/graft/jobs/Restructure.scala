@@ -314,15 +314,21 @@ object Restructure {
             Seq(regexp_replace(base64(Flatten.leafColumn(n)), "=+$", "").as(n))
           case (n, _) => Seq(Flatten.leafColumn(n).cast(StringType).as(n))
         }
-      val suffix = if (attempt == 0) "" else s"_$attempt"
+      // attempt resolution consults EXISTING target headers (reference
+      // semantics: arrival order against existing files,
+      // RestructureWorker.kt:163-183): a bin whose file already holds this
+      // group's header reuses that attempt; otherwise the first free slot.
+      // Groups commit sequentially, so earlier groups' files are visible.
+      val header = outCols.map(c => dataColName(c)).mkString(",")
       val params = PathTemplate.fixedParams(dataSchema, timeCol, lit(topic),
-        cfg.extension, cfg.timeBinFormat) ++ Map(
-        "attempt" -> lit(suffix),
-        "filename" -> concat(TimeExtract.timeBin(timeCol, cfg.timeBinFormat),
-          lit(suffix), lit(cfg.extension)))
-      val pathCol = PathTemplate.compile(template, params, Some(timeCol), Some(dataSchema))
-      val prepared = group.select(outCols ++ Seq(
-        pathCol.as("__path"), col(AvroRead.FileCol), col(AvroRead.PosCol)): _*)
+        cfg.extension, cfg.timeBinFormat) ++ Map("attempt" -> lit(""))
+      val basePathCol = PathTemplate.compile(template, params, Some(timeCol), Some(dataSchema))
+      val withBase = group.select(outCols ++ Seq(
+        basePathCol.as("__base"), col(AvroRead.FileCol), col(AvroRead.PosCol)): _*)
+      val basePaths = withBase.select(col("__base")).distinct().collect().map(_.getString(0))
+      val mapping = basePaths.toSeq.map(bp => bp -> resolveAttemptPath(fs, cfg, bp, header))
+      val mapDf = spark.createDataFrame(mapping).toDF("__base", "__path")
+      val prepared = withBase.join(broadcast(mapDf), "__base").drop("__base")
       val temps = scala.collection.mutable.ArrayBuffer.empty[HPath]
       try commitBins(spark, cfg, fs,
         mergeExistingBins(spark, cfg, fs, prepared, "csv", None, temps), "csv")
@@ -351,6 +357,53 @@ object Restructure {
       temps += tmp
       tmp.toString
     } else path
+
+  private def dataColName(c: Column): String = {
+    // alias name of a projection column built with .as(name)
+    val s = c.toString
+    val i = s.lastIndexOf(" AS ")
+    (if (i >= 0) s.substring(i + 4) else s).stripPrefix("`").stripSuffix("`")
+  }
+
+  /** First free or header-matching attempt slot for `basePath`
+    * (`bin.csv`, `bin_1.csv`, `bin_2.csv`, …).
+    */
+  private def resolveAttemptPath(
+      fs: FileSystem, cfg: RestructureJobConfig, basePath: String, header: String): String = {
+    def withAttempt(i: Int): String =
+      if (i == 0) basePath
+      else if (basePath.endsWith(cfg.extension))
+        basePath.dropRight(cfg.extension.length) + s"_$i" + cfg.extension
+      else basePath + s"_$i"
+    var i = 0
+    while (i < 1000) {
+      val cand = withAttempt(i)
+      val full = new HPath(s"${cfg.outputRoot}/$cand")
+      if (!fs.exists(full)) return cand
+      if (readHeaderLine(fs, full).contains(header)) return cand
+      i += 1
+    }
+    withAttempt(i)
+  }
+
+  /** First line of a (possibly gzip/zip) CSV bin, or None if unreadable. */
+  private def readHeaderLine(fs: FileSystem, path: HPath): Option[String] =
+    try {
+      val raw = fs.open(path)
+      val in =
+        if (path.getName.endsWith(".gz")) new java.util.zip.GZIPInputStream(raw)
+        else if (path.getName.endsWith(".zip")) {
+          val z = new java.util.zip.ZipInputStream(raw)
+          z.getNextEntry
+          z
+        } else raw
+      try {
+        val sb = new StringBuilder
+        var b = in.read()
+        while (b >= 0 && b != '\n') { sb.append(b.toChar); b = in.read() }
+        Some(sb.toString)
+      } finally in.close()
+    } catch { case _: Exception => None }
 
   /** K9: move an unreadable target aside as `<name>.corrupted[-i]`. */
   private def quarantine(fs: FileSystem, target: HPath): Unit = {

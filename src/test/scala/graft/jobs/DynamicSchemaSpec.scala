@@ -87,5 +87,26 @@ class DynamicSchemaSpec extends SparkSpec {
     assert(merged.size == 4, s"dynamic bin lost rows on append: ${merged.size}")
     assert(merged.exists(_.contains("7,8,m,n")))
     assert(merged.exists(_.contains("1,2,x,y")))
+
+    // cross-run attempt stability: a run containing ONLY the "c"-shape
+    // records must land in the existing _1 file (matching header), not
+    // claim the base attempt
+    val work3 = Files.createTempDirectory("graft-dyn3")
+    val dir3 = work3.resolve("in/map_topic/partition=0")
+    Files.createDirectories(dir3)
+    val f3 = new File(dir3.toFile, "map_topic+0+0000000005+0000000005.avro")
+    val w3 = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
+    w3.create(schema, f3)
+    w3.append(rec(schema, "u1", t, Map("c" -> 6), Seq("q")))
+    w3.close()
+    Restructure.run(spark, RestructureJobConfig(
+      inputRoot = work3.resolve("in").toString, outputRoot = out.toString,
+      ledgerPath = Some(out.resolve("_ledger3.json").toString)))
+    val attempt2 = Files.readAllLines(attempt).asScala
+    assert(attempt2.head == "key.userId,value.time,value.props.c,value.arr.0")
+    assert(attempt2.size == 3, s"c-record did not merge into _1: ${attempt2.mkString("|")}")
+    assert(attempt2.exists(_.contains("6,q")))
+    // base file untouched by the c-only run
+    assert(Files.readAllLines(base).asScala.size == 4)
   }
 }
