@@ -302,6 +302,19 @@ object SparkEntry {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** Near-dup cluster collapse: connected components over the cosine pair
+    * graph (hash-min fixpoint; DuckDB oracle = recursive transitive
+    * closure). Output: only vertices in non-trivial clusters.
+    */
+  private def qDedupCluster(implicit s: SparkSession, d: String): DataFrame = {
+    val emb = t("embeddings")
+    val assigned = Similarity.ivfAssign(emb, emb.filter(col("vec_id") < 16))
+    val pairs = Similarity.cosineNearDupPairs(assigned, 0.3)
+    Similarity.connectedComponents(pairs, emb.select(col("vec_id")))
+      .filter(col("vec_id") =!= col("cluster"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Vocabulary building: token frequencies (explode → map-side-combined
     * count), top 50 with deterministic tie order.
     */
@@ -374,6 +387,7 @@ object SparkEntry {
     "q_cosine_topk"      -> mk(qCosineTopk(_, _)),
     "q_ivf_topk"         -> mk(qIvfTopk(_, _)),
     "q_embedding_neardup" -> mk(qEmbeddingNeardup(_, _)),
+    "q_dedup_cluster"    -> mk(qDedupCluster(_, _)),
     "q_multimodal_meta"  -> mk(qMultimodalMeta(_, _)),
     "q_token_freq"       -> mk(qTokenFreq(_, _)),
     "q_doc_histogram"    -> mk(qDocHistogram(_, _)),
@@ -510,6 +524,24 @@ object SparkEntry {
       "q_doc_histogram" ->
         """SELECT CAST(floor(length(text) / 50.0) * 50 AS BIGINT) AS bucket,
           |count(*) AS n_docs FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+      "q_dedup_cluster" ->
+        s"""WITH RECURSIVE
+           |${Frag.embCte},
+           |cen AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 16),
+           |ad AS (SELECT e.vec_id, e.v, cen.cent_id, ${Frag.l2sq("e.v", "cen.cv")} AS dist FROM e CROSS JOIN cen),
+           |cl AS (SELECT vec_id, v, cent_id AS cell FROM
+           |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cent_id ASC) AS rn FROM ad)
+           |  WHERE rn = 1),
+           |p AS (SELECT vec_a, vec_b FROM (
+           |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, ${Frag.cosine("a.v", "b.v")} AS sim
+           |  FROM cl a JOIN cl b ON a.cell = b.cell AND a.vec_id < b.vec_id) WHERE sim > 0.3),
+           |ed AS (SELECT vec_a AS src, vec_b AS dst FROM p UNION ALL SELECT vec_b, vec_a FROM p),
+           |reach AS (
+           |  SELECT vec_id AS id, vec_id AS rep FROM e
+           |  UNION
+           |  SELECT ed.src, reach.rep FROM ed JOIN reach ON ed.dst = reach.id)
+           |SELECT id AS vec_id, min(rep) AS cluster FROM reach GROUP BY id
+           |HAVING min(rep) != id ORDER BY vec_id""".stripMargin,
       "q_multimodal_meta" ->
         """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
           |CAST(floor(octet_length(encode(text)) / 256.0) AS BIGINT) AS n_frames,

@@ -91,6 +91,53 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"))
   }
 
+  /** Connected components over a pair table (undirected): every vertex maps
+    * to the minimum id reachable through the pairs — the cluster
+    * representative for near-dup collapse. Driver-controlled hash-min
+    * fixpoint (the Pregel-ish iterative pattern: one join+agg per round,
+    * persisted per iteration to cut lineage; rounds ≈ graph diameter, which
+    * is tiny for near-dup clusters). Deterministic: the fixpoint is unique.
+    */
+  def connectedComponents(
+      pairs: DataFrame, vertices: DataFrame,
+      aCol: String = "vec_a", bCol: String = "vec_b", idCol: String = "vec_id",
+      maxIterations: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).as("__src"), col(bCol).as("__dst"))
+      .union(pairs.select(col(bCol).as("__src"), col(aCol).as("__dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // localCheckpoint (not persist): each round self-joins the previous
+    // round's frame, so without lineage TRUNCATION the logical plan doubles
+    // per iteration and the analyzer OOMs long before the data does
+    var reps = vertices.select(col(idCol).as("__id"), col(idCol).as("__rep"))
+      .localCheckpoint(true)
+    // convergence via Σrep: strictly decreasing until the fixpoint — one
+    // cheap aggregate on checkpointed data instead of a compare join
+    var prevSum = reps.agg(sum(col("__rep"))).collect()(0).getLong(0)
+    var iter = 0
+    var changed = true
+    while (changed && iter < maxIterations) {
+      val neighborMin = edges.join(reps, col("__dst") === col("__id"))
+        .groupBy(col("__src")).agg(min(col("__rep")).as("__nrep"))
+      val hop = reps.join(neighborMin, col("__id") === col("__src"), "left")
+        .select(col("__id"),
+          least(col("__rep"), coalesce(col("__nrep"), col("__rep"))).as("__rep"))
+      // pointer jumping: also adopt rep(rep(v)) → O(log diameter) rounds
+      val updated = hop.alias("u")
+        .join(hop.select(col("__id").as("__rid"), col("__rep").as("__rrep")).alias("rr"),
+          col("u.__rep") === col("__rid"), "left")
+        .select(col("u.__id").as("__id"),
+          least(col("u.__rep"), coalesce(col("__rrep"), col("u.__rep"))).as("__rep"))
+        .localCheckpoint(true)
+      val newSum = updated.agg(sum(col("__rep"))).collect()(0).getLong(0)
+      changed = newSum != prevSum
+      prevSum = newSum
+      reps = updated
+      iter += 1
+    }
+    edges.unpersist()
+    reps.select(col("__id").as(idCol), col("__rep").as("cluster"))
+  }
+
   /** IVF-pruned top-k: search only the query's own cell. Same output shape
     * as [[bruteForceTopK]] (approximate: recall < 1 at cell boundaries).
     */
