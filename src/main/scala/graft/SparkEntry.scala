@@ -262,6 +262,13 @@ object SparkEntry {
         shingleN = 3, k = 12, bands = 6, rowsPerBand = 2)
       .orderBy(col("doc_a"), col("doc_b"))
 
+  /** SimHash-banded near-dup candidates + hamming distances (custom
+    * expression pipeline — rows-only check).
+    */
+  private def qSimhashPairs(implicit s: SparkSession, d: String): DataFrame =
+    TextDedup.simhashCandidatePairs(t("documents"), "doc_id", "text")
+      .orderBy(col("doc_a"), col("doc_b"))
+
   /** SimHash64 via custom Catalyst expression (no SQL oracle — rows-only). */
   private def qSimhash(implicit s: SparkSession, d: String): DataFrame = {
     GraftExpressions.register(s)
@@ -383,6 +390,7 @@ object SparkEntry {
     "q_ngram_jaccard"    -> mk(qNgramJaccard(_, _)),
     "q_minhash_pairs"    -> mk(qMinhashPairs(_, _)),
     "q_simhash"          -> mk(qSimhash(_, _)),
+    "q_simhash_pairs"    -> mk(qSimhashPairs(_, _)),
     "q_rolling_hash"     -> mk(qRollingHash(_, _)),
     "q_cosine_topk"      -> mk(qCosineTopk(_, _)),
     "q_ivf_topk"         -> mk(qIvfTopk(_, _)),

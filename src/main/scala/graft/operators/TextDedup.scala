@@ -86,6 +86,31 @@ object TextDedup {
       .distinct()
   }
 
+  /** SimHash-banded candidate pairs: documents sharing any 16-bit band of
+    * their 64-bit simhash (guarantees recall for hamming distance ≤ 3 —
+    * pigeonhole over 4 bands). Same bucket-join shape as MinHash LSH; the
+    * verifier is then `GraftExpressions.hammingDist64` on the candidates.
+    */
+  def simhashCandidatePairs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import graft.functions.{GraftExpressions, TextFunctions}
+    GraftExpressions.register(df.sparkSession)
+    val sh = GraftExpressions.simHash64(TextFunctions.words(col(textCol)))
+    val bands = df.select(col(idCol).as("__id"), sh.as("__sh"))
+      .select(col("__id"), col("__sh"), posexplode(array((0 until 4).map(i =>
+        shiftrightunsigned(col("__sh"), i * 16).bitwiseAND(lit(0xFFFFL))): _*))
+        .as(Seq("__band_idx", "__band_val")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = bands.alias("a")
+    val b = bands.alias("b")
+    a.join(b,
+        col("a.__band_idx") === col("b.__band_idx") &&
+        col("a.__band_val") === col("b.__band_val") &&
+        col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("doc_a"), col("b.__id").as("doc_b"),
+        GraftExpressions.hammingDist64(col("a.__sh"), col("b.__sh")).as("hamming"))
+      .distinct()
+  }
+
   /** Exact n-gram Jaccard between explicit pairs: intersection and union
     * sizes over distinct shingle sets (ints — exact; callers derive the
     * ratio).
