@@ -44,6 +44,14 @@ object Restructure {
     val topics = listing.getOrElse(TopicFiles.listTopics(inFs, cfg.inputRoot))
     val now = System.currentTimeMillis()
 
+    // incremental accounting: the ledger is persisted after EVERY topic
+    // commit (reference flushes offsets per write transaction,
+    // OffsetRedisPersistence.kt:69-91), so a crash mid-run cannot re-extract
+    // already-committed topics; the end-of-run flush remains as a safety net
+    val flushLock = new Object
+    def flushLedger(): Unit =
+      Timer.time("accounting.flush")(flushLock.synchronized(saveLedger(fs, cfg.ledger, ledger)))
+
     def processOne(topic: String, files: Seq[org.apache.hadoop.fs.FileStatus]): Option[TopicResult] = {
       val tCfg = cfg.topicConfig(topic)
       if (tCfg.exclude) None
@@ -60,7 +68,11 @@ object Restructure {
           }
         val limited = cfg.maxFilesPerTopic.fold(candidates)(candidates.take)
         if (limited.isEmpty) None
-        else Some(processTopic(spark, cfg, fs, topic, limited.map(_._1.getPath.toString), ledger))
+        else {
+          val r = processTopic(spark, cfg, fs, topic, limited.map(_._1.getPath.toString), ledger)
+          flushLedger()
+          Some(r)
+        }
       }
     }
 
@@ -80,7 +92,7 @@ object Restructure {
           Duration.Inf).flatten
         finally pool.shutdown()
       }
-    Timer.time("accounting.flush")(saveLedger(fs, cfg.ledger, ledger))
+    flushLedger()
     RunResult(results, ledger)
   }
 
@@ -89,7 +101,7 @@ object Restructure {
       topic: String, files: Seq[String], ledger: OffsetRangeSet): TopicResult = {
     val tCfg = cfg.topicConfig(topic)
     val avroSchema = Timer.time("read")(AvroRead.topicReaderSchema(spark, files))
-    val df = AvroRead.read(spark, files)
+    val df = AvroRead.read(spark, files, Some(avroSchema))
     val dataSchema = StructType(df.schema.fields.filterNot(f =>
       f.name == AvroRead.FileCol || f.name == AvroRead.PosCol))
 
@@ -171,28 +183,30 @@ object Restructure {
 
     val temps = scala.collection.mutable.ArrayBuffer.empty[HPath]
     val withExisting = mergeExistingBins(spark, cfg, fs, prepared, "csv", None, temps)
-
-    // A1 keep-last dedup on the configured key projection, per bin
-    val deduped =
-      if (!cfg.dedupEnabled(topic)) withExisting
-      else {
-        val dataNames = withExisting.columns.toSeq
-          .filterNot(Seq("__path", AvroRead.FileCol, AvroRead.PosCol).contains)
-        val distinctFields = cfg.dedupDistinctFields(topic)
-        val ignoreFields = cfg.dedupIgnoreFields(topic)
-        val keys =
-          if (distinctFields.nonEmpty && distinctFields.subsetOf(dataNames.toSet))
-            dataNames.filter(distinctFields)
-          else if (ignoreFields.nonEmpty) dataNames.filterNot(ignoreFields)
-          else dataNames
-        val keyCols = col("__path") +: keys.map(n => col(s"`$n`"))
-        Dedup.keepLast(withExisting, keyCols,
-          struct(col(AvroRead.FileCol), col(AvroRead.PosCol)))
-      }
-
-    try commitBins(spark, cfg, fs, deduped, "csv")
+    try commitBins(spark, cfg, fs, dedupCsv(cfg, topic, withExisting), "csv")
     finally temps.foreach(t => fs.delete(t, false))
   }
+
+  /** A1 keep-last dedup on the configured key projection, per bin — shared
+    * by the static and dynamic CSV write paths (the reference deduplicates
+    * both identically, format/CsvAvroConverterFactory.kt:30-86).
+    */
+  private def dedupCsv(cfg: RestructureJobConfig, topic: String, df: DataFrame): DataFrame =
+    if (!cfg.dedupEnabled(topic)) df
+    else {
+      val dataNames = df.columns.toSeq
+        .filterNot(Seq("__path", AvroRead.FileCol, AvroRead.PosCol).contains)
+      val distinctFields = cfg.dedupDistinctFields(topic)
+      val ignoreFields = cfg.dedupIgnoreFields(topic)
+      val keys =
+        if (distinctFields.nonEmpty && distinctFields.subsetOf(dataNames.toSet))
+          dataNames.filter(distinctFields)
+        else if (ignoreFields.nonEmpty) dataNames.filterNot(ignoreFields)
+        else dataNames
+      val keyCols = col("__path") +: keys.map(n => col(s"`$n`"))
+      Dedup.keepLast(df, keyCols,
+        struct(col(AvroRead.FileCol), col(AvroRead.PosCol)))
+    }
 
   /** K2 append-to-existing: union the current contents of every bin this
     * batch touches (existing rows sort before any new file and participate
@@ -319,10 +333,16 @@ object Restructure {
       // RestructureWorker.kt:163-183): a bin whose file already holds this
       // group's header reuses that attempt; otherwise the first free slot.
       // Groups commit sequentially, so earlier groups' files are visible.
-      val header = outCols.map(c => dataColName(c)).mkString(",")
+      // the stored header is written by Spark's CSV writer, which quotes
+      // fields containing delimiter/quote/newline (map keys can hold any of
+      // these) — apply the same quoting before comparing
+      val header = outCols.map(c => csvQuote(dataColName(c))).mkString(",")
       val params = PathTemplate.fixedParams(dataSchema, timeCol, lit(topic),
         cfg.extension, cfg.timeBinFormat) ++ Map("attempt" -> lit(""))
-      val basePathCol = PathTemplate.compile(template, params, Some(timeCol), Some(dataSchema))
+      val plainPathCol = PathTemplate.compile(template, params, Some(timeCol), Some(dataSchema))
+      // G8 bucket routing applies to dynamic topics exactly as to static ones
+      val basePathCol = cfg.bucketTemplate.fold(plainPathCol)(bt =>
+        concat(PathTemplate.compile(bt, params, Some(timeCol), Some(dataSchema)), lit("/"), plainPathCol))
       val withBase = group.select(outCols ++ Seq(
         basePathCol.as("__base"), col(AvroRead.FileCol), col(AvroRead.PosCol)): _*)
       val basePaths = withBase.select(col("__base")).distinct().collect().map(_.getString(0))
@@ -331,7 +351,7 @@ object Restructure {
       val prepared = withBase.join(broadcast(mapDf), "__base").drop("__base")
       val temps = scala.collection.mutable.ArrayBuffer.empty[HPath]
       try commitBins(spark, cfg, fs,
-        mergeExistingBins(spark, cfg, fs, prepared, "csv", None, temps), "csv")
+        dedupCsv(cfg, topic, mergeExistingBins(spark, cfg, fs, prepared, "csv", None, temps)), "csv")
       finally temps.foreach(t => fs.delete(t, false))
     }.toSeq
   }
@@ -357,6 +377,14 @@ object Restructure {
       temps += tmp
       tmp.toString
     } else path
+
+  /** RFC4180 quoting as Spark's CSV writer applies it: quote only when the
+    * field contains delimiter/quote/CR/LF; embedded quotes double.
+    */
+  private[jobs] def csvQuote(field: String): String =
+    if (field.exists(c => c == ',' || c == '"' || c == '\n' || c == '\r'))
+      "\"" + field.replace("\"", "\"\"") + "\""
+    else field
 
   private def dataColName(c: Column): String = {
     // alias name of a projection column built with .as(name)
@@ -485,9 +513,8 @@ object Restructure {
           s"expected 1 part file per bin, got ${parts.length} in ${st.getPath.getName}")
         val target = new HPath(s"${cfg.outputRoot}/$rel")
         fs.mkdirs(target.getParent)
-        if (fs.exists(target)) fs.delete(target, false)
-        if (cfg.zip) zipPack(fs, parts.head.getPath, target)
-        else fs.rename(parts.head.getPath, target)
+        if (cfg.zip) zipPack(fs, spark, parts.head.getPath, target)
+        else renameOver(fs, spark, parts.head.getPath, target)
         rel
       }}), Duration.Inf)
       finally pool.shutdown()
@@ -510,14 +537,39 @@ object Restructure {
     finally pool.shutdown()
   }
 
+  /** K8 atomic replace: rename over the target in one FS operation where
+    * the filesystem supports overwrite (`Options.Rename.OVERWRITE` —
+    * POSIX rename / HDFS namenode-atomic; parity with the reference's
+    * `Files.move(…, ATOMIC_MOVE, REPLACE_EXISTING)`,
+    * target/LocalTargetStorage.kt:100-122). A crash can no longer leave the
+    * bin missing, which delete-then-rename risked. Falls back to
+    * delete+rename only on filesystems without a FileContext binding
+    * (e.g. s3a, where "rename" is a copy and no atomicity exists anyway).
+    */
+  private def renameOver(fs: FileSystem, spark: SparkSession, src: HPath, target: HPath): Unit = {
+    try {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        fs.getUri, spark.sparkContext.hadoopConfiguration)
+      fc.rename(fs.makeQualified(src), fs.makeQualified(target),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } catch {
+      case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+        if (fs.exists(target)) fs.delete(target, false)
+        fs.rename(src, target)
+    }
+  }
+
   /** K6 zip compression: single entry (file name without `.zip`), level 7
     * (compression/ZipCompression.kt:10-25). Driver-side repack during the
-    * commit rename — one streamed copy per bin.
+    * commit rename — one streamed copy per bin, written to a dot-prefixed
+    * sibling (invisible to Spark readers) and swapped over the target so
+    * the old bin survives until the new one is complete.
     */
-  private def zipPack(fs: FileSystem, part: HPath, target: HPath): Unit = {
+  private def zipPack(fs: FileSystem, spark: SparkSession, part: HPath, target: HPath): Unit = {
     val entryName = target.getName.stripSuffix(".zip")
+    val tmp = new HPath(target.getParent, s".${target.getName}.ziptmp")
     val in = fs.open(part)
-    val out = new java.util.zip.ZipOutputStream(fs.create(target, true))
+    val out = new java.util.zip.ZipOutputStream(fs.create(tmp, true))
     try {
       out.setLevel(7)
       out.putNextEntry(new java.util.zip.ZipEntry(entryName))
@@ -526,6 +578,7 @@ object Restructure {
       while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
       out.closeEntry()
     } finally { in.close(); out.close() }
+    renameOver(fs, spark, tmp, target)
     fs.delete(part, false)
   }
 

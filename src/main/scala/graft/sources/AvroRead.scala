@@ -131,13 +131,29 @@ object AvroRead {
     try r.getSchema finally r.close()
   }
 
-  /** The topic reader schema: taken from the lexicographically greatest
-    * filename (highest partition/offset = newest slice), so fields added by
-    * schema evolution are present and older files resolve via Avro defaults.
+  /** The topic reader schema: the merge of every distinct writer schema in
+    * the batch ([[SchemaMerge]]), so fields added (or dropped) by schema
+    * evolution are present no matter which file carries which version —
+    * filename order is NOT a schema-recency order (partition numbers are
+    * unpadded, so `events+9+…` sorts after `events+10+…`). Files written
+    * before a field existed resolve through Avro defaults. Header reads are
+    * driver-side and parallel (a container header is a few KB).
     */
-  def topicReaderSchema(spark: SparkSession, files: Seq[String]): Schema =
-    readSchema(files.maxBy(p => new org.apache.hadoop.fs.Path(p).getName),
-      toConf(fsConfEntries(spark)))
+  def topicReaderSchema(spark: SparkSession, files: Seq[String]): Schema = {
+    val conf = toConf(fsConfEntries(spark))
+    val schemas: Seq[Schema] =
+      if (files.size == 1) Seq(readSchema(files.head, conf))
+      else {
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        import scala.concurrent.duration.Duration
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(16, files.size))
+        implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+        try Await.result(
+          Future.sequence(files.map(f => Future(readSchema(f, conf)))), Duration.Inf)
+        finally pool.shutdown()
+      }
+    schemas.distinct.reduce(SchemaMerge.merge)
+  }
 
   /** Distributed read of `files` (all sharing one topic schema) into a
     * DataFrame with `__file`/`__pos` provenance columns. Callers filter
@@ -145,10 +161,11 @@ object AvroRead {
     * Hadoop filesystem via avro-mapred's `FsInput`, with the session's
     * fs.* configuration propagated to tasks.
     */
-  def read(spark: SparkSession, files: Seq[String]): DataFrame = {
+  def read(spark: SparkSession, files: Seq[String],
+      readerSchema: Option[Schema] = None): DataFrame = {
     require(files.nonEmpty, "no avro files to read")
     val confEntries = fsConfEntries(spark)
-    val schemaJson = topicReaderSchema(spark, files).toString
+    val schemaJson = readerSchema.getOrElse(topicReaderSchema(spark, files)).toString
     val dataSchema = sparkType(new Schema.Parser().parse(schemaJson)).asInstanceOf[StructType]
     val fullSchema = StructType(dataSchema.fields.toSeq :+
       StructField(FileCol, StringType, nullable = false) :+

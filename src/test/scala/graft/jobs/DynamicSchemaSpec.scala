@@ -109,4 +109,31 @@ class DynamicSchemaSpec extends SparkSpec {
     // base file untouched by the c-only run
     assert(Files.readAllLines(base).asScala.size == 4)
   }
+
+  test("dynamic topics honor dedup and bucket routing like static topics") {
+    val schema = new Schema.Parser().parse(schemaJson)
+    val work = Files.createTempDirectory("graft-dyndedup")
+    val dir = work.resolve("in/map_topic/partition=0")
+    Files.createDirectories(dir)
+    val f = new File(dir.toFile, "map_topic+0+0000000001+0000000004.avro")
+    val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
+    w.create(schema, f)
+    val t = 1.6095816E9
+    w.append(rec(schema, "u1", t, Map("a" -> 1), Seq("x")))
+    w.append(rec(schema, "u1", t, Map("a" -> 1), Seq("x"))) // exact duplicate
+    w.append(rec(schema, "u1", t, Map("a" -> 2), Seq("y")))
+    w.append(rec(schema, "u1", t, Map("a" -> 2), Seq("y"))) // exact duplicate
+    w.close()
+
+    val out = work.resolve("out")
+    Restructure.run(spark, RestructureJobConfig(
+      inputRoot = work.resolve("in").toString, outputRoot = out.toString,
+      dedup = true, bucketTemplate = Some("radar-${projectId}")))
+
+    val bin = out.resolve("radar-unknown-project/unknown-project/u1/map_topic/20210102_1000.csv")
+    assert(Files.exists(bin), "bucket-prefixed dynamic bin missing")
+    val lines = Files.readAllLines(bin).asScala
+    assert(lines.head == "key.userId,value.time,value.props.a,value.arr.0")
+    assert(lines.size == 3, s"dynamic dedup did not collapse duplicates: $lines")
+  }
 }

@@ -47,6 +47,65 @@ class SourcesSpec extends SparkSpec {
     assert(rows(1).isNullAt(1)) // v1 file resolved with default null
   }
 
+  test("reader schema is order-independent: old writer in lexicographically-last file keeps evolved fields") {
+    val v1 = new Schema.Parser().parse(
+      """{"type":"record","name":"R","fields":[
+        |{"name":"value","type":{"type":"record","name":"V","fields":[
+        |  {"name":"time","type":"double"}]}}]}""".stripMargin)
+    val v2 = new Schema.Parser().parse(
+      """{"type":"record","name":"R","fields":[
+        |{"name":"time2","type":"double"}],"aliases":[]}""".stripMargin)
+    // real scenario: partition numbers are not zero-padded, so t+9+… sorts
+    // AFTER t+10+… and the old writer schema would win a lexicographic pick
+    val v2full = new Schema.Parser().parse(
+      """{"type":"record","name":"R","fields":[
+        |{"name":"value","type":{"type":"record","name":"V","fields":[
+        |  {"name":"time","type":"double"},
+        |  {"name":"label","type":["null","string"],"default":null}]}}]}""".stripMargin)
+    val dir = Files.createTempDirectory("graft-evo2").resolve("t/partition=9")
+    Files.createDirectories(dir)
+    def write(schema: Schema, name: String, put: GenericData.Record => Unit): Unit = {
+      val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
+      w.create(schema, new File(dir.toFile, name))
+      val v = new GenericData.Record(schema.getField("value").schema)
+      put(v)
+      val r = new GenericData.Record(schema)
+      r.put("value", v)
+      w.append(r); w.close()
+    }
+    write(v2full, "t+10+0000000000.avro", v => { v.put("time", 1.0); v.put("label", "x") })
+    write(v1, "t+9+0000000000.avro", v => v.put("time", 2.0))
+    assert("t+9+0000000000.avro" > "t+10+0000000000.avro") // the trap
+    val df = AvroRead.read(spark,
+      Seq(dir.resolve("t+9+0000000000.avro"), dir.resolve("t+10+0000000000.avro")).map(_.toString))
+    val rows = df.select("value.time", "value.label").orderBy("time").collect()
+    assert(rows.map(_.getDouble(0)).toSeq == Seq(1.0, 2.0))
+    assert(rows(0).getString(1) == "x") // evolved field survives the merge
+    assert(rows(1).isNullAt(1))
+    assert(v2 != null) // silence unused fixture
+  }
+
+  test("SchemaMerge: missing fields become nullable-with-default; merge is field-complete both ways") {
+    val a = new Schema.Parser().parse(
+      """{"type":"record","name":"R","fields":[
+        |{"name":"x","type":"long"},{"name":"only_a","type":"string"}]}""".stripMargin)
+    val b = new Schema.Parser().parse(
+      """{"type":"record","name":"R","fields":[
+        |{"name":"x","type":"long"},{"name":"only_b","type":"int"}]}""".stripMargin)
+    for (m <- Seq(SchemaMerge.merge(a, b), SchemaMerge.merge(b, a))) {
+      import scala.jdk.CollectionConverters._
+      val names = m.getFields.asScala.map(_.name).toSet
+      assert(names == Set("x", "only_a", "only_b"))
+      // one-sided fields are nullable with a null default so every writer resolves
+      for (n <- Seq("only_a", "only_b")) {
+        val f = m.getField(n)
+        assert(f.hasDefaultValue, s"$n needs a default")
+        assert(f.schema.getType == Schema.Type.UNION &&
+          f.schema.getTypes.get(0).getType == Schema.Type.NULL)
+      }
+    }
+  }
+
   test("StorageIndex caches between syncs and re-lists on cadence/invalidation") {
     val root = Files.createTempDirectory("graft-idx")
     val dir = root.resolve("topicA/partition=0")
