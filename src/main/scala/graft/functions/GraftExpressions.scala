@@ -143,10 +143,18 @@ object GraftExpressions {
     reg.createOrReplaceTempFunction("graft_l2sq", es => L2Squared(es(0), es(1)), "built-in")
   }
 
-  def rollingHash(c: Column): Column = call_function("graft_rolling_hash", c)
-  def simHash64(c: Column): Column = call_function("graft_simhash64", c)
-  def dotProduct(a: Column, b: Column): Column = call_function("graft_dot", a, b)
-  def l2Squared(a: Column, b: Column): Column = call_function("graft_l2sq", a, b)
+  // builders self-register on the active session (idempotent) so a bare
+  // `Similarity.cosine(...)` works without a prior register() call
+  private def ensureRegistered(): Unit = SparkSession.getActiveSession.foreach { s =>
+    if (!s.sessionState.functionRegistry.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot")))
+      register(s)
+  }
+
+  def rollingHash(c: Column): Column = { ensureRegistered(); call_function("graft_rolling_hash", c) }
+  def simHash64(c: Column): Column = { ensureRegistered(); call_function("graft_simhash64", c) }
+  def dotProduct(a: Column, b: Column): Column = { ensureRegistered(); call_function("graft_dot", a, b) }
+  def l2Squared(a: Column, b: Column): Column = { ensureRegistered(); call_function("graft_l2sq", a, b) }
 
   /** Hamming distance between two 64-bit simhashes (built-ins only). */
   def hammingDist64(a: Column, b: Column): Column =

@@ -546,16 +546,34 @@ object Restructure {
     * delete+rename only on filesystems without a FileContext binding
     * (e.g. s3a, where "rename" is a copy and no atomicity exists anyway).
     */
+  // FileContext is thread-safe; cache one per FS URI — creating it per
+  // rename was measured at ~19 ms/bin (1920 bins → +36 s on the commit)
+  private val fileContexts =
+    new java.util.concurrent.ConcurrentHashMap[java.net.URI, Option[org.apache.hadoop.fs.FileContext]]()
+
   private def renameOver(fs: FileSystem, spark: SparkSession, src: HPath, target: HPath): Unit = {
-    try {
-      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-        fs.getUri, spark.sparkContext.hadoopConfiguration)
-      fc.rename(fs.makeQualified(src), fs.makeQualified(target),
-        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-    } catch {
-      case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
-        if (fs.exists(target)) fs.delete(target, false)
-        fs.rename(src, target)
+    if (fs.getScheme == "file") {
+      // local FS: the reference's own mechanism (ATOMIC_MOVE+REPLACE_EXISTING,
+      // LocalTargetStorage.kt:100-122). FileContext would fork an `ls` per
+      // target stat (~175 ms/bin); one nio syscall instead.
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(src.toUri.getPath),
+        java.nio.file.Paths.get(target.toUri.getPath),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } else {
+      val fcOpt = fileContexts.computeIfAbsent(fs.getUri, uri =>
+        try Some(org.apache.hadoop.fs.FileContext.getFileContext(
+          uri, spark.sparkContext.hadoopConfiguration))
+        catch { case _: org.apache.hadoop.fs.UnsupportedFileSystemException => None })
+      fcOpt match {
+        case Some(fc) =>
+          fc.rename(fs.makeQualified(src), fs.makeQualified(target),
+            org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+        case None => // no FileContext binding (e.g. s3a): no atomicity to lose
+          if (fs.exists(target)) fs.delete(target, false)
+          fs.rename(src, target)
+      }
     }
   }
 

@@ -27,6 +27,26 @@ class SimilaritySpec extends SparkSpec {
     assert(top.map(_.getLong(2)).toSeq == Seq(1L, 2L)) // 1 closest, never itself
   }
 
+  test("connectedComponents: chains spanning partitions collapse to min id; isolated vertices self-map") {
+    // chain 10-11-12-13-14 deliberately spread across partitions, plus a
+    // 2-cycle {20,21} and isolated vertex 30
+    val pairs = Seq((10L, 11L), (12L, 11L), (13L, 12L), (14L, 13L), (21L, 20L))
+      .toDF("vec_a", "vec_b").repartition(5)
+    val verts = Seq(10L, 11L, 12L, 13L, 14L, 20L, 21L, 30L).toDF("vec_id")
+    val got = Similarity.connectedComponents(pairs, verts)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 14L -> 10L,
+      20L -> 20L, 21L -> 20L, 30L -> 30L))
+  }
+
+  test("connectedComponents: non-integral ids use the fixpoint path, same semantics") {
+    val pairs = Seq(("b", "c"), ("a", "b")).toDF("vec_a", "vec_b")
+    val verts = Seq("a", "b", "c", "z").toDF("vec_id")
+    val got = Similarity.connectedComponents(pairs, verts)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("a" -> "a", "b" -> "a", "c" -> "a", "z" -> "z"))
+  }
+
   test("ivfAssign: centroid members map to their own cell") {
     val assigned = Similarity.ivfAssign(vecs, vecs.filter(col("vec_id") < 2))
     val cells = assigned.collect().map(r =>
