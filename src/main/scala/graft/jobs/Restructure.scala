@@ -99,9 +99,21 @@ object Restructure {
   private def processTopic(
       spark: SparkSession, cfg: RestructureJobConfig, fs: FileSystem,
       topic: String, files: Seq[String], ledger: OffsetRangeSet): TopicResult = {
-    val tCfg = cfg.topicConfig(topic)
     val avroSchema = Timer.time("read")(AvroRead.topicReaderSchema(spark, files))
+    // persist the decoded batch: the job reads it 3× (target-path listing,
+    // open-ended offset counts, the bin write itself) and Avro decode is the
+    // expensive step; the batch is bounded by maxFilesPerTopic
     val df = AvroRead.read(spark, files, Some(avroSchema))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try processTopicImpl(spark, cfg, fs, topic, files, ledger, avroSchema, df)
+    finally df.unpersist(false)
+  }
+
+  private def processTopicImpl(
+      spark: SparkSession, cfg: RestructureJobConfig, fs: FileSystem,
+      topic: String, files: Seq[String], ledger: OffsetRangeSet,
+      avroSchema: org.apache.avro.Schema, df: DataFrame): TopicResult = {
+    val tCfg = cfg.topicConfig(topic)
     val dataSchema = StructType(df.schema.fields.filterNot(f =>
       f.name == AvroRead.FileCol || f.name == AvroRead.PosCol))
 
@@ -476,8 +488,11 @@ object Restructure {
       spark: SparkSession, cfg: RestructureJobConfig, fs: FileSystem,
       df: DataFrame, format: String): Seq[String] = {
     val tmp = s"${cfg.outputRoot}/.graft-tmp-${java.util.UUID.randomUUID()}"
+    // explicit width: with plain repartition(col), AQE coalesces this tiny
+    // shuffle to one partition and a single task writes every bin file
+    // serially — the file-create calls, not the rows, are the bottleneck
     val writer = df
-      .repartition(col("__path"))
+      .repartition(spark.sparkContext.defaultParallelism, col("__path"))
       .sortWithinPartitions(col("__path"), col(AvroRead.FileCol), col(AvroRead.PosCol))
       .drop(AvroRead.FileCol, AvroRead.PosCol)
       .write
