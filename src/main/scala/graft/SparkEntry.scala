@@ -262,23 +262,30 @@ object SparkEntry {
         shingleN = 3, k = 12, bands = 6, rowsPerBand = 2)
       .orderBy(col("doc_a"), col("doc_b"))
 
-  /** SimHash-banded near-dup candidates + hamming distances (custom
-    * expression pipeline — rows-only check).
+  /** SimHash-banded near-dup candidates + hamming distances. The md5-based
+    * token hash makes the full pipeline oracle-checkable (bands and hamming
+    * recomputed in DuckDB from the same md5 halves).
     */
   private def qSimhashPairs(implicit s: SparkSession, d: String): DataFrame =
     TextDedup.simhashCandidatePairs(t("documents"), "doc_id", "text")
+      .select(col("doc_a"), col("doc_b"), col("hamming").cast(LongType).as("hamming"))
       .orderBy(col("doc_a"), col("doc_b"))
 
-  /** SimHash64 via custom Catalyst expression (no SQL oracle — rows-only). */
+  /** SimHash64 via custom Catalyst expression; emitted as a 16-hex-char
+    * string so the 64-bit value round-trips engines without sign issues.
+    */
   private def qSimhash(implicit s: SparkSession, d: String): DataFrame = {
     GraftExpressions.register(s)
     t("documents")
       .select(col("doc_id"),
-        GraftExpressions.simHash64(TextFunctions.words(col("text"))).as("simhash"))
+        format_string("%016x",
+          GraftExpressions.simHash64(TextFunctions.words(col("text")))).as("simhash_hex"))
       .orderBy(col("doc_id"))
   }
 
-  /** Rolling-hash fingerprint via custom expression (rows-only check). */
+  /** Rolling-hash fingerprint via custom expression (oracle: the same
+    * left-fold over code points — documents are ASCII, so bytes ≡ points).
+    */
   private def qRollingHash(implicit s: SparkSession, d: String): DataFrame = {
     GraftExpressions.register(s)
     t("documents")
@@ -448,6 +455,29 @@ object SparkEntry {
     val sigList = (0 until 12).map { i =>
       s"list_min(list_transform(sh, s -> substring(md5('${i / 4}:' || s), ${(i % 4) * 8 + 1}, 8)))"
     }.mkString("[", ", ", "]")
+    // per-document 64-bit simhash as two 32-bit halves (hi64, lo64), from
+    // the same md5-derived token hash GraftExpressions.md5Half64 computes:
+    // hi = md5 hex chars 1-8, lo = chars 9-16; per-bit majority vote.
+    // Token-less documents (empty text) hash to 0 via the left join.
+    val simhashCte =
+      """tok AS (SELECT doc_id, unnest(ws) AS tk FROM w),
+        |th AS (SELECT doc_id,
+        |  CAST('0x' || substr(md5(tk), 1, 8) AS BIGINT) AS hi,
+        |  CAST('0x' || substr(md5(tk), 9, 8) AS BIGINT) AS lo FROM tok),
+        |votes AS (SELECT doc_id, b,
+        |  sum((CASE WHEN b < 32 THEN (lo >> b) & 1 ELSE (hi >> (b - 32)) & 1 END) * 2 - 1) AS vote
+        |  FROM th CROSS JOIN generate_series(0, 63) AS gb(b) GROUP BY doc_id, b),
+        |shd AS (SELECT doc_id,
+        |  CAST(sum(CASE WHEN vote > 0 AND b >= 32 THEN (CAST(1 AS BIGINT) << (b - 32)) ELSE 0 END) AS BIGINT) AS hi64,
+        |  CAST(sum(CASE WHEN vote > 0 AND b < 32 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS lo64
+        |  FROM votes GROUP BY doc_id),
+        |shx AS (SELECT d.doc_id, coalesce(s.hi64, 0) AS hi64, coalesce(s.lo64, 0) AS lo64
+        |  FROM documents d LEFT JOIN shd s ON d.doc_id = s.doc_id)""".stripMargin
+    // rolling hash / byte stats: documents are ASCII, so UTF-8 bytes ≡ code
+    // points and unicode(text[i]) enumerates the byte stream
+    def byteFold(expr: String): String =
+      s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        s"list_transform(range(1, length(text)+1), i -> CAST(unicode(text[i]) AS BIGINT))), $expr)"
 
     Map(
       "q_text_stats" ->
@@ -554,7 +584,35 @@ object SparkEntry {
         """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
           |CAST(floor(octet_length(encode(text)) / 256.0) AS BIGINT) AS n_frames,
           |CAST(octet_length(encode(text)) % 251 AS BIGINT) AS stub_code
-          |FROM documents ORDER BY doc_id""".stripMargin)
+          |FROM documents ORDER BY doc_id""".stripMargin,
+      "q_simhash" ->
+        s"""WITH ${Frag.wordsCte},
+           |$simhashCte
+           |SELECT doc_id, printf('%08x%08x', hi64, lo64) AS simhash_hex
+           |FROM shx ORDER BY doc_id""".stripMargin,
+      "q_simhash_pairs" ->
+        s"""WITH ${Frag.wordsCte},
+           |$simhashCte,
+           |bands AS (SELECT doc_id, gb.i AS band_idx,
+           |  CASE gb.i WHEN 0 THEN lo64 & 65535 WHEN 1 THEN (lo64 >> 16) & 65535
+           |            WHEN 2 THEN hi64 & 65535 ELSE (hi64 >> 16) & 65535 END AS band_val,
+           |  hi64, lo64
+           |  FROM shx CROSS JOIN generate_series(0, 3) AS gb(i))
+           |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |  CAST(bit_count(xor(a.hi64, b.hi64)) + bit_count(xor(a.lo64, b.lo64)) AS BIGINT) AS hamming
+           |FROM bands a JOIN bands b
+           |  ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+           |ORDER BY doc_a, doc_b""".stripMargin,
+      "q_rolling_hash" ->
+        s"""SELECT doc_id, ${byteFold("(h, b) -> (h * 257 + b) % 1000000007")} AS rhash
+           |FROM documents ORDER BY doc_id""".stripMargin,
+      "q_media_features" ->
+        s"""WITH b AS (SELECT doc_id, octet_length(encode(text)) AS blen,
+           |  ${byteFold("(a, x) -> a + x")} AS bsum FROM documents)
+           |SELECT doc_id, CAST(blen AS INTEGER) AS byte_len,
+           |  CAST(blen // 256 AS INTEGER) AS n_frames,
+           |  CASE WHEN blen = 0 THEN 0.0 ELSE CAST(bsum AS DOUBLE) / blen END AS brightness
+           |FROM b ORDER BY doc_id""".stripMargin)
   }
 
   def oracleSql: Map[String, String] = llmOracles ++ Map(

@@ -36,20 +36,29 @@ object GraftExpressions {
       copy(child = newChild)
   }
 
-  /** FNV-1a 64-bit over UTF-8 bytes — deterministic word hash for SimHash. */
-  def fnv1a64(bytes: Array[Byte]): Long = {
-    var h = 0xcbf29ce484222325L
-    var i = 0
-    while (i < bytes.length) {
-      h ^= (bytes(i) & 0xff).toLong
-      h *= 0x100000001b3L
-      i += 1
-    }
-    h
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** 64-bit token hash: the first 8 bytes of md5 (big-endian) — equal to
+    * parsing the first 16 hex chars of the md5 digest, which makes the hash
+    * engine-portable (the DuckDB oracle computes the identical value with
+    * `CAST('0x' || substr(md5(t), 1, 8 | 9, 8) AS BIGINT)`), the same
+    * portability trick the MinHash lanes use.
+    */
+  def md5Half64(bytes: Array[Byte]): Long = {
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(bytes)
+    ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) | ((d(2) & 0xffL) << 40) |
+      ((d(3) & 0xffL) << 32) | ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+      ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
   }
 
   /** 64-bit SimHash over an array of token strings: per-bit vote of each
-    * token's FNV-1a hash; bit set iff the vote is positive.
+    * token's md5-derived hash ([[md5Half64]]); bit set iff the vote is
+    * positive. Empty/null token arrays hash to 0.
     */
   case class SimHash64(child: Expression)
       extends UnaryExpression with CodegenFallback {
@@ -60,7 +69,7 @@ object GraftExpressions {
       var i = 0
       while (i < arr.numElements()) {
         if (!arr.isNullAt(i)) {
-          val h = fnv1a64(arr.getUTF8String(i).getBytes)
+          val h = md5Half64(arr.getUTF8String(i).getBytes)
           var b = 0
           while (b < 64) {
             if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
