@@ -479,63 +479,55 @@ object Restructure {
     finally temps.foreach(t => fs.delete(t, false))
   }
 
-  /** One exactly-named output file per bin: shuffle on the bin path, write
-    * via dynamic partitioning (one file per bin per task), then rename each
-    * part file to its template-derived name — the K8 atomic temp→target
-    * commit, with Spark's committer providing task atomicity.
+  /** RFC4180 minimal quoting as a Column (identical rule to the CSV
+    * writer's: quote when delimiter/quote/CR/LF present, double embedded
+    * quotes; null → empty) — the row render runs inside codegen.
+    */
+  private def csvQuoteCol(c: Column): Column = {
+    val s = coalesce(c, lit(""))
+    when(s.rlike("[\",\n\r]"),
+      concat(lit("\""), regexp_replace(s, "\"", "\"\""), lit("\"")))
+      .otherwise(s)
+  }
+
+  /** One exactly-named output file per bin: rows are rendered to their
+    * final output line IN THE PLAN (`concat_ws` of quoted fields for CSV,
+    * `to_json` for JSON — both codegen'd), shuffled once on the bin path,
+    * and each task streams its bins straight to dot-prefixed temp files
+    * (invisible to Spark readers) swapped atomically onto the target — the
+    * K8 temp→target commit without a committer temp tree, per-file rename
+    * pass, or driver-side zip repack. Renames parallelize across tasks, so
+    * commit cost scales with executors instead of a driver pool.
     */
   private def commitBins(
       spark: SparkSession, cfg: RestructureJobConfig, fs: FileSystem,
       df: DataFrame, format: String): Seq[String] = {
-    val tmp = s"${cfg.outputRoot}/.graft-tmp-${java.util.UUID.randomUUID()}"
+    import spark.implicits._
+    val dataCols = df.columns.toSeq
+      .filterNot(Seq("__path", AvroRead.FileCol, AvroRead.PosCol).contains)
+    val lineCol =
+      if (format == "json")
+        to_json(struct(dataCols.map(n => col(s"`$n`")): _*),
+          Map("ignoreNullFields" -> "false"))
+      else concat_ws(",", dataCols.map(n => csvQuoteCol(col(s"`$n`"))): _*)
+    val header = if (format == "json") None
+                 else Some(dataCols.map(csvQuote).mkString(","))
     // explicit width: with plain repartition(col), AQE coalesces this tiny
     // shuffle to one partition and a single task writes every bin file
     // serially — the file-create calls, not the rows, are the bottleneck
-    val writer = df
+    val prepared = df
       .repartition(spark.sparkContext.defaultParallelism, col("__path"))
       .sortWithinPartitions(col("__path"), col(AvroRead.FileCol), col(AvroRead.PosCol))
-      .drop(AvroRead.FileCol, AvroRead.PosCol)
-      .write
-      .partitionBy("__path")
-      .mode("overwrite")
-    val configured =
-      if (format == "json")
-        writer.option("ignoreNullFields", "false")
-          .option("compression", if (cfg.gzip) "gzip" else "none")
-      else
-        writer.option("header", "true")
-          .option("emptyValue", "")
-          .option("escape", "\"") // RFC4180 quote doubling (opencsv parity)
-          .option("compression", if (cfg.gzip) "gzip" else "none")
-    Timer.time("write.convert")(
-      if (format == "json") configured.json(tmp) else configured.csv(tmp))
-
-    // finalize renames in parallel: the commit is O(bins) metadata calls and
-    // was measured driver-bound at ~3.5 ms/bin sequentially (95k bins →
-    // 330 s); a bounded pool turns it into the FS's concurrent-op latency
-    val tmpPath = new HPath(tmp)
-    val dirs = fs.listStatus(tmpPath)
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("__path="))
-    import scala.concurrent.{Await, ExecutionContext, Future}
-    import scala.concurrent.duration.Duration
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(32)
-    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-    val written = Timer.time("close.rename") {
-      try Await.result(Future.sequence(dirs.toSeq.map { st => Future {
-        val rel = unescapePartitionValue(st.getPath.getName.stripPrefix("__path="))
-        val parts = fs.listStatus(st.getPath).filter(_.getPath.getName.startsWith("part-"))
-        require(parts.length == 1,
-          s"expected 1 part file per bin, got ${parts.length} in ${st.getPath.getName}")
-        val target = new HPath(s"${cfg.outputRoot}/$rel")
-        fs.mkdirs(target.getParent)
-        if (cfg.zip) zipPack(fs, spark, parts.head.getPath, target)
-        else renameOver(fs, spark, parts.head.getPath, target)
-        rel
-      }}), Duration.Inf)
-      finally pool.shutdown()
-    }
-    fs.delete(tmpPath, true)
-    written.sorted
+      .select(col("__path"), lineCol.as("__line"))
+      .as[(String, String)]
+    val confEntries = AvroRead.fsConfEntries(spark)
+    val outputRoot = cfg.outputRoot
+    val gz = cfg.gzip
+    val zip = cfg.zip
+    val written = Timer.time("write.convert")(prepared.mapPartitions { it =>
+      BinWriter.writePartition(it, outputRoot, confEntries, header, gz, zip)
+    }.collect())
+    written.toSeq.sorted
   }
 
   /** Parallel predicate filter over a driver-side path list (bounded pool —
@@ -550,83 +542,6 @@ object Restructure {
     try Await.result(Future.sequence(xs.map(x => Future((x, p(x))))), Duration.Inf)
       .collect { case (x, true) => x }
     finally pool.shutdown()
-  }
-
-  /** K8 atomic replace: rename over the target in one FS operation where
-    * the filesystem supports overwrite (`Options.Rename.OVERWRITE` —
-    * POSIX rename / HDFS namenode-atomic; parity with the reference's
-    * `Files.move(…, ATOMIC_MOVE, REPLACE_EXISTING)`,
-    * target/LocalTargetStorage.kt:100-122). A crash can no longer leave the
-    * bin missing, which delete-then-rename risked. Falls back to
-    * delete+rename only on filesystems without a FileContext binding
-    * (e.g. s3a, where "rename" is a copy and no atomicity exists anyway).
-    */
-  // FileContext is thread-safe; cache one per FS URI — creating it per
-  // rename was measured at ~19 ms/bin (1920 bins → +36 s on the commit)
-  private val fileContexts =
-    new java.util.concurrent.ConcurrentHashMap[java.net.URI, Option[org.apache.hadoop.fs.FileContext]]()
-
-  private def renameOver(fs: FileSystem, spark: SparkSession, src: HPath, target: HPath): Unit = {
-    if (fs.getScheme == "file") {
-      // local FS: the reference's own mechanism (ATOMIC_MOVE+REPLACE_EXISTING,
-      // LocalTargetStorage.kt:100-122). FileContext would fork an `ls` per
-      // target stat (~175 ms/bin); one nio syscall instead.
-      java.nio.file.Files.move(
-        java.nio.file.Paths.get(src.toUri.getPath),
-        java.nio.file.Paths.get(target.toUri.getPath),
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    } else {
-      val fcOpt = fileContexts.computeIfAbsent(fs.getUri, uri =>
-        try Some(org.apache.hadoop.fs.FileContext.getFileContext(
-          uri, spark.sparkContext.hadoopConfiguration))
-        catch { case _: org.apache.hadoop.fs.UnsupportedFileSystemException => None })
-      fcOpt match {
-        case Some(fc) =>
-          fc.rename(fs.makeQualified(src), fs.makeQualified(target),
-            org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-        case None => // no FileContext binding (e.g. s3a): no atomicity to lose
-          if (fs.exists(target)) fs.delete(target, false)
-          fs.rename(src, target)
-      }
-    }
-  }
-
-  /** K6 zip compression: single entry (file name without `.zip`), level 7
-    * (compression/ZipCompression.kt:10-25). Driver-side repack during the
-    * commit rename — one streamed copy per bin, written to a dot-prefixed
-    * sibling (invisible to Spark readers) and swapped over the target so
-    * the old bin survives until the new one is complete.
-    */
-  private def zipPack(fs: FileSystem, spark: SparkSession, part: HPath, target: HPath): Unit = {
-    val entryName = target.getName.stripSuffix(".zip")
-    val tmp = new HPath(target.getParent, s".${target.getName}.ziptmp")
-    val in = fs.open(part)
-    val out = new java.util.zip.ZipOutputStream(fs.create(tmp, true))
-    try {
-      out.setLevel(7)
-      out.putNextEntry(new java.util.zip.ZipEntry(entryName))
-      val buf = new Array[Byte](65536)
-      var n = in.read(buf)
-      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
-      out.closeEntry()
-    } finally { in.close(); out.close() }
-    renameOver(fs, spark, tmp, target)
-    fs.delete(part, false)
-  }
-
-  /** Inverse of Spark's partition-value escaping (%XX sequences). */
-  def unescapePartitionValue(s: String): String = {
-    val sb = new StringBuilder
-    var i = 0
-    while (i < s.length) {
-      val c = s.charAt(i)
-      if (c == '%' && i + 2 < s.length + 1 && i + 3 <= s.length) {
-        sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
-        i += 3
-      } else { sb.append(c); i += 1 }
-    }
-    sb.toString
   }
 
   def loadLedger(fs: FileSystem, path: String): OffsetRangeSet = {

@@ -97,7 +97,7 @@ object AvroRead {
     * endpoints and credentials set by [[graft.jobs.ConfigLoader]] live on
     * the session's hadoopConfiguration, which is not serializable itself).
     */
-  private def fsConfEntries(spark: SparkSession): Map[String, String] = {
+  private[graft] def fsConfEntries(spark: SparkSession): Map[String, String] = {
     val conf = spark.sparkContext.hadoopConfiguration
     val it = conf.iterator()
     val b = Map.newBuilder[String, String]
