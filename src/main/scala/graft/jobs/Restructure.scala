@@ -237,6 +237,54 @@ object Restructure {
     val targetPaths = prepared.select(col("__path")).distinct().collect().map(_.getString(0))
     val existing = Timer.time("write.open")(parallelFilter(targetPaths.toSeq)(p =>
       fs.exists(new HPath(s"${cfg.outputRoot}/$p"))))
+    if (existing.isEmpty) prepared
+    else if (cfg.zip) mergeExistingBinsFold(spark, cfg, fs, prepared, existing, format, jsonSchema, temps)
+    else {
+      // scale path: ONE reader per distinct header (CSV) / one overall
+      // (JSON) instead of a union per bin — a re-run touching 100k bins is
+      // O(attempt-schemas) plan nodes, not O(bins). The bin path is
+      // re-derived from input_file_name, so all bins of a group load in a
+      // single distributed scan.
+      val headered = parallelMap(existing) { p =>
+        val src = s"${cfg.outputRoot}/$p"
+        if (!sniffReadable(fs, src)) (p, None)
+        else if (format == "json") (p, Some(""))
+        else (p, readHeaderLine(fs, new HPath(src)))
+      }
+      headered.collect { case (p, None) => p }
+        .foreach(p => quarantine(fs, new HPath(s"${cfg.outputRoot}/$p")))
+      val rootNorm = fs.makeQualified(new HPath(cfg.outputRoot)).toUri.getPath
+        .stripSuffix("/") + "/"
+      val schemeRe = "^[a-zA-Z0-9+.\\-]+:/+"
+      val groups = headered.collect { case (p, Some(h)) => (h, p) }
+        .groupBy(_._1).values.map(_.map(_._2)).toSeq
+      groups.foldLeft(prepared) { (acc, members) =>
+        val paths = members.map(p => s"${cfg.outputRoot}/$p")
+        val reader = spark.read
+        val base =
+          if (format == "json") jsonSchema.fold(reader)(reader.schema).json(paths: _*)
+          else reader.option("header", "true").option("inferSchema", "false")
+            .option("escape", "\"").csv(paths: _*)
+        val old = base
+          .withColumn("__path",
+            regexp_replace(
+              regexp_replace(input_file_name(), schemeRe, "/"),
+              "^" + java.util.regex.Pattern.quote(rootNorm), ""))
+          .withColumn(AvroRead.FileCol, lit("")) // sorts before any real file
+          .withColumn(AvroRead.PosCol, monotonically_increasing_id())
+        acc.unionByName(old, allowMissingColumns = true)
+      }
+    }
+  }
+
+  /** Per-bin union fallback for zip targets (read through per-bin temp
+    * files, so paths cannot be re-derived from input_file_name).
+    */
+  private def mergeExistingBinsFold(
+      spark: SparkSession, cfg: RestructureJobConfig, fs: FileSystem,
+      prepared: DataFrame, existing: Seq[String], format: String,
+      jsonSchema: Option[StructType],
+      temps: scala.collection.mutable.Buffer[HPath]): DataFrame =
     existing.foldLeft(prepared) { (acc, p) =>
       val srcPath = s"${cfg.outputRoot}/$p"
       if (!sniffReadable(fs, srcPath)) {
@@ -262,7 +310,6 @@ object Restructure {
         }
       }
     }
-  }
 
   /** Driver-side readability probe: stream the first bytes through the
     * matching decompressor. Catches truncated/corrupt gzip and zip targets
@@ -533,14 +580,16 @@ object Restructure {
   /** Parallel predicate filter over a driver-side path list (bounded pool —
     * FS metadata ops are latency-bound, not CPU-bound).
     */
-  private def parallelFilter[T](xs: Seq[T])(p: T => Boolean): Seq[T] = {
-    if (xs.size < 64) return xs.filter(p)
+  private def parallelFilter[T](xs: Seq[T])(p: T => Boolean): Seq[T] =
+    parallelMap(xs)(x => (x, p(x))).collect { case (x, true) => x }
+
+  private def parallelMap[T, U](xs: Seq[T])(f: T => U): Seq[U] = {
+    if (xs.size < 64) return xs.map(f)
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
     val pool = java.util.concurrent.Executors.newFixedThreadPool(32)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-    try Await.result(Future.sequence(xs.map(x => Future((x, p(x))))), Duration.Inf)
-      .collect { case (x, true) => x }
+    try Await.result(Future.sequence(xs.map(x => Future(f(x)))), Duration.Inf)
     finally pool.shutdown()
   }
 
