@@ -88,8 +88,10 @@ object Cleaner {
       cfg.extension, cfg.timeBinFormat)
     val pathCol = PathTemplate.compile(template, params, Some(timeCol), Some(dataSchema))
 
+    // persisted: read twice (distinct target paths + the anti-join count)
     val source = df.select(col(AvroRead.FileCol).as("__src"),
       pathCol.as("__path"), timeCol.as("__time"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val cleanupTemps = scala.collection.mutable.ArrayBuffer.empty[HPath]
     val paths = source.select("__path").distinct().collect().map(_.getString(0))
@@ -110,22 +112,51 @@ object Cleaner {
     }.headOption
 
     val outFs = new HPath(cfg.outputRoot).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val targetTimes = paths.toSeq.flatMap { p =>
-      val full = s"${cfg.outputRoot}/$p"
-      if (!outFs.exists(new HPath(full)) || timeField.isEmpty) None
+    val existing = paths.toSeq.filter(p => outFs.exists(new HPath(s"${cfg.outputRoot}/$p")))
+    // scale path mirrors Restructure.mergeExistingBins: ONE distributed
+    // scan per distinct CSV header (attempt files order columns
+    // differently) / one overall for JSON, __path re-derived from
+    // input_file_name; zip bins (read via temp files) fold per-bin.
+    val targetTimes: Seq[org.apache.spark.sql.DataFrame] =
+      if (existing.isEmpty || timeField.isEmpty) Seq.empty
       else {
         val (name, conv) = timeField.get
-        val readPath = Restructure.readableBinPath(outFs, full, cfg, cleanupTemps)
-        val stored =
-          if (cfg.format == "json")
-            spark.read.json(readPath).select(graft.model.Flatten.leafColumn(name))
-          else
-            spark.read.option("header", "true").option("escape", "\"")
-              .csv(readPath).select(col(s"`$name`"))
-        val c0 = col("`" + stored.columns.head.replace("`", "``") + "`")
-        Some(stored.select(conv(c0).as("__time")).withColumn("__path", lit(p)))
+        if (cfg.zip) existing.map { p =>
+          val readPath = Restructure.readableBinPath(outFs, s"${cfg.outputRoot}/$p", cfg, cleanupTemps)
+          val stored =
+            if (cfg.format == "json")
+              spark.read.json(readPath).select(graft.model.Flatten.leafColumn(name))
+            else
+              spark.read.option("header", "true").option("escape", "\"")
+                .csv(readPath).select(col(s"`$name`"))
+          val c0 = col("`" + stored.columns.head.replace("`", "``") + "`")
+          stored.select(conv(c0).as("__time")).withColumn("__path", lit(p))
+        } else {
+          val rootNorm = outFs.makeQualified(new HPath(cfg.outputRoot)).toUri.getPath
+            .stripSuffix("/") + "/"
+          val schemeRe = "^[a-zA-Z0-9+.\\-]+:/+"
+          val pathFromFile = regexp_replace(
+            regexp_replace(input_file_name(), schemeRe, "/"),
+            "^" + java.util.regex.Pattern.quote(rootNorm), "")
+          val groups =
+            if (cfg.format == "json") Seq(existing)
+            else existing
+              .map(p => p -> Restructure.readHeaderLine(outFs, new HPath(s"${cfg.outputRoot}/$p")))
+              .collect { case (p, Some(h)) => (h, p) }
+              .groupBy(_._1).values.map(_.map(_._2)).toSeq
+          groups.map { members =>
+            val full = members.map(p => s"${cfg.outputRoot}/$p")
+            val stored =
+              if (cfg.format == "json")
+                spark.read.json(full: _*).select(graft.model.Flatten.leafColumn(name), pathFromFile.as("__path"))
+              else
+                spark.read.option("header", "true").option("escape", "\"")
+                  .csv(full: _*).select(col(s"`$name`"), pathFromFile.as("__path"))
+            val c0 = col("`" + stored.columns.head.replace("`", "``") + "`")
+            stored.select(conv(c0).as("__time"), col("__path"))
+          }
+        }
       }
-    }
 
     val withTime = source.filter(col("__time").isNotNull)
     val missing =
@@ -136,9 +167,12 @@ object Cleaner {
     val counts =
       try missing.groupBy(col("__src")).count().collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
-      finally cleanupTemps.foreach(t =>
-        new HPath(cfg.outputRoot).getFileSystem(spark.sparkContext.hadoopConfiguration)
-          .delete(t, false))
+      finally {
+        source.unpersist(false)
+        cleanupTemps.foreach(t =>
+          new HPath(cfg.outputRoot).getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .delete(t, false))
+      }
     files.map(f => new HPath(f).getName).map(n => n -> counts.getOrElse(n, 0L)).toMap
   }
 }

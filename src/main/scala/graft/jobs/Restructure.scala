@@ -474,7 +474,7 @@ object Restructure {
   }
 
   /** First line of a (possibly gzip/zip) CSV bin, or None if unreadable. */
-  private def readHeaderLine(fs: FileSystem, path: HPath): Option[String] =
+  private[jobs] def readHeaderLine(fs: FileSystem, path: HPath): Option[String] =
     try {
       val raw = fs.open(path)
       val in =
