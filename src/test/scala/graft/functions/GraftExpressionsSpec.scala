@@ -32,6 +32,35 @@ class GraftExpressionsSpec extends SparkSpec {
     assert(ham(sh("a"), sh("b")) < ham(sh("a"), sh("c")))
   }
 
+  test("GraftSparkExtensions injects functions usable from plain SQL") {
+    import org.apache.spark.sql.SparkSession
+    // build a sibling session on the SAME SparkContext so the extension
+    // applies at session construction (getOrCreate returns the suite
+    // session otherwise); never stop it — that would kill the shared
+    // context for every remaining suite in the JVM. withExtensions is the
+    // in-JVM equivalent of spark.sql.extensions (a static conf, frozen
+    // once the context exists) and exercises the same injection path.
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .withExtensions(new GraftSparkExtensions())
+        .getOrCreate()
+      val r = s2.sql(
+        "SELECT graft_rolling_hash('abc') AS rh, graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+        .collect()(0)
+      def ref(str: String): Long =
+        str.getBytes("UTF-8").foldLeft(0L)((h, b) => (h * 257 + (b & 0xff)) % 1000000007L)
+      assert(r.getLong(0) == ref("abc"))
+      assert(r.getDouble(1) == 11.0)
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
+
   test("hammingDist64 column matches bitCount") {
     GraftExpressions.register(spark)
     val got = Seq((0xffL, 0x0fL)).toDF("a", "b")
