@@ -155,44 +155,22 @@ object AvroRead {
     schemas.distinct.reduce(SchemaMerge.merge)
   }
 
-  /** Distributed read of `files` (all sharing one topic schema) into a
-    * DataFrame with `__file`/`__pos` provenance columns. Callers filter
-    * zero-length files (P11 guard) from the listing. Works against any
-    * Hadoop filesystem via avro-mapred's `FsInput`, with the session's
-    * fs.* configuration propagated to tasks.
+  /** Distributed read of `files` (all sharing one topic reader schema)
+    * into a DataFrame with `__file`/`__pos` provenance columns, via the
+    * [[graft.sources.v2.GraftAvroSource]] DataSource V2 connector:
+    * `InternalRow` production (no external-Row encoder pass) and column
+    * pruning pushed into the Avro decode. Callers filter zero-length files
+    * (P11 guard) from the listing. Works against any Hadoop filesystem via
+    * avro-mapred's `FsInput`, with the session's fs.* configuration
+    * propagated to tasks.
     */
   def read(spark: SparkSession, files: Seq[String],
       readerSchema: Option[Schema] = None): DataFrame = {
     require(files.nonEmpty, "no avro files to read")
-    val confEntries = fsConfEntries(spark)
-    val schemaJson = readerSchema.getOrElse(topicReaderSchema(spark, files)).toString
-    val dataSchema = sparkType(new Schema.Parser().parse(schemaJson)).asInstanceOf[StructType]
-    val fullSchema = StructType(dataSchema.fields.toSeq :+
-      StructField(FileCol, StringType, nullable = false) :+
-      StructField(PosCol, LongType, nullable = false))
-    val slices = math.min(files.size, math.max(1, spark.sparkContext.defaultParallelism))
-    val rdd = spark.sparkContext.parallelize(files, slices).flatMap { path =>
-      // decode against the topic (reader) schema — per-file writer schemas
-      // resolve through Avro schema evolution
-      val schema = new Schema.Parser().parse(schemaJson)
-      val conf = toConf(confEntries)
-      val in = new org.apache.avro.mapred.FsInput(new org.apache.hadoop.fs.Path(path), conf)
-      val reader = DataFileReader.openReader(in, new GenericDatumReader[GenericRecord](null, schema))
-        .asInstanceOf[DataFileReader[GenericRecord]]
-      val fname = new org.apache.hadoop.fs.Path(path).getName
-      val fields = schema.getFields.asScala.toSeq
-      new Iterator[Row] {
-        private var i = 0L
-        def hasNext: Boolean = { val h = reader.hasNext; if (!h) reader.close(); h }
-        def next(): Row = {
-          val rec = reader.next()
-          val vals = fields.map(f => convert(rec.get(f.pos()), f.schema))
-          val row = Row.fromSeq(vals :+ fname :+ i)
-          i += 1
-          row
-        }
-      }
-    }
-    spark.createDataFrame(rdd, fullSchema)
+    val schema = readerSchema.getOrElse(topicReaderSchema(spark, files))
+    spark.read.format("graft-avro")
+      .option("files", files.mkString("\n"))
+      .option("readerSchema", schema.toString)
+      .load()
   }
 }

@@ -1,0 +1,294 @@
+package graft.sources.v2
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.avro.Schema
+import org.apache.avro.file.DataFileReader
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericFixed, GenericRecord}
+import org.apache.avro.util.Utf8
+import org.apache.hadoop.conf.Configuration
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.sources.AvroRead
+
+/** DataSource V2 connector for the Kafka-connector Avro container layout
+  * (`topic+partition+from[+to].avro` trees) — the S1 scan re-expressed as a
+  * first-class Spark source:
+  *
+  *  - produces `InternalRow` directly (no external-Row encoder pass);
+  *  - column pruning pushes into the Avro DECODE: fields absent from the
+  *    required schema are skipped recursively, so a cleaner pass that needs
+  *    only `(value.time, key.userId)` never materializes payload arrays;
+  *  - one input partition per file group — the layout's natural split;
+  *  - appends `__file`/`__pos` provenance when (and only when) requested.
+  *
+  * Usage (the `AvroRead.read` front-end builds these options):
+  * {{{
+  *   spark.read.format("graft-avro")
+  *     .option("files", paths.mkString("\n"))
+  *     .option("readerSchema", avroSchema.toString)
+  *     .load()
+  * }}}
+  */
+class GraftAvroSource extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+
+  override def shortName(): String = "graft-avro"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    GraftAvroSource.fullSchema(GraftAvroSource.readerSchema(options))
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new GraftAvroTable(schema, new CaseInsensitiveStringMap(properties))
+}
+
+private[v2] object GraftAvroSource {
+  val FilesOption = "files"
+  val SchemaOption = "readerschema"
+
+  def readerSchema(options: CaseInsensitiveStringMap): Schema = {
+    val json = options.get(SchemaOption)
+    require(json != null, s"graft-avro requires the '$SchemaOption' option")
+    new Schema.Parser().parse(json)
+  }
+
+  def files(options: CaseInsensitiveStringMap): Seq[String] = {
+    val v = options.get(FilesOption)
+    require(v != null && v.nonEmpty, s"graft-avro requires the '$FilesOption' option")
+    v.split('\n').toSeq.filter(_.nonEmpty)
+  }
+
+  def fullSchema(reader: Schema): StructType = {
+    val data = AvroRead.sparkType(reader).asInstanceOf[StructType]
+    StructType(data.fields.toSeq :+
+      StructField(AvroRead.FileCol, StringType, nullable = false) :+
+      StructField(AvroRead.PosCol, LongType, nullable = false))
+  }
+
+  /** fs.* / security entries of a Configuration as a serializable map. */
+  def confEntries(conf: Configuration): Map[String, String] = {
+    val it = conf.iterator()
+    val b = Map.newBuilder[String, String]
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey.startsWith("fs.") || e.getKey.startsWith("hadoop.security"))
+        b += e.getKey -> e.getValue
+    }
+    b.result()
+  }
+}
+
+private[v2] class GraftAvroTable(tableSchema: StructType, options: CaseInsensitiveStringMap)
+    extends Table with SupportsRead {
+  override def name(): String = "graft-avro"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(caseInsensitiveOptions: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftAvroScanBuilder(tableSchema, options)
+}
+
+private[v2] class GraftAvroScanBuilder(fullSchema: StructType, options: CaseInsensitiveStringMap)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = fullSchema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = new GraftAvroScan(required, options)
+}
+
+private[v2] class GraftAvroScan(required: StructType, options: CaseInsensitiveStringMap)
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-avro [${required.fieldNames.mkString(", ")}]"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val files = GraftAvroSource.files(options)
+    val parallelism = org.apache.spark.sql.SparkSession.active
+      .sparkContext.defaultParallelism
+    val slices = math.min(files.size, math.max(1, parallelism))
+    // round-robin grouping: neighboring files (same topic partition) spread
+    // across tasks, balancing offsets-per-task for append-heavy layouts
+    files.zipWithIndex.groupBy(_._2 % slices).values
+      .map(g => GraftAvroPartition(g.map(_._1)))
+      .toArray[InputPartition]
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val conf = org.apache.spark.sql.SparkSession.active
+      .sparkContext.hadoopConfiguration
+    GraftAvroReaderFactory(
+      GraftAvroSource.readerSchema(options).toString,
+      required.json,
+      GraftAvroSource.confEntries(conf))
+  }
+}
+
+private[v2] final case class GraftAvroPartition(files: Seq[String]) extends InputPartition
+
+private[v2] final case class GraftAvroReaderFactory(
+    readerSchemaJson: String, requiredJson: String,
+    confEntries: Map[String, String]) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new GraftAvroPartitionReader(
+      partition.asInstanceOf[GraftAvroPartition].files,
+      readerSchemaJson, requiredJson, confEntries)
+}
+
+/** Streams the partition's files through one Avro reader at a time,
+  * decoding ONLY the required fields into Catalyst values.
+  */
+private[v2] class GraftAvroPartitionReader(
+    files: Seq[String], readerSchemaJson: String, requiredJson: String,
+    confEntries: Map[String, String]) extends PartitionReader[InternalRow] {
+
+  private val readerSchema = new Schema.Parser().parse(readerSchemaJson)
+  private val required = DataType.fromJson(requiredJson).asInstanceOf[StructType]
+  private val conf = {
+    val c = new Configuration()
+    confEntries.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
+
+  private val wantFile = required.fieldNames.contains(AvroRead.FileCol)
+  private val wantPos = required.fieldNames.contains(AvroRead.PosCol)
+  // data fields in required order, resolved to reader-schema positions;
+  // the required DataType travels with each field so NESTED pruning prunes
+  // the decode too (a required struct may carry fewer fields than avro has)
+  private val dataFields: Array[(Int, Schema, DataType, Int)] = {
+    required.fields.zipWithIndex.collect {
+      case (f, out) if f.name != AvroRead.FileCol && f.name != AvroRead.PosCol =>
+        val avroField = readerSchema.getField(f.name)
+        require(avroField != null, s"field ${f.name} missing from reader schema")
+        (avroField.pos(), avroField.schema(), f.dataType, out)
+    }
+  }
+  private val fileSlot = required.fieldNames.indexOf(AvroRead.FileCol)
+  private val posSlot = required.fieldNames.indexOf(AvroRead.PosCol)
+  private val width = required.fields.length
+
+  private var fileIdx = -1
+  private var reader: DataFileReader[GenericRecord] = _
+  private var fname: UTF8String = _
+  private var pos = 0L
+  private var current: InternalRow = _
+
+  private def openNext(): Boolean = {
+    if (reader != null) { reader.close(); reader = null }
+    fileIdx += 1
+    if (fileIdx >= files.size) return false
+    val path = files(fileIdx)
+    val in = new org.apache.avro.mapred.FsInput(new org.apache.hadoop.fs.Path(path), conf)
+    reader = DataFileReader.openReader(in,
+      new GenericDatumReader[GenericRecord](null, readerSchema))
+      .asInstanceOf[DataFileReader[GenericRecord]]
+    fname = UTF8String.fromString(new org.apache.hadoop.fs.Path(path).getName)
+    pos = 0L
+    true
+  }
+
+  override def next(): Boolean = {
+    while (reader == null || !reader.hasNext) {
+      if (!openNext()) return false
+    }
+    val rec = reader.next()
+    val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(width)
+    var i = 0
+    while (i < dataFields.length) {
+      val (avroPos, avroSchema, dt, out) = dataFields(i)
+      row.update(out, GraftAvroPartitionReader.convert(rec.get(avroPos), avroSchema, dt))
+      i += 1
+    }
+    if (wantFile) row.update(fileSlot, fname)
+    if (wantPos) row.update(posSlot, pos)
+    pos += 1
+    current = row
+    true
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = if (reader != null) { reader.close(); reader = null }
+}
+
+private[v2] object GraftAvroPartitionReader {
+
+  /** Avro datum → Catalyst value following the REQUIRED data type, so
+    * nested pruning prunes the decode (mirrors [[AvroRead.sparkType]]'s
+    * type mapping).
+    */
+  def convert(datum: Any, s: Schema, dt: DataType): Any = {
+    if (datum == null) return null
+    s.getType match {
+      case Schema.Type.RECORD =>
+        val rec = datum.asInstanceOf[GenericRecord]
+        val st = dt.asInstanceOf[StructType]
+        val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(st.fields.length)
+        var i = 0
+        while (i < st.fields.length) {
+          val f = st.fields(i)
+          val avroField = s.getField(f.name)
+          require(avroField != null, s"field ${f.name} missing from avro record ${s.getName}")
+          row.update(i, convert(rec.get(avroField.pos()), avroField.schema, f.dataType))
+          i += 1
+        }
+        row
+      case Schema.Type.ENUM => UTF8String.fromString(datum.toString)
+      case Schema.Type.STRING => datum match {
+        case u: Utf8 => UTF8String.fromBytes(u.getBytes.clone(), 0, u.getByteLength)
+        case other => UTF8String.fromString(other.toString)
+      }
+      case Schema.Type.BYTES =>
+        val bb = datum.asInstanceOf[java.nio.ByteBuffer]
+        val out = new Array[Byte](bb.remaining())
+        bb.duplicate().get(out)
+        out
+      case Schema.Type.FIXED => datum.asInstanceOf[GenericFixed].bytes().clone()
+      case Schema.Type.INT | Schema.Type.LONG | Schema.Type.FLOAT |
+           Schema.Type.DOUBLE | Schema.Type.BOOLEAN => datum
+      case Schema.Type.NULL => null
+      case Schema.Type.MAP =>
+        val vt = dt.asInstanceOf[MapType].valueType
+        val m = datum.asInstanceOf[java.util.Map[Any, Any]]
+        val keys = new Array[Any](m.size)
+        val vals = new Array[Any](m.size)
+        var i = 0
+        val it = m.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          keys(i) = UTF8String.fromString(e.getKey.toString)
+          vals(i) = convert(e.getValue, s.getValueType, vt)
+          i += 1
+        }
+        new ArrayBasedMapData(new GenericArrayData(keys), new GenericArrayData(vals))
+      case Schema.Type.ARRAY =>
+        val et = dt.asInstanceOf[ArrayType].elementType
+        val c = datum.asInstanceOf[java.util.Collection[Any]]
+        val out = new Array[Any](c.size)
+        var i = 0
+        val it = c.iterator()
+        while (it.hasNext) { out(i) = convert(it.next(), s.getElementType, et); i += 1 }
+        new GenericArrayData(out)
+      case Schema.Type.UNION =>
+        val nonNull = s.getTypes.asScala.filter(_.getType != Schema.Type.NULL)
+        if (nonNull.size == 1) convert(datum, nonNull.head, dt)
+        else {
+          // runtime-branch resolution, stringified (CsvAvroDataConverter.kt:64-67)
+          val idx = GenericData.get().resolveUnion(s, datum)
+          val branch = s.getTypes.get(idx)
+          if (branch.getType == Schema.Type.NULL) null
+          else UTF8String.fromString(String.valueOf(AvroRead.convert(datum, branch)))
+        }
+    }
+  }
+}

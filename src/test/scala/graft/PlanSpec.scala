@@ -13,6 +13,39 @@ class PlanSpec extends SparkSpec {
     df.queryExecution.explainString(ExplainMode.fromString("formatted"))
   }
 
+  test("graft-avro V2 scan: column pruning reaches the avro decode") {
+    import org.apache.avro.Schema
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    val schema = new Schema.Parser().parse(
+      """{"type":"record","name":"R","fields":[
+        |{"name":"key","type":{"type":"record","name":"K","fields":[
+        |  {"name":"userId","type":"string"}]}},
+        |{"name":"value","type":{"type":"record","name":"V","fields":[
+        |  {"name":"time","type":"double"},
+        |  {"name":"payload","type":{"type":"array","items":"double"}}]}}]}""".stripMargin)
+    val dir = java.nio.file.Files.createTempDirectory("graft-v2plan")
+    val f = dir.resolve("t+0+0000000000.avro").toFile
+    val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
+    w.create(schema, f)
+    val k = new GenericData.Record(schema.getField("key").schema)
+    k.put("userId", "u1")
+    val v = new GenericData.Record(schema.getField("value").schema)
+    v.put("time", 1.5)
+    v.put("payload", java.util.Arrays.asList(Double.box(1.0), Double.box(2.0)))
+    val r = new GenericData.Record(schema)
+    r.put("key", k); r.put("value", v)
+    w.append(r); w.close()
+
+    val df = graft.sources.AvroRead.read(spark, Seq(f.getPath)).select("value.time")
+    val plan = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // the scan's output (pruned) must not carry the payload array or key
+    val scanSection = plan.split("\n\n").find(_.contains("BatchScan")).getOrElse(plan)
+    assert(scanSection.contains("graft-avro"), s"V2 scan missing:\n$plan")
+    assert(!scanSection.contains("payload"), s"payload not pruned from scan:\n$scanSection")
+    assert(df.collect().map(_.getDouble(0)).toSeq == Seq(1.5))
+  }
+
   test("q_agg_pricing: column-pruned scan + partial aggregation before the shuffle") {
     val plan = formatted("q_agg_pricing")
     assert(plan.contains("partial_sum"), "map-side combine missing")
