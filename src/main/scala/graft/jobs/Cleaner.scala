@@ -127,7 +127,7 @@ object Cleaner {
             if (cfg.format == "json")
               spark.read.json(readPath).select(graft.model.Flatten.leafColumn(name))
             else
-              spark.read.option("header", "true").option("escape", "\"")
+              spark.read.option("header", "true").option("multiLine", "true").option("escape", "\"")
                 .csv(readPath).select(col(s"`$name`"))
           val c0 = col("`" + stored.columns.head.replace("`", "``") + "`")
           stored.select(conv(c0).as("__time")).withColumn("__path", lit(p))
@@ -150,7 +150,7 @@ object Cleaner {
               if (cfg.format == "json")
                 spark.read.json(full: _*).select(graft.model.Flatten.leafColumn(name), pathFromFile.as("__path"))
               else
-                spark.read.option("header", "true").option("escape", "\"")
+                spark.read.option("header", "true").option("multiLine", "true").option("escape", "\"")
                   .csv(full: _*).select(col(s"`$name`"), pathFromFile.as("__path"))
             val c0 = col("`" + stored.columns.head.replace("`", "``") + "`")
             stored.select(conv(c0).as("__time"), col("__path"))

@@ -263,7 +263,7 @@ object Restructure {
         val reader = spark.read
         val base =
           if (format == "json") jsonSchema.fold(reader)(reader.schema).json(paths: _*)
-          else reader.option("header", "true").option("inferSchema", "false")
+          else reader.option("header", "true").option("inferSchema", "false").option("multiLine", "true")
             .option("escape", "\"").csv(paths: _*)
         val old = base
           .withColumn("__path",
@@ -296,7 +296,7 @@ object Restructure {
           val reader = spark.read
           val base =
             if (format == "json") jsonSchema.fold(reader)(reader.schema).json(readPath)
-            else reader.option("header", "true").option("inferSchema", "false")
+            else reader.option("header", "true").option("inferSchema", "false").option("multiLine", "true")
               .option("escape", "\"").csv(readPath)
           val old = base
             .withColumn("__path", lit(p))

@@ -26,6 +26,68 @@ class FormatsSpec extends SparkSpec {
   private val binDir =
     "STAGING_PROJECT/1543bc93-3c17-4381-89a5-c5d6272b827c/application_server_status"
 
+  test("CSV values with commas, quotes, newlines survive write + append-merge") {
+    import org.apache.avro.Schema
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    val schema = new Schema.Parser().parse(
+      """{"type":"record","name":"R","fields":[
+        |{"name":"key","type":{"type":"record","name":"K","fields":[
+        |  {"name":"userId","type":"string"}]}},
+        |{"name":"value","type":{"type":"record","name":"V","fields":[
+        |  {"name":"time","type":"double"},
+        |  {"name":"note","type":"string"}]}}]}""".stripMargin)
+    val work = Files.createTempDirectory("graft-quote")
+    val dir = work.resolve("in/notes/partition=0")
+    Files.createDirectories(dir)
+    def write(name: String, notes: Seq[String]): Unit = {
+      val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
+      w.create(schema, dir.resolve(name).toFile)
+      notes.foreach { n =>
+        val k = new GenericData.Record(schema.getField("key").schema)
+        k.put("userId", "u1")
+        val v = new GenericData.Record(schema.getField("value").schema)
+        v.put("time", 1.6095816e9); v.put("note", n)
+        val r = new GenericData.Record(schema)
+        r.put("key", k); r.put("value", v)
+        w.append(r)
+      }
+      w.close()
+    }
+    val tricky = Seq("plain", "with,comma", "with \"quotes\"", "multi\nline", "both,\"and\"\nnl")
+    write("notes+0+0000000000+0000000004.avro", tricky)
+    val out = work.resolve("out")
+    val cfg = RestructureJobConfig(inputRoot = work.resolve("in").toString, outputRoot = out.toString)
+    Restructure.run(spark, cfg)
+
+    val bin = s"$out/unknown-project/u1/notes/20210102_1000.csv"
+    def readNotes(): Seq[String] = spark.read
+      .option("header", "true").option("multiLine", "true").option("escape", "\"")
+      .csv(bin).select("`value.note`").collect().map(_.getString(0)).toSeq
+    assert(readNotes().sorted == tricky.sorted, "first write mangled special chars")
+
+    // append-merge must keep quoted/multiline rows whole
+    val work2 = Files.createTempDirectory("graft-quote2")
+    val dir2 = work2.resolve("in/notes/partition=0")
+    Files.createDirectories(dir2)
+    val w2dir = dir2 // second batch, same bin
+    val schema2 = schema
+    val wtr = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema2))
+    wtr.create(schema2, w2dir.resolve("notes+0+0000000005+0000000005.avro").toFile)
+    val k2 = new GenericData.Record(schema2.getField("key").schema)
+    k2.put("userId", "u1")
+    val v2 = new GenericData.Record(schema2.getField("value").schema)
+    v2.put("time", 1.6095816e9); v2.put("note", "second,\"run\"\nrow")
+    val r2 = new GenericData.Record(schema2)
+    r2.put("key", k2); r2.put("value", v2)
+    wtr.append(r2); wtr.close()
+    Restructure.run(spark, RestructureJobConfig(
+      inputRoot = work2.resolve("in").toString, outputRoot = out.toString,
+      ledgerPath = Some(out.resolve("_ledger2.json").toString)))
+    assert(readNotes().sorted == (tricky :+ "second,\"run\"\nrow").sorted,
+      "append-merge mangled quoted/multiline rows")
+  }
+
   test("gzip CSV bins: .csv.gz extension, valid gzip, same content") {
     val (in, out) = setup()
     Restructure.run(spark, RestructureJobConfig(
