@@ -76,12 +76,15 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"))
   }
 
-  test("q_dedup_keep_last: one shuffle for the window (+ the final orderBy), with pre-shuffle group limit") {
+  test("q_dedup_keep_last: single aggregation with partial combine before the shuffle") {
     val plan = formatted("q_dedup_keep_last")
     val exchanges = plan.linesIterator.count(_.matches("\\(\\d+\\) Exchange"))
     assert(exchanges <= 2, s"extra shuffles in dedup plan ($exchanges)")
-    // Spark 4 inserts WindowGroupLimit BEFORE the shuffle for rank<=k —
-    // shuffle volume is one row per key, not all rows; pin it
-    assert(plan.contains("WindowGroupLimit"), "pre-shuffle window group limit missing")
+    // keep-last runs as max_by aggregation: a PARTIAL aggregate must sit
+    // below the exchange so shuffle volume is one row per key per task
+    // (skew-immune — no Window sort concentrating a hot key's rows)
+    assert(plan.contains("partial_max_by"),
+      s"partial max_by missing before the shuffle:\n$plan")
+    assert(!plan.contains("Window ("), "dedup should not need a Window")
   }
 }
