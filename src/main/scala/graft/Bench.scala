@@ -71,43 +71,63 @@ object Bench {
         .select(col("event_id"), col("user_id"), col("event_type"),
           col("value"), col("ts").cast("double").as("tsec"))
         .collect()
-      val writers = (0 until 16).map { p =>
-        val dir = work.resolve(s"in/events/partition=$p")
-        java.nio.file.Files.createDirectories(dir)
-        val w = new org.apache.avro.file.DataFileWriter[org.apache.avro.generic.GenericRecord](
-          new org.apache.avro.generic.GenericDatumWriter[org.apache.avro.generic.GenericRecord](schema))
-        w.create(schema, dir.resolve(f"events+$p+0000000000.avro").toFile)
-        w
+      val perPart = new Array[Long](16)
+      def writeBatch(batch: Array[org.apache.spark.sql.Row]): Unit = {
+        val writers = (0 until 16).map { p =>
+          val dir = work.resolve(s"in/events/partition=$p")
+          java.nio.file.Files.createDirectories(dir)
+          val w = new org.apache.avro.file.DataFileWriter[org.apache.avro.generic.GenericRecord](
+            new org.apache.avro.generic.GenericDatumWriter[org.apache.avro.generic.GenericRecord](schema))
+          // open-ended slice starting after what this partition already holds
+          w.create(schema, dir.resolve(f"events+$p+${perPart(p)}%010d.avro").toFile)
+          w
+        }
+        batch.foreach { r =>
+          val p = (r.getLong(1) % 16).toInt
+          val k = new org.apache.avro.generic.GenericData.Record(schema.getField("key").schema)
+          // 64 users × hourly bins ≈ O(10k) bins at sf0.1 — a realistic
+          // records-per-bin shape for the reference's workload
+          k.put("projectId", "bench"); k.put("userId", s"u${r.getLong(1) % 64}"); k.put("sourceId", "s0")
+          val v = new org.apache.avro.generic.GenericData.Record(schema.getField("value").schema)
+          v.put("time", r.getDouble(4)); v.put("eventType", r.getString(2)); v.put("value", r.getDouble(3))
+          val rec = new org.apache.avro.generic.GenericData.Record(schema)
+          rec.put("key", k); rec.put("value", v)
+          writers(p).append(rec)
+          perPart(p) += 1
+        }
+        writers.foreach(_.close())
       }
-      rows.foreach { r =>
-        val p = (r.getLong(1) % 16).toInt
-        val k = new org.apache.avro.generic.GenericData.Record(schema.getField("key").schema)
-        // 64 users × hourly bins ≈ O(10k) bins at sf0.1 — a realistic
-        // records-per-bin shape for the reference's workload
-        k.put("projectId", "bench"); k.put("userId", s"u${r.getLong(1) % 64}"); k.put("sourceId", "s0")
-        val v = new org.apache.avro.generic.GenericData.Record(schema.getField("value").schema)
-        v.put("time", r.getDouble(4)); v.put("eventType", r.getString(2)); v.put("value", r.getDouble(3))
-        val rec = new org.apache.avro.generic.GenericData.Record(schema)
-        rec.put("key", k); rec.put("value", v)
-        writers(p).append(rec)
-      }
-      writers.foreach(_.close())
-
-      graft.util.Timer.reset()
-      graft.util.Timer.enabled = true
-      val t0 = System.nanoTime()
-      val result = graft.jobs.Restructure.run(spark, graft.jobs.RestructureJobConfig(
+      val cfg = graft.jobs.RestructureJobConfig(
         inputRoot = work.resolve("in").toString,
         outputRoot = work.resolve("out").toString,
         dedup = true,
         // daily bins: ~4.5k bins at sf0.1 → realistic records-per-bin
         // density for the reference workload (hourly bins on real RADAR
         // volumes have similar per-file record counts)
-        timeBinFormat = "yyyyMMdd"))
+        timeBinFormat = "yyyyMMdd")
+
+      // phase 1: cold write (empty output tree)
+      val (rows1, rows2) = rows.splitAt((rows.length * 0.8).toInt)
+      writeBatch(rows1)
+      graft.util.Timer.reset()
+      graft.util.Timer.enabled = true
+      val t0 = System.nanoTime()
+      val result = graft.jobs.Restructure.run(spark, cfg)
       val sec = (System.nanoTime() - t0) / 1e9
       graft.util.Timer.enabled = false
+      val timerJson = graft.util.Timer.toJson
       val n = result.processedTopics.map(_.records).sum
       val bins = result.processedTopics.map(_.paths.size).sum
-      s"""{"records":$n,"bins":$bins,"sec":$sec,"records_per_sec":${n / sec},"timer":${graft.util.Timer.toJson}}"""
+
+      // phase 2: steady-state append — new slices land in EXISTING bins,
+      // exercising the merge-rewrite + dedup path over the full bin set
+      writeBatch(rows2)
+      val t1 = System.nanoTime()
+      val result2 = graft.jobs.Restructure.run(spark, cfg)
+      val sec2 = (System.nanoTime() - t1) / 1e9
+      val n2 = result2.processedTopics.map(_.records).sum
+      s"""{"records":$n,"bins":$bins,"sec":$sec,"records_per_sec":${n / sec},""" +
+        s""""append_records":$n2,"append_sec":$sec2,"append_records_per_sec":${n2 / sec2},""" +
+        s""""timer":$timerJson}"""
     } catch { case _: Throwable => "{}" }
 }

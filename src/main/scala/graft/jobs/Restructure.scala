@@ -137,13 +137,22 @@ object Restructure {
       else writeCsvBins(spark, cfg, fs, topic, df, dataSchema, pathCol, tCfg)
     }
 
-    // K4 schema sidecar, once per output directory
+    // K4 schema sidecar, once per output directory; same pass sweeps
+    // stale BinWriter dot-temps left by crashed tasks (>1 h old — current
+    // writers are younger by construction)
     Timer.time("write.schema")(
     written.map(p => p.substring(0, math.max(p.lastIndexOf('/'), 0))).distinct.foreach { dir =>
-      val sidecar = new HPath(s"${cfg.outputRoot}/$dir/schema-$topic.json")
+      val dirPath = new HPath(s"${cfg.outputRoot}/$dir")
+      val sidecar = new HPath(dirPath, s"schema-$topic.json")
       if (!fs.exists(sidecar)) {
         val out = fs.create(sidecar, true)
         try out.write(avroSchema.toString(true).getBytes("UTF-8")) finally out.close()
+      }
+      val staleBefore = System.currentTimeMillis() - 3600000L
+      fs.listStatus(dirPath).foreach { st =>
+        val n = st.getPath.getName
+        if (n.startsWith(".") && n.contains(".tmp-") && st.getModificationTime < staleBefore)
+          fs.delete(st.getPath, false)
       }
     })
 
