@@ -117,7 +117,10 @@ object Similarity {
   def connectedComponents(
       pairs: DataFrame, vertices: DataFrame,
       aCol: String = "vec_a", bCol: String = "vec_b", idCol: String = "vec_id",
-      maxIterations: Int = 20, maxLocalEdges: Long = 10_000_000L): DataFrame = {
+      // 2M star edges ≈ a few hundred MB of boxed HashMap in the finisher
+      // task — safe on default executor heaps; raise with off-heap-sized
+      // executors, or let the fixpoint fallback take over beyond it
+      maxIterations: Int = 20, maxLocalEdges: Long = 2_000_000L): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
     val integral = Seq(pairs.schema(aCol).dataType, pairs.schema(bCol).dataType)

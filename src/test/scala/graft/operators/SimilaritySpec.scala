@@ -39,6 +39,20 @@ class SimilaritySpec extends SparkSpec {
       20L -> 20L, 21L -> 20L, 30L -> 30L))
   }
 
+  test("connectedComponents: fixpoint fallback (tiny maxLocalEdges) matches the contraction result") {
+    val pairs = Seq((10L, 11L), (12L, 11L), (13L, 12L), (14L, 13L), (21L, 20L),
+      (30L, 31L), (31L, 32L), (40L, 41L))
+      .toDF("vec_a", "vec_b").repartition(4)
+    val verts = (Seq(10L, 11L, 12L, 13L, 14L, 20L, 21L, 30L, 31L, 32L, 40L, 41L, 99L)).toDF("vec_id")
+    val fast = Similarity.connectedComponents(pairs, verts)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // maxLocalEdges=1 forces the hash-min fixpoint on the contracted graph
+    val viaFixpoint = Similarity.connectedComponents(pairs, verts, maxLocalEdges = 1L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast == viaFixpoint)
+    assert(fast(14L) == 10L && fast(32L) == 30L && fast(41L) == 40L && fast(99L) == 99L)
+  }
+
   test("connectedComponents: non-integral ids use the fixpoint path, same semantics") {
     val pairs = Seq(("b", "c"), ("a", "b")).toDF("vec_a", "vec_b")
     val verts = Seq("a", "b", "c", "z").toDF("vec_id")
