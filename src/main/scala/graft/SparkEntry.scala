@@ -308,6 +308,16 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** IVF top-k with nprobe=2 (the recall/latency dial: each query searches
+    * its two nearest cells).
+    */
+  private def qIvfProbe(implicit s: SparkSession, d: String): DataFrame = {
+    val emb = t("embeddings")
+    Similarity.ivfTopKProbed(emb, emb.filter(col("vec_id") < 16),
+      emb.select(col("vec_id")).filter(col("vec_id") < 8), k = 3, nprobe = 2)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Embedding-cosine near-dup pairs (IVF-cell-bounded, threshold 0.3). */
   private def qEmbeddingNeardup(implicit s: SparkSession, d: String): DataFrame = {
     val emb = t("embeddings")
@@ -401,6 +411,7 @@ object SparkEntry {
     "q_rolling_hash"     -> mk(qRollingHash(_, _)),
     "q_cosine_topk"      -> mk(qCosineTopk(_, _)),
     "q_ivf_topk"         -> mk(qIvfTopk(_, _)),
+    "q_ivf_probe"        -> mk(qIvfProbe(_, _)),
     "q_embedding_neardup" -> mk(qEmbeddingNeardup(_, _)),
     "q_dedup_cluster"    -> mk(qDedupCluster(_, _)),
     "q_multimodal_meta"  -> mk(qMultimodalMeta(_, _)),
@@ -542,6 +553,23 @@ object SparkEntry {
            |q AS (SELECT vec_id AS query_id, v AS qv, cell FROM cl WHERE vec_id < 8),
            |s AS (SELECT q.query_id, cl.vec_id AS neighbor_id, ${Frag.cosine("q.qv", "cl.v")} AS sim
            |  FROM cl JOIN q ON cl.cell = q.cell AND cl.vec_id != q.query_id)
+           |SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS INTEGER) AS "rank", neighbor_id
+           |FROM s QUALIFY "rank" <= 3 ORDER BY query_id, "rank"""".stripMargin,
+      "q_ivf_probe" ->
+        s"""WITH ${Frag.embCte},
+           |c AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 16),
+           |ad AS (SELECT e.vec_id, e.v, c.cent_id, ${Frag.l2sq("e.v", "c.cv")} AS dist FROM e CROSS JOIN c),
+           |cl AS (SELECT vec_id, v, cent_id AS cell FROM
+           |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cent_id ASC) AS rn FROM ad)
+           |  WHERE rn = 1),
+           |q0 AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+           |prd AS (SELECT q0.query_id, q0.qv, c.cent_id, ${Frag.l2sq("q0.qv", "c.cv")} AS dist
+           |  FROM q0 CROSS JOIN c),
+           |pr AS (SELECT query_id, qv, cent_id AS cell FROM
+           |  (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, cent_id ASC) AS rn FROM prd)
+           |  WHERE rn <= 2),
+           |s AS (SELECT pr.query_id, cl.vec_id AS neighbor_id, ${Frag.cosine("pr.qv", "cl.v")} AS sim
+           |  FROM cl JOIN pr ON cl.cell = pr.cell AND cl.vec_id != pr.query_id)
            |SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS INTEGER) AS "rank", neighbor_id
            |FROM s QUALIFY "rank" <= 3 ORDER BY query_id, "rank"""".stripMargin,
       "q_embedding_neardup" ->

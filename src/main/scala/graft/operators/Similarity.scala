@@ -246,6 +246,38 @@ object Similarity {
     reps.select(col("__id").as(idCol), col("__rep").as("cluster"))
   }
 
+  /** IVF-pruned top-k with an `nprobe` dial: each query searches its
+    * `nprobe` nearest cells (by centroid L2, ties on centroid id) — the
+    * standard IVF recall/latency trade. The probe table is
+    * `nprobe·|queries|` rows, broadcast; the corpus shuffles once on cell.
+    */
+  def ivfTopKProbed(
+      vectors: DataFrame, centroids: DataFrame, queryIds: DataFrame, k: Int, nprobe: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    GraftExpressions.register(vectors.sparkSession)
+    val assigned = ivfAssign(vectors, centroids, idCol, vecCol)
+    val c = centroids.select(col(idCol).as("__cent_id"), col(vecCol).as("__cent_v"))
+    // per query: nprobe nearest cells
+    val q0 = vectors.join(queryIds, Seq(idCol), "left_semi")
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val probeW = Window.partitionBy(col("query_id")).orderBy(col("__dist").asc, col("__cent_id").asc)
+    val probes = q0.join(broadcast(c))
+      .withColumn("__dist", l2sq(col("__qv"), col("__cent_v")))
+      .withColumn("__pr", row_number().over(probeW))
+      .filter(col("__pr") <= nprobe)
+      .select(col("query_id"), col("__qv"), col("__cent_id").as("cell"),
+        sqrt(dot(col("__qv"), col("__qv"))).as("__qn"))
+    val corpus = assigned.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"), col("cell"),
+      sqrt(dot(col(vecCol), col(vecCol))).as("__cn"))
+    val scored = corpus.join(broadcast(probes), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("__sim", dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("__sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+  }
+
   /** IVF-pruned top-k: search only the query's own cell. Same output shape
     * as [[bruteForceTopK]] (approximate: recall < 1 at cell boundaries).
     */

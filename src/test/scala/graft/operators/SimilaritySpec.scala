@@ -61,6 +61,20 @@ class SimilaritySpec extends SparkSpec {
     assert(got == Map("a" -> "a", "b" -> "a", "c" -> "a", "z" -> "z"))
   }
 
+  test("ivfTopKProbed: probing every cell recovers the brute-force ranking") {
+    val centroids = vecs.filter(col("vec_id") < 2)
+    val queries = vecs.select(col("vec_id")).filter(col("vec_id") === 0)
+    val brute = Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") === 0), 3)
+      .orderBy("rank").collect().map(_.getLong(2)).toSeq
+    val probed = Similarity.ivfTopKProbed(vecs, centroids, queries, k = 3, nprobe = 2)
+      .orderBy("rank").collect().map(_.getLong(2)).toSeq
+    assert(probed == brute, s"nprobe=all-cells must equal brute force: $probed vs $brute")
+    // nprobe=1 searches only the home cell — a subset of the brute ranking
+    val one = Similarity.ivfTopKProbed(vecs, centroids, queries, k = 3, nprobe = 1)
+      .collect().map(_.getLong(2)).toSet
+    assert(one.subsetOf(brute.toSet))
+  }
+
   test("ivfAssign: centroid members map to their own cell") {
     val assigned = Similarity.ivfAssign(vecs, vecs.filter(col("vec_id") < 2))
     val cells = assigned.collect().map(r =>
