@@ -256,6 +256,13 @@ object SparkEntry {
       .orderBy(col("doc_a"))
   }
 
+  /** End-to-end corpus near-dedup: LSH candidates → exact-Jaccard verify →
+    * cluster → keep min id per cluster. Output: surviving doc ids.
+    */
+  private def qCorpusDedup(implicit s: SparkSession, d: String): DataFrame =
+    TextDedup.dedupCorpus(t("documents"), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
   /** MinHash + LSH candidate near-duplicate pairs. */
   private def qMinhashPairs(implicit s: SparkSession, d: String): DataFrame =
     TextDedup.minhashCandidatePairs(t("documents"), "doc_id", "text",
@@ -406,6 +413,7 @@ object SparkEntry {
     "q_doc_fingerprint"  -> mk(qDocFingerprint(_, _)),
     "q_ngram_jaccard"    -> mk(qNgramJaccard(_, _)),
     "q_minhash_pairs"    -> mk(qMinhashPairs(_, _)),
+    "q_corpus_dedup"     -> mk(qCorpusDedup(_, _)),
     "q_simhash"          -> mk(qSimhash(_, _)),
     "q_simhash_pairs"    -> mk(qSimhashPairs(_, _)),
     "q_rolling_hash"     -> mk(qRollingHash(_, _)),
@@ -535,6 +543,28 @@ object SparkEntry {
            |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
            |FROM bands a JOIN bands b ON a.j = b.j AND a.bh = b.bh AND a.doc_id < b.doc_id
            |ORDER BY doc_a, doc_b""".stripMargin,
+      "q_corpus_dedup" ->
+        s"""WITH RECURSIVE ${Frag.wordsCte},
+           |${Frag.shinglesCte},
+           |dd AS (SELECT doc_id, list_distinct(sh) AS ds FROM sh),
+           |sig AS (SELECT doc_id, $sigList AS sig FROM sh),
+           |bands AS (SELECT doc_id, j, md5(array_to_string(sig[j*2+1:j*2+2], ',')) AS bh
+           |  FROM sig CROSS JOIN generate_series(0, 5) AS tt(j)),
+           |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM bands a JOIN bands b ON a.j = b.j AND a.bh = b.bh AND a.doc_id < b.doc_id),
+           |ver AS (SELECT doc_a, doc_b FROM cand
+           |  JOIN dd da ON da.doc_id = cand.doc_a
+           |  JOIN dd db ON db.doc_id = cand.doc_b
+           |  WHERE 2 * len(list_intersect(da.ds, db.ds)) >=
+           |    (len(da.ds) + len(db.ds) - len(list_intersect(da.ds, db.ds)))),
+           |ed AS (SELECT doc_a AS src, doc_b AS dst FROM ver
+           |  UNION ALL SELECT doc_b, doc_a FROM ver),
+           |reach AS (
+           |  SELECT doc_id AS id, doc_id AS rep FROM documents
+           |  UNION
+           |  SELECT ed.src, reach.rep FROM ed JOIN reach ON ed.dst = reach.id)
+           |SELECT id AS doc_id FROM reach GROUP BY id HAVING min(rep) = id
+           |ORDER BY doc_id""".stripMargin,
       "q_cosine_topk" ->
         s"""WITH ${Frag.embCte},
            |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),

@@ -122,4 +122,36 @@ object TextDedup {
     val union = size(da) + size(db) - inter
     (inter, union)
   }
+
+  /** The end-to-end corpus near-dedup pipeline, composed from the scale
+    * primitives: MinHash-LSH candidate pairs → EXACT shingle-Jaccard
+    * verification (`jaccard ≥ threshold`, integer cross-multiply — no
+    * float compare) → connected components over verified pairs → keep the
+    * minimum id per cluster. Returns the surviving document ids.
+    *
+    * Shuffle profile: signature agg + band self-join (LSH), one join to
+    * re-attach shingle sets to candidates, the CC contraction, and a final
+    * semi-join — every stage's volume is bounded by candidates/duplicates,
+    * never |corpus|².
+    */
+  def dedupCorpus(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, k: Int = 12, bands: Int = 6, rowsPerBand: Int = 2,
+      num: Int = 1, den: Int = 2): DataFrame = {
+    val candidates = minhashCandidatePairs(df, idCol, textCol, shingleN, k, bands, rowsPerBand)
+    val sets = df.select(col(idCol).as("__sid"),
+      array_distinct(shingles(col(textCol), shingleN)).as("__sh"))
+    val withSets = candidates
+      .join(sets.withColumnRenamed("__sid", "doc_a").withColumnRenamed("__sh", "__sha"), "doc_a")
+      .join(sets.withColumnRenamed("__sid", "doc_b").withColumnRenamed("__sh", "__shb"), "doc_b")
+    val inter = size(array_intersect(col("__sha"), col("__shb")))
+    val union = size(col("__sha")) + size(col("__shb")) - inter
+    // jaccard ≥ num/den  ⇔  den·inter ≥ num·union (integers, exact)
+    val verified = withSets.filter(inter * den >= union * num)
+      .select(col("doc_a"), col("doc_b"))
+    Similarity.connectedComponents(verified, df.select(col(idCol).as("vec_id")),
+        "doc_a", "doc_b", "vec_id")
+      .filter(col("vec_id") === col("cluster")) // cluster representative survives
+      .select(col("vec_id").as(idCol))
+  }
 }
