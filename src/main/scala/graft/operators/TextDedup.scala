@@ -139,8 +139,11 @@ object TextDedup {
       shingleN: Int = 3, k: Int = 12, bands: Int = 6, rowsPerBand: Int = 2,
       num: Int = 1, den: Int = 2): DataFrame = {
     val candidates = minhashCandidatePairs(df, idCol, textCol, shingleN, k, bands, rowsPerBand)
+    // the shingle-set table feeds BOTH sides of the verification join —
+    // persist it or the words→shingles→distinct pipeline runs twice more
     val sets = df.select(col(idCol).as("__sid"),
       array_distinct(shingles(col(textCol), shingleN)).as("__sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val withSets = candidates
       .join(sets.withColumnRenamed("__sid", "doc_a").withColumnRenamed("__sh", "__sha"), "doc_a")
       .join(sets.withColumnRenamed("__sid", "doc_b").withColumnRenamed("__sh", "__shb"), "doc_b")
@@ -149,9 +152,12 @@ object TextDedup {
     // jaccard ≥ num/den  ⇔  den·inter ≥ num·union (integers, exact)
     val verified = withSets.filter(inter * den >= union * num)
       .select(col("doc_a"), col("doc_b"))
-    Similarity.connectedComponents(verified, df.select(col(idCol).as("vec_id")),
+    // connectedComponents materializes its mapping internally (checkpointed),
+    // so the returned frame no longer depends on `sets`
+    try Similarity.connectedComponents(verified, df.select(col(idCol).as("vec_id")),
         "doc_a", "doc_b", "vec_id")
       .filter(col("vec_id") === col("cluster")) // cluster representative survives
       .select(col("vec_id").as(idCol))
+    finally sets.unpersist(false)
   }
 }
