@@ -112,7 +112,10 @@ object Cleaner {
     }.headOption
 
     val outFs = new HPath(cfg.outputRoot).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val existing = paths.toSeq.filter(p => outFs.exists(new HPath(s"${cfg.outputRoot}/$p")))
+    // cleaner.cache = target-side metadata work (reference: TimestampFileCache
+    // loading, cleaner/TimestampFileCache.kt:39-68)
+    val existing = graft.util.Timer.time("cleaner.cache")(
+      paths.toSeq.filter(p => outFs.exists(new HPath(s"${cfg.outputRoot}/$p"))))
     // scale path mirrors Restructure.mergeExistingBins: ONE distributed
     // scan per distinct CSV header (attempt files order columns
     // differently) / one overall for JSON, __path re-derived from
