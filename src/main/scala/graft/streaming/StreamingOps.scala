@@ -28,6 +28,46 @@ object StreamingOps {
   final case class UserState(n: Long, sum: Double, maxEventId: Long)
   final case class UserUpdate(user_id: Long, n: Long, sum: Double, max_event_id: Long)
 
+  final case class Doc(doc_id: Long, fp: String, text: String, ts: java.sql.Timestamp)
+
+  /** Cross-batch exact deduplication: emit a document only the FIRST time
+    * its content fingerprint is seen, with per-fingerprint state expiring
+    * `ttlMs` of EVENT time after the last sighting — the streaming
+    * counterpart of the batch `q_dedup_exact` hash-groupBy, with the
+    * retention policy first-class (Spark's `dropDuplicates` on a stream
+    * keeps state forever without a watermark).
+    *
+    * Event-time expiry (watermark + `EventTimeTimeout`) keeps the state
+    * bound deterministic AND lets drain runs (`Trigger.AvailableNow`)
+    * terminate — processing-time timeouts force the engine to keep
+    * scheduling timeout-check batches, so a drain would never settle.
+    */
+  def streamingExactDedup(
+      docs: Dataset[Doc], watermarkDelay: String = "7 days",
+      ttlMs: Long = 7L * 24 * 3600 * 1000)(
+      implicit spark: SparkSession): Dataset[Doc] = {
+    import spark.implicits._
+    docs
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.fp)
+      .flatMapGroupsWithState[Long, Doc](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: String, rows: Iterator[Doc], state: GroupState[Long]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val batch = rows.toSeq
+            val maxTs = batch.map(_.ts.getTime).maxOption.getOrElse(0L)
+            val out =
+              if (state.exists || batch.isEmpty) Iterator.empty
+              else { state.update(batch.head.doc_id); Iterator.single(batch.head) }
+            if (batch.nonEmpty)
+              state.setTimeoutTimestamp(
+                math.max(maxTs + ttlMs, state.getCurrentWatermarkMs() + 1))
+            out
+          }
+      }
+  }
+
   /** Per-user running statistics via explicit keyed state
     * (`flatMapGroupsWithState`) — the custom-state extension point
     * (KeyValueGroupedDataset) the reference's accountant role maps to.

@@ -65,6 +65,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming exact dedup: first occurrence emitted, duplicates suppressed across query restarts") {
+    implicit val s = spark
+    val d = Files.createTempDirectory("graft-sdedup")
+    val ckpt = Files.createTempDirectory("graft-sdedup-ckpt").toString
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("lang", StringType),
+      StructField("text", StringType)))
+    val outDir = Files.createTempDirectory("graft-sdedup-out").toString
+    def runOnce(): Long = {
+      val docs = spark.readStream.schema(docSchema).parquet(d.toString)
+        .select($"doc_id", md5($"text").as("fp"), $"text",
+          to_timestamp(lit("2021-01-02 10:00:00")).as("ts")).as[StreamingOps.Doc]
+      // AvailableNow drains and terminates (event-time expiry — a
+      // processing-time timeout would keep scheduling batches forever);
+      // parquet sink because the memory sink cannot recover a checkpoint
+      val q = StreamingOps.streamingExactDedup(docs)
+        .writeStream.format("parquet").option("path", outDir).outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try assert(q.awaitTermination(120000), "query did not drain") finally q.stop()
+      spark.read.parquet(outDir).count()
+    }
+    Files.copy(java.nio.file.Paths.get(s"$sf/documents.parquet"), d.resolve("b1.parquet"))
+    val n1 = runOnce()
+    val expect = graft.Tables.load(spark, sf, "documents")
+      .select(md5($"text")).distinct().count()
+    assert(n1 == expect, s"run 1 emits one doc per distinct content: $n1 vs $expect")
+    // identical content arrives again; state restored from the checkpoint
+    // across the restart suppresses every row (cumulative count unchanged)
+    Files.copy(java.nio.file.Paths.get(s"$sf/documents.parquet"), d.resolve("b2.parquet"))
+    val n2 = runOnce()
+    assert(n2 == n1, s"cross-run duplicates leaked: $n2 vs $n1")
+  }
+
   test("streaming restructure writes exactly-named bins via foreachBatch") {
     val out = Files.createTempDirectory("graft-stream-out")
     val ckpt = Files.createTempDirectory("graft-ckpt")
