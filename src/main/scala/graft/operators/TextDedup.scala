@@ -78,17 +78,21 @@ object TextDedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = withBands.alias("a")
     val b = withBands.alias("b")
-    // candidates materialize eagerly so the band cache can be released —
-    // a long-running service calling this per batch must not accumulate
-    // orphaned cached band tables
-    try a.join(b,
+    // candidates materialize eagerly (persist + count — NOT localCheckpoint,
+    // which compiles the non-AQE plan and ran ~10× slower) so the band
+    // cache can be released: a long-running service calling this per batch
+    // must not accumulate orphaned cached band tables. The returned frame
+    // stays cached (pairs only — KBs); callers may unpersist when done.
+    val candidates = a.join(b,
         col("a.__band_idx") === col("b.__band_idx") &&
         col("a.__band_hash") === col("b.__band_hash") &&
         col("a.__id") < col("b.__id"))
       .select(col("a.__id").as("doc_a"), col("b.__id").as("doc_b"))
       .distinct()
-      .localCheckpoint(true)
-    finally withBands.unpersist(false)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    candidates.count()
+    withBands.unpersist(false)
+    candidates
   }
 
   /** SimHash-banded candidate pairs: documents sharing any 16-bit band of
@@ -107,15 +111,17 @@ object TextDedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = bands.alias("a")
     val b = bands.alias("b")
-    try a.join(b,
+    val candidates = a.join(b,
         col("a.__band_idx") === col("b.__band_idx") &&
         col("a.__band_val") === col("b.__band_val") &&
         col("a.__id") < col("b.__id"))
       .select(col("a.__id").as("doc_a"), col("b.__id").as("doc_b"),
         GraftExpressions.hammingDist64(col("a.__sh"), col("b.__sh")).as("hamming"))
       .distinct()
-      .localCheckpoint(true)
-    finally bands.unpersist(false)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    candidates.count()
+    bands.unpersist(false)
+    candidates
   }
 
   /** Exact n-gram Jaccard between explicit pairs: intersection and union
