@@ -166,11 +166,11 @@ object TextDedup {
     val verified = withSets.filter(inter * den >= union * num)
       .select(col("doc_a"), col("doc_b"))
     // connectedComponents materializes its mapping internally (checkpointed),
-    // so the returned frame no longer depends on `sets`
+    // so the returned frame no longer depends on `sets` or `candidates`
     try Similarity.connectedComponents(verified, df.select(col(idCol).as("vec_id")),
         "doc_a", "doc_b", "vec_id")
       .filter(col("vec_id") === col("cluster")) // cluster representative survives
       .select(col("vec_id").as(idCol))
-    finally sets.unpersist(false)
+    finally { sets.unpersist(false); candidates.unpersist(false) }
   }
 }
