@@ -110,6 +110,37 @@ class DynamicSchemaSpec extends SparkSpec {
     assert(Files.readAllLines(base).asScala.size == 4)
   }
 
+  test("map keys containing commas/quotes reuse their attempt file across runs") {
+    val schema = new Schema.Parser().parse(schemaJson)
+    val t = 1.6095816E9
+    val out = Files.createTempDirectory("graft-dynquote-out")
+    def runWith(n: Int, ledger: String): Unit = {
+      val work = Files.createTempDirectory(s"graft-dynquote$n")
+      val dir = work.resolve("in/map_topic/partition=0")
+      Files.createDirectories(dir)
+      val f = new File(dir.toFile, f"map_topic+0+$n%010d.avro")
+      val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
+      w.create(schema, f)
+      // a map key with comma AND quote: the stored header quotes it, so the
+      // attempt resolver must compare quoted-to-quoted
+      w.append(rec(schema, "u1", t, Map("""x,y"z""" -> n), Seq("v")))
+      w.close()
+      Restructure.run(spark, RestructureJobConfig(
+        inputRoot = work.resolve("in").toString, outputRoot = out.toString,
+        ledgerPath = Some(out.resolve(ledger).toString)))
+    }
+    runWith(1, "_l1.json")
+    runWith(2, "_l2.json")
+    val binDir = out.resolve("unknown-project/u1/map_topic")
+    val bins = Files.list(binDir).iterator().asScala.map(_.getFileName.toString)
+      .filter(_.endsWith(".csv")).toSeq.sorted
+    assert(bins == Seq("20210102_1000.csv"),
+      s"second run must merge into the same attempt file, got: $bins")
+    val lines = Files.readAllLines(binDir.resolve("20210102_1000.csv")).asScala
+    assert(lines.head == """key.userId,value.time,"value.props.x,y""z",value.arr.0""")
+    assert(lines.size == 3, s"both runs' rows present: $lines")
+  }
+
   test("dynamic topics honor dedup and bucket routing like static topics") {
     val schema = new Schema.Parser().parse(schemaJson)
     val work = Files.createTempDirectory("graft-dyndedup")
