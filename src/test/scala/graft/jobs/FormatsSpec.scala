@@ -100,6 +100,28 @@ class FormatsSpec extends SparkSpec {
     assert(content.contains("1.58021982003E9,CONNECTED,"))
   }
 
+  test("gzip append: second run merges into the existing compressed bin") {
+    val (in, out) = setup()
+    val cfg = RestructureJobConfig(inputRoot = in.toString, outputRoot = out.toString, gzip = true)
+    Restructure.run(spark, cfg)
+    val bin = out.resolve(s"$binDir/20200128_1400.csv.gz")
+    def lines(): Seq[String] = new String(
+      new GZIPInputStream(Files.newInputStream(bin)).readAllBytes(), "UTF-8")
+      .split("\n").toSeq
+    val before = lines().size
+    // second slice of the same topic (new offsets) lands in the same bins
+    val more =
+      "application_server_status/partition=1/application_server_status+1+0000000021.avro"
+    Files.createDirectories(in.resolve(more).getParent)
+    Files.copy(fixtures.resolve(more), in.resolve(more),
+      StandardCopyOption.REPLACE_EXISTING)
+    Restructure.run(spark, cfg)
+    val after = lines()
+    assert(after.size > before, s"gzip merge lost rows: $before -> ${after.size}")
+    assert(after.head.startsWith("key.projectId"), "header preserved")
+    assert(after.count(_.startsWith("key.projectId")) == 1, "single header after merge")
+  }
+
   test("JSON-lines bins: nested objects, explicit nulls, one record per line") {
     val (in, out) = setup()
     Restructure.run(spark, RestructureJobConfig(
