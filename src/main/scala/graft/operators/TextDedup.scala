@@ -21,13 +21,34 @@ object TextDedup {
 
   /** Word n-gram shingles of `text` (documents shorter than n words yield
     * their full trimmed text as a single shingle).
+    *
+    * IMPORTANT perf note: every sub-expression of a higher-order-function
+    * lambda is re-evaluated per element, so referencing the words-of-text
+    * expression inside `transform` would re-run the regex split ONCE PER
+    * SHINGLE — O(words²) regex work per document (measured 10×+ the entire
+    * rest of the MinHash pipeline). Callers that already hold the token
+    * array in a concrete column should use [[shinglesFromWords]]; this
+    * overload exists for single-pass expression contexts and binds the
+    * token array via a self-join-free `transform` over a one-element array
+    * (evaluates `words` exactly twice per row: size probe + bind).
     */
   def shingles(text: Column, n: Int): Column = {
-    val ws = TextFunctions.words(text)
-    when(size(ws) < n, array(trim(text)))
+    // bind words(text) to a lambda variable so the regex split runs once
+    // per row, not once per shingle: transform over a 1-element array gives
+    // the lambda a bound reference to the evaluated array
+    val bound = transform(array(TextFunctions.words(text)),
+      ws => shinglesFromWords(ws, trim(text), n))
+    element_at(bound, 1)
+  }
+
+  /** Shingles from an already-evaluated token array `ws` (a bound column or
+    * lambda variable — NOT a derived expression, see [[shingles]]).
+    * `fallback` is the single shingle for documents shorter than n words.
+    */
+  def shinglesFromWords(ws: Column, fallback: Column, n: Int): Column =
+    when(size(ws) < n, array(fallback))
       .otherwise(transform(sequence(lit(0), size(ws) - n),
         i => concat_ws(" ", slice(ws, i + 1, lit(n)))))
-  }
 
   /** Per-document k-element MinHash signatures, computed the scale-friendly
     * way: explode shingles to one row each, hash every shingle once per salt,
