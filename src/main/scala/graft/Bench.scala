@@ -72,14 +72,15 @@ object Bench {
           col("value"), col("ts").cast("double").as("tsec"))
         .collect()
       val perPart = new Array[Long](16)
-      def writeBatch(batch: Array[org.apache.spark.sql.Row]): Unit = {
+      def writeBatchTo(root: java.nio.file.Path, counters: Array[Long],
+                       batch: Array[org.apache.spark.sql.Row]): Unit = {
         val writers = (0 until 16).map { p =>
-          val dir = work.resolve(s"in/events/partition=$p")
+          val dir = root.resolve(s"in/events/partition=$p")
           java.nio.file.Files.createDirectories(dir)
           val w = new org.apache.avro.file.DataFileWriter[org.apache.avro.generic.GenericRecord](
             new org.apache.avro.generic.GenericDatumWriter[org.apache.avro.generic.GenericRecord](schema))
           // open-ended slice starting after what this partition already holds
-          w.create(schema, dir.resolve(f"events+$p+${perPart(p)}%010d.avro").toFile)
+          w.create(schema, dir.resolve(f"events+$p+${counters(p)}%010d.avro").toFile)
           w
         }
         batch.foreach { r =>
@@ -93,10 +94,12 @@ object Bench {
           val rec = new org.apache.avro.generic.GenericData.Record(schema)
           rec.put("key", k); rec.put("value", v)
           writers(p).append(rec)
-          perPart(p) += 1
+          counters(p) += 1
         }
         writers.foreach(_.close())
       }
+      def writeBatch(batch: Array[org.apache.spark.sql.Row]): Unit =
+        writeBatchTo(work, perPart, batch)
       val cfg = graft.jobs.RestructureJobConfig(
         inputRoot = work.resolve("in").toString,
         outputRoot = work.resolve("out").toString,
@@ -105,6 +108,24 @@ object Bench {
         // density for the reference workload (hourly bins on real RADAR
         // volumes have similar per-file record counts)
         timeBinFormat = "yyyyMMdd")
+
+      // warm-up: the restructure pipeline's first execution pays whole-stage
+      // codegen + JIT (measured ~5 s of a 9 s first run at sf0.1 — more than
+      // the job itself); run the full job once on a small slice in a
+      // throwaway directory so the measured phases report steady-state
+      // throughput, same rationale as the query warm pass above
+      val warmWork = java.nio.file.Files.createTempDirectory("graft-bench-rst-warm")
+      val warmCounters = new Array[Long](16)
+      writeBatchTo(warmWork, warmCounters, rows.take(2000))
+      val warmCfg = graft.jobs.RestructureJobConfig(
+        inputRoot = warmWork.resolve("in").toString,
+        outputRoot = warmWork.resolve("out").toString,
+        dedup = true, timeBinFormat = "yyyyMMdd")
+      graft.jobs.Restructure.run(spark, warmCfg)
+      // second slice exercises the append path (merge-existing plan shapes)
+      writeBatchTo(warmWork, warmCounters, rows.slice(2000, 3000))
+      graft.jobs.Restructure.run(spark, warmCfg)
+      org.apache.commons.io.FileUtils.deleteDirectory(warmWork.toFile)
 
       // phase 1: cold write (empty output tree)
       val (rows1, rows2) = rows.splitAt((rows.length * 0.8).toInt)

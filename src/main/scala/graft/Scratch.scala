@@ -3,8 +3,9 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Throwaway profiling main (not part of the library): times a subset of
-  * SparkEntry queries with the same warm+measure protocol as Bench.
-  * Usage: runMain graft.Scratch q_minhash_pairs q_corpus_dedup
+  * SparkEntry queries with the same warm+measure protocol as Bench, or the
+  * restructure job repeatedly (`restructure` arg) to isolate first-run
+  * codegen/JIT cost from steady-state throughput.
   */
 object Scratch {
   def main(args: Array[String]): Unit = {
@@ -18,6 +19,7 @@ object Scratch {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (args.headOption.contains("restructure")) { profileRestructure(spark, sfDir); spark.stop(); return }
     val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
     names.foreach { name =>
       try SparkEntry.queries(name)(spark, sfDir).count()
@@ -30,5 +32,57 @@ object Scratch {
       println(f"QUERY $name%-22s ${(System.nanoTime() - t0) / 1e9}%8.3f s")
     }
     spark.stop()
+  }
+
+  private def profileRestructure(spark: SparkSession, sfDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val work = java.nio.file.Files.createTempDirectory("graft-scratch-rst")
+    val schemaJson =
+      """{"type":"record","name":"EventRecord","fields":[
+        |{"name":"key","type":{"type":"record","name":"K","fields":[
+        |  {"name":"projectId","type":["null","string"],"default":null},
+        |  {"name":"userId","type":"string"},{"name":"sourceId","type":"string"}]}},
+        |{"name":"value","type":{"type":"record","name":"V","fields":[
+        |  {"name":"time","type":"double"},{"name":"eventType","type":"string"},
+        |  {"name":"value","type":"double"}]}}]}""".stripMargin
+    val schema = new org.apache.avro.Schema.Parser().parse(schemaJson)
+    val rows = Tables.load(spark, sfDir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("ts").cast("double").as("tsec"))
+      .collect()
+    val writers = (0 until 16).map { p =>
+      val dir = work.resolve(s"in/events/partition=$p")
+      java.nio.file.Files.createDirectories(dir)
+      val w = new org.apache.avro.file.DataFileWriter[org.apache.avro.generic.GenericRecord](
+        new org.apache.avro.generic.GenericDatumWriter[org.apache.avro.generic.GenericRecord](schema))
+      w.create(schema, dir.resolve(f"events+$p+${0}%010d.avro").toFile)
+      w
+    }
+    rows.foreach { r =>
+      val p = (r.getLong(1) % 16).toInt
+      val k = new org.apache.avro.generic.GenericData.Record(schema.getField("key").schema)
+      k.put("projectId", "bench"); k.put("userId", s"u${r.getLong(1) % 64}"); k.put("sourceId", "s0")
+      val v = new org.apache.avro.generic.GenericData.Record(schema.getField("value").schema)
+      v.put("time", r.getDouble(4)); v.put("eventType", r.getString(2)); v.put("value", r.getDouble(3))
+      val rec = new org.apache.avro.generic.GenericData.Record(schema)
+      rec.put("key", k); rec.put("value", v)
+      writers(p).append(rec)
+    }
+    writers.foreach(_.close())
+    (1 to 3).foreach { i =>
+      val out = work.resolve(s"out$i")
+      val cfg = graft.jobs.RestructureJobConfig(
+        inputRoot = work.resolve("in").toString,
+        outputRoot = out.toString,
+        dedup = true, timeBinFormat = "yyyyMMdd")
+      graft.util.Timer.reset(); graft.util.Timer.enabled = true
+      val t0 = System.nanoTime()
+      val result = graft.jobs.Restructure.run(spark, cfg)
+      val sec = (System.nanoTime() - t0) / 1e9
+      graft.util.Timer.enabled = false
+      val n = result.processedTopics.map(_.records).sum
+      println(f"RUN $i: $n records ${sec}%8.3f s  ${n / sec}%10.0f rec/s")
+      println("  " + graft.util.Timer.toJson)
+    }
   }
 }
