@@ -20,18 +20,77 @@ object Scratch {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     if (args.headOption.contains("restructure")) { profileRestructure(spark, sfDir); spark.stop(); return }
+    if (args.headOption.contains("minhash")) { profileMinhash(spark, sfDir); spark.stop(); return }
     val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
     names.foreach { name =>
       try SparkEntry.queries(name)(spark, sfDir).count()
       catch { case e: Throwable => println(s"WARM FAIL $name: $e") }
     }
+    val clear = sys.env.get("SCRATCH_CLEAR_CACHE").contains("1")
+    val jobWall = new java.util.concurrent.atomic.AtomicLong()
+    val jobStartT = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+    val nJobs = new java.util.concurrent.atomic.AtomicInteger()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobStartT.put(js.jobId, System.nanoTime())
+      override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+        Option(jobStartT.remove(je.jobId)).foreach { t0 =>
+          val d = System.nanoTime() - t0
+          jobWall.addAndGet(d)
+          if (sys.env.get("SCRATCH_JOB_DETAIL").contains("1"))
+            println(f"    job ${je.jobId}%3d ${d / 1e9}%7.3f s")
+        }
+        nJobs.incrementAndGet()
+      }
+    })
     names.foreach { name =>
+      if (clear) spark.catalog.clearCache()
+      jobWall.set(0); nJobs.set(0)
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir).count()
       catch { case e: Throwable => println(s"FAIL $name: $e") }
-      println(f"QUERY $name%-22s ${(System.nanoTime() - t0) / 1e9}%8.3f s")
+      val wall = (System.nanoTime() - t0) / 1e9
+      println(f"QUERY $name%-22s $wall%8.3f s  jobs=${nJobs.get}%3d jobWall=${jobWall.get / 1e9}%7.3f driverGap=${wall - jobWall.get / 1e9}%7.3f")
     }
     spark.stop()
+  }
+
+  private def profileMinhash(spark: SparkSession, sfDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.operators.TextDedup
+    def time[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"STAGE $name%-30s ${(System.nanoTime() - t0) / 1e9}%8.3f s")
+      r
+    }
+    val docs = Tables.load(spark, sfDir, "documents")
+    docs.persist(); println("docs=" + docs.count())
+    (1 to 2).foreach { _ =>
+      TextDedup.minhashCandidatePairs(docs, "doc_id", "text", 3, 12, 6, 2).count()
+    }
+    time("full pipeline") {
+      TextDedup.minhashCandidatePairs(docs, "doc_id", "text", 3, 12, 6, 2).count()
+    }
+    time("explode shingles") {
+      docs.select(col("doc_id"), explode(TextDedup.shingles(col("text"), 3)).as("s")).count()
+    }
+    time("explode+3md5") {
+      docs.select(col("doc_id"), explode(TextDedup.shingles(col("text"), 3)).as("__sh"))
+        .select(col("doc_id") +: (0 until 3).map(s =>
+          md5(concat(lit(s"$s:"), col("__sh"))).as(s"__h$s")): _*).count()
+    }
+    time("signatures") {
+      TextDedup.minhashSignatures(docs, "doc_id", "text", 3, 12).count()
+    }
+    docs.unpersist()
+    val raw = Tables.load(spark, sfDir, "documents")
+    println("scan partitions=" + raw.rdd.getNumPartitions)
+    time("full pipeline unpersisted") {
+      TextDedup.minhashCandidatePairs(raw, "doc_id", "text", 3, 12, 6, 2).count()
+    }
+    time("full pipeline unpersisted 2") {
+      TextDedup.minhashCandidatePairs(raw, "doc_id", "text", 3, 12, 6, 2).count()
+    }
   }
 
   private def profileRestructure(spark: SparkSession, sfDir: String): Unit = {

@@ -243,7 +243,7 @@ object SparkEntry {
 
   /** n-gram Jaccard between adjacent doc pairs (exact set counts). */
   private def qNgramJaccard(implicit s: SparkSession, d: String): DataFrame = {
-    val docs = t("documents")
+    val docs = graft.operators.Scale.widen(t("documents"))
       .select(col("doc_id"), array_distinct(TextDedup.shingles(col("text"), 3)).as("ds"))
     val a = docs.select(col("doc_id").as("doc_a"), col("ds").as("dsa"))
     val b = docs.select(col("doc_id").as("doc_b"), col("ds").as("dsb"))
@@ -350,7 +350,7 @@ object SparkEntry {
     * count), top 50 with deterministic tie order.
     */
   private def qTokenFreq(implicit s: SparkSession, d: String): DataFrame =
-    t("documents")
+    graft.operators.Scale.widen(t("documents"))
       .select(explode(TextFunctions.words(col("text"))).as("token"))
       .groupBy(col("token"))
       .agg(count(lit(1)).as("freq"))

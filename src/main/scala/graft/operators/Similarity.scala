@@ -44,7 +44,7 @@ object Similarity {
     // sim = dot/(sqrt(dot(q,q))·sqrt(dot(c,c))) either way)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
       sqrt(dot(col(vecCol), col(vecCol))).as("__qn"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+    val c = Scale.widen(corpus).select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
       sqrt(dot(col(vecCol), col(vecCol))).as("__cn"))
     val scored = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
       .withColumn("__sim", dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
@@ -62,7 +62,7 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     GraftExpressions.register(vectors.sparkSession)
     val c = centroids.select(col(idCol).as("__cent_id"), col(vecCol).as("__cent_v"))
-    val scored = vectors.join(broadcast(c))
+    val scored = Scale.widen(vectors).join(broadcast(c))
       .withColumn("__dist", l2sq(col(vecCol), col("__cent_v")))
     val w = Window.partitionBy(col(idCol)).orderBy(col("__dist").asc, col("__cent_id").asc)
     scored.withColumn("__rn", row_number().over(w))

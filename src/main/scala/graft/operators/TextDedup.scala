@@ -66,7 +66,7 @@ object TextDedup {
     // one salted md5 yields FOUR 32-bit (8-hex-char) minhash lanes — 3 md5
     // calls per shingle for k=12 instead of 12 (md5 dominates the stage)
     val nSalts = (k + 3) / 4
-    val hashed = df
+    val hashed = Scale.widen(df)
       .select(col(idCol), explode(shingles(col(textCol), shingleN)).as("__sh"))
       .select(col(idCol) +: (0 until nSalts).map(s =>
         md5(concat(lit(s"$s:"), col("__sh"))).as(s"__h$s")): _*)
@@ -125,7 +125,7 @@ object TextDedup {
     import graft.functions.{GraftExpressions, TextFunctions}
     GraftExpressions.register(df.sparkSession)
     val sh = GraftExpressions.simHash64(TextFunctions.words(col(textCol)))
-    val bands = df.select(col(idCol).as("__id"), sh.as("__sh"))
+    val bands = Scale.widen(df).select(col(idCol).as("__id"), sh.as("__sh"))
       .select(col("__id"), col("__sh"), posexplode(array((0 until 4).map(i =>
         shiftrightunsigned(col("__sh"), i * 16).bitwiseAND(lit(0xFFFFL))): _*))
         .as(Seq("__band_idx", "__band_val")))
@@ -175,7 +175,7 @@ object TextDedup {
     val candidates = minhashCandidatePairs(df, idCol, textCol, shingleN, k, bands, rowsPerBand)
     // the shingle-set table feeds BOTH sides of the verification join —
     // persist it or the words→shingles→distinct pipeline runs twice more
-    val sets = df.select(col(idCol).as("__sid"),
+    val sets = Scale.widen(df).select(col(idCol).as("__sid"),
       array_distinct(shingles(col(textCol), shingleN)).as("__sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val withSets = candidates
