@@ -128,6 +128,26 @@ object Scratch {
       writers(p).append(rec)
     }
     writers.foreach(_.close())
+    // stage decomposition on the warm JVM: decode, dedup agg, full commit
+    (1 to 2).foreach { _ =>
+      val cfg0 = graft.jobs.RestructureJobConfig(
+        inputRoot = work.resolve("in").toString,
+        outputRoot = java.nio.file.Files.createTempDirectory("graft-scr-warm").toString,
+        dedup = true, timeBinFormat = "yyyyMMdd")
+      graft.jobs.Restructure.run(spark, cfg0)
+    }
+    def time[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"STAGE $name%-30s ${(System.nanoTime() - t0) / 1e9}%8.3f s")
+      r
+    }
+    val files = (0 until 16).map(p => work.resolve(s"in/events/partition=$p").toFile.listFiles()(0).toString)
+    val adf = graft.sources.AvroRead.read(spark, files, None)
+    time("decode only")(adf.count())
+    time("decode only 2")(adf.count())
+    val persisted = adf.persist(); persisted.count()
+    time("decode from cache")(persisted.count())
+    persisted.unpersist()
     (1 to 3).foreach { i =>
       val out = work.resolve(s"out$i")
       val cfg = graft.jobs.RestructureJobConfig(

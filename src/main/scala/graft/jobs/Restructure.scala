@@ -69,7 +69,21 @@ object Restructure {
         val limited = cfg.maxFilesPerTopic.fold(candidates)(candidates.take)
         if (limited.isEmpty) None
         else {
-          val r = processTopic(spark, cfg, fs, topic, limited.map(_._1.getPath.toString), ledger)
+          // P10 record granularity: a partially-covered file (cleaner
+          // rollback, reference-ledger migration, crash between topic
+          // commits) re-extracts only its uncovered spans — covered
+          // positions are skipped inside the Avro scan, whole blocks
+          // without decoding
+          val skip: Map[String, Seq[(Long, Long)]] = limited.flatMap { case (st, r) =>
+            val cov = ledger.covered(r.topic, r.partition, r.from,
+              r.to.getOrElse(Long.MaxValue - 1),
+              Instant.ofEpochMilli(st.getModificationTime))
+            if (cov.isEmpty) None
+            else Some(st.getPath.getName ->
+              cov.map { case (f, t) => (f - r.from, t - r.from) })
+          }.toMap
+          val r = processTopic(spark, cfg, fs, topic,
+            limited.map(_._1.getPath.toString), ledger, skip)
           flushLedger()
           Some(r)
         }
@@ -98,21 +112,23 @@ object Restructure {
 
   private def processTopic(
       spark: SparkSession, cfg: RestructureJobConfig, fs: FileSystem,
-      topic: String, files: Seq[String], ledger: OffsetRangeSet): TopicResult = {
+      topic: String, files: Seq[String], ledger: OffsetRangeSet,
+      skip: Map[String, Seq[(Long, Long)]] = Map.empty): TopicResult = {
     val avroSchema = Timer.time("read")(AvroRead.topicReaderSchema(spark, files))
     // persist the decoded batch: the job reads it 3× (target-path listing,
     // open-ended offset counts, the bin write itself) and Avro decode is the
     // expensive step; the batch is bounded by maxFilesPerTopic
-    val df = AvroRead.read(spark, files, Some(avroSchema))
+    val df = AvroRead.read(spark, files, Some(avroSchema), skip)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try processTopicImpl(spark, cfg, fs, topic, files, ledger, avroSchema, df)
+    try processTopicImpl(spark, cfg, fs, topic, files, ledger, avroSchema, df, skip)
     finally df.unpersist(false)
   }
 
   private def processTopicImpl(
       spark: SparkSession, cfg: RestructureJobConfig, fs: FileSystem,
       topic: String, files: Seq[String], ledger: OffsetRangeSet,
-      avroSchema: org.apache.avro.Schema, df: DataFrame): TopicResult = {
+      avroSchema: org.apache.avro.Schema, df: DataFrame,
+      skip: Map[String, Seq[(Long, Long)]]): TopicResult = {
     val tCfg = cfg.topicConfig(topic)
     val dataSchema = StructType(df.schema.fields.filterNot(f =>
       f.name == AvroRead.FileCol || f.name == AvroRead.PosCol))
@@ -167,12 +183,20 @@ object Restructure {
         .groupBy(col(AvroRead.FileCol)).count().collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
     val processedAt = Instant.now()
+    // skipped positions still count toward a file's total record count (the
+    // open-ended end offset), but not toward records extracted this run
+    val skippedPerFile: Map[String, Long] =
+      skip.map { case (n, rs) => n -> rs.map { case (s, e) => e - s + 1 }.sum }
     Timer.time("accounting.add")(parsed.foreach { case (name, r) =>
-      val to = r.to.getOrElse(r.from + counts.getOrElse(name, 1L) - 1)
+      val to = r.to.getOrElse {
+        val total = counts.getOrElse(name, 0L) + skippedPerFile.getOrElse(name, 0L)
+        r.from + math.max(total, 1L) - 1
+      }
       ledger.add(r.topic, r.partition, r.from, to, processedAt)
     })
     val records = parsed.map { case (name, r) =>
-      r.to.map(_ - r.from + 1).getOrElse(counts.getOrElse(name, 1L))
+      val sk = skippedPerFile.getOrElse(name, 0L)
+      r.to.map(t => t - r.from + 1 - sk).getOrElse(counts.getOrElse(name, 1L - math.min(sk, 1L)))
     }.sum
     TopicResult(topic, files, records, written)
   }

@@ -80,6 +80,24 @@ final class OffsetIntervals {
   def contains(offset: Long, lastModified: Instant): Boolean =
     contains(offset, offset, lastModified)
 
+  /** Sub-ranges of `[from,to]` already covered by intervals whose
+    * `lastProcessed >= lastModified` — the record-granular form of
+    * [[contains]] (reference: the per-record seen-offset filter,
+    * worker/RestructureWorker.kt:137-149). Clamped to `[from,to]`, sorted,
+    * non-overlapping. A partially-covered file re-extracts ONLY the
+    * uncovered spans (cleaner rollback, reference-ledger migration).
+    */
+  def covered(from: Long, to: Long, lastModified: Instant): Seq[(Long, Long)] = {
+    val out = ArrayBuffer.empty[(Long, Long)]
+    var i = math.max(searchFrom(from), 0)
+    while (i < froms.length && froms(i) <= to) {
+      if (tos(i) >= from && !lastProcessed(i).isBefore(lastModified))
+        out += ((math.max(froms(i), from), math.min(tos(i), to)))
+      i += 1
+    }
+    out.toSeq
+  }
+
   def remove(from: Long, to: Long): Unit = {
     var i = searchFrom(to)
     while (i >= 0 && tos(i) >= from) {

@@ -27,6 +27,13 @@ final class OffsetRangeSet {
   def remove(topic: String, partition: Int, from: Long, to: Long): Unit =
     synchronized { map.get((topic, partition)).foreach(_.remove(from, to)) }
 
+  def covered(topic: String, partition: Int, from: Long, to: Long,
+      lastModified: Instant): Seq[(Long, Long)] =
+    synchronized {
+      map.get((topic, partition)).fold(Seq.empty[(Long, Long)])(
+        _.covered(from, to, lastModified))
+    }
+
   def topicPartitions: Seq[(String, Int)] = synchronized { map.keys.toSeq.sortBy(identity) }
 
   def toJson: String = synchronized {

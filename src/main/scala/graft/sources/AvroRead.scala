@@ -165,12 +165,15 @@ object AvroRead {
     * propagated to tasks.
     */
   def read(spark: SparkSession, files: Seq[String],
-      readerSchema: Option[Schema] = None): DataFrame = {
+      readerSchema: Option[Schema] = None,
+      skipPositions: Map[String, Seq[(Long, Long)]] = Map.empty): DataFrame = {
     require(files.nonEmpty, "no avro files to read")
     val schema = readerSchema.getOrElse(topicReaderSchema(spark, files))
-    spark.read.format("graft-avro")
+    val rd = spark.read.format("graft-avro")
       .option("files", files.mkString("\n"))
       .option("readerSchema", schema.toString)
+    (if (skipPositions.isEmpty) rd
+     else rd.option("skipPositions", v2.GraftAvroSource.encodeSkip(skipPositions)))
       .load()
   }
 }

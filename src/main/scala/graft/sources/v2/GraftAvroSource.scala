@@ -52,9 +52,31 @@ class GraftAvroSource extends TableProvider
     new GraftAvroTable(schema, new CaseInsensitiveStringMap(properties))
 }
 
-private[v2] object GraftAvroSource {
+private[graft] object GraftAvroSource {
   val FilesOption = "files"
   val SchemaOption = "readerschema"
+  val SkipOption = "skippositions"
+
+  /** `basename \t start-end[,start-end…]` per line — record POSITIONS
+    * (0-based within the file, inclusive) the reader must not emit (P10 at
+    * record granularity). Ranges must be sorted and non-overlapping (the
+    * ledger's `covered` produces exactly that).
+    */
+  def encodeSkip(skip: Map[String, Seq[(Long, Long)]]): String =
+    skip.iterator.map { case (name, rs) =>
+      name + "\t" + rs.map { case (s, e) => s"$s-$e" }.mkString(",")
+    }.mkString("\n")
+
+  def decodeSkip(encoded: String): Map[String, Array[(Long, Long)]] =
+    if (encoded == null || encoded.isEmpty) Map.empty
+    else encoded.split('\n').iterator.filter(_.nonEmpty).map { line =>
+      val tab = line.indexOf('\t')
+      val ranges = line.substring(tab + 1).split(',').map { r =>
+        val dash = r.indexOf('-')
+        (r.substring(0, dash).toLong, r.substring(dash + 1).toLong)
+      }
+      line.substring(0, tab) -> ranges
+    }.toMap
 
   def readerSchema(options: CaseInsensitiveStringMap): Schema = {
     val json = options.get(SchemaOption)
@@ -131,7 +153,8 @@ private[v2] class GraftAvroScan(required: StructType, options: CaseInsensitiveSt
     GraftAvroReaderFactory(
       GraftAvroSource.readerSchema(options).toString,
       required.json,
-      GraftAvroSource.confEntries(conf))
+      GraftAvroSource.confEntries(conf),
+      Option(options.get(GraftAvroSource.SkipOption)).getOrElse(""))
   }
 }
 
@@ -139,19 +162,25 @@ private[v2] final case class GraftAvroPartition(files: Seq[String]) extends Inpu
 
 private[v2] final case class GraftAvroReaderFactory(
     readerSchemaJson: String, requiredJson: String,
-    confEntries: Map[String, String]) extends PartitionReaderFactory {
+    confEntries: Map[String, String], skipEncoded: String) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new GraftAvroPartitionReader(
       partition.asInstanceOf[GraftAvroPartition].files,
-      readerSchemaJson, requiredJson, confEntries)
+      readerSchemaJson, requiredJson, confEntries, skipEncoded)
 }
 
 /** Streams the partition's files through one Avro reader at a time,
-  * decoding ONLY the required fields into Catalyst values.
+  * decoding ONLY the required fields into Catalyst values. Positions listed
+  * in the skip map are not emitted: a skip range that spans a whole Avro
+  * block skips the block WITHOUT decoding it (`nextBlock`), so incremental
+  * re-reads of a partially-extracted file cost block-header I/O, not
+  * decode CPU; partial blocks fall back to decode-and-discard into a
+  * reused record (no per-skip allocation). Emitted `__pos` values are the
+  * original file positions either way.
   */
 private[v2] class GraftAvroPartitionReader(
     files: Seq[String], readerSchemaJson: String, requiredJson: String,
-    confEntries: Map[String, String]) extends PartitionReader[InternalRow] {
+    confEntries: Map[String, String], skipEncoded: String) extends PartitionReader[InternalRow] {
 
   private val readerSchema = new Schema.Parser().parse(readerSchemaJson)
   private val required = DataType.fromJson(requiredJson).asInstanceOf[StructType]
@@ -178,11 +207,20 @@ private[v2] class GraftAvroPartitionReader(
   private val posSlot = required.fieldNames.indexOf(AvroRead.PosCol)
   private val width = required.fields.length
 
+  private val skipMap = GraftAvroSource.decodeSkip(skipEncoded)
+
   private var fileIdx = -1
   private var reader: DataFileReader[GenericRecord] = _
   private var fname: UTF8String = _
   private var pos = 0L
   private var current: InternalRow = _
+  private var skipRanges: Array[(Long, Long)] = Array.empty
+  private var skipIdx = 0
+  // block accounting for decode-free whole-block skip: refreshed whenever
+  // the previous block is exhausted (hasNext() loads the next header)
+  private var blockTotal = -1L
+  private var consumedInBlock = 0L
+  private var reuse: GenericRecord = _
 
   private def openNext(): Boolean = {
     if (reader != null) { reader.close(); reader = null }
@@ -193,28 +231,59 @@ private[v2] class GraftAvroPartitionReader(
     reader = DataFileReader.openReader(in,
       new GenericDatumReader[GenericRecord](null, readerSchema))
       .asInstanceOf[DataFileReader[GenericRecord]]
-    fname = UTF8String.fromString(new org.apache.hadoop.fs.Path(path).getName)
+    val base = new org.apache.hadoop.fs.Path(path).getName
+    fname = UTF8String.fromString(base)
     pos = 0L
+    skipRanges = skipMap.getOrElse(base, Array.empty)
+    skipIdx = 0
+    blockTotal = -1L
+    consumedInBlock = 0L
     true
   }
 
   override def next(): Boolean = {
-    while (reader == null || !reader.hasNext) {
-      if (!openNext()) return false
+    while (true) {
+      while (reader == null || !reader.hasNext) {
+        if (!openNext()) return false
+      }
+      if (blockTotal < 0 || consumedInBlock == blockTotal) {
+        blockTotal = reader.getBlockCount // hasNext() has loaded the header
+        consumedInBlock = 0L
+      }
+      while (skipIdx < skipRanges.length && skipRanges(skipIdx)._2 < pos) skipIdx += 1
+      if (skipIdx < skipRanges.length && pos >= skipRanges(skipIdx)._1) {
+        // inside a skip range
+        if (consumedInBlock == 0L && blockTotal > 0L &&
+            pos + blockTotal - 1 <= skipRanges(skipIdx)._2) {
+          // whole block inside the range → skip without decoding
+          try {
+            reader.nextBlock()
+            pos += blockTotal
+            consumedInBlock = blockTotal
+          } catch { case _: IllegalStateException => // not at block start
+            reuse = reader.next(reuse); pos += 1; consumedInBlock += 1
+          }
+        } else {
+          reuse = reader.next(reuse); pos += 1; consumedInBlock += 1
+        }
+      } else {
+        val rec = reader.next()
+        consumedInBlock += 1
+        val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(width)
+        var i = 0
+        while (i < dataFields.length) {
+          val (avroPos, avroSchema, dt, out) = dataFields(i)
+          row.update(out, GraftAvroPartitionReader.convert(rec.get(avroPos), avroSchema, dt))
+          i += 1
+        }
+        if (wantFile) row.update(fileSlot, fname)
+        if (wantPos) row.update(posSlot, pos)
+        pos += 1
+        current = row
+        return true
+      }
     }
-    val rec = reader.next()
-    val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(width)
-    var i = 0
-    while (i < dataFields.length) {
-      val (avroPos, avroSchema, dt, out) = dataFields(i)
-      row.update(out, GraftAvroPartitionReader.convert(rec.get(avroPos), avroSchema, dt))
-      i += 1
-    }
-    if (wantFile) row.update(fileSlot, fname)
-    if (wantPos) row.update(posSlot, pos)
-    pos += 1
-    current = row
-    true
+    false // unreachable
   }
 
   override def get(): InternalRow = current
