@@ -357,6 +357,59 @@ object SparkEntry {
       .orderBy(col("freq").desc, col("token").asc)
       .limit(50)
 
+  /** Deterministic hash-based dataset mixing: per-source sampling rates
+    * applied via an md5 bucket of the document id (0-255), so the sample is
+    * reproducible across engines, partitionings and runs — the standard
+    * LLM-corpus weighting primitive (no rand(), no sampleBy seed
+    * dependence). src0 keeps 1/2, src1 keeps 1/4, the rest keep 1/8.
+    */
+  private def qSampleMix(implicit s: SparkSession, d: String): DataFrame = {
+    val bucket = conv(substring(md5(concat(lit("smp:"),
+      col("doc_id").cast(StringType))), 1, 2), 16, 10).cast(IntegerType)
+    val keepBelow = when(col("source") === "src0", lit(128))
+      .when(col("source") === "src1", lit(64))
+      .otherwise(lit(32))
+    t("documents")
+      .filter(bucket < keepBelow)
+      .select(col("doc_id"), col("source"), col("lang"),
+        length(col("text")).cast(LongType).as("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Eval-set contamination check: documents sharing any 3-gram shingle
+    * with the held-out set (doc_id ≡ 0 mod 100), with the overlap size.
+    * The eval shingle set is small by construction → broadcast side of the
+    * probe join; corpus side streams, no full shuffle.
+    */
+  private def qContamination(implicit s: SparkSession, d: String): DataFrame = {
+    val sh = graft.operators.Scale.widen(t("documents"))
+      .select(col("doc_id"),
+        explode(array_distinct(TextDedup.shingles(col("text"), 3))).as("sh"))
+    val evalSh = sh.filter(col("doc_id") % 100 === 0).select(col("sh")).distinct()
+    sh.filter(col("doc_id") % 100 =!= 0)
+      .join(broadcast(evalSh), "sh")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Near-dup retention policy: within each verified duplicate cluster keep
+    * the highest-quality document (score desc, id asc) instead of the
+    * minimum id — the usual "keep best, drop rest" corpus-dedup variant.
+    */
+  private def qDedupQuality(implicit s: SparkSession, d: String): DataFrame = {
+    val clusters = TextDedup.corpusClusters(t("documents"), "doc_id", "text")
+    val quality = t("documents")
+      .select(col("doc_id"), TextFunctions.qualityScoreBp(col("text")).as("score_bp"))
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(col("score_bp").desc, col("doc_id").asc)
+    clusters.join(quality, "doc_id")
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("cluster").cast(LongType).as("cluster"), col("doc_id"), col("score_bp"))
+      .orderBy(col("cluster"))
+  }
+
   /** Document-length histogram (50-char buckets). */
   private def qDocHistogram(implicit s: SparkSession, d: String): DataFrame =
     t("documents")
@@ -423,6 +476,9 @@ object SparkEntry {
     "q_embedding_neardup" -> mk(qEmbeddingNeardup(_, _)),
     "q_dedup_cluster"    -> mk(qDedupCluster(_, _)),
     "q_multimodal_meta"  -> mk(qMultimodalMeta(_, _)),
+    "q_sample_mix"       -> mk(qSampleMix(_, _)),
+    "q_contamination"    -> mk(qContamination(_, _)),
+    "q_dedup_quality"    -> mk(qDedupQuality(_, _)),
     "q_token_freq"       -> mk(qTokenFreq(_, _)),
     "q_doc_histogram"    -> mk(qDocHistogram(_, _)),
     "q_media_features"   -> mk(qMediaFeatures(_, _)))
@@ -670,7 +726,53 @@ object SparkEntry {
            |SELECT doc_id, CAST(blen AS INTEGER) AS byte_len,
            |  CAST(blen // 256 AS INTEGER) AS n_frames,
            |  CASE WHEN blen = 0 THEN 0.0 ELSE CAST(bsum AS DOUBLE) / blen END AS brightness
-           |FROM b ORDER BY doc_id""".stripMargin)
+           |FROM b ORDER BY doc_id""".stripMargin,
+      "q_sample_mix" ->
+        """SELECT doc_id, source, lang, CAST(length(text) AS BIGINT) AS n_chars
+          |FROM documents
+          |WHERE CAST('0x' || substring(md5('smp:' || CAST(doc_id AS VARCHAR)), 1, 2) AS INTEGER)
+          |  < (CASE WHEN source = 'src0' THEN 128 WHEN source = 'src1' THEN 64 ELSE 32 END)
+          |ORDER BY doc_id""".stripMargin,
+      "q_contamination" ->
+        s"""WITH ${Frag.wordsCte},
+           |${Frag.shinglesCte},
+           |ds AS (SELECT doc_id, unnest(list_distinct(sh)) AS s FROM sh),
+           |ev AS (SELECT DISTINCT s FROM ds WHERE doc_id % 100 = 0)
+           |SELECT ds.doc_id, count(*) AS n_shared
+           |FROM ds JOIN ev USING (s)
+           |WHERE ds.doc_id % 100 != 0
+           |GROUP BY ds.doc_id ORDER BY ds.doc_id""".stripMargin,
+      "q_dedup_quality" ->
+        s"""WITH RECURSIVE ${Frag.wordsCte},
+           |${Frag.shinglesCte},
+           |dd AS (SELECT doc_id, list_distinct(sh) AS ds FROM sh),
+           |sig AS (SELECT doc_id, $sigList AS sig FROM sh),
+           |bands AS (SELECT doc_id, j, md5(array_to_string(sig[j*2+1:j*2+2], ',')) AS bh
+           |  FROM sig CROSS JOIN generate_series(0, 5) AS tt(j)),
+           |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM bands a JOIN bands b ON a.j = b.j AND a.bh = b.bh AND a.doc_id < b.doc_id),
+           |ver AS (SELECT doc_a, doc_b FROM cand
+           |  JOIN dd da ON da.doc_id = cand.doc_a
+           |  JOIN dd db ON db.doc_id = cand.doc_b
+           |  WHERE 2 * len(list_intersect(da.ds, db.ds)) >=
+           |    (len(da.ds) + len(db.ds) - len(list_intersect(da.ds, db.ds)))),
+           |ed AS (SELECT doc_a AS src, doc_b AS dst FROM ver
+           |  UNION ALL SELECT doc_b, doc_a FROM ver),
+           |reach AS (
+           |  SELECT doc_id AS id, doc_id AS rep FROM documents
+           |  UNION
+           |  SELECT ed.src, reach.rep FROM ed JOIN reach ON ed.dst = reach.id),
+           |cl AS (SELECT id, min(rep) AS cluster FROM reach GROUP BY id),
+           |qs AS (SELECT doc_id, CAST(floor((
+           |  0.4 * (CASE WHEN CAST(len(ws) AS DOUBLE) > 0 THEN CAST(len(list_filter(ws, x -> x IN ($stopwords))) AS DOUBLE) / CAST(len(ws) AS DOUBLE) ELSE 0.0 END)
+           |  + 0.3 * least(1.0, CAST(len(ws) AS DOUBLE) / 100.0)
+           |  + 0.3 * (1.0 - (CASE WHEN CAST(length(text) AS DOUBLE) > 0 THEN CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) ELSE 0.0 END))
+           |) * 10000) AS BIGINT) AS score_bp FROM w)
+           |SELECT cluster, doc_id, score_bp FROM (
+           |  SELECT cl.cluster, qs.doc_id, qs.score_bp,
+           |    row_number() OVER (PARTITION BY cl.cluster ORDER BY qs.score_bp DESC, qs.doc_id ASC) AS rn
+           |  FROM cl JOIN qs ON qs.doc_id = cl.id)
+           |WHERE rn = 1 ORDER BY cluster""".stripMargin)
   }
 
   def oracleSql: Map[String, String] = llmOracles ++ Map(

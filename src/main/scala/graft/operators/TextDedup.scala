@@ -171,6 +171,20 @@ object TextDedup {
   def dedupCorpus(
       df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, k: Int = 12, bands: Int = 6, rowsPerBand: Int = 2,
+      num: Int = 1, den: Int = 2): DataFrame =
+    corpusClusters(df, idCol, textCol, shingleN, k, bands, rowsPerBand, num, den)
+      .filter(col(idCol) === col("cluster")) // cluster representative survives
+      .select(col(idCol))
+
+  /** The duplicate-cluster mapping behind [[dedupCorpus]]: every document id
+    * with its connected-component representative (`cluster` = min reachable
+    * id over verified near-duplicate pairs; singletons map to themselves).
+    * Callers choose the retention policy — min-id ([[dedupCorpus]]),
+    * best-quality-per-cluster, longest-per-cluster, etc.
+    */
+  def corpusClusters(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, k: Int = 12, bands: Int = 6, rowsPerBand: Int = 2,
       num: Int = 1, den: Int = 2): DataFrame = {
     val candidates = minhashCandidatePairs(df, idCol, textCol, shingleN, k, bands, rowsPerBand)
     // the shingle-set table feeds BOTH sides of the verification join —
@@ -188,10 +202,8 @@ object TextDedup {
       .select(col("doc_a"), col("doc_b"))
     // connectedComponents materializes its mapping internally (checkpointed),
     // so the returned frame no longer depends on `sets` or `candidates`
-    try Similarity.connectedComponents(verified, df.select(col(idCol).as("vec_id")),
-        "doc_a", "doc_b", "vec_id")
-      .filter(col("vec_id") === col("cluster")) // cluster representative survives
-      .select(col("vec_id").as(idCol))
+    try Similarity.connectedComponents(verified, df.select(col(idCol).as(idCol)),
+        "doc_a", "doc_b", idCol)
     finally { sets.unpersist(false); candidates.unpersist(false) }
   }
 }
