@@ -410,6 +410,41 @@ object SparkEntry {
       .orderBy(col("cluster"))
   }
 
+  /** One k-means centroid-update step over the IVF assignment: per (cell,
+    * dimension) the scaled-integer coordinate sum and member count. Sums
+    * are exact BIGINTs (each float coordinate rounds to 1e6-scaled units
+    * BEFORE summing), so the reduction is associative — safe under any
+    * partial-aggregation order, unlike summing raw doubles. The division
+    * (sum/n = new centroid) is the caller's trivial step.
+    */
+  private def qKmeansStep(implicit s: SparkSession, d: String): DataFrame = {
+    val e = t("embeddings")
+    val centroids = e.filter(col("vec_id") < 16)
+    val assigned = Similarity.ivfAssign(e, centroids)
+    assigned
+      .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy(col("cell").cast(LongType).as("cell"), col("dim").cast(LongType).as("dim"))
+      .agg(sum(round(col("x").cast(DoubleType) * 1e6).cast(LongType)).as("sum_scaled"),
+        count(lit(1)).as("n"))
+      .orderBy(col("cell"), col("dim"))
+  }
+
+  /** Ranked retention: top-3 documents per source by quality score (score
+    * desc, id asc) — the per-group shortlist primitive. Partial evaluation
+    * note: the window shuffles once on `source`; group cardinality is the
+    * number of sources, so AQE coalesces the exchange at small scale while
+    * large corpora spread naturally.
+    */
+  private def qTopDocs(implicit s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("score_bp").desc, col("doc_id").asc)
+    t("documents")
+      .select(col("doc_id"), col("source"), TextFunctions.qualityScoreBp(col("text")).as("score_bp"))
+      .withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= 3)
+      .orderBy(col("source"), col("rnk"))
+  }
+
   /** Document-length histogram (50-char buckets). */
   private def qDocHistogram(implicit s: SparkSession, d: String): DataFrame =
     t("documents")
@@ -479,6 +514,8 @@ object SparkEntry {
     "q_sample_mix"       -> mk(qSampleMix(_, _)),
     "q_contamination"    -> mk(qContamination(_, _)),
     "q_dedup_quality"    -> mk(qDedupQuality(_, _)),
+    "q_kmeans_step"      -> mk(qKmeansStep(_, _)),
+    "q_top_docs"         -> mk(qTopDocs(_, _)),
     "q_token_freq"       -> mk(qTokenFreq(_, _)),
     "q_doc_histogram"    -> mk(qDocHistogram(_, _)),
     "q_media_features"   -> mk(qMediaFeatures(_, _)))
@@ -727,6 +764,32 @@ object SparkEntry {
            |  CAST(blen // 256 AS INTEGER) AS n_frames,
            |  CASE WHEN blen = 0 THEN 0.0 ELSE CAST(bsum AS DOUBLE) / blen END AS brightness
            |FROM b ORDER BY doc_id""".stripMargin,
+      "q_kmeans_step" ->
+        s"""WITH ${Frag.embCte},
+           |c AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 16),
+           |ad AS (SELECT e.vec_id, e.v, c.cent_id, ${Frag.l2sq("e.v", "c.cv")} AS dist FROM e CROSS JOIN c),
+           |cl AS (SELECT vec_id, v, cent_id AS cell FROM
+           |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cent_id ASC) AS rn FROM ad)
+           |  WHERE rn = 1),
+           |dims AS (SELECT cell,
+           |  unnest(list_transform(range(0, len(v)), i ->
+           |    {'dim': i, 'xs': CAST(round(v[i+1] * 1e6) AS BIGINT)})) AS u
+           |  FROM cl)
+           |SELECT CAST(cell AS BIGINT) AS cell, CAST(u.dim AS BIGINT) AS dim,
+           |  sum(u.xs) AS sum_scaled, count(*) AS n
+           |FROM dims GROUP BY 1, 2 ORDER BY cell, dim""".stripMargin,
+      "q_top_docs" ->
+        s"""WITH ${Frag.wordsCte},
+           |qs AS (SELECT doc_id, lang, CAST(floor((
+           |  0.4 * (CASE WHEN CAST(len(ws) AS DOUBLE) > 0 THEN CAST(len(list_filter(ws, x -> x IN ($stopwords))) AS DOUBLE) / CAST(len(ws) AS DOUBLE) ELSE 0.0 END)
+           |  + 0.3 * least(1.0, CAST(len(ws) AS DOUBLE) / 100.0)
+           |  + 0.3 * (1.0 - (CASE WHEN CAST(length(text) AS DOUBLE) > 0 THEN CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) ELSE 0.0 END))
+           |) * 10000) AS BIGINT) AS score_bp FROM w),
+           |j AS (SELECT d.doc_id, d.source, qs.score_bp,
+           |  CAST(row_number() OVER (PARTITION BY d.source ORDER BY qs.score_bp DESC, d.doc_id ASC) AS BIGINT) AS rnk
+           |  FROM documents d JOIN qs ON qs.doc_id = d.doc_id)
+           |SELECT doc_id, source, score_bp, rnk FROM j WHERE rnk <= 3
+           |ORDER BY source, rnk""".stripMargin,
       "q_sample_mix" ->
         """SELECT doc_id, source, lang, CAST(length(text) AS BIGINT) AS n_chars
           |FROM documents
