@@ -87,4 +87,22 @@ class PlanSpec extends SparkSpec {
       s"partial max_by missing before the shuffle:\n$plan")
     assert(!plan.contains("Window ("), "dedup should not need a Window")
   }
+
+  test("q_contamination: eval shingle set is the broadcast side of the probe join") {
+    val plan = formatted("q_contamination")
+    assert(plan.contains("BroadcastHashJoin"), s"probe join not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), "contamination probe fell back to a shuffle join")
+  }
+
+  test("q_kmeans_step: partial aggregation before the (cell, dim) shuffle") {
+    val plan = formatted("q_kmeans_step")
+    assert(plan.contains("partial_sum"), "map-side combine missing for centroid sums")
+  }
+
+  test("q_sample_mix: scan reads only the projected columns") {
+    val plan = formatted("q_sample_mix")
+    val readSchema = plan.linesIterator.find(_.trim.startsWith("ReadSchema")).get
+    assert(!readSchema.contains("n_chars:"),
+      s"scan reads unused stored n_chars column: $readSchema")
+  }
 }
