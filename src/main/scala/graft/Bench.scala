@@ -49,6 +49,12 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // drop every block the query phase left behind (SQL caches AND the
+    // connected-components localCheckpoint RDDs, which survive clearCache)
+    // so the restructure phases measure with a clean storage pool
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    System.gc()
     val restructureJson = benchRestructure(spark, sfDir)
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","restructure":$restructureJson}""")
     spark.stop()

@@ -44,15 +44,28 @@ private[jobs] object BinWriter {
       }
     }
 
-  /** Stream one task's `(relPath, line)` rows — sorted by path — into
-    * exactly one file per distinct path. Returns the written relative
-    * paths. A failing task deletes its in-flight temp so retries start
-    * clean; already-committed bins are idempotently re-replaced on retry.
+  /** No in-writer dedup (0), keep-FIRST by key — A2, streaming, state =
+    * seen-key set (1) — or keep-LAST by key — A1, buffers one bin's
+    * surviving lines in last-occurrence order, exactly the reference's
+    * per-file `lineMap[hash]=idx` algorithm and memory shape
+    * (format/CsvAvroConverterFactory.kt:30-86) (2). Running dedup inside
+    * the writer saves the pre-shuffle aggregation pass: one full-data
+    * shuffle instead of two.
+    */
+  final val DedupOff = 0
+  final val DedupKeepFirst = 1
+  final val DedupKeepLast = 2
+
+  /** Stream one task's `(relPath, dedupKey, line)` rows — sorted by path,
+    * within a path by extraction order — into exactly one file per distinct
+    * path. Returns the written relative paths. A failing task deletes its
+    * in-flight temp so retries start clean; already-committed bins are
+    * idempotently re-replaced on retry.
     */
   def writePartition(
-      it: Iterator[(String, String)], outputRoot: String,
+      it: Iterator[(String, String, String)], outputRoot: String,
       confEntries: Map[String, String], header: Option[String],
-      gzip: Boolean, zip: Boolean): Iterator[String] = {
+      gzip: Boolean, zip: Boolean, dedup: Int = DedupOff): Iterator[String] = {
     if (!it.hasNext) return Iterator.empty
     val conf = new Configuration()
     confEntries.foreach { case (k, v) => conf.set(k, v) }
@@ -64,8 +77,19 @@ private[jobs] object BinWriter {
     var tmp: HPath = null
     var target: HPath = null
     var out: java.io.BufferedWriter = null
+    // keep-first: keys already written to the current bin (stream, O(keys));
+    // keep-last: surviving line per key in last-occurrence order (remove +
+    // re-insert on duplicate = the reference's surviving-index order)
+    val seen = new java.util.HashSet[String]()
+    val lastMap = new java.util.LinkedHashMap[String, String]()
 
     def close(): Unit = if (out != null) {
+      if (dedup == DedupKeepLast) {
+        val it2 = lastMap.values.iterator()
+        while (it2.hasNext) { out.write(it2.next()); out.write('\n') }
+        lastMap.clear()
+      }
+      seen.clear()
       out.close() // cascades: flush chars → finish gzip/zip → close stream
       renameOver(fs, conf, tmp, target)
       written += current
@@ -92,10 +116,18 @@ private[jobs] object BinWriter {
     }
 
     try {
-      it.foreach { case (rel, line) =>
+      it.foreach { case (rel, key, line) =>
         if (rel != current) { close(); current = rel; open(rel) }
-        out.write(line)
-        out.write('\n')
+        dedup match {
+          case DedupKeepLast =>
+            lastMap.remove(key)
+            lastMap.put(key, line)
+          case DedupKeepFirst =>
+            if (seen.add(key)) { out.write(line); out.write('\n') }
+          case _ =>
+            out.write(line)
+            out.write('\n')
+        }
       }
       close()
       written.iterator

@@ -228,30 +228,9 @@ object Restructure {
 
     val temps = scala.collection.mutable.ArrayBuffer.empty[HPath]
     val withExisting = mergeExistingBins(spark, cfg, fs, prepared, "csv", None, temps)
-    try commitBins(spark, cfg, fs, dedupCsv(cfg, topic, withExisting), "csv")
+    try commitBins(spark, cfg, fs, withExisting, "csv", topic)
     finally temps.foreach(t => fs.delete(t, false))
   }
-
-  /** A1 keep-last dedup on the configured key projection, per bin — shared
-    * by the static and dynamic CSV write paths (the reference deduplicates
-    * both identically, format/CsvAvroConverterFactory.kt:30-86).
-    */
-  private def dedupCsv(cfg: RestructureJobConfig, topic: String, df: DataFrame): DataFrame =
-    if (!cfg.dedupEnabled(topic)) df
-    else {
-      val dataNames = df.columns.toSeq
-        .filterNot(Seq("__path", AvroRead.FileCol, AvroRead.PosCol).contains)
-      val distinctFields = cfg.dedupDistinctFields(topic)
-      val ignoreFields = cfg.dedupIgnoreFields(topic)
-      val keys =
-        if (distinctFields.nonEmpty && distinctFields.subsetOf(dataNames.toSet))
-          dataNames.filter(distinctFields)
-        else if (ignoreFields.nonEmpty) dataNames.filterNot(ignoreFields)
-        else dataNames
-      val keyCols = col("__path") +: keys.map(n => col(s"`$n`"))
-      Dedup.keepLast(df, keyCols,
-        struct(col(AvroRead.FileCol), col(AvroRead.PosCol)))
-    }
 
   /** K2 append-to-existing: union the current contents of every bin this
     * batch touches (existing rows sort before any new file and participate
@@ -443,7 +422,7 @@ object Restructure {
       val prepared = withBase.join(broadcast(mapDf), "__base").drop("__base")
       val temps = scala.collection.mutable.ArrayBuffer.empty[HPath]
       try commitBins(spark, cfg, fs,
-        dedupCsv(cfg, topic, mergeExistingBins(spark, cfg, fs, prepared, "csv", None, temps)), "csv")
+        mergeExistingBins(spark, cfg, fs, prepared, "csv", None, temps), "csv", topic)
       finally temps.foreach(t => fs.delete(t, false))
     }.toSeq
   }
@@ -549,13 +528,9 @@ object Restructure {
       Seq("__path", AvroRead.FileCol, AvroRead.PosCol).contains(f.name)))
     val temps = scala.collection.mutable.ArrayBuffer.empty[HPath]
     val withExisting = mergeExistingBins(spark, cfg, fs, prepared, "json", Some(dataOnly), temps)
-    // A2 whole-record keep-first dedup
-    val deduped =
-      if (!cfg.dedupEnabled(topic)) withExisting
-      else Dedup.keepFirst(withExisting,
-        Seq(col("__path"), to_json(struct(dataCols: _*))),
-        struct(col(AvroRead.FileCol), col(AvroRead.PosCol)))
-    try commitBins(spark, cfg, fs, deduped, "json")
+    // A2 whole-record keep-first dedup happens inside the writer (commitBins
+    // keys each rendered record)
+    try commitBins(spark, cfg, fs, withExisting, "json", topic)
     finally temps.foreach(t => fs.delete(t, false))
   }
 
@@ -579,9 +554,25 @@ object Restructure {
     * pass, or driver-side zip repack. Renames parallelize across tasks, so
     * commit cost scales with executors instead of a driver pool.
     */
+  /** A1 CSV dedup key: md5 over the configured key projection's rendered
+    * values (null ≡ "", exactly the CSV rendering the reference hashes,
+    * format/CsvAvroConverterFactory.kt:30-86 + util/Md5Hasher.kt:6-21).
+    */
+  private def csvDedupKey(cfg: RestructureJobConfig, topic: String,
+      dataNames: Seq[String]): Column = {
+    val distinctFields = cfg.dedupDistinctFields(topic)
+    val ignoreFields = cfg.dedupIgnoreFields(topic)
+    val keys =
+      if (distinctFields.nonEmpty && distinctFields.subsetOf(dataNames.toSet))
+        dataNames.filter(distinctFields)
+      else if (ignoreFields.nonEmpty) dataNames.filterNot(ignoreFields)
+      else dataNames
+    md5(concat_ws("\u0001", keys.map(n => coalesce(col(s"`$n`"), lit(""))): _*))
+  }
+
   private def commitBins(
       spark: SparkSession, cfg: RestructureJobConfig, fs: FileSystem,
-      df: DataFrame, format: String): Seq[String] = {
+      df: DataFrame, format: String, topic: String): Seq[String] = {
     import spark.implicits._
     val dataCols = df.columns.toSeq
       .filterNot(Seq("__path", AvroRead.FileCol, AvroRead.PosCol).contains)
@@ -592,20 +583,33 @@ object Restructure {
       else concat_ws(",", dataCols.map(n => csvQuoteCol(col(s"`$n`"))): _*)
     val header = if (format == "json") None
                  else Some(dataCols.map(csvQuote).mkString(","))
+    // dedup runs INSIDE the writer on the already-sorted stream (A1
+    // keep-last buffers one bin's survivors — the reference's own per-file
+    // memory shape; A2 keep-first streams against a seen-set), so the
+    // pre-shuffle dedup aggregation pass and its full-data exchange are
+    // gone: rows shuffle exactly once, on the bin key
+    val dedupMode =
+      if (!cfg.dedupEnabled(topic)) BinWriter.DedupOff
+      else if (format == "json") BinWriter.DedupKeepFirst
+      else BinWriter.DedupKeepLast
+    val keyCol =
+      if (dedupMode == BinWriter.DedupOff) lit("")
+      else if (format == "json") md5(lineCol) // A2: whole rendered record
+      else csvDedupKey(cfg, topic, dataCols)
     // explicit width: with plain repartition(col), AQE coalesces this tiny
     // shuffle to one partition and a single task writes every bin file
     // serially — the file-create calls, not the rows, are the bottleneck
     val prepared = df
       .repartition(spark.sparkContext.defaultParallelism, col("__path"))
       .sortWithinPartitions(col("__path"), col(AvroRead.FileCol), col(AvroRead.PosCol))
-      .select(col("__path"), lineCol.as("__line"))
-      .as[(String, String)]
+      .select(col("__path"), keyCol.as("__key"), lineCol.as("__line"))
+      .as[(String, String, String)]
     val confEntries = AvroRead.fsConfEntries(spark)
     val outputRoot = cfg.outputRoot
     val gz = cfg.gzip
     val zip = cfg.zip
     val written = Timer.time("write.convert")(prepared.mapPartitions { it =>
-      BinWriter.writePartition(it, outputRoot, confEntries, header, gz, zip)
+      BinWriter.writePartition(it, outputRoot, confEntries, header, gz, zip, dedupMode)
     }.collect())
     written.toSeq.sorted
   }

@@ -10,9 +10,12 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class BinWriterSpec extends AnyFunSuite {
 
+  private def rows3(rs: (String, String)*): Iterator[(String, String, String)] =
+    rs.iterator.map { case (p, l) => (p, "", l) }
+
   test("writePartition: one exactly-named file per path, header once, rows in order") {
     val root = Files.createTempDirectory("graft-bw").toString
-    val rows = Iterator(
+    val rows = rows3(
       ("a/one.csv", "r1"), ("a/one.csv", "r2"), ("b/two.csv", "r3"))
     val written = BinWriter.writePartition(
       rows, root, Map.empty, Some("h1,h2"), gzip = false, zip = false).toSeq
@@ -31,7 +34,7 @@ class BinWriterSpec extends AnyFunSuite {
     val root = Files.createTempDirectory("graft-bw2").toString
     Files.createDirectories(java.nio.file.Paths.get(root, "a"))
     Files.writeString(java.nio.file.Paths.get(root, "a/one.csv"), "old\n")
-    BinWriter.writePartition(Iterator(("a/one.csv", "new")), root, Map.empty,
+    BinWriter.writePartition(rows3(("a/one.csv", "new")), root, Map.empty,
       None, gzip = false, zip = false).toSeq
     assert(Files.readAllLines(java.nio.file.Paths.get(root, "a/one.csv")).asScala == Seq("new"))
   }
@@ -44,7 +47,7 @@ class BinWriterSpec extends AnyFunSuite {
 
   test("writePartition: zip bin is a single level-compressed entry") {
     val root = Files.createTempDirectory("graft-bw4").toString
-    BinWriter.writePartition(Iterator(("a/one.csv.zip", "x,y")), root, Map.empty,
+    BinWriter.writePartition(rows3(("a/one.csv.zip", "x,y")), root, Map.empty,
       Some("h"), gzip = false, zip = true).toSeq
     val zin = new java.util.zip.ZipInputStream(
       Files.newInputStream(java.nio.file.Paths.get(root, "a/one.csv.zip")))
@@ -54,5 +57,33 @@ class BinWriterSpec extends AnyFunSuite {
     assert(content == "h\nx,y\n")
     assert(zin.getNextEntry == null)
     zin.close()
+  }
+
+  test("keep-last dedup: later occurrence wins, output in last-occurrence order, per bin") {
+    val root = Files.createTempDirectory("graft-bw5").toString
+    val rows = Iterator(
+      ("a/one.csv", "k1", "v1-old"),
+      ("a/one.csv", "k2", "v2"),
+      ("a/one.csv", "k1", "v1-new"), // k1 re-occurs → moves after k2
+      ("b/two.csv", "k1", "other-bin"))
+    BinWriter.writePartition(rows, root, Map.empty, Some("h"),
+      gzip = false, zip = false, dedup = BinWriter.DedupKeepLast).toSeq
+    assert(Files.readAllLines(java.nio.file.Paths.get(root, "a/one.csv")).asScala ==
+      Seq("h", "v2", "v1-new"))
+    // dedup state is per bin: same key writes independently in another bin
+    assert(Files.readAllLines(java.nio.file.Paths.get(root, "b/two.csv")).asScala ==
+      Seq("h", "other-bin"))
+  }
+
+  test("keep-first dedup: first occurrence wins, streaming order") {
+    val root = Files.createTempDirectory("graft-bw6").toString
+    val rows = Iterator(
+      ("a/one.json", "k1", "first"),
+      ("a/one.json", "k2", "second"),
+      ("a/one.json", "k1", "dupe-dropped"))
+    BinWriter.writePartition(rows, root, Map.empty, None,
+      gzip = false, zip = false, dedup = BinWriter.DedupKeepFirst).toSeq
+    assert(Files.readAllLines(java.nio.file.Paths.get(root, "a/one.json")).asScala ==
+      Seq("first", "second"))
   }
 }
