@@ -445,6 +445,48 @@ object SparkEntry {
       .orderBy(col("source"), col("rnk"))
   }
 
+  /** Sequence packing for LLM training: documents concatenated in id order
+    * and chunked into 2048-token context windows — each document's sequence
+    * id is the window its first token lands in (concat-then-chunk packing).
+    *
+    * The corpus-wide prefix sum is computed DISTRIBUTED, two-level: a
+    * running sum within each id bucket (window partitioned by bucket — no
+    * single-task global sort) plus broadcast bucket offsets (the global
+    * window runs only over the tiny bucket-totals table). Identical values
+    * to a naive `ORDER BY doc_id` running total, but every full-data stage
+    * is partitioned.
+    */
+  private def qSeqPack(implicit s: SparkSession, d: String): DataFrame = {
+    val docs = t("documents")
+      .select(col("doc_id"), TextFunctions.tokenCount(col("text")).cast(LongType).as("n_tokens"))
+      .withColumn("__b", floor(col("doc_id") / 1000))
+    val wIn = Window.partitionBy(col("__b")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wOff = Window.orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1) // buckets table: |corpus|/1000 rows
+    val offsets = docs.groupBy(col("__b")).agg(sum(col("n_tokens")).as("__bsum"))
+      .withColumn("__off", coalesce(sum(col("__bsum")).over(wOff), lit(0L)))
+      .select(col("__b"), col("__off"))
+    docs.withColumn("__cum_in", sum(col("n_tokens")).over(wIn))
+      .join(broadcast(offsets), "__b")
+      .withColumn("cum_tokens", col("__off") + col("__cum_in"))
+      .withColumn("seq_id", floor((col("cum_tokens") - col("n_tokens")) / lit(2048)).cast(LongType))
+      .select(col("doc_id"), col("n_tokens"), col("cum_tokens"), col("seq_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Document frequency per token (stopword discovery / IDF numerator):
+    * distinct (doc, token) explode → count per token. Kept exact — raw
+    * df counts, no float idf — so ranking is engine-independent.
+    */
+  private def qDocFreq(implicit s: SparkSession, d: String): DataFrame =
+    graft.operators.Scale.widen(t("documents"))
+      .select(col("doc_id"), explode(array_distinct(TextFunctions.words(col("text")))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 50)
+      .orderBy(col("df").desc, col("token").asc)
+
   /** Document-length histogram (50-char buckets). */
   private def qDocHistogram(implicit s: SparkSession, d: String): DataFrame =
     t("documents")
@@ -516,6 +558,8 @@ object SparkEntry {
     "q_dedup_quality"    -> mk(qDedupQuality(_, _)),
     "q_kmeans_step"      -> mk(qKmeansStep(_, _)),
     "q_top_docs"         -> mk(qTopDocs(_, _)),
+    "q_seq_pack"         -> mk(qSeqPack(_, _)),
+    "q_doc_freq"         -> mk(qDocFreq(_, _)),
     "q_token_freq"       -> mk(qTokenFreq(_, _)),
     "q_doc_histogram"    -> mk(qDocHistogram(_, _)),
     "q_media_features"   -> mk(qMediaFeatures(_, _)))
@@ -790,6 +834,19 @@ object SparkEntry {
            |  FROM documents d JOIN qs ON qs.doc_id = d.doc_id)
            |SELECT doc_id, source, score_bp, rnk FROM j WHERE rnk <= 3
            |ORDER BY source, rnk""".stripMargin,
+      "q_seq_pack" ->
+        s"""WITH ${Frag.wordsCte},
+           |tc AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens FROM w)
+           |SELECT doc_id, n_tokens,
+           |  sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens,
+           |  CAST(floor((sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) / 2048.0) AS BIGINT) AS seq_id
+           |FROM tc ORDER BY doc_id""".stripMargin,
+      "q_doc_freq" ->
+        s"""WITH ${Frag.wordsCte}
+           |SELECT token, count(*) AS df
+           |FROM (SELECT doc_id, unnest(list_distinct(ws)) AS token FROM w)
+           |GROUP BY token HAVING count(*) >= 50
+           |ORDER BY df DESC, token ASC""".stripMargin,
       "q_sample_mix" ->
         """SELECT doc_id, source, lang, CAST(length(text) AS BIGINT) AS n_chars
           |FROM documents
