@@ -10,7 +10,6 @@ import org.apache.spark.sql.types._
 import graft.ledger.OffsetRangeSet
 import graft.util.Timer
 import graft.model.Flatten
-import graft.operators.Dedup
 import graft.paths.PathTemplate
 import graft.sources.{AvroRead, TopicFiles}
 import graft.time.TimeExtract

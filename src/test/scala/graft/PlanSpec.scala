@@ -99,6 +99,15 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("partial_sum"), "map-side combine missing for centroid sums")
   }
 
+  test("q_seq_pack: bucket offsets broadcast; full-data window is bucket-partitioned") {
+    val plan = formatted("q_seq_pack")
+    assert(plan.contains("BroadcastHashJoin"), s"bucket offsets not broadcast:\n$plan")
+    // the full-data running sum must be partitioned by the bucket column —
+    // an empty partition spec there would funnel the corpus through one task
+    val windows = plan.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(windows.exists(_.contains("__b")), s"no bucket-partitioned window:\n$windows")
+  }
+
   test("q_sample_mix: scan reads only the projected columns") {
     val plan = formatted("q_sample_mix")
     val readSchema = plan.linesIterator.find(_.trim.startsWith("ReadSchema")).get
