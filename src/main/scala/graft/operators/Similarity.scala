@@ -146,7 +146,28 @@ object Similarity {
       cnt = stars.count()
     }
     val mapping: DataFrame =
-      if (cnt <= maxLocalEdges)
+      if (cnt <= 100000L) {
+        // small contracted graph: the mapping would be broadcast (= pulled
+        // to the driver) anyway, so finish the union-find driver-side
+        // directly from the collected stars — saves the coalesce(1)
+        // contraction job, its checkpoint, and the broadcast build
+        val local = stars.collect()
+        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+        def find(x0: Long): Long = {
+          var x = x0
+          var p = parent.getOrElse(x, x)
+          while (p != x) { x = p; p = parent.getOrElse(x, x) }
+          var y = x0
+          while (parent.getOrElse(y, y) != x) { val n = parent(y); parent(y) = x; y = n }
+          x
+        }
+        local.foreach { case (a, b) =>
+          val ra = find(a); val rb = find(b)
+          if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+        }
+        val ids = local.iterator.flatMap(e => Iterator(e._1, e._2)).toArray.distinct
+        spark.createDataFrame(ids.toSeq.map(v => (v, find(v)))).toDF("__id", "__rep")
+      } else if (cnt <= maxLocalEdges)
         contractPartitions(stars.coalesce(1)).toDF("__id", "__rep")
           .localCheckpoint(true)
       else // vertex set alone exceeds the bound: distributed fixpoint on the
