@@ -95,6 +95,10 @@ object ConfigLoader {
       ignoreFields = strSet(root, "format", "deduplication", "ignoreFields"),
       excludeFields = strSet(root, "format", "excludeFields"),
       topics = topics,
+      // reference: redis-backed per-topic locks; here a lock DIRECTORY on
+      // the target FS (semantics of RedisRemoteLockManager on atomic
+      // create-exclusive files)
+      lockDir = str(root, "worker", "lockDir"),
       maxFilesPerTopic = opt(root, "worker", "maxFilesPerTopic")
         .filter(n => n.isNumber).map(_.asInt()),
       minimumFileAgeMs = opt(root, "worker", "minimumFileAge")

@@ -1,0 +1,75 @@
+package graft.jobs
+
+import java.nio.charset.StandardCharsets
+import java.util.UUID
+
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+
+/** Per-topic advisory locks for multi-instance deployments — the semantics
+  * of the reference's Redis lock (`SET NX PX <ttl>` with a UUID owner,
+  * accounting/RedisRemoteLockManager.kt:18-44) on a filesystem: atomic
+  * create-exclusive lock file carrying `uuid\nexpiryMillis`; a lock whose
+  * expiry passed is stale and may be broken (24 h default TTL, matching the
+  * reference). Correct on filesystems with atomic create-no-overwrite
+  * (local, HDFS); on S3 the reference's own guidance applies — use an
+  * external lock service instead.
+  *
+  * Locks are advisory admission control between replicas, exactly as in the
+  * reference: the ledger remains the correctness mechanism; a broken lock
+  * can at worst duplicate work, never corrupt accounting.
+  */
+final class LockManager(fs: FileSystem, lockDir: String, ttlMillis: Long = 24L * 3600 * 1000) {
+
+  private val owner = UUID.randomUUID().toString
+  private val dir = new HPath(lockDir)
+
+  private def lockPath(name: String): HPath = new HPath(dir, s"$name.lock")
+
+  /** Try to acquire `name`; true iff this instance now holds it. */
+  def tryAcquire(name: String): Boolean = {
+    fs.mkdirs(dir)
+    val p = lockPath(name)
+    def createExclusive(): Boolean =
+      try {
+        val out = fs.create(p, false) // atomic create-no-overwrite
+        try out.write(s"$owner\n${System.currentTimeMillis() + ttlMillis}"
+          .getBytes(StandardCharsets.UTF_8))
+        finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    if (createExclusive()) return true
+    // existing lock: stale (past expiry) → break and retry once
+    readLock(p) match {
+      case Some((_, expiry)) if System.currentTimeMillis() > expiry =>
+        try fs.delete(p, false) catch { case _: java.io.IOException => }
+        createExclusive()
+      case None => createExclusive() // unreadable/vanished: retry once
+      case _ => false
+    }
+  }
+
+  /** Release `name` iff held by this instance. */
+  def release(name: String): Unit = {
+    val p = lockPath(name)
+    readLock(p) match {
+      case Some((o, _)) if o == owner =>
+        try fs.delete(p, false) catch { case _: java.io.IOException => }
+      case _ => () // not ours (expired + re-acquired elsewhere): leave it
+    }
+  }
+
+  /** Run `f` under the lock; None if the lock is held elsewhere. */
+  def withLock[T](name: String)(f: => T): Option[T] =
+    if (!tryAcquire(name)) None
+    else try Some(f) finally release(name)
+
+  private def readLock(p: HPath): Option[(String, Long)] =
+    try {
+      val in = fs.open(p)
+      try {
+        val bytes = in.readAllBytes()
+        val parts = new String(bytes, StandardCharsets.UTF_8).trim.split('\n')
+        if (parts.length >= 2) Some((parts(0), parts(1).toLong)) else None
+      } finally in.close()
+    } catch { case _: Exception => None }
+}

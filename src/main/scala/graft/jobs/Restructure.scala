@@ -51,7 +51,19 @@ object Restructure {
     def flushLedger(): Unit =
       Timer.time("accounting.flush")(flushLock.synchronized(saveLedger(fs, cfg.ledger, ledger)))
 
-    def processOne(topic: String, files: Seq[org.apache.hadoop.fs.FileStatus]): Option[TopicResult] = {
+    // multi-instance admission control (reference: per-topic Redis SET NX
+    // lock, RedisRemoteLockManager.kt:18-44): a topic locked by another
+    // replica is skipped this iteration; the ledger stays the correctness
+    // mechanism either way
+    val locks = cfg.lockDir.map(d => new LockManager(fs, d))
+
+    def processOne(topic: String, files: Seq[org.apache.hadoop.fs.FileStatus]): Option[TopicResult] =
+      locks match {
+        case Some(lm) => lm.withLock(topic)(processUnlocked(topic, files)).flatten
+        case None => processUnlocked(topic, files)
+      }
+
+    def processUnlocked(topic: String, files: Seq[org.apache.hadoop.fs.FileStatus]): Option[TopicResult] = {
       val tCfg = cfg.topicConfig(topic)
       if (tCfg.exclude) None
       else {

@@ -31,6 +31,7 @@ final case class RestructureJobConfig(
     excludeFields: Set[String] = Set.empty,   // format.excludeFields
     topics: Map[String, TopicJobConfig] = Map.empty,
     ledgerPath: Option[String] = None,        // default <outputRoot>/_ledger.json
+    lockDir: Option[String] = None,           // multi-instance per-topic locks
     maxFilesPerTopic: Option[Int] = None,
     minimumFileAgeMs: Long = 0L,
     timeBinFormat: String = "yyyyMMdd_HH00") {
