@@ -174,6 +174,27 @@ object SparkEntry {
       .orderBy(col("user_id"), col("from_offset"))
   }
 
+  /** Gap-based sessionization: per-user sessions split on >30 min event
+    * gaps — the windows are user-partitioned (no global sort) and the gap
+    * comparison is exact integer micros, so session boundaries are
+    * engine-independent.
+    */
+  private def qSessionize(implicit s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val prev = lag(col("us"), 1).over(w)
+    val brk = when(prev.isNull || col("us") - prev > 1800L * 1000000L, 1).otherwise(0)
+    t("events")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("__brk", brk)
+      .withColumn("session_id",
+        sum(col("__brk")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast(LongType))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("us")).as("start_us"), max(col("us")).as("end_us"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
   /** P3 union-branch resolution: runtime branch pick + single-column render
     * (CsvAvroDataConverter.kt:64-67) modeled as branch-tagged coalesce.
     */
@@ -560,6 +581,7 @@ object SparkEntry {
     "q_top_docs"         -> mk(qTopDocs(_, _)),
     "q_seq_pack"         -> mk(qSeqPack(_, _)),
     "q_doc_freq"         -> mk(qDocFreq(_, _)),
+    "q_sessionize"       -> mk(qSessionize(_, _)),
     "q_token_freq"       -> mk(qTokenFreq(_, _)),
     "q_doc_histogram"    -> mk(qDocHistogram(_, _)),
     "q_media_features"   -> mk(qMediaFeatures(_, _)))
@@ -834,6 +856,17 @@ object SparkEntry {
            |  FROM documents d JOIN qs ON qs.doc_id = d.doc_id)
            |SELECT doc_id, source, score_bp, rnk FROM j WHERE rnk <= 3
            |ORDER BY source, rnk""".stripMargin,
+      "q_sessionize" ->
+        """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+          |l AS (SELECT user_id, event_id, us,
+          |  lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev FROM e),
+          |b AS (SELECT user_id, event_id, us,
+          |  CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END AS brk FROM l),
+          |sess AS (SELECT user_id, us,
+          |  sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM b)
+          |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+          |  count(*) AS n_events, min(us) AS start_us, max(us) AS end_us
+          |FROM sess GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin,
       "q_seq_pack" ->
         s"""WITH ${Frag.wordsCte},
            |tc AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens FROM w)
