@@ -61,6 +61,32 @@ class SimilaritySpec extends SparkSpec {
     assert(got == Map("a" -> "a", "b" -> "a", "c" -> "a", "z" -> "z"))
   }
 
+  test("connectedComponents: random graphs match a brute-force union-find, on every path") {
+    val rnd = new scala.util.Random(42) // seeded — deterministic test
+    for (density <- Seq(0.5, 2.0, 6.0)) {
+      val n = 200
+      val m = (n * density).toInt
+      val edges = Seq.fill(m)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      // reference: driver union-find
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      // min-id per component (one more pass for full compression)
+      val expect = (0 until n).map(v => v.toLong -> find(v).toLong).toMap
+      val pairs = edges.toDF("vec_a", "vec_b").repartition(7)
+      val verts = (0L until n.toLong).toDF("vec_id")
+      for (maxLocal <- Seq(2000000L, 50L)) { // driver path + levels/fixpoint path
+        val got = Similarity.connectedComponents(pairs, verts, maxLocalEdges = maxLocal)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == expect, s"density=$density maxLocal=$maxLocal")
+      }
+    }
+  }
+
   test("ivfTopKProbed: probing every cell recovers the brute-force ranking") {
     val centroids = vecs.filter(col("vec_id") < 2)
     val queries = vecs.select(col("vec_id")).filter(col("vec_id") === 0)
