@@ -20,6 +20,10 @@ object Scratch {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     if (args.headOption.contains("restructure")) { profileRestructure(spark, sfDir); spark.stop(); return }
+    if (args.headOption.contains("stress")) {
+      profileRestructure(spark, sfDir, replicate = args.lift(1).map(_.toInt).getOrElse(10))
+      spark.stop(); return
+    }
     if (args.headOption.contains("minhash")) { profileMinhash(spark, sfDir); spark.stop(); return }
     val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
     names.foreach { name =>
@@ -93,7 +97,7 @@ object Scratch {
     }
   }
 
-  private def profileRestructure(spark: SparkSession, sfDir: String): Unit = {
+  private def profileRestructure(spark: SparkSession, sfDir: String, replicate: Int = 1): Unit = {
     import org.apache.spark.sql.functions._
     val work = java.nio.file.Files.createTempDirectory("graft-scratch-rst")
     val schemaJson =
@@ -117,10 +121,11 @@ object Scratch {
       w.create(schema, dir.resolve(f"events+$p+${0}%010d.avro").toFile)
       w
     }
-    rows.foreach { r =>
-      val p = (r.getLong(1) % 16).toInt
+    for (rep <- 0 until replicate; r <- rows) {
+      val uid = r.getLong(1) + rep * 100000L // replicas spread over more users
+      val p = (uid % 16).toInt
       val k = new org.apache.avro.generic.GenericData.Record(schema.getField("key").schema)
-      k.put("projectId", "bench"); k.put("userId", s"u${r.getLong(1) % 64}"); k.put("sourceId", "s0")
+      k.put("projectId", "bench"); k.put("userId", s"u${uid % (64 * replicate)}"); k.put("sourceId", "s0")
       val v = new org.apache.avro.generic.GenericData.Record(schema.getField("value").schema)
       v.put("time", r.getDouble(4)); v.put("eventType", r.getString(2)); v.put("value", r.getDouble(3))
       val rec = new org.apache.avro.generic.GenericData.Record(schema)

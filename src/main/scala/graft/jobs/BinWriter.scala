@@ -95,11 +95,19 @@ private[jobs] object BinWriter {
       written += current
       out = null
     }
+    val localFs = fs.getScheme == "file"
+    val mkdirsDone = new java.util.HashSet[String]()
     def open(rel: String): Unit = {
       target = new HPath(s"$outputRoot/$rel")
-      fs.mkdirs(target.getParent)
+      // one mkdirs per distinct parent, not per bin (tasks write many bins
+      // per directory; at 50k bins the repeated stat+mkdir chain is real)
+      if (mkdirsDone.add(target.getParent.toString)) fs.mkdirs(target.getParent)
       tmp = new HPath(target.getParent, s".${target.getName}.tmp-${java.util.UUID.randomUUID()}")
-      val raw = fs.create(tmp, true)
+      // local FS: plain FileOutputStream — skip the Hadoop stream wrapper
+      // (same rationale as renameOver's nio move)
+      val raw: java.io.OutputStream =
+        if (localFs) new java.io.FileOutputStream(tmp.toUri.getPath)
+        else fs.create(tmp, true)
       val stream: java.io.OutputStream =
         if (zip) {
           // K6: single entry named after the file, level 7
