@@ -508,6 +508,40 @@ object SparkEntry {
       .filter(col("df") >= 50)
       .orderBy(col("df").desc, col("token").asc)
 
+  /** TF-IDF token shortlist: top-3 tokens per document by tf·(N/df) — idf
+    * kept as the exact rational N/df (no log), so the one double division
+    * is the same IEEE operation in every engine and the ranking is stable.
+    * df comes from one corpus-wide aggregation joined back (broadcast — df
+    * table is vocabulary-sized).
+    */
+  private def qTfidf(implicit s: SparkSession, d: String): DataFrame = {
+    val docs = graft.operators.Scale.widen(t("documents"))
+    val tokens = docs.select(col("doc_id"), explode(TextFunctions.words(col("text"))).as("token"))
+    val tf = tokens.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val df_ = tokens.select(col("doc_id"), col("token")).distinct()
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val n = t("documents").count() // corpus size: one scalar
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy((col("tf").cast(DoubleType) * lit(n.toDouble) / col("df").cast(DoubleType)).desc,
+        col("token").asc)
+    tf.join(broadcast(df_), "token")
+      .withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("token"), col("tf"), col("df"), col("rnk"))
+      .orderBy(col("doc_id"), col("rnk"))
+  }
+
+  /** Digit-run redaction: scrub numeric spans and count them — the
+    * pattern-scrub primitive (emails/ids/phones follow the same shape);
+    * counts and the redacted fingerprint are engine-checkable.
+    */
+  private def qRedact(implicit s: SparkSession, d: String): DataFrame =
+    t("documents")
+      .select(col("doc_id"),
+        regexp_count(col("text"), lit("[0-9]+")).cast(LongType).as("n_redacted"),
+        md5(regexp_replace(col("text"), "[0-9]+", "#")).as("redacted_fp"))
+      .orderBy(col("doc_id"))
+
   /** Document-length histogram (50-char buckets). */
   private def qDocHistogram(implicit s: SparkSession, d: String): DataFrame =
     t("documents")
@@ -582,6 +616,8 @@ object SparkEntry {
     "q_seq_pack"         -> mk(qSeqPack(_, _)),
     "q_doc_freq"         -> mk(qDocFreq(_, _)),
     "q_sessionize"       -> mk(qSessionize(_, _)),
+    "q_tfidf"            -> mk(qTfidf(_, _)),
+    "q_redact"           -> mk(qRedact(_, _)),
     "q_token_freq"       -> mk(qTokenFreq(_, _)),
     "q_doc_histogram"    -> mk(qDocHistogram(_, _)),
     "q_media_features"   -> mk(qMediaFeatures(_, _)))
@@ -856,6 +892,23 @@ object SparkEntry {
            |  FROM documents d JOIN qs ON qs.doc_id = d.doc_id)
            |SELECT doc_id, source, score_bp, rnk FROM j WHERE rnk <= 3
            |ORDER BY source, rnk""".stripMargin,
+      "q_tfidf" ->
+        s"""WITH ${Frag.wordsCte},
+           |tok AS (SELECT doc_id, unnest(ws) AS token FROM w),
+           |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+           |dfr AS (SELECT token, count(*) AS df FROM (SELECT DISTINCT doc_id, token FROM tok) GROUP BY 1),
+           |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+           |r AS (SELECT tf.doc_id, tf.token, tf.tf, dfr.df,
+           |  CAST(row_number() OVER (PARTITION BY tf.doc_id
+           |    ORDER BY CAST(tf.tf AS DOUBLE) * n.n / CAST(dfr.df AS DOUBLE) DESC, tf.token ASC) AS BIGINT) AS rnk
+           |  FROM tf JOIN dfr USING (token) CROSS JOIN n)
+           |SELECT doc_id, token, tf, df, rnk FROM r WHERE rnk <= 3
+           |ORDER BY doc_id, rnk""".stripMargin,
+      "q_redact" ->
+        """SELECT doc_id,
+          |  CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_redacted,
+          |  md5(regexp_replace(text, '[0-9]+', '#', 'g')) AS redacted_fp
+          |FROM documents ORDER BY doc_id""".stripMargin,
       "q_sessionize" ->
         """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
           |l AS (SELECT user_id, event_id, us,
