@@ -108,6 +108,12 @@ class PlanSpec extends SparkSpec {
     assert(windows.exists(_.contains("__b")), s"no bucket-partitioned window:\n$windows")
   }
 
+  test("q_tfidf: vocabulary df table is the broadcast side") {
+    val plan = formatted("q_tfidf")
+    assert(plan.contains("BroadcastHashJoin"), s"df join not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), "tfidf join fell back to a shuffle join")
+  }
+
   test("q_sample_mix: scan reads only the projected columns") {
     val plan = formatted("q_sample_mix")
     val readSchema = plan.linesIterator.find(_.trim.startsWith("ReadSchema")).get
