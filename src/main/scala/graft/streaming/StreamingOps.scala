@@ -24,6 +24,21 @@ object StreamingOps {
       .groupBy(window(col(tsCol), win), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
 
+  /** Event-time session windows (>gap splits a session) with a watermark —
+    * the streaming counterpart of the batch `q_sessionize` operator, via
+    * Spark's native `session_window` (merging-window state, bounded by the
+    * watermark; no custom state function needed).
+    */
+  def sessionCounts(
+      events: DataFrame, tsCol: String = "ts", keyCol: String = "user_id",
+      watermark: String = "10 minutes", gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap), col(keyCol))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(keyCol), col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("n_events"))
+
   final case class EventRow(event_id: Long, user_id: Long, event_type: String, value: Double)
   final case class UserState(n: Long, sum: Double, maxEventId: Long)
   final case class UserUpdate(user_id: Long, n: Long, sum: Double, max_event_id: Long)

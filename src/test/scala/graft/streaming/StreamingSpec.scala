@@ -45,6 +45,22 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("session windows match the batch gap-sessionization boundaries") {
+    val q = StreamingOps.sessionCounts(eventStream)
+      .writeStream.format("memory").queryName("sessions").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql("SELECT user_id, session_start, n_events FROM sessions")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime) -> r.getLong(2)).toMap
+      // batch reference: the q_sessionize window pipeline at the same gap
+      val expect = graft.SparkEntry.queries("q_sessionize")(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getLong(3) / 1000) -> r.getLong(2)).toMap
+      assert(got.nonEmpty)
+      // append mode emits only watermark-closed sessions → prefix check
+      got.foreach { case (k, n) => assert(expect(k) == n, s"session $k") }
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState user stats accumulate to batch totals") {
     implicit val s = spark
     val ev = eventStream.select($"event_id", $"user_id", $"event_type", $"value")
