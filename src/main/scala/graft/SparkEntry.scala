@@ -542,6 +542,26 @@ object SparkEntry {
         md5(regexp_replace(col("text"), "[0-9]+", "#")).as("redacted_fp"))
       .orderBy(col("doc_id"))
 
+  /** Per-vector int8 affine quantization (embedding compression for
+    * storage/ANN at scale): codes = round((x−min)/((max−min)/255)),
+    * constant vectors → all-zero codes. Row-local arithmetic only — no
+    * shuffle — and every step is the same IEEE double op in DuckDB, so
+    * codes are bit-identical.
+    */
+  private def qQuantize(implicit s: SparkSession, d: String): DataFrame = {
+    val v = transform(col("embedding"), x => x.cast(DoubleType))
+    val mn = array_min(v)
+    val mx = array_max(v)
+    val scale = (mx - mn) / lit(255.0)
+    val codes = when(scale === 0.0, transform(v, _ => lit(0L)))
+      .otherwise(transform(v, x => round((x - mn) / scale).cast(LongType)))
+    t("embeddings")
+      .select(col("vec_id"), mn.as("qmin"), mx.as("qmax"),
+        aggregate(codes, lit(0L), (a, x) => a + x).as("code_sum"),
+        md5(concat_ws(",", transform(codes, _.cast(StringType)))).as("code_fp"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Document-length histogram (50-char buckets). */
   private def qDocHistogram(implicit s: SparkSession, d: String): DataFrame =
     t("documents")
@@ -618,6 +638,7 @@ object SparkEntry {
     "q_sessionize"       -> mk(qSessionize(_, _)),
     "q_tfidf"            -> mk(qTfidf(_, _)),
     "q_redact"           -> mk(qRedact(_, _)),
+    "q_quantize"         -> mk(qQuantize(_, _)),
     "q_token_freq"       -> mk(qTokenFreq(_, _)),
     "q_doc_histogram"    -> mk(qDocHistogram(_, _)),
     "q_media_features"   -> mk(qMediaFeatures(_, _)))
@@ -904,6 +925,19 @@ object SparkEntry {
            |  FROM tf JOIN dfr USING (token) CROSS JOIN n)
            |SELECT doc_id, token, tf, df, rnk FROM r WHERE rnk <= 3
            |ORDER BY doc_id, rnk""".stripMargin,
+      "q_quantize" ->
+        s"""WITH ${Frag.embCte},
+           |q AS (SELECT vec_id, v,
+           |  list_min(v) AS qmin, list_max(v) AS qmax,
+           |  (list_max(v) - list_min(v)) / 255.0 AS s FROM e),
+           |c AS (SELECT vec_id, qmin, qmax,
+           |  CASE WHEN s = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+           |       ELSE list_transform(v, x -> CAST(round((x - qmin) / s) AS BIGINT)) END AS codes
+           |  FROM q)
+           |SELECT vec_id, qmin, qmax,
+           |  list_reduce(list_prepend(CAST(0 AS BIGINT), codes), (a, x) -> a + x) AS code_sum,
+           |  md5(array_to_string(codes, ',')) AS code_fp
+           |FROM c ORDER BY vec_id""".stripMargin,
       "q_redact" ->
         """SELECT doc_id,
           |  CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_redacted,
