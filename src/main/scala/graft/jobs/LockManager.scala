@@ -25,7 +25,15 @@ final class LockManager(fs: FileSystem, lockDir: String, ttlMillis: Long = 24L *
 
   private def lockPath(name: String): HPath = new HPath(dir, s"$name.lock")
 
-  /** Try to acquire `name`; true iff this instance now holds it. */
+  /** Try to acquire `name`; true iff this instance now holds it.
+    *
+    * Stale-break caveat: unlike Redis SET NX PX, delete+create is not
+    * atomic, so two instances breaking the SAME expired lock can race and
+    * both believe they hold it (the loser's later release is owner-checked
+    * and leaves the winner's file intact). The window exists only after a
+    * holder crashed AND its 24 h TTL elapsed; the consequence is duplicate
+    * work for one topic iteration, never ledger corruption.
+    */
   def tryAcquire(name: String): Boolean = {
     fs.mkdirs(dir)
     val p = lockPath(name)
