@@ -112,6 +112,40 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_customers"), sum(cents(col("c_acctbal"))).as("sum_bal_cents"))
       .orderBy(col("r_name"), col("n_name"))
 
+  /** TPC-H Q3-shaped three-table join: revenue top-10 of a market segment's
+    * orders. customer filter → join orders (big-big: shuffle/AQE decides) →
+    * join lineitem → cents-exact revenue agg → top-N. The multi-join plan
+    * the optimizer, not the query author, schedules.
+    */
+  private def qTopOrders(implicit s: SparkSession, d: String): DataFrame =
+    t("customer").filter(col("c_mktsegment") === "BUILDING")
+      .join(t("orders"), col("c_custkey") === col("o_custkey"))
+      .join(t("lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"))
+      .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue_cents"))
+      .orderBy(col("revenue_cents").desc, col("o_orderkey").asc)
+      .limit(10)
+
+  /** Exact rank-based quantiles (percentile_disc-style: element at
+    * ceil(q·n), deterministic ties by id) of document length per language —
+    * engine-independent, unlike interpolated percentiles.
+    */
+  private def qLengthQuantiles(implicit s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("lang")).orderBy(col("n_chars"), col("doc_id"))
+    val ranked = t("documents")
+      .select(col("lang"), col("doc_id"), length(col("text")).cast(LongType).as("n_chars"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("lang"))))
+    ranked
+      .groupBy(col("lang"))
+      .agg(
+        max(when(col("rn") === ceil(col("cnt") * 0.5), col("n_chars"))).as("p50_chars"),
+        max(when(col("rn") === ceil(col("cnt") * 0.9), col("n_chars"))).as("p90_chars"),
+        max(col("cnt")).as("n_docs"))
+      .orderBy(col("lang"))
+  }
+
   /** A3 record-containment as left-semi join. */
   private def qSemiJoin(implicit s: SparkSession, d: String): DataFrame =
     t("orders")
@@ -639,6 +673,8 @@ object SparkEntry {
     "q_tfidf"            -> mk(qTfidf(_, _)),
     "q_redact"           -> mk(qRedact(_, _)),
     "q_quantize"         -> mk(qQuantize(_, _)),
+    "q_top_orders"       -> mk(qTopOrders(_, _)),
+    "q_length_quantiles" -> mk(qLengthQuantiles(_, _)),
     "q_token_freq"       -> mk(qTokenFreq(_, _)),
     "q_doc_histogram"    -> mk(qDocHistogram(_, _)),
     "q_media_features"   -> mk(qMediaFeatures(_, _)))
@@ -925,6 +961,23 @@ object SparkEntry {
            |  FROM tf JOIN dfr USING (token) CROSS JOIN n)
            |SELECT doc_id, token, tf, df, rnk FROM r WHERE rnk <= 3
            |ORDER BY doc_id, rnk""".stripMargin,
+      "q_top_orders" ->
+        """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+          |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+          |FROM customer
+          |JOIN orders ON c_custkey = o_custkey
+          |JOIN lineitem ON o_orderkey = l_orderkey
+          |WHERE c_mktsegment = 'BUILDING'
+          |GROUP BY 1, 2 ORDER BY revenue_cents DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+      "q_length_quantiles" ->
+        """WITH r AS (SELECT lang, doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+          |  row_number() OVER (PARTITION BY lang ORDER BY length(text), doc_id) AS rn,
+          |  count(*) OVER (PARTITION BY lang) AS cnt FROM documents)
+          |SELECT lang,
+          |  max(CASE WHEN rn = CAST(ceil(cnt * 0.5) AS BIGINT) THEN n_chars END) AS p50_chars,
+          |  max(CASE WHEN rn = CAST(ceil(cnt * 0.9) AS BIGINT) THEN n_chars END) AS p90_chars,
+          |  CAST(max(cnt) AS BIGINT) AS n_docs
+          |FROM r GROUP BY lang ORDER BY lang""".stripMargin,
       "q_quantize" ->
         s"""WITH ${Frag.embCte},
            |q AS (SELECT vec_id, v,
