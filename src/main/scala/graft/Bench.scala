@@ -88,7 +88,6 @@ object Bench {
         .select(col("event_id"), col("user_id"), col("event_type"),
           col("value"), col("ts").cast("double").as("tsec"))
         .collect()
-      val perPart = new Array[Long](16)
       def writeBatchTo(root: java.nio.file.Path, counters: Array[Long],
                        batch: Array[org.apache.spark.sql.Row]): Unit = {
         val writers = (0 until 16).map { p =>
@@ -115,17 +114,6 @@ object Bench {
         }
         writers.foreach(_.close())
       }
-      def writeBatch(batch: Array[org.apache.spark.sql.Row]): Unit =
-        writeBatchTo(work, perPart, batch)
-      val cfg = graft.jobs.RestructureJobConfig(
-        inputRoot = work.resolve("in").toString,
-        outputRoot = work.resolve("out").toString,
-        dedup = true,
-        // daily bins: ~4.5k bins at sf0.1 → realistic records-per-bin
-        // density for the reference workload (hourly bins on real RADAR
-        // volumes have similar per-file record counts)
-        timeBinFormat = "yyyyMMdd")
-
       // warm-up: the restructure pipeline's first execution pays whole-stage
       // codegen + JIT (measured ~5 s of a 9 s first run at sf0.1 — more than
       // the job itself); run the full job once on a small slice in a
@@ -144,28 +132,50 @@ object Bench {
       graft.jobs.Restructure.run(spark, warmCfg)
       org.apache.commons.io.FileUtils.deleteDirectory(warmWork.toFile)
 
-      // phase 1: cold write (empty output tree)
+      // two independent measured runs (fresh work dir + ledger each), best
+      // total reported — same contention-noise rationale as the query
+      // min-of-2; each run is a full cold-write + append sequence
       val (rows1, rows2) = rows.splitAt((rows.length * 0.8).toInt)
-      writeBatch(rows1)
-      graft.util.Timer.reset()
-      graft.util.Timer.enabled = true
-      val t0 = System.nanoTime()
-      val result = graft.jobs.Restructure.run(spark, cfg)
-      val sec = (System.nanoTime() - t0) / 1e9
-      graft.util.Timer.enabled = false
-      val timerJson = graft.util.Timer.toJson
-      val n = result.processedTopics.map(_.records).sum
-      val bins = result.processedTopics.map(_.paths.size).sum
-
-      // phase 2: steady-state append — new slices land in EXISTING bins,
-      // exercising the merge-rewrite + dedup path over the full bin set
-      writeBatch(rows2)
-      val t1 = System.nanoTime()
-      val result2 = graft.jobs.Restructure.run(spark, cfg)
-      val sec2 = (System.nanoTime() - t1) / 1e9
-      val n2 = result2.processedTopics.map(_.records).sum
-      s"""{"records":$n,"bins":$bins,"sec":$sec,"records_per_sec":${n / sec},""" +
-        s""""append_records":$n2,"append_sec":$sec2,"append_records_per_sec":${n2 / sec2},""" +
-        s""""timer":$timerJson}"""
+      final case class RunStats(timerJson: String, sec: Double, n: Long,
+        bins: Int, sec2: Double, n2: Long)
+      def runPhases(): RunStats = {
+        val work = java.nio.file.Files.createTempDirectory("graft-bench-rst")
+        val perPart = new Array[Long](16)
+        val cfg = graft.jobs.RestructureJobConfig(
+          inputRoot = work.resolve("in").toString,
+          outputRoot = work.resolve("out").toString,
+          dedup = true,
+          // daily bins: ~1.5k bins at sf0.1 → realistic records-per-bin
+          // density for the reference workload (hourly bins on real RADAR
+          // volumes have similar per-file record counts)
+          timeBinFormat = "yyyyMMdd")
+        // phase 1: cold write (empty output tree)
+        writeBatchTo(work, perPart, rows1)
+        graft.util.Timer.reset()
+        graft.util.Timer.enabled = true
+        val t0 = System.nanoTime()
+        val result = graft.jobs.Restructure.run(spark, cfg)
+        val sec = (System.nanoTime() - t0) / 1e9
+        graft.util.Timer.enabled = false
+        val timerJson = graft.util.Timer.toJson
+        // phase 2: steady-state append — new slices land in EXISTING bins,
+        // exercising the merge-rewrite + dedup path over the full bin set
+        writeBatchTo(work, perPart, rows2)
+        val t1 = System.nanoTime()
+        val result2 = graft.jobs.Restructure.run(spark, cfg)
+        val sec2 = (System.nanoTime() - t1) / 1e9
+        val stats = RunStats(timerJson, sec,
+          result.processedTopics.map(_.records).sum,
+          result.processedTopics.map(_.paths.size).sum,
+          sec2, result2.processedTopics.map(_.records).sum)
+        org.apache.commons.io.FileUtils.deleteDirectory(work.toFile)
+        stats
+      }
+      val best = Seq(runPhases(), runPhases()).minBy(r => r.sec + r.sec2)
+      s"""{"records":${best.n},"bins":${best.bins},"sec":${best.sec},""" +
+        s""""records_per_sec":${best.n / best.sec},""" +
+        s""""append_records":${best.n2},"append_sec":${best.sec2},""" +
+        s""""append_records_per_sec":${best.n2 / best.sec2},""" +
+        s""""timer":${best.timerJson}}"""
     } catch { case _: Throwable => "{}" }
 }
