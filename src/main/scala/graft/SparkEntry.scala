@@ -20,6 +20,13 @@ import graft.time.TimeExtract
   * order; passthrough doubles (untouched source values, min/max) are emitted
   * raw; timestamps are emitted as formatted strings (micro truncation matches
   * DuckDB `%f`).
+  *
+  * Oracle typing rule: every DuckDB `sum(BIGINT)` — aggregate OR window —
+  * must be wrapped in `CAST(... AS BIGINT)`. DuckDB widens those sums to
+  * HUGEINT, which pandas renders as float64 (`3.0` vs Spark's `3`), failing
+  * the driver's value-hash even though numeric equality holds. The local
+  * check (tools/check_oracle.py) fails on int/float dtype-kind mismatches
+  * for the same reason.
   */
 object SparkEntry {
 
@@ -935,7 +942,7 @@ object SparkEntry {
            |    {'dim': i, 'xs': CAST(round(v[i+1] * 1e6) AS BIGINT)})) AS u
            |  FROM cl)
            |SELECT CAST(cell AS BIGINT) AS cell, CAST(u.dim AS BIGINT) AS dim,
-           |  sum(u.xs) AS sum_scaled, count(*) AS n
+           |  CAST(sum(u.xs) AS BIGINT) AS sum_scaled, count(*) AS n
            |FROM dims GROUP BY 1, 2 ORDER BY cell, dim""".stripMargin,
       "q_top_docs" ->
         s"""WITH ${Frag.wordsCte},
@@ -1011,7 +1018,7 @@ object SparkEntry {
         s"""WITH ${Frag.wordsCte},
            |tc AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens FROM w)
            |SELECT doc_id, n_tokens,
-           |  sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens,
+           |  CAST(sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens,
            |  CAST(floor((sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) / 2048.0) AS BIGINT) AS seq_id
            |FROM tc ORDER BY doc_id""".stripMargin,
       "q_doc_freq" ->

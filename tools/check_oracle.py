@@ -36,6 +36,16 @@ def main(sf_dir, out_dir):
             n_fail += 1; continue
         if len(got) != len(exp):
             print(f"FAIL {name}: rows {len(got)} != {len(exp)}"); n_fail += 1; continue
+        # The driver hashes RENDERED values, so an int64 vs float64 column
+        # (e.g. DuckDB HUGEINT from an uncast sum(BIGINT) -> pandas float64)
+        # fails there even though Python equality holds (3 == 3.0). Mirror
+        # that strictness: dtype kinds must agree.
+        kind_bad = [(c, got[c].dtype, exp[c].dtype) for c in got.columns
+                    if got[c].dtype.kind != exp[c].dtype.kind]
+        if kind_bad:
+            c, gk, ek = kind_bad[0]
+            print(f"FAIL {name}: col {c} dtype kind spark={gk} oracle={ek}")
+            n_fail += 1; continue
         mismatch = None
         for c in got.columns:
             a, b = got[c].tolist(), exp[c].tolist()
