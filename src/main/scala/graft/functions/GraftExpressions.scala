@@ -1,10 +1,12 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.functions.{call_function, lit, typedLit}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -143,6 +145,157 @@ object GraftExpressions {
       copy(left = c(0), right = c(1))
   }
 
+  /** The `nprobe` nearest centroids of a vector, as an array of centroid ids
+    * ordered by (L2 distance asc, centroid id asc) — IVF cell assignment
+    * (`nprobe = 1`) and probe-list selection in ONE narrow projection.
+    *
+    * The codebook rides in as two foldable array literals (ids must be
+    * sorted ascending; vectors in doubles), so assignment needs no join, no
+    * window and no shuffle — at cluster scale the codebook is broadcast
+    * inside the serialized plan exactly like a broadcast-hash-join build
+    * side, but without the join machinery. Distances are the same strict
+    * left fold in double precision as [[L2Squared]], and the strictly-less
+    * comparison over id-ascending candidates reproduces the
+    * `ORDER BY dist ASC, id ASC` tie rule bit-for-bit.
+    */
+  case class NearestCells(vec: Expression, ids: Expression, cents: Expression, n: Expression)
+      extends Expression with CodegenFallback {
+    override def prettyName: String = "graft_nearest_cells"
+    override def children: Seq[Expression] = Seq(vec, ids, cents, n)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = vec.nullable
+    override def foldable: Boolean = false
+    private lazy val centIds: Array[Long] =
+      ids.eval(null).asInstanceOf[ArrayData].toLongArray()
+    private lazy val centVecs: Array[Array[Double]] = {
+      val a = cents.eval(null).asInstanceOf[ArrayData]
+      Array.tabulate(a.numElements())(i => a.getArray(i).toDoubleArray())
+    }
+    private lazy val nprobe: Int = n.eval(null).asInstanceOf[Number].intValue()
+    override def eval(input: InternalRow): Any = {
+      val v = vec.eval(input)
+      if (v == null) return null
+      val arr = v.asInstanceOf[ArrayData]
+      val elemT = vec.dataType.asInstanceOf[ArrayType].elementType
+      val m = arr.numElements()
+      val x = new Array[Double](m)
+      var i = 0
+      elemT match {
+        case FloatType => while (i < m) { x(i) = arr.getFloat(i).toDouble; i += 1 }
+        case DoubleType => while (i < m) { x(i) = arr.getDouble(i); i += 1 }
+        case IntegerType => while (i < m) { x(i) = arr.getInt(i).toDouble; i += 1 }
+        case LongType => while (i < m) { x(i) = arr.getLong(i).toDouble; i += 1 }
+        case t => throw new IllegalArgumentException(s"unsupported element type $t")
+      }
+      val kk = math.min(nprobe, centIds.length)
+      val bestD = new Array[Double](kk)
+      val bestId = new Array[Long](kk)
+      var sz = 0
+      var c = 0
+      while (c < centVecs.length) {
+        val cv = centVecs(c)
+        val len = math.min(m, cv.length)
+        var acc = 0.0
+        var j = 0
+        while (j < len) { val d = x(j) - cv(j); acc += d * d; j += 1 }
+        // insertion position: first slot with STRICTLY greater distance —
+        // equal distances keep the earlier (smaller) centroid id first
+        if (sz < kk || acc < bestD(sz - 1)) {
+          var p = sz
+          while (p > 0 && bestD(p - 1) > acc) p -= 1
+          val end = math.min(sz, kk - 1)
+          var q = end
+          while (q > p) { bestD(q) = bestD(q - 1); bestId(q) = bestId(q - 1); q -= 1 }
+          bestD(p) = acc
+          bestId(p) = centIds(c)
+          if (sz < kk) sz += 1
+        }
+        c += 1
+      }
+      new GenericArrayData(bestId.take(sz))
+    }
+    override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): NearestCells =
+      copy(vec = c(0), ids = c(1), cents = c(2), n = c(3))
+  }
+
+  /** Bounded top-k aggregate: keeps the `k` best `(score, id)` pairs (score
+    * desc, id asc) in a size-k heap and returns the ids best-first. A
+    * [[TypedImperativeAggregate]], so partial (map-side) heaps combine
+    * before the shuffle — each mapper emits ≤ k rows per group instead of
+    * its whole scored slice, and no sort ever runs. The ordering is total
+    * (ties on id), so merge order can't change the result.
+    */
+  case class TopKIds(
+      score: Expression, id: Expression, kExpr: Expression,
+      override val mutableAggBufferOffset: Int = 0,
+      override val inputAggBufferOffset: Int = 0)
+      extends TypedImperativeAggregate[TopKIds.Buffer] {
+    override def prettyName: String = "graft_topk"
+    private lazy val k: Int = kExpr.eval(null).asInstanceOf[Number].intValue()
+    override def children: Seq[Expression] = Seq(score, id, kExpr)
+    override def nullable: Boolean = false
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def createAggregationBuffer(): TopKIds.Buffer = new TopKIds.Buffer(k)
+    override def update(b: TopKIds.Buffer, input: InternalRow): TopKIds.Buffer = {
+      val s = score.eval(input)
+      val i = id.eval(input)
+      if (s != null && i != null)
+        b.add(s.asInstanceOf[Number].doubleValue(), i.asInstanceOf[Number].longValue())
+      b
+    }
+    override def merge(b: TopKIds.Buffer, o: TopKIds.Buffer): TopKIds.Buffer = { b.addAll(o); b }
+    override def eval(b: TopKIds.Buffer): Any = new GenericArrayData(b.idsBestFirst)
+    override def serialize(b: TopKIds.Buffer): Array[Byte] = b.toBytes
+    override def deserialize(bytes: Array[Byte]): TopKIds.Buffer = TopKIds.Buffer.fromBytes(bytes)
+    override def withNewMutableAggBufferOffset(o: Int): TopKIds = copy(mutableAggBufferOffset = o)
+    override def withNewInputAggBufferOffset(o: Int): TopKIds = copy(inputAggBufferOffset = o)
+    override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): TopKIds =
+      copy(score = c(0), id = c(1), kExpr = c(2))
+  }
+
+  object TopKIds {
+    /** Size-k min-heap with the WORST entry at the head (smaller score, then
+      * larger id), so a better candidate evicts it in O(log k).
+      */
+    final class Buffer(val k: Int) {
+      private val worstFirst = new java.util.Comparator[(Double, Long)] {
+        override def compare(a: (Double, Long), b: (Double, Long)): Int = {
+          val c = java.lang.Double.compare(a._1, b._1)
+          if (c != 0) c else java.lang.Long.compare(b._2, a._2)
+        }
+      }
+      private val pq = new java.util.PriorityQueue[(Double, Long)](math.max(1, k), worstFirst)
+      def add(s: Double, id: Long): Unit =
+        if (pq.size < k) pq.offer((s, id))
+        else {
+          val w = pq.peek()
+          if (s > w._1 || (s == w._1 && id < w._2)) { pq.poll(); pq.offer((s, id)) }
+        }
+      def addAll(o: Buffer): Unit = o.pq.forEach(e => add(e._1, e._2))
+      def idsBestFirst: Array[Long] = {
+        val arr = pq.toArray(new Array[(Double, Long)](pq.size))
+        java.util.Arrays.sort(arr, worstFirst.reversed())
+        arr.map(_._2)
+      }
+      def toBytes: Array[Byte] = {
+        val bb = java.nio.ByteBuffer.allocate(8 + 16 * pq.size)
+        bb.putInt(k).putInt(pq.size)
+        pq.forEach(e => { bb.putDouble(e._1); bb.putLong(e._2) })
+        bb.array()
+      }
+    }
+    object Buffer {
+      def fromBytes(bytes: Array[Byte]): Buffer = {
+        val bb = java.nio.ByteBuffer.wrap(bytes)
+        val b = new Buffer(bb.getInt())
+        val n = bb.getInt()
+        var i = 0
+        while (i < n) { b.add(bb.getDouble(), bb.getLong()); i += 1 }
+        b
+      }
+    }
+  }
+
   /** Register all graft scalar functions on a session (idempotent). */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -150,6 +303,10 @@ object GraftExpressions {
     reg.createOrReplaceTempFunction("graft_simhash64", es => SimHash64(es.head), "built-in")
     reg.createOrReplaceTempFunction("graft_dot", es => DotProduct(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_l2sq", es => L2Squared(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_nearest_cells",
+      es => NearestCells(es(0), es(1), es(2), es(3)), "built-in")
+    reg.createOrReplaceTempFunction("graft_topk",
+      es => TopKIds(es(0), es(1), es(2)), "built-in")
   }
 
   // builders self-register on the active session (idempotent) so a bare
@@ -164,6 +321,20 @@ object GraftExpressions {
   def simHash64(c: Column): Column = { ensureRegistered(); call_function("graft_simhash64", c) }
   def dotProduct(a: Column, b: Column): Column = { ensureRegistered(); call_function("graft_dot", a, b) }
   def l2Squared(a: Column, b: Column): Column = { ensureRegistered(); call_function("graft_l2sq", a, b) }
+
+  /** [[NearestCells]] over a driver-collected codebook. `ids` must be sorted
+    * ascending and positionally aligned with `vecs`.
+    */
+  def nearestCells(vec: Column, ids: Seq[Long], vecs: Seq[Seq[Double]], nprobe: Int): Column = {
+    ensureRegistered()
+    call_function("graft_nearest_cells", vec, typedLit(ids), typedLit(vecs), lit(nprobe))
+  }
+
+  /** [[TopKIds]] bounded top-k aggregate (score desc, id asc → ids best-first). */
+  def topKIds(score: Column, id: Column, k: Int): Column = {
+    ensureRegistered()
+    call_function("graft_topk", score, id, lit(k))
+  }
 
   /** Hamming distance between two 64-bit simhashes (built-ins only). */
   def hammingDist64(a: Column, b: Column): Column =

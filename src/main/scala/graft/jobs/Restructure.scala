@@ -377,24 +377,30 @@ object Restructure {
         if (isMap) concat_ws(",", array_sort(map_keys(c)))
         else coalesce(size(c), lit(-1)).cast(StringType)
       }: _*).cast(BinaryType))
+    // persisted once: the fingerprint groups' headers come from ONE
+    // aggregation over this frame, and each group's write re-reads it from
+    // cache — job count and scan count stay independent of group count
+    // (previously: one agg job + one full source re-scan PER group)
     val withFp = df.withColumn("__fp", fpCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // attempt index = order of first appearance (reference: arrival order)
-    val firstSeen = withFp
+    // one pass: per-fingerprint first appearance (attempt order — reference:
+    // arrival order) AND the group's concrete header shape (map keys / max
+    // array arity)
+    val dynAggs = dynLeaves.map { case (n, isMap) =>
+      val c = Flatten.leafColumn(n)
+      if (isMap) array_sort(array_distinct(flatten(collect_list(map_keys(c))))).as(s"k:$n")
+      else max(size(c)).as(s"l:$n")
+    }
+    val groupRows = withFp
       .groupBy(col("__fp"))
-      .agg(min(struct(col(AvroRead.FileCol), col(AvroRead.PosCol))).as("__first"))
+      .agg(min(struct(col(AvroRead.FileCol), col(AvroRead.PosCol))).as("__first"), dynAggs: _*)
       .orderBy(col("__first"))
-      .collect().map(_.getString(0))
+      .collect()
 
-    firstSeen.zipWithIndex.flatMap { case (fp, attempt) =>
+    try groupRows.toSeq.flatMap { row =>
+      val fp = row.getString(row.fieldIndex("__fp"))
       val group = withFp.filter(col("__fp") === fp).drop("__fp")
-      // this group's concrete header: expand map keys / array indices
-      val dynAggs = dynLeaves.map { case (n, isMap) =>
-        val c = Flatten.leafColumn(n)
-        if (isMap) array_sort(array_distinct(flatten(collect_list(map_keys(c))))).as(s"k:$n")
-        else max(size(c)).as(s"l:$n")
-      }
-      val row = group.agg(dynAggs.head, dynAggs.tail: _*).collect()(0)
       val outCols = Flatten.leafPaths(dataSchema)
         .filterNot { case (n, _) => cfg.allExcludeFields(topic)(n) }
         .flatMap {
@@ -435,7 +441,7 @@ object Restructure {
       try commitBins(spark, cfg, fs,
         mergeExistingBins(spark, cfg, fs, prepared, "csv", None, temps), "csv", topic)
       finally temps.foreach(t => fs.delete(t, false))
-    }.toSeq
+    } finally withFp.unpersist(false)
   }
 
   /** A Spark-readable path for an existing bin: zip bins (which Spark's

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -14,9 +13,12 @@ import org.apache.spark.sql.types._
   * derived rankings agree exactly.
   *
   * Scale design: the brute-force path broadcasts the (small) query set and
-  * scans the corpus once — no shuffle until the final per-query top-k
-  * (window over `k·|queries|` rows). The IVF path shuffles once on cell id
-  * (tiny keyspace) and prunes the scan to one cell per query.
+  * scans the corpus once; per-query top-k is a bounded-heap AGGREGATION
+  * (map-side partials, shuffle volume O(k·|queries|·mappers)) — never a
+  * `query_id`-partitioned window, which would funnel the whole scored
+  * corpus into |queries| sort tasks. IVF cell assignment embeds the
+  * driver-collected codebook as plan literals and is a pure narrow
+  * projection: the corpus is never joined or shuffled to be assigned.
   */
 object Similarity {
 
@@ -33,6 +35,21 @@ object Similarity {
 
   def l2sq(a: Column, b: Column): Column = GraftExpressions.l2Squared(a, b)
 
+  /** The per-query top-k finisher shared by every ANN entry point: a
+    * bounded-heap aggregation ([[GraftExpressions.TopKIds]]) instead of a
+    * `row_number` window. The window would shuffle EVERY scored row into
+    * |queries| partitions and sort them — a handful of tasks absorb the
+    * corpus at batch-ANN scale. The aggregate keeps ≤ k candidates per
+    * (mapper, query) before the shuffle, so shuffle volume is
+    * O(k·|queries|·mappers) regardless of corpus size, and nothing sorts.
+    */
+  private def topKSelect(scored: DataFrame, k: Int, idType: DataType): DataFrame =
+    scored.groupBy(col("query_id"))
+      .agg(GraftExpressions.topKIds(col("__sim"), col("neighbor_id").cast(LongType), k).as("__top"))
+      .select(col("query_id"), posexplode(col("__top")).as(Seq("__pos", "__nid")))
+      .select(col("query_id"), (col("__pos") + 1).cast(IntegerType).as("rank"),
+        col("__nid").cast(idType).as("neighbor_id"))
+
   /** Exact top-k cosine neighbors of each query vector (brute force — the
     * correctness baseline). Output: (query_id, rank, neighbor_id).
     */
@@ -40,6 +57,7 @@ object Similarity {
       corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     GraftExpressions.register(corpus.sparkSession)
+    val idType = corpus.schema(idCol).dataType
     // norms once per vector, not once per pair (values identical:
     // sim = dot/(sqrt(dot(q,q))·sqrt(dot(c,c))) either way)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
@@ -48,27 +66,43 @@ object Similarity {
       sqrt(dot(col(vecCol), col(vecCol))).as("__cn"))
     val scored = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
       .withColumn("__sim", dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("__sim").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"))
+    topKSelect(scored, k, idType)
+  }
+
+  /** A centroid codebook collected to the driver: (ids sorted ascending,
+    * vectors in doubles, original id type). Centroids are by construction a
+    * small table (an IVF codebook — thousands of cells at most), so pulling
+    * them into the plan as literals is the broadcast-build-side pattern
+    * minus the join.
+    */
+  private def codebook(
+      centroids: DataFrame, idCol: String, vecCol: String): (Seq[Long], Seq[Seq[Double]], DataType) = {
+    val idType = centroids.schema(idCol).dataType
+    val rows = centroids.select(col(idCol).cast(LongType), col(vecCol)).collect()
+    require(rows.nonEmpty, "centroid set must be non-empty")
+    val sorted = rows.sortBy(_.getLong(0))
+    val ids = sorted.toSeq.map(_.getLong(0))
+    val vecs = sorted.toSeq.map(_.getSeq[Any](1).map {
+      case f: java.lang.Float => f.toDouble
+      case d: java.lang.Double => d.doubleValue()
+      case n: java.lang.Number => n.doubleValue()
+    }.toSeq)
+    (ids, vecs, idType)
   }
 
   /** IVF assignment: nearest centroid id per vector (L2), ties broken by
-    * centroid id. Centroids are a small broadcast table (id, vector).
+    * centroid id. A pure narrow projection: the centroid codebook is
+    * collected (it is small by definition) and embedded as plan literals, so
+    * assignment costs one scan — no join, no window, no shuffle — and
+    * scales embarrassingly with executors.
     */
   def ivfAssign(
       vectors: DataFrame, centroids: DataFrame,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     GraftExpressions.register(vectors.sparkSession)
-    val c = centroids.select(col(idCol).as("__cent_id"), col(vecCol).as("__cent_v"))
-    val scored = Scale.widen(vectors).join(broadcast(c))
-      .withColumn("__dist", l2sq(col(vecCol), col("__cent_v")))
-    val w = Window.partitionBy(col(idCol)).orderBy(col("__dist").asc, col("__cent_id").asc)
-    scored.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn", "__dist", "__cent_v")
-      .withColumnRenamed("__cent_id", "cell")
+    val (ids, vecs, idType) = codebook(centroids, idCol, vecCol)
+    Scale.widen(vectors).withColumn("cell",
+      element_at(GraftExpressions.nearestCells(col(vecCol), ids, vecs, 1), 1).cast(idType))
   }
 
   /** Embedding-cosine near-duplicate pairs: all pairs within the same IVF
@@ -276,27 +310,23 @@ object Similarity {
       vectors: DataFrame, centroids: DataFrame, queryIds: DataFrame, k: Int, nprobe: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     GraftExpressions.register(vectors.sparkSession)
-    val assigned = ivfAssign(vectors, centroids, idCol, vecCol)
-    val c = centroids.select(col(idCol).as("__cent_id"), col(vecCol).as("__cent_v"))
-    // per query: nprobe nearest cells
-    val q0 = vectors.join(queryIds, Seq(idCol), "left_semi")
-      .select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
-    val probeW = Window.partitionBy(col("query_id")).orderBy(col("__dist").asc, col("__cent_id").asc)
-    val probes = q0.join(broadcast(c))
-      .withColumn("__dist", l2sq(col("__qv"), col("__cent_v")))
-      .withColumn("__pr", row_number().over(probeW))
-      .filter(col("__pr") <= nprobe)
-      .select(col("query_id"), col("__qv"), col("__cent_id").as("cell"),
-        sqrt(dot(col("__qv"), col("__qv"))).as("__qn"))
+    val (ids, vecs, idType) = codebook(centroids, idCol, vecCol)
+    val assigned = Scale.widen(vectors).withColumn("cell",
+      element_at(GraftExpressions.nearestCells(col(vecCol), ids, vecs, 1), 1).cast(idType))
+    // per query: nprobe nearest cells, from the same literal codebook — a
+    // narrow explode of an nprobe-element array, no window, no join
+    val probes = vectors.join(queryIds, Seq(idCol), "left_semi")
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+        explode(GraftExpressions.nearestCells(col(vecCol), ids, vecs, nprobe)).as("__cellL"),
+        sqrt(dot(col(vecCol), col(vecCol))).as("__qn"))
+      .withColumn("cell", col("__cellL").cast(idType))
+      .drop("__cellL")
     val corpus = assigned.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"), col("cell"),
       sqrt(dot(col(vecCol), col(vecCol))).as("__cn"))
     val scored = corpus.join(broadcast(probes), Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("__sim", dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("__sim").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"))
+    topKSelect(scored, k, vectors.schema(idCol).dataType)
   }
 
   /** IVF-pruned top-k: search only the query's own cell. Same output shape
@@ -314,9 +344,6 @@ object Similarity {
     val scored = c.join(broadcast(q), Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("__sim", dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("__sim").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"))
+    topKSelect(scored, k, assigned.schema(idCol).dataType)
   }
 }

@@ -50,6 +50,17 @@ object TextDedup {
       .otherwise(transform(sequence(lit(0), size(ws) - n),
         i => concat_ws(" ", slice(ws, i + 1, lit(n)))))
 
+  /** Per-document distinct shingle sets — the single materialization point
+    * the MinHash pipeline and the exact-Jaccard verifier both read (MinHash
+    * mins are idempotent under duplicate shingles, so signatures computed
+    * from the DISTINCT set are identical to signatures over the raw shingle
+    * stream, and the verifier needs the distinct set anyway).
+    */
+  private[graft] def distinctShingleSets(
+      df: DataFrame, idCol: String, textCol: String, shingleN: Int): DataFrame =
+    Scale.widen(df).select(col(idCol),
+      array_distinct(shingles(col(textCol), shingleN)).as("__sh"))
+
   /** Per-document k-element MinHash signatures, computed the scale-friendly
     * way: explode shingles to one row each, hash every shingle once per salt,
     * and take per-salt `min` in ONE aggregation — partial (map-side) mins
@@ -62,14 +73,20 @@ object TextDedup {
     */
   def minhashSignatures(
       df: DataFrame, idCol: String, textCol: String,
-      shingleN: Int, k: Int): DataFrame = {
+      shingleN: Int, k: Int): DataFrame =
+    minhashSignaturesFromSets(distinctShingleSets(df, idCol, textCol, shingleN), idCol, k)
+
+  /** [[minhashSignatures]] over an already-built `(idCol, __sh)` shingle-set
+    * frame (see [[distinctShingleSets]]).
+    */
+  private def minhashSignaturesFromSets(sets: DataFrame, idCol: String, k: Int): DataFrame = {
     // one salted md5 yields FOUR 32-bit (8-hex-char) minhash lanes — 3 md5
     // calls per shingle for k=12 instead of 12 (md5 dominates the stage)
     val nSalts = (k + 3) / 4
-    val hashed = Scale.widen(df)
-      .select(col(idCol), explode(shingles(col(textCol), shingleN)).as("__sh"))
+    val hashed = sets
+      .select(col(idCol), explode(col("__sh")).as("__sh1"))
       .select(col(idCol) +: (0 until nSalts).map(s =>
-        md5(concat(lit(s"$s:"), col("__sh"))).as(s"__h$s")): _*)
+        md5(concat(lit(s"$s:"), col("__sh1"))).as(s"__h$s")): _*)
     val aggs = (0 until k).map { i =>
       min(substring(col(s"__h${i / 4}"), (i % 4) * 8 + 1, 8)).as(s"__mh_$i")
     }
@@ -83,9 +100,19 @@ object TextDedup {
     */
   def minhashCandidatePairs(
       df: DataFrame, idCol: String, textCol: String,
-      shingleN: Int = 3, k: Int = 12, bands: Int = 6, rowsPerBand: Int = 2): DataFrame = {
+      shingleN: Int = 3, k: Int = 12, bands: Int = 6, rowsPerBand: Int = 2): DataFrame =
+    minhashCandidatePairsFromSets(
+      distinctShingleSets(df, idCol, textCol, shingleN), idCol, k, bands, rowsPerBand)
+
+  /** [[minhashCandidatePairs]] over a prebuilt (ideally persisted) shingle-set
+    * frame, so pipelines that also need the sets (exact-Jaccard verification)
+    * compute shingles exactly once.
+    */
+  private[graft] def minhashCandidatePairsFromSets(
+      sets: DataFrame, idCol: String,
+      k: Int = 12, bands: Int = 6, rowsPerBand: Int = 2): DataFrame = {
     require(bands * rowsPerBand <= k, "bands*rowsPerBand must be <= k")
-    val sigs = minhashSignatures(df, idCol, textCol, shingleN, k)
+    val sigs = minhashSignaturesFromSets(sets, idCol, k)
     val bandArr = array((0 until bands).map { j =>
       md5(concat_ws(",",
         (0 until rowsPerBand).map(r => col(s"__mh_${j * rowsPerBand + r}")): _*))
@@ -186,12 +213,14 @@ object TextDedup {
       df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, k: Int = 12, bands: Int = 6, rowsPerBand: Int = 2,
       num: Int = 1, den: Int = 2): DataFrame = {
-    val candidates = minhashCandidatePairs(df, idCol, textCol, shingleN, k, bands, rowsPerBand)
-    // the shingle-set table feeds BOTH sides of the verification join —
-    // persist it or the words→shingles→distinct pipeline runs twice more
-    val sets = Scale.widen(df).select(col(idCol).as("__sid"),
-      array_distinct(shingles(col(textCol), shingleN)).as("__sh"))
+    // ONE shingle pass feeds both the LSH candidate pipeline and both sides
+    // of the verification join (signatures over the distinct set are
+    // identical — min is duplicate-idempotent)
+    val sets = distinctShingleSets(df, idCol, textCol, shingleN)
+      .withColumnRenamed(idCol, "__sid")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val candidates = minhashCandidatePairsFromSets(
+      sets.withColumnRenamed("__sid", idCol), idCol, k, bands, rowsPerBand)
     val withSets = candidates
       .join(sets.withColumnRenamed("__sid", "doc_a").withColumnRenamed("__sh", "__sha"), "doc_a")
       .join(sets.withColumnRenamed("__sid", "doc_b").withColumnRenamed("__sh", "__shb"), "doc_b")

@@ -99,6 +99,26 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("partial_sum"), "map-side combine missing for centroid sums")
   }
 
+  test("ANN family: no query_id window and no join/shuffle in IVF assignment") {
+    // top-k must be the bounded-heap aggregate (map-side partials), never a
+    // row_number window shuffling the scored corpus into |queries| tasks
+    for (q <- Seq("q_cosine_topk", "q_ivf_topk", "q_ivf_probe")) {
+      val plan = formatted(q)
+      assert(!plan.contains("Window ("), s"$q: window crept back into top-k:\n$plan")
+      assert(plan.contains("partial_graft_topk") || plan.contains("graft_topk"),
+        s"$q: bounded top-k aggregate missing:\n$plan")
+    }
+    // cell assignment is a projection over the literal codebook: no join
+    // and no key-shuffle may appear (only Scale.widen's round-robin
+    // parallelism guard is allowed)
+    val assigned = graft.operators.Similarity.ivfAssign(
+      Tables.load(spark, sf, "embeddings"),
+      Tables.load(spark, sf, "embeddings").filter(org.apache.spark.sql.functions.col("vec_id") < 16))
+    val aPlan = assigned.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!aPlan.contains("hashpartitioning") && !aPlan.contains("Join"),
+      s"ivfAssign is no longer a narrow projection:\n$aPlan")
+  }
+
   test("q_seq_pack: bucket offsets broadcast; full-data window is bucket-partitioned") {
     val plan = formatted("q_seq_pack")
     assert(plan.contains("BroadcastHashJoin"), s"bucket offsets not broadcast:\n$plan")
