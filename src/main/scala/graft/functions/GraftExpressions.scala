@@ -171,7 +171,11 @@ object GraftExpressions {
       val a = cents.eval(null).asInstanceOf[ArrayData]
       Array.tabulate(a.numElements())(i => a.getArray(i).toDoubleArray())
     }
-    private lazy val nprobe: Int = n.eval(null).asInstanceOf[Number].intValue()
+    private lazy val nprobe: Int = {
+      val v = n.eval(null).asInstanceOf[Number].intValue()
+      require(v >= 1, s"graft_nearest_cells: nprobe must be >= 1, got $v")
+      v
+    }
     override def eval(input: InternalRow): Any = {
       val v = vec.eval(input)
       if (v == null) return null
@@ -269,7 +273,11 @@ object GraftExpressions {
         if (pq.size < k) pq.offer((s, id))
         else {
           val w = pq.peek()
-          if (s > w._1 || (s == w._1 && id < w._2)) { pq.poll(); pq.offer((s, id)) }
+          // Double.compare, not primitive >: admission must use the same
+          // total order as the heap (NaN greatest, -0.0 < 0.0) or results
+          // become arrival/merge-order dependent
+          val c = java.lang.Double.compare(s, w._1)
+          if (c > 0 || (c == 0 && id < w._2)) { pq.poll(); pq.offer((s, id)) }
         }
       def addAll(o: Buffer): Unit = o.pq.forEach(e => add(e._1, e._2))
       def idsBestFirst: Array[Long] = {

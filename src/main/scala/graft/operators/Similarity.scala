@@ -43,12 +43,22 @@ object Similarity {
     * (mapper, query) before the shuffle, so shuffle volume is
     * O(k·|queries|·mappers) regardless of corpus size, and nothing sorts.
     */
-  private def topKSelect(scored: DataFrame, k: Int, idType: DataType): DataFrame =
+  private val integralTypes: Set[DataType] = Set(LongType, IntegerType, ShortType, ByteType)
+
+  private def topKSelect(scored: DataFrame, k: Int, idType: DataType): DataFrame = {
+    // the bounded-heap aggregate keys candidates by a primitive long; a
+    // non-integral id would cast to null and be silently dropped, so fail
+    // fast instead (map string ids to a surrogate long first, e.g. xxhash64
+    // or monotonically_increasing_id)
+    require(integralTypes.contains(idType),
+      s"top-k id column must be integral (byte/short/int/long), got $idType; " +
+        "derive a surrogate long id (xxhash64, monotonically_increasing_id) before calling")
     scored.groupBy(col("query_id"))
       .agg(GraftExpressions.topKIds(col("__sim"), col("neighbor_id").cast(LongType), k).as("__top"))
       .select(col("query_id"), posexplode(col("__top")).as(Seq("__pos", "__nid")))
       .select(col("query_id"), (col("__pos") + 1).cast(IntegerType).as("rank"),
         col("__nid").cast(idType).as("neighbor_id"))
+  }
 
   /** Exact top-k cosine neighbors of each query vector (brute force — the
     * correctness baseline). Output: (query_id, rank, neighbor_id).

@@ -101,6 +101,37 @@ class SimilaritySpec extends SparkSpec {
     assert(one.subsetOf(brute.toSet))
   }
 
+  test("bruteForceTopK: non-integral id column fails fast instead of returning empty") {
+    val strVecs = Seq(("a", Seq(1.0f, 0.0f)), ("b", Seq(0.9f, 0.1f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.bruteForceTopK(strVecs, strVecs.filter(col("vec_id") === "a"), 1)
+    }
+    assert(e.getMessage.contains("integral"))
+  }
+
+  test("TopKIds buffer: NaN admission matches heap order regardless of arrival order") {
+    import graft.functions.GraftExpressions
+    // NaN compares greatest under Double.compare (Spark's sort order), so a
+    // NaN score must win a top-1 contest whether it arrives first or last
+    val b1 = new GraftExpressions.TopKIds.Buffer(1)
+    b1.add(Double.NaN, 7L); b1.add(1.0, 8L)
+    val b2 = new GraftExpressions.TopKIds.Buffer(1)
+    b2.add(1.0, 8L); b2.add(Double.NaN, 7L)
+    assert(b1.idsBestFirst.toSeq == Seq(7L))
+    assert(b2.idsBestFirst.toSeq == Seq(7L))
+  }
+
+  test("nearestCells: nprobe < 1 is a clear error, not ArrayIndexOutOfBounds") {
+    import graft.functions.GraftExpressions
+    val d = Seq((1L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      d.select(GraftExpressions.nearestCells(col("embedding"),
+        Seq(0L), Seq(Seq(1.0, 0.0)), 0)).collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("nprobe"))
+  }
+
   test("ivfAssign: centroid members map to their own cell") {
     val assigned = Similarity.ivfAssign(vecs, vecs.filter(col("vec_id") < 2))
     val cells = assigned.collect().map(r =>
