@@ -43,16 +43,31 @@ object Bench {
     // Two measured passes, min per query: steady-state throughput with the
     // run-to-run machine-contention noise halved (each pass is still a
     // full from-scratch execution — the cache is cleared every time).
-    def measure(name: String): Double = {
+    def measure(name: String): (Double, Boolean) = {
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir).count()
-      catch { case _: Throwable => -1L }
-      (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { SparkEntry.queries(name)(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          Console.err.println(s"[bench] FAILED $name: ${e.getClass.getSimpleName}: ${e.getMessage}")
+          false
+        }
+      ((System.nanoTime() - t0) / 1e9, ok)
     }
-    val results = names.map { name => name -> math.min(measure(name), measure(name)) }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    // 4-decimal seconds: the driver captures a bounded stdout tail; full
+    // double precision overflowed it in round 4 and clipped the JSON head
+    def r4(x: Double): Double = math.rint(x * 1e4) / 1e4
+    val results = names.map { name =>
+      val (a, okA) = measure(name)
+      val (b, okB) = measure(name)
+      (name, math.min(a, b), okA && okB)
+    }
+    // a failed query reports -1, never a fake elapsed time
+    val qs = results.map { case (k, v, ok) =>
+      "\"" + k + "\":" + (if (ok) r4(v) else -1)
+    }.mkString("{", ",", "}")
+    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
+    val total = r4(results.filter(_._3).map(_._2).sum)
     // drop every block the query phase left behind (SQL caches AND the
     // connected-components localCheckpoint RDDs, which survive clearCache)
     // so the restructure phases measure with a clean storage pool
@@ -60,7 +75,13 @@ object Bench {
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
     System.gc()
     val restructureJson = benchRestructure(spark, sfDir)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","restructure":$restructureJson}""")
+    val failedJson = if (failed.isEmpty) "" else s""","failed":[${failed.mkString(",")}]"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$failedJson,"sf":"$sfDir","restructure":$restructureJson}"""
+    // file copy survives even if the stdout tail truncates the line
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case _: Throwable => }
+    println(line)
     spark.stop()
   }
 
@@ -172,10 +193,11 @@ object Bench {
         stats
       }
       val best = Seq(runPhases(), runPhases()).minBy(r => r.sec + r.sec2)
-      s"""{"records":${best.n},"bins":${best.bins},"sec":${best.sec},""" +
-        s""""records_per_sec":${best.n / best.sec},""" +
-        s""""append_records":${best.n2},"append_sec":${best.sec2},""" +
-        s""""append_records_per_sec":${best.n2 / best.sec2},""" +
+      def r4(x: Double): Double = math.rint(x * 1e4) / 1e4
+      s"""{"records":${best.n},"bins":${best.bins},"sec":${r4(best.sec)},""" +
+        s""""records_per_sec":${r4(best.n / best.sec)},""" +
+        s""""append_records":${best.n2},"append_sec":${r4(best.sec2)},""" +
+        s""""append_records_per_sec":${r4(best.n2 / best.sec2)},""" +
         s""""timer":${best.timerJson}}"""
     } catch { case _: Throwable => "{}" }
 }

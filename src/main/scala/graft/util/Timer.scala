@@ -37,6 +37,9 @@ object Timer {
   }
 
   def toJson: String =
-    snapshot.map { case (k, s, n) => s""""$k":{"sec":$s,"n":$n}""" }
-      .mkString("{", ",", "}")
+    // 4-decimal seconds (0.1 ms): keeps the emitted bench line compact
+    // enough to survive the driver's bounded stdout-tail capture
+    snapshot.map { case (k, s, n) =>
+      s""""$k":{"sec":${math.rint(s * 1e4) / 1e4},"n":$n}"""
+    }.mkString("{", ",", "}")
 }
