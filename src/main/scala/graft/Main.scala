@@ -28,20 +28,24 @@ object Main {
     loaded.hadoopConf.foreach { case (k, v) =>
       spark.sparkContext.hadoopConfiguration.set(k, v)
     }
+    // G6: instantiate enrichment-backed path plugins (e.g. `mp:`) now that a
+    // session exists to broadcast their dimension tables
+    val job = loaded.job.copy(pathPlugins = graft.paths.PathFormatterPlugin.fromNames(
+      loaded.pathPluginNames, loaded.pathProperties))
 
     val cleanerAgeMs = loaded.cleanerAgeDays.toLong * 24 * 3600 * 1000
     if (loaded.serviceEnabled && flags.contains("--service")) {
-      Service.runLoop(spark, loaded.job, Service.ServiceConfig(
+      Service.runLoop(spark, job, Service.ServiceConfig(
         intervalMs = loaded.serviceIntervalSec * 1000,
         cleanerEnabled = loaded.cleanerEnabled,
         cleanerAgeMs = cleanerAgeMs))
     } else {
-      val result = Restructure.run(spark, loaded.job)
+      val result = Restructure.run(spark, job)
       result.processedTopics.foreach { t =>
         println(s"[graft] ${t.topic}: ${t.files.size} files, ${t.records} records, ${t.paths.size} bins")
       }
       if (loaded.cleanerEnabled || flags.contains("--clean")) {
-        val c = Cleaner.run(spark, loaded.job, cleanerAgeMs)
+        val c = Cleaner.run(spark, job, cleanerAgeMs)
         println(s"[graft] cleaner: deleted ${c.deleted.size}, rolled back ${c.rolledBack.size}")
       }
     }

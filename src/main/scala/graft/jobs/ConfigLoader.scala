@@ -18,7 +18,13 @@ object ConfigLoader {
       job: RestructureJobConfig,
       hadoopConf: Map[String, String],
       serviceEnabled: Boolean, serviceIntervalSec: Long,
-      cleanerEnabled: Boolean, cleanerAgeDays: Int, cleanerIntervalSec: Long)
+      cleanerEnabled: Boolean, cleanerAgeDays: Int, cleanerIntervalSec: Long,
+      // G6: paths.path.plugins names (reference PathFormatterConfig.kt:10,
+      // default "fixed time key value") + paths.properties passed to plugin
+      // factories; the session-holding caller instantiates them via
+      // PathFormatterPlugin.fromNames and sets job.pathPlugins
+      pathPluginNames: Seq[String] = Seq("fixed", "time", "key", "value"),
+      pathProperties: Map[String, String] = Map.empty)
 
   private def opt(n: JsonNode, path: String*): Option[JsonNode] =
     path.foldLeft(Option(n)) { (acc, p) => acc.flatMap(x => Option(x.get(p))) }
@@ -80,10 +86,23 @@ object ConfigLoader {
       }.toMap
     }
 
+    // reference PathFormatterConfig: template + plugin list under
+    // paths.path, plugin factory properties under paths.properties
+    // (paths.properties.format kept as the template's legacy location)
+    val pathPluginNames = str(root, "paths", "path", "plugins")
+      .getOrElse("fixed time key value").split("\\s+").toSeq.filter(_.nonEmpty)
+    val pathProperties = opt(root, "paths", "properties").filter(_.isObject)
+      .fold(Map.empty[String, String]) { p =>
+        p.properties().asScala
+          .filter(e => e.getValue.isValueNode && e.getKey != "format")
+          .map(e => e.getKey -> e.getValue.asText()).toMap
+      }
+
     val job = RestructureJobConfig(
       inputRoot = inputRoot,
       outputRoot = outputRoot,
-      pathTemplate = str(root, "paths", "properties", "format")
+      pathTemplate = str(root, "paths", "path", "format")
+        .orElse(str(root, "paths", "properties", "format"))
         .getOrElse(graft.paths.PathTemplate.defaultTemplate),
       format = format,
       gzip = gzip,
@@ -111,6 +130,8 @@ object ConfigLoader {
       serviceIntervalSec = opt(root, "service", "interval").map(_.asLong()).getOrElse(300L),
       cleanerEnabled = bool(root, default = false, "cleaner", "enable"),
       cleanerAgeDays = opt(root, "cleaner", "age").map(_.asInt()).getOrElse(7),
-      cleanerIntervalSec = opt(root, "cleaner", "interval").map(_.asLong()).getOrElse(1260L))
+      cleanerIntervalSec = opt(root, "cleaner", "interval").map(_.asLong()).getOrElse(1260L),
+      pathPluginNames = pathPluginNames,
+      pathProperties = pathProperties)
   }
 }

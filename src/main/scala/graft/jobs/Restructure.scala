@@ -148,20 +148,26 @@ object Restructure {
     val template = tCfg.pathTemplate.getOrElse(cfg.pathTemplate)
     val params = PathTemplate.fixedParams(dataSchema, timeCol, lit(topic),
       cfg.extension, cfg.timeBinFormat)
-    val basePath = PathTemplate.compile(template, params, Some(timeCol), Some(dataSchema))
+    // G6: plugin enrichment (broadcast-joined dimension columns) happens
+    // once per batch, before path compilation; the output projection selects
+    // by dataSchema, so enrichment columns never reach the written files
+    val dfE = cfg.pathPlugins.foldLeft(df)((d, p) => p.enrich(d))
+    val basePath = PathTemplate.compile(template, params, Some(timeCol), Some(dataSchema),
+      cfg.pathPlugins)
     // G8 bucket routing: a second template prefixes the output path
     val pathCol = cfg.bucketTemplate.fold(basePath)(bt =>
-      concat(PathTemplate.compile(bt, params, Some(timeCol), Some(dataSchema)), lit("/"), basePath))
+      concat(PathTemplate.compile(bt, params, Some(timeCol), Some(dataSchema), cfg.pathPlugins),
+        lit("/"), basePath))
 
     val hasDynamic = Flatten.leafPaths(dataSchema).exists {
       case (_, _: MapType) | (_, _: ArrayType) => true
       case _ => false
     }
     val written = Timer.time("close.store") {
-      if (cfg.format == "json") writeJsonBins(spark, cfg, fs, topic, df, pathCol, tCfg)
+      if (cfg.format == "json") writeJsonBins(spark, cfg, fs, topic, dfE, pathCol, tCfg)
       else if (hasDynamic)
-        writeCsvBinsDynamic(spark, cfg, fs, topic, df, dataSchema, timeCol, template, tCfg)
-      else writeCsvBins(spark, cfg, fs, topic, df, dataSchema, pathCol, tCfg)
+        writeCsvBinsDynamic(spark, cfg, fs, topic, dfE, dataSchema, timeCol, template, tCfg)
+      else writeCsvBins(spark, cfg, fs, topic, dfE, dataSchema, pathCol, tCfg)
     }
 
     // K4 schema sidecar, once per output directory; same pass sweeps
@@ -427,10 +433,12 @@ object Restructure {
       val header = outCols.map(c => csvQuote(dataColName(c))).mkString(",")
       val params = PathTemplate.fixedParams(dataSchema, timeCol, lit(topic),
         cfg.extension, cfg.timeBinFormat) ++ Map("attempt" -> lit(""))
-      val plainPathCol = PathTemplate.compile(template, params, Some(timeCol), Some(dataSchema))
+      val plainPathCol = PathTemplate.compile(template, params, Some(timeCol), Some(dataSchema),
+        cfg.pathPlugins)
       // G8 bucket routing applies to dynamic topics exactly as to static ones
       val basePathCol = cfg.bucketTemplate.fold(plainPathCol)(bt =>
-        concat(PathTemplate.compile(bt, params, Some(timeCol), Some(dataSchema)), lit("/"), plainPathCol))
+        concat(PathTemplate.compile(bt, params, Some(timeCol), Some(dataSchema), cfg.pathPlugins),
+          lit("/"), plainPathCol))
       val withBase = group.select(outCols ++ Seq(
         basePathCol.as("__base"), col(AvroRead.FileCol), col(AvroRead.PosCol)): _*)
       val basePaths = withBase.select(col("__base")).distinct().collect().map(_.getString(0))

@@ -34,7 +34,10 @@ final case class RestructureJobConfig(
     lockDir: Option[String] = None,           // multi-instance per-topic locks
     maxFilesPerTopic: Option[Int] = None,
     minimumFileAgeMs: Long = 0L,
-    timeBinFormat: String = "yyyyMMdd_HH00") {
+    timeBinFormat: String = "yyyyMMdd_HH00",
+    // G6: enrichment-backed path-template plugins (e.g. `mp:`), applied to
+    // the record frame before path compilation (paths.path.plugins)
+    pathPlugins: Seq[graft.paths.PathFormatterPlugin] = Nil) {
 
   def ledger: String = ledgerPath.getOrElse(s"$outputRoot/_ledger.json")
   def extension: String =

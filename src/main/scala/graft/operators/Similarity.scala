@@ -119,20 +119,47 @@ object Similarity {
     * cell whose cosine exceeds `threshold` — the embedding member of the
     * dedup family (cell restriction bounds the pair space to ~N²/cells;
     * cells shuffle once, pair generation is a per-cell join).
+    *
+    * Skew guard: a hot cell of n > `maxCellSize` members would put an O(n²)
+    * pair space into ONE join task. Members of such a cell are hashed into
+    * G = ⌈n / maxCellSize⌉ chunks and the within-cell self-join becomes
+    * G·(G+1)/2 chunk-pair buckets — the classic blocked ("triangle") self-
+    * join distribution. EXACT: every within-cell pair appears in exactly one
+    * bucket, so the result set is identical to the naive join; only the task
+    * granularity changes (per-task pair work ≤ ~maxCellSize², per-row
+    * replication G+1). Cells at or below the cap keep G = 1 and degenerate
+    * to the plain plan.
     */
   def cosineNearDupPairs(
       assigned: DataFrame, threshold: Double,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxCellSize: Int = 4096): DataFrame = {
+    require(maxCellSize >= 1, s"maxCellSize must be >= 1, got $maxCellSize")
     GraftExpressions.register(assigned.sparkSession)
-    val a = assigned.select(col("cell"), col(idCol).as("vec_a"), col(vecCol).as("__va"),
-      sqrt(dot(col(vecCol), col(vecCol))).as("__na"))
-    val b = assigned.select(col("cell"), col(idCol).as("vec_b"), col(vecCol).as("__vb"),
-      sqrt(dot(col(vecCol), col(vecCol))).as("__nb"))
-    a.join(b, Seq("cell"))
-      .filter(col("vec_a") < col("vec_b"))
+    // per-cell chunk counts: the cell table is codebook-sized — broadcast
+    val counts = assigned.groupBy(col("cell")).agg(count(lit(1)).as("__n"))
+    val base = assigned.join(broadcast(counts), Seq("cell"))
+      .withColumn("__g", ceil(col("__n") / lit(maxCellSize.toDouble)).cast(IntegerType))
+      .withColumn("__c", pmod(xxhash64(col(idCol)), col("__g")).cast(IntegerType))
+      .select(col("cell"), col("__g"), col("__c"), col(idCol), col(vecCol),
+        sqrt(dot(col(vecCol), col(vecCol))).as("__norm"))
+    // triangle distribution: chunk c joins bucket (i=c, j=h) for h ≥ c on the
+    // A side and (i=h, j=c) for h ≤ c on the B side → each unordered chunk
+    // pair meets in exactly one bucket
+    val aSide = base.withColumn("__j", explode(sequence(col("__c"), col("__g") - 1)))
+      .select(col("cell"), col("__c").as("__i"), col("__j"),
+        col(idCol).as("vec_a"), col(vecCol).as("__va"), col("__norm").as("__na"))
+    val bSide = base.withColumn("__i", explode(sequence(lit(0), col("__c"))))
+      .select(col("cell"), col("__i"), col("__c").as("__j"),
+        col(idCol).as("vec_b"), col(vecCol).as("__vb"), col("__norm").as("__nb"))
+    aSide.join(bSide, Seq("cell", "__i", "__j"))
+      // same-chunk bucket holds both orientations → keep one; cross-chunk
+      // buckets hold each pair once in arbitrary id order → keep all
+      .filter(col("__i") =!= col("__j") || col("vec_a") < col("vec_b"))
       .withColumn("__sim", dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
       .filter(col("__sim") > threshold)
-      .select(col("vec_a"), col("vec_b"))
+      .select(least(col("vec_a"), col("vec_b")).as("vec_a"),
+        greatest(col("vec_a"), col("vec_b")).as("vec_b"))
   }
 
   /** Connected components over a pair table (undirected): every vertex maps

@@ -1,0 +1,178 @@
+package graft.paths
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Config-driven path-template parameter plugin — the Spark shape of the
+  * reference's `PathFormatterPlugin` SPI (path/PathFormatterPlugin.kt:47-105,
+  * registry `toPathFormatterPlugin` :16-45).
+  *
+  * The reference resolves plugin parameters with a per-record suspend lookup
+  * backed by a 10-minute REST cache. In a distributed plan a per-record
+  * driver call is the one shape that cannot scale, so the contract here is:
+  * [[enrich]] broadcast-joins whatever dimension data the plugin needs onto
+  * the record frame ONCE per batch (the batch is bounded, the dimension
+  * table is small by definition — same freshness as a 10-min cache), and
+  * [[param]] resolves `${name:contents}` to a Column over the enriched
+  * frame. Enrichment columns are plugin-internal (`__`-prefixed) and never
+  * reach the output projection, which selects data columns by schema.
+  */
+trait PathFormatterPlugin {
+
+  /** Parameter prefix: `${<name>:...}` routes to this plugin. */
+  def name: String
+
+  /** Broadcast-join the plugin's dimension data onto the record frame
+    * (left joins only — must not drop or duplicate records).
+    */
+  def enrich(records: DataFrame): DataFrame
+
+  /** Column for `${name:contents}`, evaluated against the enriched frame;
+    * None if `contents` is not a parameter this plugin provides.
+    */
+  def param(contents: String): Option[Column]
+}
+
+/** Driver-side fetch hook for the ManagementPortal dimension tables the
+  * `mp:` plugin joins (reference MPPathFormatterPlugin.kt:30-157 fetches
+  * them per-record through MPClient with a 10-minute cache; here they are
+  * fetched once per batch as small DataFrames and broadcast).
+  */
+trait MpDimensionSource {
+  /** Project dimension: `id, organization, attributes map<string,string>`. */
+  def projects(spark: SparkSession): DataFrame
+  /** Subject dimension: `projectId, id, group, externalId,
+    * attributes map<string,string>`.
+    */
+  def subjects(spark: SparkSession): DataFrame
+}
+
+object MpDimensionSource {
+  /** REST-backed source (reference: managementPortalUrl +
+    * managementPortalClientId/Secret, MPPathFormatterPlugin.kt:66-81).
+    * STUB: this sandbox has no network egress and no HTTP client
+    * dependency, so the fetch itself is unimplemented; the property
+    * validation and the dimension-table contract are real. A deployment
+    * wires any OAuth2 client-credentials HTTP fetch here and returns the
+    * two frames.
+    */
+  final class Rest(properties: Map[String, String]) extends MpDimensionSource {
+    val url: String = properties.getOrElse("managementPortalUrl",
+      throw new IllegalArgumentException("Missing managementPortalUrl configuration")).stripSuffix("/")
+    val clientId: Option[String] = properties.get("managementPortalClientId")
+      .orElse(sys.env.get("MANAGEMENT_PORTAL_CLIENT_ID"))
+    val clientSecret: Option[String] = properties.get("managementPortalClientSecret")
+      .orElse(sys.env.get("MANAGEMENT_PORTAL_CLIENT_SECRET"))
+    private def unimplemented: Nothing = throw new UnsupportedOperationException(
+      s"MP REST fetch from $url is not implemented in this environment " +
+        "(no HTTP client available); provide an MpDimensionSource backed by " +
+        "your portal's project/subject export")
+    def projects(spark: SparkSession): DataFrame = unimplemented
+    def subjects(spark: SparkSession): DataFrame = unimplemented
+  }
+
+  /** Fixed in-memory dimension tables (tests; also useful for file-backed
+    * exports of the portal data).
+    */
+  final class Static(projectsDf: DataFrame, subjectsDf: DataFrame) extends MpDimensionSource {
+    def projects(spark: SparkSession): DataFrame = projectsDf
+    def subjects(spark: SparkSession): DataFrame = subjectsDf
+  }
+}
+
+/** `mp:` parameters from ManagementPortal dimension tables, param-name
+  * compatible with the reference (MPPathFormatterPlugin.kt:102-118):
+  * `organization`, `project`, `group`, `externalId`, `userId`/`login`/`id`,
+  * `project:<project-attribute>`, `<subject-attribute>`; identical
+  * `unknown-*`/`default` fallbacks and sanitization.
+  */
+final class MpPathFormatterPlugin(source: MpDimensionSource) extends PathFormatterPlugin {
+
+  val name = "mp"
+
+  private val projectStruct = StructType(Seq(
+    StructField("id", StringType), StructField("organization", StringType),
+    StructField("attributes", MapType(StringType, StringType))))
+  private val subjectStruct = StructType(Seq(
+    StructField("id", StringType), StructField("group", StringType),
+    StructField("externalId", StringType),
+    StructField("attributes", MapType(StringType, StringType))))
+
+  override def enrich(records: DataFrame): DataFrame = {
+    def keyField(n: String): Option[Column] =
+      records.schema.fields.find(_.name.equalsIgnoreCase("key")).map(_.dataType) match {
+        case Some(st: StructType) if st.fields.exists(_.name.equalsIgnoreCase(n)) =>
+          Some(col(s"key.$n").cast(StringType))
+        case _ => None
+      }
+    (keyField("projectId"), keyField("userId")) match {
+      case (Some(pid), uid) =>
+        val proj = broadcast(source.projects(records.sparkSession)
+          .select(col("id").cast(StringType).as("__mp_pid"),
+            struct(col("id").cast(StringType).as("id"),
+              col("organization").cast(StringType).as("organization"),
+              col("attributes").cast(MapType(StringType, StringType)).as("attributes"))
+              .as("__mp_project")))
+        val withProj = records.join(proj, pid === col("__mp_pid"), "left").drop("__mp_pid")
+        uid match {
+          case Some(u) =>
+            val subj = broadcast(source.subjects(records.sparkSession)
+              .select(col("projectId").cast(StringType).as("__mp_spid"),
+                col("id").cast(StringType).as("__mp_suid"),
+                struct(col("id").cast(StringType).as("id"),
+                  col("group").cast(StringType).as("group"),
+                  col("externalId").cast(StringType).as("externalId"),
+                  col("attributes").cast(MapType(StringType, StringType)).as("attributes"))
+                  .as("__mp_subject")))
+            withProj.join(subj, pid === col("__mp_spid") && u === col("__mp_suid"), "left")
+              .drop("__mp_spid", "__mp_suid")
+          case None =>
+            withProj.withColumn("__mp_subject", lit(null).cast(subjectStruct))
+        }
+      case _ =>
+        // no lookup key in the record: params resolve to their defaults
+        records.withColumn("__mp_project", lit(null).cast(projectStruct))
+          .withColumn("__mp_subject", lit(null).cast(subjectStruct))
+    }
+  }
+
+  override def param(contents: String): Option[Column] = Some(contents match {
+    case "organization" =>
+      PathTemplate.sanitizeId(col("__mp_project.organization"), "unknown-organization")
+    case "project" =>
+      PathTemplate.sanitizeId(col("__mp_project.id"), "unknown-project")
+    case "group" =>
+      PathTemplate.sanitizeId(col("__mp_subject.group"), "default")
+    case "externalId" =>
+      PathTemplate.sanitizeId(
+        coalesce(col("__mp_subject.externalId"), col("__mp_subject.id")), "unknown-user")
+    case "userId" | "login" | "id" =>
+      PathTemplate.sanitizeId(col("__mp_subject.id"), "unknown-user")
+    case p if p.startsWith("project:") =>
+      PathTemplate.sanitizeId(
+        element_at(col("__mp_project.attributes"), p.stripPrefix("project:")), s"unknown-$p")
+    case attr =>
+      PathTemplate.sanitizeId(element_at(col("__mp_subject.attributes"), attr), s"unknown-$attr")
+  })
+}
+
+object PathFormatterPlugin {
+  /** The reference's name → plugin registry (`toPathFormatterPlugins`,
+    * path/PathFormatterPlugin.kt:8-45). `fixed`/`time`/`key`/`value` are
+    * built into [[PathTemplate.compile]] (they need no enrichment), so only
+    * enrichment-backed plugins are constructed here; unknown names resolve
+    * by class name like the reference's `Class.forName` branch.
+    */
+  def fromNames(
+      names: Seq[String], properties: Map[String, String]): Seq[PathFormatterPlugin] =
+    names.flatMap {
+      case "fixed" | "time" | "key" | "value" | "" => None // built-in
+      case "mp" => Some(new MpPathFormatterPlugin(new MpDimensionSource.Rest(properties)))
+      case cls =>
+        try Class.forName(cls).getConstructor().newInstance() match {
+          case p: PathFormatterPlugin => Some(p)
+          case _ => None
+        } catch { case _: ReflectiveOperationException => None }
+    }
+}

@@ -65,13 +65,16 @@ object PathTemplate {
   /** Compile `template` to a Column. `params` supplies fixed-name parameter
     * expressions; `timeEpochSec` powers `time:<fmt>` parameters;
     * `recordSchema` resolves `key:`/`value:` lookups (null-safe with
-    * `unknown-key`/`unknown-value` fallbacks).
+    * `unknown-key`/`unknown-value` fallbacks); `plugins` resolve
+    * `${<plugin>:...}` parameters against columns their `enrich` added to
+    * the record frame (the caller applies the enrichment).
     */
   def compile(
       template: String,
       params: Map[String, Column],
       timeEpochSec: Option[Column] = None,
-      recordSchema: Option[StructType] = None): Column = {
+      recordSchema: Option[StructType] = None,
+      plugins: Seq[PathFormatterPlugin] = Nil): Column = {
 
     def lookup(root: String, path: String, default: String): Column = {
       val full = root +: path.split('.').toSeq
@@ -99,7 +102,11 @@ object PathTemplate {
         }
       case Param(p) if p.startsWith("key:")   => lookup("key", p.stripPrefix("key:"), "unknown-key")
       case Param(p) if p.startsWith("value:") => lookup("value", p.stripPrefix("value:"), "unknown-value")
-      case Param(p) => lit(s"unknown-$p")
+      case Param(p) =>
+        plugins.collectFirst {
+          case pl if p.startsWith(s"${pl.name}:") =>
+            pl.param(p.stripPrefix(s"${pl.name}:").trim)
+        }.flatten.getOrElse(lit(s"unknown-$p"))
     }
     concat(cols: _*)
   }

@@ -1,35 +1,129 @@
 package graft.sources
 
-import org.apache.hadoop.fs.{FileStatus, FileSystem}
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
 
-/** S10: cached storage listing for service mode — the reference keeps an
-  * in-memory mirror of the source tree and fully re-syncs on a slow cadence
-  * (source/InMemoryStorageIndex.kt, StorageIndexManager.kt:29-95; default
-  * full sync 3600 s). Between syncs the work-list planner reuses the cached
-  * tree; the ledger filter makes stale entries harmless (already-processed
-  * files are skipped, new files picked up at the next sync).
+/** S10: cached storage listing for service mode, mirroring the reference's
+  * three-cadence index (source/StorageIndexManager.kt:28-95,
+  * config/StorageIndexConfig.kt:3-12):
+  *
+  *  - **full sync** (default 3600 s): complete recursive re-list; the cache
+  *    is REPLACED, so deletions and renames are reflected.
+  *  - **incremental update** (every other call): each known non-empty leaf
+  *    directory is listed only past its last-seen filename — the
+  *    `startAfter` marker of StorageIndexManager.updateLevel:57-63 (S3
+  *    ListObjectsV2 `start-after`: the response carries only keys after the
+  *    marker, so a directory holding millions of processed files costs one
+  *    short page per tick instead of a full page-through). Results are
+  *    merged (add-only); stale entries are harmless because the ledger
+  *    filter skips already-processed files.
+  *  - **empty-directory rescan** (default 900 s): directories with no files
+  *    yet — and brand-new topic/partition directories — are only discovered
+  *    by walking the directory levels, so that walk runs on its own slower
+  *    cadence (StorageIndexManager.updateLevel rescanEmpty branch).
+  *
+  * The generic Hadoop `FileSystem` API has no `startAfter` parameter, so the
+  * marker is applied client-side per directory here; an S3-specific
+  * SourceStorage would pass it to the LIST call itself. The cadence/merge
+  * semantics — what the rest of the pipeline observes — are identical.
   */
 final class StorageIndex(
     fs: FileSystem, root: String,
-    fullSyncIntervalMs: Long = 3600000L) {
+    fullSyncIntervalMs: Long = 3600000L,
+    emptyDirSyncIntervalMs: Long = 900000L) {
 
-  private var lastSync = Long.MinValue
-  private var cached: Map[String, Seq[FileStatus]] = Map.empty
-  private var syncCount = 0L
+  private var lastFullSync = Long.MinValue
+  private var lastEmptySync = Long.MinValue
+  // leaf directory -> its .avro files sorted by name; the last element is
+  // the startAfter marker. Empty value = known-but-empty directory (watched
+  // on the empty cadence only).
+  private var dirs: Map[Path, Vector[FileStatus]] = Map.empty
+  private var fullSyncCount = 0L
+  private var incrementalSyncCount = 0L
 
-  /** Current topic → files view, re-listing only when the cadence expired. */
+  private def isAvro(st: FileStatus): Boolean =
+    st.isFile && st.getPath.getName.endsWith(".avro") &&
+      !st.getPath.toString.contains("+tmp")
+
+  /** Current topic → files view under the cadence rules above. */
   def topics(now: Long = System.currentTimeMillis()): Map[String, Seq[FileStatus]] =
     synchronized {
-      if (lastSync == Long.MinValue || now - lastSync >= fullSyncIntervalMs) {
-        cached = TopicFiles.listTopics(fs, root)
-        lastSync = now
-        syncCount += 1
-      }
-      cached
+      if (lastFullSync == Long.MinValue || now - lastFullSync >= fullSyncIntervalMs)
+        fullSync(now)
+      else
+        incrementalSync(rescanEmpty = now - lastEmptySync >= emptyDirSyncIntervalMs, now)
+      toTopics
     }
 
-  /** Force the next `topics` call to re-list (e.g. after cleaner deletes). */
-  def invalidate(): Unit = synchronized { lastSync = Long.MinValue }
+  /** Force the next `topics` call to fully re-list (e.g. after cleaner
+    * deletes — add-only merging would never drop the removed entries).
+    */
+  def invalidate(): Unit = synchronized { lastFullSync = Long.MinValue }
 
-  def syncs: Long = synchronized(syncCount)
+  /** Full re-lists performed (the expensive op to watch at bucket scale). */
+  def syncs: Long = synchronized(fullSyncCount)
+
+  /** Marker-based incremental updates performed. */
+  def incrementalSyncs: Long = synchronized(incrementalSyncCount)
+
+  private def fullSync(now: Long): Unit = {
+    val rootPath = new Path(root)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[FileStatus]
+    if (fs.exists(rootPath)) {
+      val it = fs.listFiles(rootPath, true)
+      while (it.hasNext) {
+        val st = it.next()
+        if (isAvro(st)) buf += st
+      }
+    }
+    dirs = buf.toVector.groupBy(_.getPath.getParent)
+      .map { case (d, fss) => d -> fss.sortBy(_.getPath.getName) }
+    lastFullSync = now
+    lastEmptySync = now
+    fullSyncCount += 1
+  }
+
+  private def incrementalSync(rescanEmpty: Boolean, now: Long): Unit = {
+    incrementalSyncCount += 1
+    // known non-empty leaf dirs: merge entries past the startAfter marker
+    dirs = dirs.map {
+      case (dir, files) if files.nonEmpty =>
+        val marker = files.last.getPath.getName
+        val fresh =
+          try fs.listStatus(dir).toVector.filter(st => isAvro(st) && st.getPath.getName > marker)
+          catch { case _: java.io.FileNotFoundException => Vector.empty }
+        dir -> (if (fresh.isEmpty) files else files ++ fresh.sortBy(_.getPath.getName))
+      case kv => kv
+    }
+    if (rescanEmpty) {
+      // walk directory levels to find new topic/partition dirs and fill
+      // known-empty ones — the only way new directories become visible
+      // between full syncs
+      val rootPath = new Path(root)
+      if (fs.exists(rootPath)) {
+        val stack = scala.collection.mutable.Stack(rootPath)
+        val found = scala.collection.mutable.ArrayBuffer.empty[(Path, Vector[FileStatus])]
+        while (stack.nonEmpty) {
+          val d = stack.pop()
+          val entries = try fs.listStatus(d).toVector
+                        catch { case _: java.io.FileNotFoundException => Vector.empty }
+          entries.foreach { st =>
+            if (st.isDirectory && st.getPath.getName != "+tmp") stack.push(st.getPath)
+          }
+          val known = dirs.get(d).exists(_.nonEmpty)
+          if (!known) {
+            val avro = entries.filter(isAvro)
+            if (avro.nonEmpty || dirs.contains(d) || entries.exists(!_.isDirectory))
+              found += d -> avro.sortBy(_.getPath.getName)
+          }
+        }
+        dirs = dirs ++ found
+      }
+      lastEmptySync = now
+    }
+  }
+
+  private def toTopics: Map[String, Seq[FileStatus]] =
+    dirs.valuesIterator.flatten.toVector
+      .groupBy(_.getPath.getParent.getParent.getName)
+      .map { case (t, fss) => t -> fss.sortBy(_.getPath.toString) }
 }

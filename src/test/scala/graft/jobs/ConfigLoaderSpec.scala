@@ -71,6 +71,31 @@ class ConfigLoaderSpec extends AnyFunSuite {
     assert(l.cleanerEnabled && l.cleanerAgeDays == 7)
   }
 
+  test("paths.path.plugins + paths.properties round-trip (mp: plugin wiring)") {
+    val l = ConfigLoader.load(
+      """paths:
+        |  path:
+        |    format: ${projectId}/${mp:group}/${topic}/${filename}
+        |    plugins: fixed time key value mp
+        |  properties:
+        |    managementPortalUrl: http://localhost:8080/managementportal
+        |    managementPortalClientId: radar_restructure
+        |""".stripMargin)
+    assert(l.pathPluginNames == Seq("fixed", "time", "key", "value", "mp"))
+    assert(l.pathProperties("managementPortalUrl") == "http://localhost:8080/managementportal")
+    assert(l.pathProperties("managementPortalClientId") == "radar_restructure")
+    assert(l.job.pathTemplate == "${projectId}/${mp:group}/${topic}/${filename}")
+    // the registry constructs the mp plugin from those names + properties
+    // (its REST fetch is validated on construction, performed on first use)
+    val plugins = graft.paths.PathFormatterPlugin.fromNames(l.pathPluginNames, l.pathProperties)
+    assert(plugins.map(_.name) == Seq("mp"))
+    // missing managementPortalUrl fails fast, like the reference's requireNotNull
+    val e = intercept[IllegalArgumentException] {
+      graft.paths.PathFormatterPlugin.fromNames(Seq("mp"), Map.empty)
+    }
+    assert(e.getMessage.contains("managementPortalUrl"))
+  }
+
   test("defaults for an empty config") {
     val l = ConfigLoader.load("{}")
     assert(l.job.inputRoot == "in" && l.job.outputRoot == "output")

@@ -132,6 +132,27 @@ class SimilaritySpec extends SparkSpec {
     assert(e.getMessage != null && e.getMessage.contains("nprobe"))
   }
 
+  test("cosineNearDupPairs: blocked self-join on a skewed hot cell is EXACT vs the unchunked plan") {
+    val rnd = new scala.util.Random(7) // seeded — deterministic test
+    // pathological assignment: EVERYTHING lands in one cell, plus a small
+    // second cell — the hot-cell case the chunking exists for
+    val rows = (0L until 120L).map { i =>
+      val cell = if (i < 100) 0L else 1L
+      // clusters of near-identical vectors → plenty of above-threshold pairs
+      val base = Array.fill(4)(rnd.nextGaussian())
+      (i, cell, base.map(x => (x + rnd.nextGaussian() * 0.01).toFloat).toSeq)
+    }
+    val assigned = rows.toDF("vec_id", "cell", "embedding")
+    def pairs(maxCellSize: Int) =
+      Similarity.cosineNearDupPairs(assigned, threshold = 0.5, maxCellSize = maxCellSize)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val unchunked = pairs(maxCellSize = 1000000) // G=1 everywhere
+    val chunked = pairs(maxCellSize = 8)         // hot cell splits into 13 chunks
+    assert(unchunked.nonEmpty, "fixture must produce pairs")
+    assert(chunked == unchunked, "chunked plan must return the identical pair set")
+    assert(unchunked.forall { case (a, b) => a < b }, "pairs must be canonical (a < b)")
+  }
+
   test("ivfAssign: centroid members map to their own cell") {
     val assigned = Similarity.ivfAssign(vecs, vecs.filter(col("vec_id") < 2))
     val cells = assigned.collect().map(r =>

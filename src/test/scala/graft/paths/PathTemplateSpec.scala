@@ -53,6 +53,48 @@ class PathTemplateSpec extends SparkSpec {
     assert(df.select(c.as("p")).collect()(0).getString(0) == "CONNECTED/unknown-key/t/f.csv")
   }
 
+  test("mp: plugin golden path — organization/group/externalId/attributes from a broadcast dimension") {
+    // reference MPPathFormatterPlugin.kt:102-118 param names and fallbacks;
+    // dimension tables stand in for the portal REST fetch
+    val projects = Seq(("p1", "org-A", Map("cohort" -> "c 9"))) // attr needs sanitizing
+      .toDF("id", "organization", "attributes")
+    val subjects = Seq(("p1", "u1", "grpX", "ext-7", Map("site" -> "lab/2")))
+      .toDF("projectId", "id", "group", "externalId", "attributes")
+    val plugin = new MpPathFormatterPlugin(
+      new MpDimensionSource.Static(projects, subjects))
+
+    val records = Seq(("p1", "u1", 1.6095816E9), ("p2", "uX", 1.6095816E9))
+      .toDF("projectId", "userId", "t")
+      .select(struct(col("projectId"), col("userId")).as("key"), col("t"))
+    val enriched = plugin.enrich(records)
+    val params = Map("topic" -> lit("t"), "filename" -> lit("f.csv"))
+    val c = PathTemplate.compile(
+      "${mp:organization}/${mp:project}/${mp:group}/${mp:externalId}/${mp:site}/${mp:project:cohort}/${topic}/${filename}",
+      params, plugins = Seq(plugin))
+    val got = enriched.select(col("key.projectId"), c.as("p")).orderBy("projectId")
+      .collect().map(_.getString(1)).toSeq
+    // matched record: portal values, sanitized ("lab/2" → "lab2", "c 9" → "c9")
+    assert(got(0) == "org-A/p1/grpX/ext-7/lab2/c9/t/f.csv")
+    // unmatched record: reference fallbacks (unknown-*, group → "default";
+    // defaults are used verbatim, reference sanitizeId(value, default))
+    assert(got(1) == "unknown-organization/unknown-project/default/unknown-user/unknown-site/unknown-project:cohort/t/f.csv")
+  }
+
+  test("mp: plugin enrich is a no-op-safe left join (row count preserved, no key column → defaults)") {
+    val projects = Seq(("p1", "org-A", Map.empty[String, String])).toDF("id", "organization", "attributes")
+    val subjects = Seq(("p1", "u1", "g", "e", Map.empty[String, String]))
+      .toDF("projectId", "id", "group", "externalId", "attributes")
+    val plugin = new MpPathFormatterPlugin(
+      new MpDimensionSource.Static(projects, subjects))
+    val noKey = Seq((1, 2)).toDF("a", "b")
+    val e = plugin.enrich(noKey)
+    assert(e.count() == 1)
+    val v = e.select(PathTemplate.compile("${mp:organization}/${topic}/${filename}",
+      Map("topic" -> lit("t"), "filename" -> lit("f")), plugins = Seq(plugin)).as("p"))
+      .collect()(0).getString(0)
+    assert(v == "unknown-organization/t/f")
+  }
+
   test("null time → unknown-time filename") {
     val df = Seq((1)).toDF("x")
     val params = Map(

@@ -85,6 +85,39 @@ class SourcesSpec extends SparkSpec {
     assert(v2 != null) // silence unused fixture
   }
 
+  test("multi-branch union resolves the runtime branch into ONE stringified column (§7.4.4)") {
+    // reference: CsvAvroDataConverter.kt:64-67 — a non-[null,T] union renders
+    // as the resolved branch's string form in a single output column
+    val schema = new Schema.Parser().parse(
+      """{"type":"record","name":"R","fields":[
+        |{"name":"value","type":{"type":"record","name":"V","fields":[
+        |  {"name":"time","type":"double"},
+        |  {"name":"u","type":["null","long","string","boolean"],"default":null}]}}]}""".stripMargin)
+    val dir = Files.createTempDirectory("graft-union").resolve("t/partition=0")
+    Files.createDirectories(dir)
+    val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
+    w.create(schema, new File(dir.toFile, "t+0+0000000000.avro"))
+    def rec(time: Double, u: Any): GenericRecord = {
+      val v = new GenericData.Record(schema.getField("value").schema)
+      v.put("time", time); v.put("u", u)
+      val r = new GenericData.Record(schema)
+      r.put("value", v); r
+    }
+    w.append(rec(1.0, null))
+    w.append(rec(2.0, java.lang.Long.valueOf(42L)))
+    w.append(rec(3.0, new org.apache.avro.util.Utf8("x")))
+    w.append(rec(4.0, java.lang.Boolean.TRUE))
+    w.close()
+    val df = AvroRead.read(spark, Seq(dir.resolve("t+0+0000000000.avro").toString))
+    assert(df.schema("value").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+      .apply("u").dataType == org.apache.spark.sql.types.StringType)
+    val rows = df.select("value.time", "value.u").orderBy("time").collect()
+    assert(rows(0).isNullAt(1))
+    assert(rows(1).getString(1) == "42")
+    assert(rows(2).getString(1) == "x")
+    assert(rows(3).getString(1) == "true")
+  }
+
   test("SchemaMerge: missing fields become nullable-with-default; merge is field-complete both ways") {
     val a = new Schema.Parser().parse(
       """{"type":"record","name":"R","fields":[
@@ -106,21 +139,33 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
-  test("StorageIndex caches between syncs and re-lists on cadence/invalidation") {
+  test("StorageIndex: marker-based incremental sync; new dirs on the empty cadence; full sync reflects deletes") {
     val root = Files.createTempDirectory("graft-idx")
     val dir = root.resolve("topicA/partition=0")
     Files.createDirectories(dir)
     Files.write(dir.resolve("topicA+0+0000000000.avro"), Array[Byte](1))
-    val idx = new StorageIndex(fs, root.toString, fullSyncIntervalMs = 1000000L)
+    val idx = new StorageIndex(fs, root.toString,
+      fullSyncIntervalMs = 1000000L, emptyDirSyncIntervalMs = 1000L)
     val t0 = 1000000L
     assert(idx.topics(t0).keySet == Set("topicA"))
-    // new file appears but cache is fresh → not seen
+    assert(idx.syncs == 1)
+    // new file in a KNOWN dir: found by the startAfter-marker merge, not a full re-list
     Files.write(dir.resolve("topicA+0+0000000001.avro"), Array[Byte](1))
-    assert(idx.topics(t0 + 10).apply("topicA").size == 1)
-    // cadence expiry → re-list
-    assert(idx.topics(t0 + 1000001L).apply("topicA").size == 2)
+    assert(idx.topics(t0 + 10).apply("topicA").size == 2)
+    assert(idx.syncs == 1 && idx.incrementalSyncs == 1)
+    // a NEW topic directory stays invisible until the empty-dir cadence expires
+    val dirB = root.resolve("topicB/partition=0")
+    Files.createDirectories(dirB)
+    Files.write(dirB.resolve("topicB+0+0000000000.avro"), Array[Byte](1))
+    assert(idx.topics(t0 + 20).keySet == Set("topicA"))
+    assert(idx.topics(t0 + 2000).keySet == Set("topicA", "topicB")) // rescanEmpty tick
+    assert(idx.syncs == 1)
+    // deletions are add-only-invisible until the full-sync cadence
+    Files.delete(dir.resolve("topicA+0+0000000001.avro"))
+    assert(idx.topics(t0 + 2010).apply("topicA").size == 2) // stale merged view
+    assert(idx.topics(t0 + 1000001L).apply("topicA").size == 1) // full re-list
     assert(idx.syncs == 2)
-    // explicit invalidation → re-list immediately
+    // explicit invalidation → full re-list immediately
     idx.invalidate()
     idx.topics(t0 + 1000002L)
     assert(idx.syncs == 3)
