@@ -28,8 +28,18 @@ object Bench {
     // time on small inputs); the measured pass below reports steady-state
     // throughput. (A cross-SF warm-up at sf0.001 was tried and measured NET
     // NEGATIVE — same-SF warming is what primes scan + codegen caches.)
-    names.foreach { name =>
+    // clearCache drops CacheManager entries (operator-internal persists) but
+    // NOT raw persisted RDDs — connected-components localCheckpoints survive
+    // it and accumulate across 48 queries × (warm + 2 measured) runs until
+    // the storage pool crowds the 8g heap and the heavy dedup queries run
+    // 8-10× slower from GC/spill pressure (measured: q_corpus_dedup 47 s in
+    // the full bench vs 5.9 s isolated). Sweep both per query.
+    def dropCachedBlocks(): Unit = {
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    }
+    names.foreach { name =>
+      dropCachedBlocks()
       try SparkEntry.queries(name)(spark, sfDir).count()
       catch { case _: Throwable => }
     }
@@ -44,7 +54,7 @@ object Bench {
     // run-to-run machine-contention noise halved (each pass is still a
     // full from-scratch execution — the cache is cleared every time).
     def measure(name: String): (Double, Boolean) = {
-      spark.catalog.clearCache()
+      dropCachedBlocks()
       val t0 = System.nanoTime()
       val ok =
         try { SparkEntry.queries(name)(spark, sfDir).count(); true }
@@ -68,11 +78,8 @@ object Bench {
     }.mkString("{", ",", "}")
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
     val total = r4(results.filter(_._3).map(_._2).sum)
-    // drop every block the query phase left behind (SQL caches AND the
-    // connected-components localCheckpoint RDDs, which survive clearCache)
-    // so the restructure phases measure with a clean storage pool
-    spark.catalog.clearCache()
-    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    // clean storage pool for the restructure phases too
+    dropCachedBlocks()
     System.gc()
     val restructureJson = benchRestructure(spark, sfDir)
     val failedJson = if (failed.isEmpty) "" else s""","failed":[${failed.mkString(",")}]"""

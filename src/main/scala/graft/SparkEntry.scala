@@ -236,6 +236,49 @@ object SparkEntry {
       .orderBy(col("user_id"), col("session_id"))
   }
 
+  /** As-of join (most recent prior-or-same purchase per click, per user) —
+    * the union-tag-window shape: one shuffle on the key, one sort, a
+    * running last(ignoreNulls); no join node, no hot-key pair blow-up
+    * (oracle: DuckDB's native ASOF JOIN).
+    */
+  private def qAsofJoin(implicit s: SparkSession, d: String): DataFrame = {
+    val ev = t("events").select(col("event_id"), col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("us"), col("value"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("us"))
+    // duplicate purchase timestamps per user collapse to the greatest
+    // event_id (deterministic on both engines)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("us").as("p_us"))
+      .agg(max(struct(col("event_id"), col("value"))).as("__m"))
+      .select(col("user_id"), col("p_us"),
+        col("__m.event_id").as("p_event_id"), col("__m.value").as("p_value"))
+    graft.operators.TemporalJoin.asofJoin(
+      clicks, purchases, Seq("user_id"), "us", "p_us", Seq("p_event_id", "p_value"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Point-in-interval range join (clicks inside the hour after each
+    * purchase, per user) via bounded bucket explosion: intervals replicate
+    * to ≤ 7 ten-minute buckets, points map to one — an equi-join plus exact
+    * residual filter, never a nested-loop range join.
+    */
+  private def qRangeJoin(implicit s: SparkSession, d: String): DataFrame = {
+    val ev = t("events").select(col("event_id"), col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("us"), col("value"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("us"), col("value"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_event_id"), col("user_id"),
+        col("us").as("p_start"), (col("us") + lit(3600L * 1000000L)).as("p_end"))
+    graft.operators.TemporalJoin.rangeJoin(
+      clicks, purchases, Seq("user_id"), "us", "p_start", "p_end",
+      bucketWidth = 600L * 1000000L)
+      .groupBy(col("p_event_id"))
+      .agg(count(lit(1)).as("n_clicks"), sum(cents(col("value"))).as("click_cents"))
+      .orderBy(col("p_event_id"))
+  }
+
   /** P3 union-branch resolution: runtime branch pick + single-column render
     * (CsvAvroDataConverter.kt:64-67) modeled as branch-tagged coalesce.
     */
@@ -603,6 +646,42 @@ object SparkEntry {
       .orderBy(col("vec_id"))
   }
 
+  /** Product-quantization codes: 8 subspaces × 16 sub-centroids (the
+    * codebook = vec_id < 16 sliced per subspace) — the memory-bound ANN
+    * compaction (codes ≈ m bytes/vector). Narrow projection, no shuffle.
+    */
+  private def qPqEncode(implicit s: SparkSession, d: String): DataFrame = {
+    val emb = t("embeddings")
+    Similarity.pqEncode(emb, emb.filter(col("vec_id") < 16), m = 8)
+      .orderBy(col("vec_id"), col("subspace"))
+  }
+
+  /** Gopher-style repetition signals per document: token/distinct-token
+    * counts, the mode token's frequency, bigram/distinct-bigram counts. All
+    * integers (no float ratios → engine-exact); all row-local array
+    * expressions — zero shuffles.
+    */
+  private def qRepetition(implicit s: SparkSession, d: String): DataFrame = {
+    val withWs = t("documents").select(col("doc_id"),
+      TextFunctions.words(col("text")).as("ws"))
+    val ws = col("ws")
+    val bg = when(size(ws) < 2, array().cast(ArrayType(StringType)))
+      .otherwise(transform(sequence(lit(0), size(ws) - 2),
+        i => concat(element_at(ws, i + 1), lit(" "), element_at(ws, i + 2))))
+    // mode frequency via the distinct set: per-doc O(distinct·n) but
+    // doc-bounded and codegen'd — no shuffle, unlike an explode+groupBy
+    val topFreq = aggregate(array_distinct(ws), lit(0),
+      (acc, tok) => greatest(acc, size(filter(ws, w => w === tok))))
+    withWs.select(
+      col("doc_id"),
+      size(ws).cast(LongType).as("n_tokens"),
+      size(array_distinct(ws)).cast(LongType).as("n_distinct_tokens"),
+      topFreq.cast(LongType).as("top_token_freq"),
+      size(bg).cast(LongType).as("n_bigrams"),
+      size(array_distinct(bg)).cast(LongType).as("n_distinct_bigrams"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Document-length histogram (50-char buckets). */
   private def qDocHistogram(implicit s: SparkSession, d: String): DataFrame =
     t("documents")
@@ -677,6 +756,10 @@ object SparkEntry {
     "q_seq_pack"         -> mk(qSeqPack(_, _)),
     "q_doc_freq"         -> mk(qDocFreq(_, _)),
     "q_sessionize"       -> mk(qSessionize(_, _)),
+    "q_asof_join"        -> mk(qAsofJoin(_, _)),
+    "q_range_join"       -> mk(qRangeJoin(_, _)),
+    "q_pq_encode"        -> mk(qPqEncode(_, _)),
+    "q_repetition"       -> mk(qRepetition(_, _)),
     "q_tfidf"            -> mk(qTfidf(_, _)),
     "q_redact"           -> mk(qRedact(_, _)),
     "q_quantize"         -> mk(qQuantize(_, _)),
@@ -1014,6 +1097,48 @@ object SparkEntry {
           |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
           |  count(*) AS n_events, min(us) AS start_us, max(us) AS end_us
           |FROM sess GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin,
+      "q_asof_join" ->
+        """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us, value FROM events),
+          |c AS (SELECT event_id, user_id, us FROM e WHERE event_type = 'click'),
+          |p AS (SELECT user_id, us AS p_us, max(event_id) AS p_event_id,
+          |      arg_max(value, event_id) AS p_value
+          |      FROM e WHERE event_type = 'purchase' GROUP BY 1, 2)
+          |SELECT c.event_id, c.user_id, c.us, p.p_event_id, p.p_value
+          |FROM c ASOF JOIN p ON c.user_id = p.user_id AND c.us >= p.p_us
+          |ORDER BY c.event_id""".stripMargin,
+      "q_range_join" ->
+        """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us, value FROM events),
+          |c AS (SELECT user_id, us, value FROM e WHERE event_type = 'click'),
+          |p AS (SELECT event_id AS p_event_id, user_id, us AS s,
+          |      us + 3600000000 AS eend FROM e WHERE event_type = 'purchase')
+          |SELECT p_event_id, count(*) AS n_clicks,
+          |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS click_cents
+          |FROM p JOIN c ON p.user_id = c.user_id AND c.us >= p.s AND c.us < p.eend
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
+      "q_pq_encode" ->
+        s"""WITH ${Frag.embCte},
+           |sp AS (SELECT unnest(range(0, 8)) AS subspace),
+           |ev AS (SELECT vec_id, subspace, v[subspace*8+1 : subspace*8+8] AS sv FROM e, sp),
+           |cv AS (SELECT vec_id AS cent_id, subspace, v[subspace*8+1 : subspace*8+8] AS cs
+           |       FROM e, sp WHERE vec_id < 16),
+           |d AS (SELECT ev.vec_id, ev.subspace, cv.cent_id, ${Frag.l2sq("ev.sv", "cv.cs")} AS dist
+           |      FROM ev JOIN cv USING (subspace))
+           |SELECT vec_id, CAST(subspace AS BIGINT) AS subspace, cent_id AS code FROM
+           |  (SELECT *, row_number() OVER (PARTITION BY vec_id, subspace ORDER BY dist ASC, cent_id ASC) AS rn FROM d)
+           |WHERE rn = 1 ORDER BY vec_id, subspace""".stripMargin,
+      "q_repetition" ->
+        s"""WITH ${Frag.wordsCte},
+           |b AS (SELECT doc_id, ws,
+           |  CASE WHEN len(ws) < 2 THEN []::VARCHAR[]
+           |  ELSE list_transform(range(0, len(ws)-1), i -> ws[i+1] || ' ' || ws[i+2]) END AS bg
+           |  FROM w)
+           |SELECT doc_id,
+           |  CAST(len(ws) AS BIGINT) AS n_tokens,
+           |  CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct_tokens,
+           |  CAST(len(list_filter(ws, x -> x = list_aggregate(ws, 'mode'))) AS BIGINT) AS top_token_freq,
+           |  CAST(len(bg) AS BIGINT) AS n_bigrams,
+           |  CAST(len(list_distinct(bg)) AS BIGINT) AS n_distinct_bigrams
+           |FROM b ORDER BY doc_id""".stripMargin,
       "q_seq_pack" ->
         s"""WITH ${Frag.wordsCte},
            |tc AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens FROM w)

@@ -338,6 +338,36 @@ object Similarity {
     reps.select(col("__id").as(idCol), col("__rep").as("cluster"))
   }
 
+  /** Product-quantization encode: the vector splits into `m` equal-length
+    * subvectors; each maps to its nearest sub-centroid (L2, ties on centroid
+    * id) from the codebook built by slicing `centroids` the same way. Output
+    * is the long form `(idCol, subspace, code)` — m·|vectors| rows. Same
+    * scale shape as [[ivfAssign]]: the codebook embeds as plan literals, so
+    * encoding is a narrow projection (no join, no shuffle); at 100 TB the
+    * codes are ~m bytes/vector instead of 4·dim, the standard memory-bound
+    * ANN compaction.
+    */
+  def pqEncode(
+      vectors: DataFrame, centroids: DataFrame, m: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    GraftExpressions.register(vectors.sparkSession)
+    val (ids, vecs, _) = codebook(centroids, idCol, vecCol)
+    val dim = vecs.head.length
+    require(dim % m == 0, s"vector dim $dim must be divisible by m=$m subspaces")
+    require(vecs.forall(_.length == dim), "centroid dims must agree")
+    val sub = dim / m
+    val codeCols = (0 until m).map { s =>
+      val subCodebook = vecs.map(_.slice(s * sub, (s + 1) * sub))
+      element_at(GraftExpressions.nearestCells(
+        slice(col(vecCol), s * sub + 1, sub), ids, subCodebook, 1), 1).as(s"__c$s")
+    }
+    Scale.widen(vectors)
+      .select(col(idCol) +: codeCols: _*)
+      .select(col(idCol), posexplode(array((0 until m).map(s => col(s"__c$s")): _*))
+        .as(Seq("subspace", "code")))
+      .select(col(idCol), col("subspace").cast(LongType).as("subspace"), col("code"))
+  }
+
   /** IVF-pruned top-k with an `nprobe` dial: each query searches its
     * `nprobe` nearest cells (by centroid L2, ties on centroid id) — the
     * standard IVF recall/latency trade. The probe table is

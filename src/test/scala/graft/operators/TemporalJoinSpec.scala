@@ -1,0 +1,56 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TemporalJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("asofJoin: picks the most recent right row; equal timestamps match; unmatched drop (inner)") {
+    val left = Seq((1L, 10L, "a"), (1L, 20L, "b"), (1L, 5L, "early"), (2L, 50L, "other"))
+      .toDF("k", "t", "tag")
+    val right = Seq((1L, 10L, 100.0), (1L, 15L, 150.0), (2L, 60L, 600.0))
+      .toDF("k", "rt", "rv")
+    val got = TemporalJoin.asofJoin(left, right, Seq("k"), "t", "rt", Seq("rv"))
+      .orderBy("k", "t").collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    // t=10 matches rt=10 (>=), t=20 matches rt=15, t=5 has no prior row →
+    // dropped, k=2 t=50 < rt=60 → dropped
+    assert(got.toSeq == Seq((1L, 10L, 100.0), (1L, 20L, 150.0)))
+  }
+
+  test("asofJoin: outer keeps unmatched left rows with null payload") {
+    val left = Seq((1L, 5L)).toDF("k", "t")
+    val right = Seq((1L, 10L, 1.0)).toDF("k", "rt", "rv")
+    val got = TemporalJoin.asofJoin(left, right, Seq("k"), "t", "rt", Seq("rv"), inner = false)
+      .collect()
+    assert(got.length == 1 && got(0).isNullAt(2))
+  }
+
+  test("asofJoin: duplicate right timestamps resolve to the greatest payload struct, deterministically") {
+    val left = Seq((1L, 10L)).toDF("k", "t")
+    val right = Seq((1L, 10L, 2L, 20.0), (1L, 10L, 7L, 70.0), (1L, 10L, 5L, 50.0))
+      .toDF("k", "rt", "rid", "rv").repartition(3)
+    val got = TemporalJoin.asofJoin(left, right, Seq("k"), "t", "rt", Seq("rid", "rv"))
+      .collect()(0)
+    assert(got.getLong(2) == 7L && got.getDouble(3) == 70.0)
+  }
+
+  test("rangeJoin: half-open containment, bucket-spanning intervals, exactly-once matches") {
+    // interval [10, 40) with bucketWidth 10 spans buckets 1..3; points at
+    // the boundaries probe inclusion (10 in, 40 out)
+    val points = Seq((1L, 9L), (1L, 10L), (1L, 25L), (1L, 39L), (1L, 40L), (2L, 25L))
+      .toDF("k", "t")
+    val intervals = Seq((1L, 10L, 40L, "iv1"), (1L, 35L, 45L, "iv2"))
+      .toDF("k", "s", "e", "iv")
+    val got = TemporalJoin.rangeJoin(points, intervals, Seq("k"), "t", "s", "e", bucketWidth = 10L)
+      .select(col("t"), col("iv")).orderBy(col("t"), col("iv"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq == Seq((10L, "iv1"), (25L, "iv1"), (39L, "iv1"), (39L, "iv2"), (40L, "iv2")))
+  }
+
+  test("rangeJoin: empty and inverted intervals match nothing") {
+    val points = Seq((1L, 10L)).toDF("k", "t")
+    val intervals = Seq((1L, 10L, 10L, "empty"), (1L, 20L, 5L, "inverted")).toDF("k", "s", "e", "iv")
+    assert(TemporalJoin.rangeJoin(points, intervals, Seq("k"), "t", "s", "e", 10L).count() == 0)
+  }
+}
