@@ -67,10 +67,16 @@ object Bench {
     // 4-decimal seconds: the driver captures a bounded stdout tail; full
     // double precision overflowed it in round 4 and clipped the JSON head
     def r4(x: Double): Double = math.rint(x * 1e4) / 1e4
-    val results = names.map { name =>
-      val (a, okA) = measure(name)
-      val (b, okB) = measure(name)
-      (name, math.min(a, b), okA && okB)
+    // INTERLEAVED full sweeps, min per query: this host shows intermittent
+    // multi-second noise bursts (the same plan measured 2.0 s and 26.4 s in
+    // adjacent bench runs); back-to-back repeats of one query let a single
+    // burst poison both of its passes, while interleaving decorrelates the
+    // passes by the length of a full sweep
+    val passCount = sys.env.get("SPARK_GRAFT_BENCH_PASSES").flatMap(_.toIntOption).getOrElse(3)
+    val sweeps = (1 to passCount).map(_ => names.map(measure))
+    val results = names.zipWithIndex.map { case (name, i) =>
+      val runs = sweeps.map(_(i))
+      (name, runs.map(_._1).min, runs.forall(_._2))
     }
     // a failed query reports -1, never a fake elapsed time
     val qs = results.map { case (k, v, ok) =>

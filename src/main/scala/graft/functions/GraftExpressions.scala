@@ -4,7 +4,8 @@ import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions.{call_function, lit, typedLit}
 import org.apache.spark.sql.types._
@@ -98,13 +99,15 @@ object GraftExpressions {
     * per-element interpreted lambdas (higher-order functions are not
     * codegen'd; measured ~5× on 64-dim vectors).
     */
-  abstract class BinaryVectorFold extends Expression with CodegenFallback {
+  abstract class BinaryVectorFold extends Expression {
     def left: Expression
     def right: Expression
     override def children: Seq[Expression] = Seq(left, right)
     override def dataType: DataType = DoubleType
     override def nullable: Boolean = true
     protected def combine(x: Double, y: Double): Double
+    /** Java source for one fold term (codegen twin of [[combine]]). */
+    protected def combineJava(x: String, y: String): String
     private def num(arr: ArrayData, i: Int, dt: DataType): Double = dt match {
       case FloatType => arr.getFloat(i).toDouble
       case DoubleType => arr.getDouble(i)
@@ -129,11 +132,47 @@ object GraftExpressions {
       }
       java.lang.Double.valueOf(acc)
     }
+    // native codegen: the fold is the innermost loop of every ANN scoring
+    // scan (corpus × queries dot products), so it must live INSIDE the
+    // whole-stage-codegen function — a CodegenFallback here would box one
+    // InternalRow per pair and interpret the fold per element
+    private def numJava(arr: String, i: String, dt: DataType): String = dt match {
+      case FloatType => s"(double) $arr.getFloat($i)"
+      case DoubleType => s"$arr.getDouble($i)"
+      case IntegerType => s"(double) $arr.getInt($i)"
+      case LongType => s"(double) $arr.getLong($i)"
+      case other => throw new IllegalArgumentException(s"unsupported element type $other")
+    }
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val a = left.genCode(ctx)
+      val b = right.genCode(ctx)
+      val at = left.dataType.asInstanceOf[ArrayType].elementType
+      val bt = right.dataType.asInstanceOf[ArrayType].elementType
+      val n = ctx.freshName("foldN")
+      val i = ctx.freshName("foldI")
+      val acc = ctx.freshName("foldAcc")
+      ev.copy(code =
+        code"""
+          ${a.code}
+          ${b.code}
+          boolean ${ev.isNull} = true;
+          double ${ev.value} = 0.0;
+          if (!${a.isNull} && !${b.isNull}) {
+            ${ev.isNull} = false;
+            int $n = java.lang.Math.min(${a.value}.numElements(), ${b.value}.numElements());
+            double $acc = 0.0;
+            for (int $i = 0; $i < $n; $i++) {
+              $acc += ${combineJava(numJava(a.value, i, at), numJava(b.value, i, bt))};
+            }
+            ${ev.value} = $acc;
+          }""")
+    }
   }
 
   /** Σ aᵢ·bᵢ (sequential, double). */
   case class DotProduct(left: Expression, right: Expression) extends BinaryVectorFold {
     protected def combine(x: Double, y: Double): Double = x * y
+    protected def combineJava(x: String, y: String): String = s"($x) * ($y)"
     override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): DotProduct =
       copy(left = c(0), right = c(1))
   }
@@ -141,6 +180,8 @@ object GraftExpressions {
   /** Σ (aᵢ−bᵢ)² (sequential, double). */
   case class L2Squared(left: Expression, right: Expression) extends BinaryVectorFold {
     protected def combine(x: Double, y: Double): Double = (x - y) * (x - y)
+    protected def combineJava(x: String, y: String): String =
+      s"(($x) - ($y)) * (($x) - ($y))"
     override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): L2Squared =
       copy(left = c(0), right = c(1))
   }

@@ -153,6 +153,23 @@ class SimilaritySpec extends SparkSpec {
     assert(unchunked.forall { case (a, b) => a < b }, "pairs must be canonical (a < b)")
   }
 
+  test("vector folds run INSIDE codegen (no fallback) and match the interpreted fold bit-for-bit") {
+    import graft.functions.GraftExpressions
+    GraftExpressions.register(spark)
+    val d = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(0.5, 0.25, -1.0)))
+      .toDF("fa", "db") // mixed float/double element types
+    // fail loudly if the generated code does not compile, instead of the
+    // silent interpreted fallback Spark does by default
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val r = d.select(
+        Similarity.dot(col("fa"), col("db")).as("dp"),
+        Similarity.l2sq(col("fa"), col("db")).as("l2")).collect()(0)
+      assert(r.getDouble(0) == (1.0 * 0.5 + 2.0 * 0.25 + 3.0 * -1.0))
+      assert(r.getDouble(1) == (0.25 + 3.0625 + 16.0))
+    } finally spark.conf.set("spark.sql.codegen.fallback", "true")
+  }
+
   test("ivfAssign: centroid members map to their own cell") {
     val assigned = Similarity.ivfAssign(vecs, vecs.filter(col("vec_id") < 2))
     val cells = assigned.collect().map(r =>
