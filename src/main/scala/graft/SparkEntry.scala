@@ -656,6 +656,17 @@ object SparkEntry {
       .orderBy(col("vec_id"), col("subspace"))
   }
 
+  /** PQ-ADC approximate top-k (IVF-PQ's scoring half): corpus scanned as
+    * 8-subspace codes, per-query distances from plan-literal LUTs, integer
+    * micro-unit quantization before the cross-subspace sum (associative).
+    */
+  private def qPqTopk(implicit s: SparkSession, d: String): DataFrame = {
+    val emb = t("embeddings")
+    Similarity.pqTopKAdc(emb, emb.filter(col("vec_id") < 16),
+      emb.select(col("vec_id")).filter(col("vec_id") < 8), k = 3, m = 8)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Gopher-style repetition signals per document: token/distinct-token
     * counts, the mode token's frequency, bigram/distinct-bigram counts. All
     * integers (no float ratios → engine-exact); all row-local array
@@ -759,6 +770,7 @@ object SparkEntry {
     "q_asof_join"        -> mk(qAsofJoin(_, _)),
     "q_range_join"       -> mk(qRangeJoin(_, _)),
     "q_pq_encode"        -> mk(qPqEncode(_, _)),
+    "q_pq_topk"          -> mk(qPqTopk(_, _)),
     "q_repetition"       -> mk(qRepetition(_, _)),
     "q_tfidf"            -> mk(qTfidf(_, _)),
     "q_redact"           -> mk(qRedact(_, _)),
@@ -1126,6 +1138,25 @@ object SparkEntry {
            |SELECT vec_id, CAST(subspace AS BIGINT) AS subspace, cent_id AS code FROM
            |  (SELECT *, row_number() OVER (PARTITION BY vec_id, subspace ORDER BY dist ASC, cent_id ASC) AS rn FROM d)
            |WHERE rn = 1 ORDER BY vec_id, subspace""".stripMargin,
+      "q_pq_topk" ->
+        s"""WITH ${Frag.embCte},
+           |sp AS (SELECT unnest(range(0, 8)) AS subspace),
+           |cv AS (SELECT vec_id AS cent_id, subspace, v[subspace*8+1 : subspace*8+8] AS cs
+           |       FROM e, sp WHERE vec_id < 16),
+           |ev AS (SELECT vec_id, subspace, v[subspace*8+1 : subspace*8+8] AS sv FROM e, sp),
+           |cd AS (SELECT vec_id, subspace, cent_id AS code, cs FROM
+           |  (SELECT ev.vec_id, ev.subspace, cv.cent_id, cv.cs,
+           |     row_number() OVER (PARTITION BY ev.vec_id, ev.subspace
+           |       ORDER BY ${Frag.l2sq("ev.sv", "cv.cs")} ASC, cv.cent_id ASC) AS rn
+           |   FROM ev JOIN cv USING (subspace)) WHERE rn = 1),
+           |q AS (SELECT vec_id AS query_id, subspace, sv AS qs FROM ev WHERE vec_id < 8),
+           |pd AS (SELECT q.query_id, cd.vec_id AS neighbor_id,
+           |  CAST(round(${Frag.l2sq("q.qs", "cd.cs")} * 1e6) AS BIGINT) AS qd
+           |  FROM q JOIN cd USING (subspace) WHERE q.query_id != cd.vec_id),
+           |s AS (SELECT query_id, neighbor_id, CAST(sum(qd) AS BIGINT) AS dist
+           |  FROM pd GROUP BY 1, 2)
+           |SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, neighbor_id ASC) AS INTEGER) AS "rank", neighbor_id
+           |FROM s QUALIFY "rank" <= 3 ORDER BY query_id, "rank"""".stripMargin,
       "q_repetition" ->
         s"""WITH ${Frag.wordsCte},
            |b AS (SELECT doc_id, ws,

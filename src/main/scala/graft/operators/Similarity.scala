@@ -368,6 +368,76 @@ object Similarity {
       .select(col(idCol), col("subspace").cast(LongType).as("subspace"), col("code"))
   }
 
+  /** PQ asymmetric-distance (ADC) top-k: queries stay full-precision, the
+    * corpus is scanned as PQ codes, and each (query, subspace) contributes a
+    * looked-up partial distance from a 16-entry table — the standard
+    * memory-bound ANN search (IVF-PQ's scoring half; compose with
+    * [[ivfTopKProbed]]'s cell pruning for the full architecture).
+    *
+    * Scale shape: the query set is collected (small by contract — it is the
+    * batch-ANN probe set) and its per-subspace distance LUTs ride into the
+    * plan as literal maps, so scoring is ONE narrow scan of the corpus
+    * (encode + m map lookups + a long sum per query) followed by the
+    * bounded-heap top-k aggregation. No join, no shuffle before the
+    * O(k·|queries|·mappers) aggregate.
+    *
+    * Determinism: per-subspace distances quantize to integer micro-units
+    * (Spark `round`, same as the DuckDB oracle) BEFORE the sum, so the
+    * cross-subspace total is an associative long sum — partial-agg order
+    * cannot change it.
+    */
+  def pqTopKAdc(
+      corpus: DataFrame, centroids: DataFrame, queryIds: DataFrame, k: Int, m: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    GraftExpressions.register(corpus.sparkSession)
+    val (ids, vecs, idType) = codebook(centroids, idCol, vecCol)
+    val dim = vecs.head.length
+    require(dim % m == 0, s"vector dim $dim must be divisible by m=$m subspaces")
+    val sub = dim / m
+    // collected query vectors — the same plan-literal pattern as codebook()
+    val queries = corpus.join(queryIds, Seq(idCol), "left_semi")
+      .select(col(idCol).cast(LongType), col(vecCol)).collect()
+      .map { r =>
+        val v = r.getSeq[Any](1).map {
+          case f: java.lang.Float => f.toDouble
+          case d: java.lang.Double => d.doubleValue()
+          case n: java.lang.Number => n.doubleValue()
+        }.toArray
+        (r.getLong(0), v)
+      }.sortBy(_._1)
+    require(queries.nonEmpty, "query set must be non-empty")
+    // raw per-(query, subspace) LUT: centroid id -> l2sq of the slices, the
+    // same strict index-order fold as L2Squared/the oracle; quantization
+    // happens IN THE PLAN via Spark's round() so both engines round alike
+    def sliceL2(q: Array[Double], c: Seq[Double], off: Int): Double = {
+      var acc = 0.0
+      var i = 0
+      while (i < sub) { val dx = q(off + i) - c(off + i); acc += dx * dx; i += 1 }
+      acc
+    }
+    val codeCols = (0 until m).map { s =>
+      val subCodebook = vecs.map(_.slice(s * sub, (s + 1) * sub))
+      element_at(GraftExpressions.nearestCells(
+        slice(col(vecCol), s * sub + 1, sub), ids, subCodebook, 1), 1).as(s"__c$s")
+    }
+    val encoded = Scale.widen(corpus).select(col(idCol).as("neighbor_id") +: codeCols: _*)
+    val perQueryScores = queries.map { case (qid, qv) =>
+      val dist = (0 until m).map { s =>
+        val lut: Map[Long, Double] = ids.zip(vecs).map { case (cid, cv) =>
+          cid -> sliceL2(qv, cv, s * sub)
+        }.toMap
+        round(element_at(typedLit(lut), col(s"__c$s")) * 1e6).cast(LongType)
+      }.reduce(_ + _)
+      struct(lit(qid).as("query_id"), dist.as("__dist"))
+    }
+    val scored = encoded
+      .select(col("neighbor_id"), explode(array(perQueryScores: _*)).as("__q"))
+      .select(col("neighbor_id"), col("__q.query_id").cast(idType).as("query_id"),
+        (-col("__q.__dist")).cast(org.apache.spark.sql.types.DoubleType).as("__sim"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+    topKSelect(scored, k, corpus.schema(idCol).dataType)
+  }
+
   /** IVF-pruned top-k with an `nprobe` dial: each query searches its
     * `nprobe` nearest cells (by centroid L2, ties on centroid id) — the
     * standard IVF recall/latency trade. The probe table is

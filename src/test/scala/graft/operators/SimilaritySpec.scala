@@ -170,6 +170,21 @@ class SimilaritySpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.codegen.fallback", "true")
   }
 
+  test("pqTopKAdc: with per-vector codebook the ADC ranking equals the exact L2 ranking") {
+    // every vector is its own centroid with distinct subspace slices → each
+    // encodes to itself → ADC distance = exact (quantized) L2 distance
+    val data = Seq(
+      (0L, Seq(0.0f, 0.1f, 0.2f, 0.3f)),
+      (1L, Seq(0.0f, 0.1f, 0.2f, 0.4f)),  // closest to 0
+      (2L, Seq(1.0f, 1.1f, 1.2f, 1.3f)),
+      (3L, Seq(5.0f, 5.1f, 5.2f, 5.3f)),
+      (4L, Seq(0.5f, 0.4f, 0.3f, 0.2f))).toDF("vec_id", "embedding")
+    val got = Similarity.pqTopKAdc(data, data,
+      data.select(col("vec_id")).filter(col("vec_id") === 0), k = 3, m = 2)
+      .orderBy("rank").collect().map(_.getLong(2)).toSeq
+    assert(got == Seq(1L, 4L, 2L)) // exact L2 order from vec 0, self excluded
+  }
+
   test("ivfAssign: centroid members map to their own cell") {
     val assigned = Similarity.ivfAssign(vecs, vecs.filter(col("vec_id") < 2))
     val cells = assigned.collect().map(r =>
