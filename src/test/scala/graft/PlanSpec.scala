@@ -140,4 +140,43 @@ class PlanSpec extends SparkSpec {
     assert(!readSchema.contains("n_chars:"),
       s"scan reads unused stored n_chars column: $readSchema")
   }
+
+  test("q_asof_join: no join node — one key exchange + running-last window") {
+    val plan = formatted("q_asof_join")
+    // the as-of semantics must come from the union-tag-window, never a
+    // range-predicate join (nested-loop pair blow-up on hot keys)
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
+      s"as-of fell back to a pair-generating join:\n$plan")
+    assert(plan.contains("Window ("), s"running-last window missing:\n$plan")
+  }
+
+  test("q_range_join: bucketed equi-join, never a nested-loop range join") {
+    val plan = formatted("q_range_join")
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
+      s"range join fell back to nested-loop:\n$plan")
+    // the join keys must include the bucket column
+    assert(plan.contains("__b"), s"bucket key missing from the join:\n$plan")
+  }
+
+  test("PQ family: encode and ADC scoring stay narrow (no join, no pre-agg shuffle)") {
+    val encPlan = formatted("q_pq_encode")
+    assert(!encPlan.contains("Join"), s"pqEncode grew a join:\n$encPlan")
+    val adcPlan = formatted("q_pq_topk")
+    assert(!adcPlan.contains("Join"), s"pqTopKAdc grew a join:\n$adcPlan")
+    assert(!adcPlan.contains("Window ("), s"pqTopKAdc uses a window:\n$adcPlan")
+    assert(adcPlan.contains("graft_topk"), s"bounded-heap top-k missing:\n$adcPlan")
+  }
+
+  test("vector folds: the scoring projection stays inside whole-stage codegen") {
+    // simple mode stars codegen'd operators (`*(n) Project ...`); the
+    // projection evaluating the dot-product fold must be starred — a
+    // CodegenFallback fold would leave it uncodegen'd
+    val df = SparkEntry.queries("q_cosine_topk")(spark, sf)
+    df.collect() // AQE: codegen annotations only exist on the executed final plan
+    val plan = df.queryExecution.explainString(ExplainMode.fromString("simple"))
+    val scoring = plan.linesIterator.filter(_.contains("dotproduct")).toSeq
+    assert(scoring.nonEmpty, s"no fold expression in plan:\n$plan")
+    assert(scoring.exists(_.trim.matches("""[+\-:\s]*\*\(\d+\).*""")),
+      s"fold projection not codegen'd:\n${scoring.mkString("\n")}")
+  }
 }
