@@ -667,6 +667,16 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Fused IVF-PQ: cell pruning (nprobe=2) + ADC code scoring — the full
+    * memory-bound ANN architecture in one broadcast-join plan.
+    */
+  private def qIvfPqTopk(implicit s: SparkSession, d: String): DataFrame = {
+    val emb = t("embeddings")
+    Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 16),
+      emb.select(col("vec_id")).filter(col("vec_id") < 8), k = 3, nprobe = 2, m = 8)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Gopher-style repetition signals per document: token/distinct-token
     * counts, the mode token's frequency, bigram/distinct-bigram counts. All
     * integers (no float ratios → engine-exact); all row-local array
@@ -771,6 +781,7 @@ object SparkEntry {
     "q_range_join"       -> mk(qRangeJoin(_, _)),
     "q_pq_encode"        -> mk(qPqEncode(_, _)),
     "q_pq_topk"          -> mk(qPqTopk(_, _)),
+    "q_ivfpq_topk"       -> mk(qIvfPqTopk(_, _)),
     "q_repetition"       -> mk(qRepetition(_, _)),
     "q_tfidf"            -> mk(qTfidf(_, _)),
     "q_redact"           -> mk(qRedact(_, _)),
@@ -1153,6 +1164,40 @@ object SparkEntry {
            |pd AS (SELECT q.query_id, cd.vec_id AS neighbor_id,
            |  CAST(round(${Frag.l2sq("q.qs", "cd.cs")} * 1e6) AS BIGINT) AS qd
            |  FROM q JOIN cd USING (subspace) WHERE q.query_id != cd.vec_id),
+           |s AS (SELECT query_id, neighbor_id, CAST(sum(qd) AS BIGINT) AS dist
+           |  FROM pd GROUP BY 1, 2)
+           |SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, neighbor_id ASC) AS INTEGER) AS "rank", neighbor_id
+           |FROM s QUALIFY "rank" <= 3 ORDER BY query_id, "rank"""".stripMargin,
+      "q_ivfpq_topk" ->
+        s"""WITH ${Frag.embCte},
+           |sp AS (SELECT unnest(range(0, 8)) AS subspace),
+           |c AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 16),
+           |ad AS (SELECT e.vec_id, c.cent_id, ${Frag.l2sq("e.v", "c.cv")} AS dist FROM e CROSS JOIN c),
+           |cl AS (SELECT vec_id, cent_id AS cell FROM
+           |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cent_id ASC) AS rn FROM ad)
+           |  WHERE rn = 1),
+           |cv AS (SELECT vec_id AS cent_id, subspace, v[subspace*8+1 : subspace*8+8] AS cs
+           |       FROM e, sp WHERE vec_id < 16),
+           |ev AS (SELECT vec_id, subspace, v[subspace*8+1 : subspace*8+8] AS sv FROM e, sp),
+           |cd AS (SELECT vec_id, subspace, cent_id AS code, cs FROM
+           |  (SELECT ev.vec_id, ev.subspace, cv.cent_id, cv.cs,
+           |     row_number() OVER (PARTITION BY ev.vec_id, ev.subspace
+           |       ORDER BY ${Frag.l2sq("ev.sv", "cv.cs")} ASC, cv.cent_id ASC) AS rn
+           |   FROM ev JOIN cv USING (subspace)) WHERE rn = 1),
+           |q0 AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+           |prd AS (SELECT q0.query_id, c.cent_id, ${Frag.l2sq("q0.qv", "c.cv")} AS dist
+           |  FROM q0 CROSS JOIN c),
+           |pr AS (SELECT query_id, cent_id AS cell FROM
+           |  (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, cent_id ASC) AS rn FROM prd)
+           |  WHERE rn <= 2),
+           |cand AS (SELECT pr.query_id, cl.vec_id AS neighbor_id
+           |  FROM pr JOIN cl ON cl.cell = pr.cell AND cl.vec_id != pr.query_id),
+           |qsl AS (SELECT vec_id AS query_id, subspace, sv FROM ev WHERE vec_id < 8),
+           |pd AS (SELECT cand.query_id, cand.neighbor_id,
+           |  CAST(round(${Frag.l2sq("qsl.sv", "cd.cs")} * 1e6) AS BIGINT) AS qd
+           |  FROM cand
+           |  JOIN qsl ON qsl.query_id = cand.query_id
+           |  JOIN cd ON cd.vec_id = cand.neighbor_id AND cd.subspace = qsl.subspace),
            |s AS (SELECT query_id, neighbor_id, CAST(sum(qd) AS BIGINT) AS dist
            |  FROM pd GROUP BY 1, 2)
            |SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, neighbor_id ASC) AS INTEGER) AS "rank", neighbor_id

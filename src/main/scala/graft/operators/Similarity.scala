@@ -438,6 +438,83 @@ object Similarity {
     topKSelect(scored, k, corpus.schema(idCol).dataType)
   }
 
+  /** The full IVF-PQ architecture: IVF cell pruning (each query searches
+    * its `nprobe` nearest cells) × PQ asymmetric-distance scoring (corpus
+    * read as m-subspace codes, per-(query, subspace) LUT lookups). The
+    * memory-bound large-scale ANN shape: candidate generation touches only
+    * probed cells, scoring touches only codes.
+    *
+    * Plan: the corpus scan assigns cells and encodes codes in ONE narrow
+    * projection (both codebooks are plan literals); the probe table
+    * (nprobe·|queries| rows, computed driver-side from the collected query
+    * set) broadcast-joins on `cell`; scores come from nested literal maps
+    * (query → code → quantized distance); the finisher is the bounded-heap
+    * top-k aggregate. One broadcast join, zero shuffles before the
+    * aggregation.
+    */
+  def ivfPqTopK(
+      vectors: DataFrame, centroids: DataFrame, queryIds: DataFrame,
+      k: Int, nprobe: Int, m: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    GraftExpressions.register(vectors.sparkSession)
+    val spark = vectors.sparkSession
+    val (ids, vecs, idType) = codebook(centroids, idCol, vecCol)
+    val dim = vecs.head.length
+    require(dim % m == 0, s"vector dim $dim must be divisible by m=$m subspaces")
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    val sub = dim / m
+    val queries = vectors.join(queryIds, Seq(idCol), "left_semi")
+      .select(col(idCol).cast(LongType), col(vecCol)).collect()
+      .map { r =>
+        val v = r.getSeq[Any](1).map {
+          case f: java.lang.Float => f.toDouble
+          case d: java.lang.Double => d.doubleValue()
+          case n: java.lang.Number => n.doubleValue()
+        }.toArray
+        (r.getLong(0), v)
+      }.sortBy(_._1)
+    require(queries.nonEmpty, "query set must be non-empty")
+    def foldL2(q: Array[Double], c: Seq[Double], off: Int, n: Int): Double = {
+      var acc = 0.0
+      var i = 0
+      while (i < n) { val dx = q(off + i) - c(off + i); acc += dx * dx; i += 1 }
+      acc
+    }
+    // driver-side probe list: nprobe nearest centroids per query, the same
+    // (dist asc, id asc) rule as NearestCells — nprobe·|queries| rows
+    val probeRows = queries.flatMap { case (qid, qv) =>
+      ids.zip(vecs).map { case (cid, cv) => (cid, foldL2(qv, cv, 0, dim)) }
+        .sortBy { case (cid, dd) => (dd, cid) }
+        .take(nprobe)
+        .map { case (cid, _) => (qid, cid) }
+    }
+    import spark.implicits._
+    val probes = probeRows.toSeq.toDF("__qid", "cell")
+    // ONE narrow corpus projection: IVF cell + all m PQ codes
+    val codeCols = (0 until m).map { s =>
+      val subCodebook = vecs.map(_.slice(s * sub, (s + 1) * sub))
+      element_at(GraftExpressions.nearestCells(
+        slice(col(vecCol), s * sub + 1, sub), ids, subCodebook, 1), 1).as(s"__c$s")
+    }
+    val encoded = Scale.widen(vectors).select(
+      col(idCol).as("neighbor_id") +:
+        element_at(GraftExpressions.nearestCells(col(vecCol), ids, vecs, 1), 1).as("cell") +:
+        codeCols: _*)
+    // nested literal LUTs: subspace → (query id → (code → raw slice L2))
+    val dist = (0 until m).map { s =>
+      val lut: Map[Long, Map[Long, Double]] = queries.map { case (qid, qv) =>
+        qid -> ids.zip(vecs).map { case (cid, cv) => cid -> foldL2(qv, cv, s * sub, sub) }.toMap
+      }.toMap
+      round(element_at(element_at(typedLit(lut), col("__qid")), col(s"__c$s")) * 1e6)
+        .cast(LongType)
+    }.reduce(_ + _)
+    val scored = encoded.join(broadcast(probes), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("__qid"))
+      .select(col("neighbor_id"), col("__qid").cast(idType).as("query_id"),
+        (-dist).cast(org.apache.spark.sql.types.DoubleType).as("__sim"))
+    topKSelect(scored, k, vectors.schema(idCol).dataType)
+  }
+
   /** IVF-pruned top-k with an `nprobe` dial: each query searches its
     * `nprobe` nearest cells (by centroid L2, ties on centroid id) — the
     * standard IVF recall/latency trade. The probe table is

@@ -167,6 +167,14 @@ class PlanSpec extends SparkSpec {
     assert(adcPlan.contains("graft_topk"), s"bounded-heap top-k missing:\n$adcPlan")
   }
 
+  test("q_ivfpq_topk: probe table broadcast, no window, bounded-heap finisher") {
+    val plan = formatted("q_ivfpq_topk")
+    assert(plan.contains("BroadcastHashJoin"), s"probe join not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"probe join fell back to shuffle:\n$plan")
+    assert(!plan.contains("Window ("), s"window crept into IVF-PQ top-k:\n$plan")
+    assert(plan.contains("graft_topk"), s"bounded-heap top-k missing:\n$plan")
+  }
+
   test("vector folds: the scoring projection stays inside whole-stage codegen") {
     // simple mode stars codegen'd operators (`*(n) Project ...`); the
     // projection evaluating the dot-product fold must be starred — a

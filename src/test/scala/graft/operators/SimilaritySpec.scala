@@ -185,6 +185,24 @@ class SimilaritySpec extends SparkSpec {
     assert(got == Seq(1L, 4L, 2L)) // exact L2 order from vec 0, self excluded
   }
 
+  test("ivfPqTopK: probing all cells with a per-vector codebook recovers the exact L2 ranking") {
+    val data = Seq(
+      (0L, Seq(0.0f, 0.1f, 0.2f, 0.3f)),
+      (1L, Seq(0.0f, 0.1f, 0.2f, 0.4f)),
+      (2L, Seq(1.0f, 1.1f, 1.2f, 1.3f)),
+      (3L, Seq(5.0f, 5.1f, 5.2f, 5.3f)),
+      (4L, Seq(0.5f, 0.4f, 0.3f, 0.2f))).toDF("vec_id", "embedding")
+    val qs = data.select(col("vec_id")).filter(col("vec_id") === 0)
+    val all = Similarity.ivfPqTopK(data, data, qs, k = 3, nprobe = 5, m = 2)
+      .orderBy("rank").collect().map(_.getLong(2)).toSeq
+    assert(all == Seq(1L, 4L, 2L)) // exact order, self excluded
+    // nprobe=1 searches only the query's own cell (its own vector here) →
+    // candidate set may shrink but never contain out-of-cell neighbors
+    val one = Similarity.ivfPqTopK(data, data, qs, k = 3, nprobe = 1, m = 2)
+      .collect().map(_.getLong(2)).toSet
+    assert(one.subsetOf(Set(1L, 2L, 3L, 4L)))
+  }
+
   test("ivfAssign: centroid members map to their own cell") {
     val assigned = Similarity.ivfAssign(vecs, vecs.filter(col("vec_id") < 2))
     val cells = assigned.collect().map(r =>
