@@ -36,6 +36,8 @@ object TemporalJoin {
     require(payload.nonEmpty, "asofJoin needs at least one payload column")
     val collide = payload.toSet.intersect(left.columns.toSet)
     require(collide.isEmpty, s"payload columns collide with left columns: $collide")
+    val reserved = Set("__t", "__tag", "__rp", "__m").intersect(left.columns.toSet)
+    require(reserved.isEmpty, s"left columns collide with internal names: $reserved")
     val lCols = left.columns.toSeq
     val rSel = right.select(
       keys.map(col) ++ Seq(col(rightTime).as("__t"), lit(0).as("__tag"),
@@ -69,6 +71,8 @@ object TemporalJoin {
       pointTime: String, startCol: String, endCol: String,
       bucketWidth: Long): DataFrame = {
     require(bucketWidth >= 1, s"bucketWidth must be >= 1, got $bucketWidth")
+    require(!points.columns.contains("__b") && !intervals.columns.contains("__b"),
+      "input columns collide with the internal bucket column __b")
     def bucketOf(c: org.apache.spark.sql.Column) =
       floor(c.cast("double") / lit(bucketWidth.toDouble)).cast(LongType)
     val iv = intervals

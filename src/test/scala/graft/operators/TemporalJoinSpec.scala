@@ -53,4 +53,39 @@ class TemporalJoinSpec extends SparkSpec {
     val intervals = Seq((1L, 10L, 10L, "empty"), (1L, 20L, 5L, "inverted")).toDF("k", "s", "e", "iv")
     assert(TemporalJoin.rangeJoin(points, intervals, Seq("k"), "t", "s", "e", 10L).count() == 0)
   }
+
+  test("asofJoin + rangeJoin: random workloads match the brute-force reference") {
+    val rnd = new scala.util.Random(11) // seeded — deterministic test
+    val nKeys = 5
+    val lefts = Seq.fill(120)((rnd.nextInt(nKeys).toLong, rnd.nextInt(100).toLong))
+    // distinct right timestamps per key → unambiguous expected match
+    val rights = (for (k <- 0 until nKeys; t <- 0 until 100 if rnd.nextBoolean())
+      yield (k.toLong, t.toLong, rnd.nextInt(1000).toLong)).distinct
+    val lDf = lefts.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }.toDF("lid", "k", "t")
+    val rDf = rights.toDF("k", "rt", "rv")
+
+    // as-of: most recent rt <= t per key
+    val expectedAsof = lefts.zipWithIndex.flatMap { case ((k, t), i) =>
+      rights.filter(r => r._1 == k && r._2 <= t).sortBy(_._2).lastOption
+        .map(r => (i.toLong, r._3))
+    }.toMap
+    val gotAsof = TemporalJoin.asofJoin(lDf, rDf, Seq("k"), "t", "rt", Seq("rv"))
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(gotAsof == expectedAsof)
+
+    // range: every (point, interval) containment pair, exactly once
+    val ivs = (for (k <- 0 until nKeys; i <- 0 until 10) yield {
+      val s = rnd.nextInt(100).toLong
+      (k.toLong, i.toLong + k * 100, s, s + 1 + rnd.nextInt(40).toLong)
+    }).toSeq
+    val ivDf = ivs.map { case (k, id, s, e) => (k, id, s, e) }.toDF("k", "ivid", "s", "e")
+    val expectedRange = (for {
+      ((k, t), i) <- lefts.zipWithIndex
+      (ik, ivid, s, e) <- ivs if ik == k && t >= s && t < e
+    } yield (i.toLong, ivid)).sorted
+    val gotRange = TemporalJoin.rangeJoin(lDf, ivDf, Seq("k"), "t", "s", "e", bucketWidth = 7L)
+      .select(col("lid"), col("ivid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(gotRange == expectedRange)
+  }
 }
