@@ -39,7 +39,10 @@ object TemporalJoin {
     val reserved = Set("__t", "__tag", "__rp", "__m").intersect(left.columns.toSet)
     require(reserved.isEmpty, s"left columns collide with internal names: $reserved")
     val lCols = left.columns.toSeq
-    val rSel = right.select(
+    // a NULL right time can never satisfy time <= leftTime (ASOF's >= is
+    // false on NULL) — and unfiltered it would sort FIRST in the window and
+    // become a spurious baseline match for every left row
+    val rSel = right.filter(col(rightTime).isNotNull).select(
       keys.map(col) ++ Seq(col(rightTime).as("__t"), lit(0).as("__tag"),
         struct(payload.map(col): _*).as("__rp")): _*)
     val lSel = left.withColumn("__t", col(leftTime)).withColumn("__tag", lit(1))

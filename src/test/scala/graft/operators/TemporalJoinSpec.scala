@@ -54,6 +54,16 @@ class TemporalJoinSpec extends SparkSpec {
     assert(TemporalJoin.rangeJoin(points, intervals, Seq("k"), "t", "s", "e", 10L).count() == 0)
   }
 
+  test("asofJoin: null timestamps never match (ASOF >= is false on NULL)") {
+    val left = Seq((1L, Some(10L), "ok"), (1L, None, "null-time")).toDF("k", "t", "tag")
+    val right = Seq((1L, None, 999.0), (1L, Some(5L), 50.0)).toDF("k", "rt", "rv")
+    val got = TemporalJoin.asofJoin(left, right, Seq("k"), "t", "rt", Seq("rv"))
+      .collect().map(r => (r.getString(2), r.getDouble(3)))
+    // the null-rt right row must NOT become a baseline match; the null-t
+    // left row has no match and drops under inner semantics
+    assert(got.toSeq == Seq(("ok", 50.0)))
+  }
+
   test("asofJoin + rangeJoin: random workloads match the brute-force reference") {
     val rnd = new scala.util.Random(11) // seeded — deterministic test
     val nKeys = 5
