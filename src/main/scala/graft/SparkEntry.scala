@@ -703,6 +703,19 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Z-order (Morton) clustering key over (user, hour) — the layout
+    * primitive behind OPTIMIZE ZORDER: sorting output files by `zval`
+    * co-locates rows close in either dimension for min/max file skipping.
+    * Static unrolled bit expressions, fully codegen'd, zero shuffle.
+    */
+  private def qZorder(implicit s: SparkSession, d: String): DataFrame = {
+    val hour = floor(unix_micros(col("ts")) / lit(3600000000.0)).cast(LongType)
+    t("events")
+      .select(col("event_id"), col("user_id"), hour.as("hour_idx"),
+        graft.functions.ZOrder.zValue2(col("user_id"), hour).as("zval"))
+      .orderBy(col("event_id"))
+  }
+
   /** Document-length histogram (50-char buckets). */
   private def qDocHistogram(implicit s: SparkSession, d: String): DataFrame =
     t("documents")
@@ -782,6 +795,7 @@ object SparkEntry {
     "q_pq_encode"        -> mk(qPqEncode(_, _)),
     "q_pq_topk"          -> mk(qPqTopk(_, _)),
     "q_ivfpq_topk"       -> mk(qIvfPqTopk(_, _)),
+    "q_zorder"           -> mk(qZorder(_, _)),
     "q_repetition"       -> mk(qRepetition(_, _)),
     "q_tfidf"            -> mk(qTfidf(_, _)),
     "q_redact"           -> mk(qRedact(_, _)),
@@ -1202,6 +1216,15 @@ object SparkEntry {
            |  FROM pd GROUP BY 1, 2)
            |SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, neighbor_id ASC) AS INTEGER) AS "rank", neighbor_id
            |FROM s QUALIFY "rank" <= 3 ORDER BY query_id, "rank"""".stripMargin,
+      "q_zorder" -> {
+        val terms = (0 until 21).map(i =>
+          s"(((user_id >> $i) & 1) << ${2 * i}) + (((hour_idx >> $i) & 1) << ${2 * i + 1})")
+          .mkString(" + ")
+        s"""WITH e AS (SELECT event_id, user_id,
+           |  CAST(floor(epoch_us(ts) / 3600000000.0) AS BIGINT) AS hour_idx FROM events)
+           |SELECT event_id, user_id, hour_idx, CAST($terms AS BIGINT) AS zval
+           |FROM e ORDER BY event_id""".stripMargin
+      },
       "q_repetition" ->
         s"""WITH ${Frag.wordsCte},
            |b AS (SELECT doc_id, ws,
