@@ -27,24 +27,30 @@ object TemporalJoin {
     * duplicate right timestamps, resolve to the greatest `payload` struct —
     * deterministic). `payload` columns are appended with their right-side
     * names (must not collide with left columns). `inner = false` keeps
-    * unmatched left rows with null payload.
+    * unmatched left rows with null payload. `tolerance` (same unit as the
+    * time columns) rejects matches staler than `leftTime - tolerance` —
+    * the match becomes null/dropped, like kdb's `wj`/pandas `merge_asof`
+    * tolerance.
     */
   def asofJoin(
       left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTime: String, rightTime: String, payload: Seq[String],
-      inner: Boolean = true): DataFrame = {
+      inner: Boolean = true, tolerance: Option[Long] = None): DataFrame = {
     require(payload.nonEmpty, "asofJoin needs at least one payload column")
     val collide = payload.toSet.intersect(left.columns.toSet)
     require(collide.isEmpty, s"payload columns collide with left columns: $collide")
     val reserved = Set("__t", "__tag", "__rp", "__m").intersect(left.columns.toSet)
     require(reserved.isEmpty, s"left columns collide with internal names: $reserved")
+    require(!payload.contains("__rt"), "payload column name __rt is reserved")
     val lCols = left.columns.toSeq
     // a NULL right time can never satisfy time <= leftTime (ASOF's >= is
     // false on NULL) — and unfiltered it would sort FIRST in the window and
     // become a spurious baseline match for every left row
+    // the right time travels inside the payload struct (first field) so a
+    // tolerance bound can be checked after the running-last match resolves
     val rSel = right.filter(col(rightTime).isNotNull).select(
       keys.map(col) ++ Seq(col(rightTime).as("__t"), lit(0).as("__tag"),
-        struct(payload.map(col): _*).as("__rp")): _*)
+        struct((col(rightTime).as("__rt") +: payload.map(col)): _*).as("__rp")): _*)
     val lSel = left.withColumn("__t", col(leftTime)).withColumn("__tag", lit(1))
     // union by name: the right side carries null left columns and vice versa.
     // right rows (__tag 0) sort before left rows at equal time → equal
@@ -53,9 +59,12 @@ object TemporalJoin {
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__t").asc, col("__tag").asc, col("__rp").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val matched = lSel.unionByName(rSel, allowMissingColumns = true)
+    val matched0 = lSel.unionByName(rSel, allowMissingColumns = true)
       .withColumn("__m", last(col("__rp"), ignoreNulls = true).over(w))
       .filter(col("__tag") === 1)
+    // staler-than-tolerance matches become non-matches (null payload)
+    val matched = tolerance.fold(matched0)(tol => matched0.withColumn("__m",
+      when(col(leftTime) - col("__m.__rt") <= tol, col("__m"))))
     val kept = if (inner) matched.filter(col("__m").isNotNull) else matched
     kept.select(lCols.map(col) ++ payload.map(p => col(s"__m.$p").as(p)): _*)
   }

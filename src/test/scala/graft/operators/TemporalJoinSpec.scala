@@ -54,6 +54,18 @@ class TemporalJoinSpec extends SparkSpec {
     assert(TemporalJoin.rangeJoin(points, intervals, Seq("k"), "t", "s", "e", 10L).count() == 0)
   }
 
+  test("asofJoin: tolerance rejects stale matches (inner drops, outer nulls)") {
+    val left = Seq((1L, 100L, "fresh"), (1L, 500L, "stale")).toDF("k", "t", "tag")
+    val right = Seq((1L, 90L, 9.0)).toDF("k", "rt", "rv")
+    val inner = TemporalJoin.asofJoin(left, right, Seq("k"), "t", "rt", Seq("rv"),
+      tolerance = Some(50L)).collect()
+    assert(inner.map(_.getString(2)).toSeq == Seq("fresh")) // 500-90 > 50 dropped
+    val outer = TemporalJoin.asofJoin(left, right, Seq("k"), "t", "rt", Seq("rv"),
+      inner = false, tolerance = Some(50L))
+      .orderBy("t").collect()
+    assert(outer.length == 2 && !outer(0).isNullAt(3) && outer(1).isNullAt(3))
+  }
+
   test("asofJoin: null timestamps never match (ASOF >= is false on NULL)") {
     val left = Seq((1L, Some(10L), "ok"), (1L, None, "null-time")).toDF("k", "t", "tag")
     val right = Seq((1L, None, 999.0), (1L, Some(5L), 50.0)).toDF("k", "rt", "rv")
