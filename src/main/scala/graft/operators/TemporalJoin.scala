@@ -35,7 +35,27 @@ object TemporalJoin {
   def asofJoin(
       left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTime: String, rightTime: String, payload: Seq[String],
-      inner: Boolean = true, tolerance: Option[Long] = None): DataFrame = {
+      inner: Boolean = true, tolerance: Option[Long] = None): DataFrame =
+    asofJoinImpl(left, right, keys, leftTime, rightTime, payload, inner, tolerance,
+      forward = false)
+
+  /** merge_asof `direction="forward"`: the EARLIEST right row with
+    * `rightTime` ≥ `leftTime` (equal times match). Same plan shape —
+    * implemented by running the backward join over negated numeric times,
+    * so the tolerance bound becomes `rightTime - leftTime ≤ tolerance`.
+    * Time columns must be numeric (epoch micros etc.).
+    */
+  def asofJoinForward(
+      left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: String, rightTime: String, payload: Seq[String],
+      inner: Boolean = true, tolerance: Option[Long] = None): DataFrame =
+    asofJoinImpl(left, right, keys, leftTime, rightTime, payload, inner, tolerance,
+      forward = true)
+
+  private def asofJoinImpl(
+      left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: String, rightTime: String, payload: Seq[String],
+      inner: Boolean, tolerance: Option[Long], forward: Boolean): DataFrame = {
     require(payload.nonEmpty, "asofJoin needs at least one payload column")
     val collide = payload.toSet.intersect(left.columns.toSet)
     require(collide.isEmpty, s"payload columns collide with left columns: $collide")
@@ -46,12 +66,14 @@ object TemporalJoin {
     // a NULL right time can never satisfy time <= leftTime (ASOF's >= is
     // false on NULL) — and unfiltered it would sort FIRST in the window and
     // become a spurious baseline match for every left row
+    // forward direction = backward over negated (numeric) times
+    def dir(c: org.apache.spark.sql.Column) = if (forward) -c else c
     // the right time travels inside the payload struct (first field) so a
     // tolerance bound can be checked after the running-last match resolves
     val rSel = right.filter(col(rightTime).isNotNull).select(
-      keys.map(col) ++ Seq(col(rightTime).as("__t"), lit(0).as("__tag"),
+      keys.map(col) ++ Seq(dir(col(rightTime)).as("__t"), lit(0).as("__tag"),
         struct((col(rightTime).as("__rt") +: payload.map(col)): _*).as("__rp")): _*)
-    val lSel = left.withColumn("__t", col(leftTime)).withColumn("__tag", lit(1))
+    val lSel = left.withColumn("__t", dir(col(leftTime))).withColumn("__tag", lit(1))
     // union by name: the right side carries null left columns and vice versa.
     // right rows (__tag 0) sort before left rows at equal time → equal
     // timestamps match, like ASOF's >=; __rp last in the order makes the
@@ -63,8 +85,10 @@ object TemporalJoin {
       .withColumn("__m", last(col("__rp"), ignoreNulls = true).over(w))
       .filter(col("__tag") === 1)
     // staler-than-tolerance matches become non-matches (null payload)
+    val gap = if (forward) col("__m.__rt") - col(leftTime)
+              else col(leftTime) - col("__m.__rt")
     val matched = tolerance.fold(matched0)(tol => matched0.withColumn("__m",
-      when(col(leftTime) - col("__m.__rt") <= tol, col("__m"))))
+      when(gap <= tol, col("__m"))))
     val kept = if (inner) matched.filter(col("__m").isNotNull) else matched
     kept.select(lCols.map(col) ++ payload.map(p => col(s"__m.$p").as(p)): _*)
   }

@@ -66,6 +66,19 @@ class TemporalJoinSpec extends SparkSpec {
     assert(outer.length == 2 && !outer(0).isNullAt(3) && outer(1).isNullAt(3))
   }
 
+  test("asofJoinForward: earliest future match, equal times included, tolerance bounds the gap") {
+    val left = Seq((1L, 10L), (1L, 16L), (1L, 99L)).toDF("k", "t")
+    val right = Seq((1L, 10L, 100.0), (1L, 15L, 150.0), (1L, 20L, 200.0)).toDF("k", "rt", "rv")
+    val got = TemporalJoin.asofJoinForward(left, right, Seq("k"), "t", "rt", Seq("rv"))
+      .orderBy("t").collect().map(r => (r.getLong(1), r.getDouble(2)))
+    // t=10 matches rt=10 (equal), t=16 matches rt=20 (earliest future),
+    // t=99 has no future row → dropped
+    assert(got.toSeq == Seq((10L, 100.0), (16L, 200.0)))
+    val tight = TemporalJoin.asofJoinForward(left, right, Seq("k"), "t", "rt", Seq("rv"),
+      tolerance = Some(2L)).collect().map(_.getLong(1)).toSeq
+    assert(tight == Seq(10L)) // 20-16 > 2 rejected
+  }
+
   test("asofJoin: null timestamps never match (ASOF >= is false on NULL)") {
     val left = Seq((1L, Some(10L), "ok"), (1L, None, "null-time")).toDF("k", "t", "tag")
     val right = Seq((1L, None, 999.0), (1L, Some(5L), 50.0)).toDF("k", "rt", "rv")
