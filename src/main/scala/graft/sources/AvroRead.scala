@@ -166,12 +166,17 @@ object AvroRead {
     */
   def read(spark: SparkSession, files: Seq[String],
       readerSchema: Option[Schema] = None,
-      skipPositions: Map[String, Seq[(Long, Long)]] = Map.empty): DataFrame = {
+      skipPositions: Map[String, Seq[(Long, Long)]] = Map.empty,
+      // files above this size split into byte-range slices on Avro sync
+      // boundaries (a huge container file otherwise pins one task for its
+      // whole decode); 0 disables splitting
+      splitBytes: Long = 256L << 20): DataFrame = {
     require(files.nonEmpty, "no avro files to read")
     val schema = readerSchema.getOrElse(topicReaderSchema(spark, files))
     val rd = spark.read.format("graft-avro")
       .option("files", files.mkString("\n"))
       .option("readerSchema", schema.toString)
+      .option("splitBytes", splitBytes.toString)
     (if (skipPositions.isEmpty) rd
      else rd.option("skipPositions", v2.GraftAvroSource.encodeSkip(skipPositions)))
       .load()

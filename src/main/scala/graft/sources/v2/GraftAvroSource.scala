@@ -56,6 +56,12 @@ private[graft] object GraftAvroSource {
   val FilesOption = "files"
   val SchemaOption = "readerschema"
   val SkipOption = "skippositions"
+  /** Files larger than this many bytes split into byte-range slices along
+    * Avro sync boundaries (0/absent = no splitting). Slice readers keep the
+    * file-global `__pos` exact by skimming the block HEADERS before their
+    * range (count + seek per block — no record decode).
+    */
+  val SplitBytesOption = "splitbytes"
 
   /** `basename \t start-end[,start-end…]` per line — record POSITIONS
     * (0-based within the file, inclusive) the reader must not emit (P10 at
@@ -137,12 +143,28 @@ private[v2] class GraftAvroScan(required: StructType, options: CaseInsensitiveSt
 
   override def planInputPartitions(): Array[InputPartition] = {
     val files = GraftAvroSource.files(options)
-    val parallelism = org.apache.spark.sql.SparkSession.active
-      .sparkContext.defaultParallelism
-    val slices = math.min(files.size, math.max(1, parallelism))
-    // round-robin grouping: neighboring files (same topic partition) spread
-    // across tasks, balancing offsets-per-task for append-heavy layouts
-    files.zipWithIndex.groupBy(_._2 % slices).values
+    val spark = org.apache.spark.sql.SparkSession.active
+    val parallelism = spark.sparkContext.defaultParallelism
+    val splitBytes = Option(options.get(GraftAvroSource.SplitBytesOption))
+      .map(_.toLong).filter(_ > 0)
+    // whole-file slices by default; files above the split threshold fan out
+    // into byte ranges cut at Avro sync boundaries by the reader (a 10 GB
+    // container file otherwise pins one task for its whole decode)
+    val slices: Seq[FileSlice] = splitBytes match {
+      case None => files.map(FileSlice(_, 0L, Long.MaxValue))
+      case Some(target) =>
+        val conf = spark.sparkContext.hadoopConfiguration
+        files.flatMap { f =>
+          val p = new org.apache.hadoop.fs.Path(f)
+          val len = p.getFileSystem(conf).getFileStatus(p).getLen
+          if (len <= target) Seq(FileSlice(f, 0L, Long.MaxValue))
+          else (0L until len by target).map(s => FileSlice(f, s, math.min(s + target, len)))
+        }
+    }
+    val groups = math.min(slices.size, math.max(1, parallelism))
+    // round-robin grouping: neighboring slices (same file / topic partition)
+    // spread across tasks, balancing offsets-per-task for append-heavy layouts
+    slices.zipWithIndex.groupBy(_._2 % groups).values
       .map(g => GraftAvroPartition(g.map(_._1)))
       .toArray[InputPartition]
   }
@@ -158,18 +180,25 @@ private[v2] class GraftAvroScan(required: StructType, options: CaseInsensitiveSt
   }
 }
 
-private[v2] final case class GraftAvroPartition(files: Seq[String]) extends InputPartition
+/** One byte range of one container file: blocks whose sync boundary falls
+  * in `[start, end)` belong to this slice (the standard Hadoop split
+  * contract — every block to exactly one slice). `(0, Long.MaxValue)` is
+  * the whole file.
+  */
+private[v2] final case class FileSlice(path: String, start: Long, end: Long)
+
+private[v2] final case class GraftAvroPartition(slices: Seq[FileSlice]) extends InputPartition
 
 private[v2] final case class GraftAvroReaderFactory(
     readerSchemaJson: String, requiredJson: String,
     confEntries: Map[String, String], skipEncoded: String) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new GraftAvroPartitionReader(
-      partition.asInstanceOf[GraftAvroPartition].files,
+      partition.asInstanceOf[GraftAvroPartition].slices,
       readerSchemaJson, requiredJson, confEntries, skipEncoded)
 }
 
-/** Streams the partition's files through one Avro reader at a time,
+/** Streams the partition's file slices through one Avro reader at a time,
   * decoding ONLY the required fields into Catalyst values. Positions listed
   * in the skip map are not emitted: a skip range that spans a whole Avro
   * block skips the block WITHOUT decoding it (`nextBlock`), so incremental
@@ -177,9 +206,15 @@ private[v2] final case class GraftAvroReaderFactory(
   * decode CPU; partial blocks fall back to decode-and-discard into a
   * reused record (no per-skip allocation). Emitted `__pos` values are the
   * original file positions either way.
+  *
+  * Byte-range slices: a slice owns the blocks whose sync boundary falls in
+  * `[start, end)`. A mid-file slice first SKIMS the block headers before
+  * its range (`getBlockCount` + `nextBlock` — a count and a seek per
+  * block, no record decode) so `__pos` stays the exact file-global record
+  * index the ledger and order-preserving dedup rely on.
   */
 private[v2] class GraftAvroPartitionReader(
-    files: Seq[String], readerSchemaJson: String, requiredJson: String,
+    slices: Seq[FileSlice], readerSchemaJson: String, requiredJson: String,
     confEntries: Map[String, String], skipEncoded: String) extends PartitionReader[InternalRow] {
 
   private val readerSchema = new Schema.Parser().parse(readerSchemaJson)
@@ -209,10 +244,11 @@ private[v2] class GraftAvroPartitionReader(
 
   private val skipMap = GraftAvroSource.decodeSkip(skipEncoded)
 
-  private var fileIdx = -1
+  private var sliceIdx = -1
   private var reader: DataFileReader[GenericRecord] = _
   private var fname: UTF8String = _
   private var pos = 0L
+  private var sliceEnd = Long.MaxValue
   private var current: InternalRow = _
   private var skipRanges: Array[(Long, Long)] = Array.empty
   private var skipIdx = 0
@@ -224,26 +260,43 @@ private[v2] class GraftAvroPartitionReader(
 
   private def openNext(): Boolean = {
     if (reader != null) { reader.close(); reader = null }
-    fileIdx += 1
-    if (fileIdx >= files.size) return false
-    val path = files(fileIdx)
-    val in = new org.apache.avro.mapred.FsInput(new org.apache.hadoop.fs.Path(path), conf)
+    sliceIdx += 1
+    if (sliceIdx >= slices.size) return false
+    val slice = slices(sliceIdx)
+    val in = new org.apache.avro.mapred.FsInput(new org.apache.hadoop.fs.Path(slice.path), conf)
     reader = DataFileReader.openReader(in,
       new GenericDatumReader[GenericRecord](null, readerSchema))
       .asInstanceOf[DataFileReader[GenericRecord]]
-    val base = new org.apache.hadoop.fs.Path(path).getName
+    val base = new org.apache.hadoop.fs.Path(slice.path).getName
     fname = UTF8String.fromString(base)
     pos = 0L
+    sliceEnd = slice.end
     skipRanges = skipMap.getOrElse(base, Array.empty)
     skipIdx = 0
     blockTotal = -1L
     consumedInBlock = 0L
+    // mid-file slice: skim (count + seek) the blocks owned by earlier
+    // slices so `pos` is the exact file-global record index on arrival
+    if (slice.start > 0) {
+      while (reader.hasNext && !reader.pastSync(slice.start)) {
+        pos += reader.getBlockCount
+        reader.nextBlock()
+      }
+    }
     true
   }
 
+  /** At a block boundary, a loaded header past the slice end means every
+    * remaining block belongs to a later slice. (Only meaningful between
+    * blocks: blockStart moves at block boundaries.)
+    */
+  private def sliceExhausted: Boolean =
+    sliceEnd != Long.MaxValue &&
+      (blockTotal < 0 || consumedInBlock == blockTotal) && reader.pastSync(sliceEnd)
+
   override def next(): Boolean = {
     while (true) {
-      while (reader == null || !reader.hasNext) {
+      while (reader == null || !reader.hasNext || sliceExhausted) {
         if (!openNext()) return false
       }
       if (blockTotal < 0 || consumedInBlock == blockTotal) {

@@ -85,6 +85,41 @@ class SourcesSpec extends SparkSpec {
     assert(v2 != null) // silence unused fixture
   }
 
+  test("V2 byte-range slices: split read ≡ whole-file read, exact file-global __pos, skip ranges across slices") {
+    val schema = new Schema.Parser().parse(
+      """{"type":"record","name":"R","fields":[{"name":"x","type":"long"}]}""")
+    val dir = Files.createTempDirectory("graft-split").resolve("t/partition=0")
+    Files.createDirectories(dir)
+    val f = new File(dir.toFile, "t+0+0000000000.avro")
+    val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
+    w.setSyncInterval(64) // tiny blocks → many sync boundaries to split on
+    w.create(schema, f)
+    (0L until 5000L).foreach { i =>
+      val r = new GenericData.Record(schema)
+      r.put("x", i)
+      w.append(r)
+    }
+    w.close()
+    def collectPairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("x", AvroRead.PosCol).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._2).toSeq
+
+    val whole = AvroRead.read(spark, Seq(f.getPath), splitBytes = 0)
+    val split = AvroRead.read(spark, Seq(f.getPath), splitBytes = 4096)
+    assert(split.rdd.getNumPartitions > 1, "file did not split")
+    val wp = collectPairs(whole)
+    val sp = collectPairs(split)
+    assert(wp.size == 5000 && wp.map(_._2) == (0L until 5000L))
+    assert(sp == wp, "split read diverged from whole-file read")
+
+    // a skip range spanning many slice boundaries still excludes exactly
+    // its positions (the ledger/P10 contract)
+    val skipped = AvroRead.read(spark, Seq(f.getPath),
+      skipPositions = Map(f.getName -> Seq((100L, 2499L))), splitBytes = 4096)
+    val got = collectPairs(skipped).map(_._2)
+    assert(got == ((0L until 100L) ++ (2500L until 5000L)))
+  }
+
   test("multi-branch union resolves the runtime branch into ONE stringified column (§7.4.4)") {
     // reference: CsvAvroDataConverter.kt:64-67 — a non-[null,T] union renders
     // as the resolved branch's string form in a single output column
