@@ -291,6 +291,18 @@ object Similarity {
     * non-integral vertex ids, and as the huge-graph fallback after
     * contraction. Convergence via Σrep: strictly decreasing until fixpoint.
     */
+  /** Free the storage blocks behind a superseded localCheckpoint'd frame.
+    * A local checkpoint CANNOT recompute once its blocks drop (lineage is
+    * truncated), so this must only run when the frame is provably no
+    * longer referenced — here: a fixpoint iteration's predecessor after
+    * the successor has eagerly materialized.
+    */
+  private def dropCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      case _ =>
+    }
+
   private[operators] def hashMinFixpoint(
       pairs: DataFrame, vertices: DataFrame,
       aCol: String, bCol: String, idCol: String,
@@ -331,6 +343,10 @@ object Similarity {
       val newSum = repSum(updated)
       changed = newSum.compareTo(prevSum) != 0
       prevSum = newSum
+      // the superseded iteration's checkpoint blocks would otherwise
+      // accumulate for the whole fixpoint (iterations × |V| rows of
+      // storage) — `updated` is already materialized, so `reps` is dead
+      dropCheckpoint(reps)
       reps = updated
       iter += 1
     }
