@@ -104,6 +104,10 @@ object ConfigLoader {
       pathTemplate = str(root, "paths", "path", "format")
         .orElse(str(root, "paths", "properties", "format"))
         .getOrElse(graft.paths.PathTemplate.defaultTemplate),
+      // G8: per-record bucket routing (reference BucketFormatterConfig.kt:4-8
+      // — the format string; disabledFormats/defaultName are an S3-naming
+      // concern the Hadoop-URI output root does not share)
+      bucketTemplate = str(root, "paths", "bucket", "format"),
       format = format,
       gzip = gzip,
       zip = zip,

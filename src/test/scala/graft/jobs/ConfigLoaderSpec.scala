@@ -82,6 +82,14 @@ class ConfigLoaderSpec extends AnyFunSuite {
         |    managementPortalClientId: radar_restructure
         |""".stripMargin)
     assert(l.pathPluginNames == Seq("fixed", "time", "key", "value", "mp"))
+    assert(l.job.bucketTemplate.isEmpty)
+    // G8 bucket routing template (paths.bucket.format)
+    val withBucket = ConfigLoader.load(
+      """paths:
+        |  bucket:
+        |    format: prod-${projectId}
+        |""".stripMargin)
+    assert(withBucket.job.bucketTemplate.contains("prod-${projectId}"))
     assert(l.pathProperties("managementPortalUrl") == "http://localhost:8080/managementportal")
     assert(l.pathProperties("managementPortalClientId") == "radar_restructure")
     assert(l.job.pathTemplate == "${projectId}/${mp:group}/${topic}/${filename}")
