@@ -407,16 +407,23 @@ object Restructure {
     try groupRows.toSeq.flatMap { row =>
       val fp = row.getString(row.fieldIndex("__fp"))
       val group = withFp.filter(col("__fp") === fp).drop("__fp")
+      val exclude = cfg.allExcludeFields(topic)
+      // excludeFields match FLATTENED names, so map-key / array-index
+      // expansions filter on their expanded form too (reference golden:
+      // excludeFields {a, i.other} drops the i.other map column,
+      // CsvAvroConverterTest.kt:69-84)
       val outCols = Flatten.leafPaths(dataSchema)
-        .filterNot { case (n, _) => cfg.allExcludeFields(topic)(n) }
+        .filterNot { case (n, _) => exclude(n) }
         .flatMap {
           case (n, _: MapType) =>
-            row.getSeq[String](row.fieldIndex(s"k:$n")).map(k =>
-              try_element_at(Flatten.leafColumn(n), lit(k)).cast(StringType).as(s"$n.$k"))
+            row.getSeq[String](row.fieldIndex(s"k:$n"))
+              .filterNot(k => exclude(s"$n.$k"))
+              .map(k =>
+                try_element_at(Flatten.leafColumn(n), lit(k)).cast(StringType).as(s"$n.$k"))
           case (n, _: ArrayType) =>
             val idx = row.fieldIndex(s"l:$n")
             val len = if (row.isNullAt(idx)) 0 else math.max(0, row.getInt(idx))
-            (0 until len).map(i =>
+            (0 until len).filterNot(i => exclude(s"$n.$i")).map(i =>
               get(Flatten.leafColumn(n), lit(i)).cast(StringType).as(s"$n.$i"))
           case (n, BinaryType) =>
             Seq(regexp_replace(base64(Flatten.leafColumn(n)), "=+$", "").as(n))
