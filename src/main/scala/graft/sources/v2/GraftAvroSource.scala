@@ -154,9 +154,26 @@ private[v2] class GraftAvroScan(required: StructType, options: CaseInsensitiveSt
       case None => files.map(FileSlice(_, 0L, Long.MaxValue))
       case Some(target) =>
         val conf = spark.sparkContext.hadoopConfiguration
-        files.flatMap { f =>
-          val p = new org.apache.hadoop.fs.Path(f)
-          val len = p.getFileSystem(conf).getFileStatus(p).getLen
+        // driver-side stats are latency-bound (one RPC per file) — overlap
+        // them for large listings
+        def statAll(fs: Seq[String]): Seq[(String, Long)] =
+          if (fs.size < 64)
+            fs.map { f =>
+              val p = new org.apache.hadoop.fs.Path(f)
+              f -> p.getFileSystem(conf).getFileStatus(p).getLen
+            }
+          else {
+            import scala.concurrent.{Await, ExecutionContext, Future}
+            import scala.concurrent.duration.Duration
+            val pool = java.util.concurrent.Executors.newFixedThreadPool(32)
+            implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+            try Await.result(Future.sequence(fs.map(f => Future {
+              val p = new org.apache.hadoop.fs.Path(f)
+              f -> p.getFileSystem(conf).getFileStatus(p).getLen
+            })), Duration.Inf)
+            finally pool.shutdown()
+          }
+        statAll(files).flatMap { case (f, len) =>
           if (len <= target) Seq(FileSlice(f, 0L, Long.MaxValue))
           else (0L until len by target).map(s => FileSlice(f, s, math.min(s + target, len)))
         }
