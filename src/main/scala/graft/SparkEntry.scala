@@ -258,6 +258,25 @@ object SparkEntry {
       .orderBy(col("event_id"))
   }
 
+  /** Forward as-of join: each click's EARLIEST same-or-later purchase per
+    * user (merge_asof direction="forward") — same union-tag-window plan
+    * over negated times.
+    */
+  private def qAsofForward(implicit s: SparkSession, d: String): DataFrame = {
+    val ev = t("events").select(col("event_id"), col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("us"), col("value"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("us"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("us").as("p_us"))
+      .agg(max(struct(col("event_id"), col("value"))).as("__m"))
+      .select(col("user_id"), col("p_us"),
+        col("__m.event_id").as("p_event_id"), col("__m.value").as("p_value"))
+    graft.operators.TemporalJoin.asofJoinForward(
+      clicks, purchases, Seq("user_id"), "us", "p_us", Seq("p_event_id", "p_value"))
+      .orderBy(col("event_id"))
+  }
+
   /** Point-in-interval range join (clicks inside the hour after each
     * purchase, per user) via bounded bucket explosion: intervals replicate
     * to ≤ 7 ten-minute buckets, points map to one — an equi-join plus exact
@@ -791,6 +810,7 @@ object SparkEntry {
     "q_doc_freq"         -> mk(qDocFreq(_, _)),
     "q_sessionize"       -> mk(qSessionize(_, _)),
     "q_asof_join"        -> mk(qAsofJoin(_, _)),
+    "q_asof_forward"     -> mk(qAsofForward(_, _)),
     "q_range_join"       -> mk(qRangeJoin(_, _)),
     "q_pq_encode"        -> mk(qPqEncode(_, _)),
     "q_pq_topk"          -> mk(qPqTopk(_, _)),
@@ -1143,6 +1163,17 @@ object SparkEntry {
           |SELECT c.event_id, c.user_id, c.us, p.p_event_id, p.p_value
           |FROM c ASOF JOIN p ON c.user_id = p.user_id AND c.us >= p.p_us
           |ORDER BY c.event_id""".stripMargin,
+      "q_asof_forward" ->
+        """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us, value FROM events),
+          |c AS (SELECT event_id, user_id, us FROM e WHERE event_type = 'click'),
+          |p AS (SELECT user_id, us AS p_us, max(event_id) AS p_event_id,
+          |      arg_max(value, event_id) AS p_value
+          |      FROM e WHERE event_type = 'purchase' GROUP BY 1, 2),
+          |j AS (SELECT c.event_id, c.user_id, c.us, p.p_event_id, p.p_value,
+          |      row_number() OVER (PARTITION BY c.event_id ORDER BY p.p_us ASC) AS rn
+          |      FROM c JOIN p ON c.user_id = p.user_id AND p.p_us >= c.us)
+          |SELECT event_id, user_id, us, p_event_id, p_value FROM j WHERE rn = 1
+          |ORDER BY event_id""".stripMargin,
       "q_range_join" ->
         """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us, value FROM events),
           |c AS (SELECT user_id, us, value FROM e WHERE event_type = 'click'),
