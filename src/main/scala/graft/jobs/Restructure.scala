@@ -164,7 +164,7 @@ object Restructure {
       case _ => false
     }
     val written = Timer.time("close.store") {
-      if (cfg.format == "json") writeJsonBins(spark, cfg, fs, topic, dfE, pathCol, tCfg)
+      if (cfg.format == "json") writeJsonBins(spark, cfg, fs, topic, dfE, dataSchema, pathCol, tCfg)
       else if (hasDynamic)
         writeCsvBinsDynamic(spark, cfg, fs, topic, dfE, dataSchema, timeCol, template, tCfg)
       else writeCsvBins(spark, cfg, fs, topic, dfE, dataSchema, pathCol, tCfg)
@@ -549,9 +549,11 @@ object Restructure {
 
   private[graft] def writeJsonBins(
       spark: SparkSession, cfg: RestructureJobConfig, fs: FileSystem, topic: String,
-      df: DataFrame, pathCol: Column, tCfg: TopicJobConfig): Seq[String] = {
-    val dataCols = df.columns.toSeq
-      .filterNot(Seq(AvroRead.FileCol, AvroRead.PosCol).contains)
+      df: DataFrame, dataSchema: StructType, pathCol: Column, tCfg: TopicJobConfig): Seq[String] = {
+    // project by the topic's data schema (like csvColumns), NOT df.columns:
+    // the frame arrives plugin-enriched, and the __-prefixed enrichment
+    // structs must never reach written records or the dedup key
+    val dataCols = dataSchema.fieldNames.toSeq
       .filterNot(cfg.allExcludeFields(topic))
       .map(n => col(s"`$n`"))
     val prepared = df.select(dataCols ++ Seq(

@@ -45,14 +45,28 @@ object Similarity {
     */
   private val integralTypes: Set[DataType] = Set(LongType, IntegerType, ShortType, ByteType)
 
+  /** Driver-collect caps. Codebooks and query sets ride into the plan as
+    * literals (the broadcast-build-side pattern minus the join), which is
+    * only sound while they are genuinely small: beyond these bounds the
+    * collect risks driver OOM and — for the PQ paths — the literal LUTs
+    * (|queries|·m·|codebook| entries) would bloat the serialized plan past
+    * what executors deserialize cheaply. Both limits fail fast with an
+    * actionable message instead of an opaque OOM.
+    */
+  val MaxCodebookRows = 65536
+  val MaxQueryRows = 4096
+
+  private def requireIntegralId(idType: DataType, what: String): Unit =
+    require(integralTypes.contains(idType),
+      s"$what column must be integral (byte/short/int/long), got $idType; " +
+        "derive a surrogate long id (xxhash64, monotonically_increasing_id) before calling")
+
   private def topKSelect(scored: DataFrame, k: Int, idType: DataType): DataFrame = {
     // the bounded-heap aggregate keys candidates by a primitive long; a
     // non-integral id would cast to null and be silently dropped, so fail
     // fast instead (map string ids to a surrogate long first, e.g. xxhash64
     // or monotonically_increasing_id)
-    require(integralTypes.contains(idType),
-      s"top-k id column must be integral (byte/short/int/long), got $idType; " +
-        "derive a surrogate long id (xxhash64, monotonically_increasing_id) before calling")
+    requireIntegralId(idType, "top-k id")
     scored.groupBy(col("query_id"))
       .agg(GraftExpressions.topKIds(col("__sim"), col("neighbor_id").cast(LongType), k).as("__top"))
       .select(col("query_id"), posexplode(col("__top")).as(Seq("__pos", "__nid")))
@@ -88,7 +102,14 @@ object Similarity {
   private def codebook(
       centroids: DataFrame, idCol: String, vecCol: String): (Seq[Long], Seq[Seq[Double]], DataType) = {
     val idType = centroids.schema(idCol).dataType
-    val rows = centroids.select(col(idCol).cast(LongType), col(vecCol)).collect()
+    requireIntegralId(idType, "centroid id")
+    // limit(cap+1) bounds the fetch BEFORE the guard runs, so an oversized
+    // centroid frame fails with this message instead of a driver OOM
+    val rows = centroids.select(col(idCol).cast(LongType), col(vecCol))
+      .limit(MaxCodebookRows + 1).collect()
+    require(rows.length <= MaxCodebookRows,
+      s"centroid codebook exceeds $MaxCodebookRows rows; it is embedded in the plan " +
+        "as literals and must stay small — pre-cluster to a coarser codebook first")
     require(rows.nonEmpty, "centroid set must be non-empty")
     val sorted = rows.sortBy(_.getLong(0))
     val ids = sorted.toSeq.map(_.getLong(0))
@@ -98,6 +119,34 @@ object Similarity {
       case n: java.lang.Number => n.doubleValue()
     }.toSeq)
     (ids, vecs, idType)
+  }
+
+  /** The collected query-vector set shared by the PQ scoring paths (plan-
+    * literal pattern like [[codebook]]): validates the id type BEFORE the
+    * collect (a string/decimal id would cast to null and surface as an
+    * opaque NPE) and bounds the fetch at [[MaxQueryRows]] — the PQ LUTs are
+    * per-query plan literals, so the query set must stay batch-sized.
+    */
+  private def collectQueries(
+      vectors: DataFrame, queryIds: DataFrame,
+      idCol: String, vecCol: String): Array[(Long, Array[Double])] = {
+    requireIntegralId(vectors.schema(idCol).dataType, "top-k id")
+    val rows = vectors.join(queryIds, Seq(idCol), "left_semi")
+      .select(col(idCol).cast(LongType), col(vecCol))
+      .limit(MaxQueryRows + 1).collect()
+    require(rows.length <= MaxQueryRows,
+      s"query set exceeds $MaxQueryRows rows; the PQ paths embed per-query literal " +
+        "distance tables in the plan — batch the probe set, or use " +
+        "ivfTopKProbed/bruteForceTopK for large query sets")
+    require(rows.nonEmpty, "query set must be non-empty")
+    rows.map { r =>
+      val v = r.getSeq[Any](1).map {
+        case f: java.lang.Float => f.toDouble
+        case d: java.lang.Double => d.doubleValue()
+        case n: java.lang.Number => n.doubleValue()
+      }.toArray
+      (r.getLong(0), v)
+    }.sortBy(_._1)
   }
 
   /** IVF assignment: nearest centroid id per vector (L2), ties broken by
@@ -411,17 +460,7 @@ object Similarity {
     require(dim % m == 0, s"vector dim $dim must be divisible by m=$m subspaces")
     val sub = dim / m
     // collected query vectors — the same plan-literal pattern as codebook()
-    val queries = corpus.join(queryIds, Seq(idCol), "left_semi")
-      .select(col(idCol).cast(LongType), col(vecCol)).collect()
-      .map { r =>
-        val v = r.getSeq[Any](1).map {
-          case f: java.lang.Float => f.toDouble
-          case d: java.lang.Double => d.doubleValue()
-          case n: java.lang.Number => n.doubleValue()
-        }.toArray
-        (r.getLong(0), v)
-      }.sortBy(_._1)
-    require(queries.nonEmpty, "query set must be non-empty")
+    val queries = collectQueries(corpus, queryIds, idCol, vecCol)
     // raw per-(query, subspace) LUT: centroid id -> l2sq of the slices, the
     // same strict index-order fold as L2Squared/the oracle; quantization
     // happens IN THE PLAN via Spark's round() so both engines round alike
@@ -479,17 +518,7 @@ object Similarity {
     require(dim % m == 0, s"vector dim $dim must be divisible by m=$m subspaces")
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     val sub = dim / m
-    val queries = vectors.join(queryIds, Seq(idCol), "left_semi")
-      .select(col(idCol).cast(LongType), col(vecCol)).collect()
-      .map { r =>
-        val v = r.getSeq[Any](1).map {
-          case f: java.lang.Float => f.toDouble
-          case d: java.lang.Double => d.doubleValue()
-          case n: java.lang.Number => n.doubleValue()
-        }.toArray
-        (r.getLong(0), v)
-      }.sortBy(_._1)
-    require(queries.nonEmpty, "query set must be non-empty")
+    val queries = collectQueries(vectors, queryIds, idCol, vecCol)
     def foldL2(q: Array[Double], c: Seq[Double], off: Int, n: Int): Double = {
       var acc = 0.0
       var i = 0

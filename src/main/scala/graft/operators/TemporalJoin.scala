@@ -65,12 +65,17 @@ object TemporalJoin {
     val lCols = left.columns.toSeq
     // a NULL right time can never satisfy time <= leftTime (ASOF's >= is
     // false on NULL) — and unfiltered it would sort FIRST in the window and
-    // become a spurious baseline match for every left row
+    // become a spurious baseline match for every left row. Likewise a NULL
+    // key never equals anything in SQL/DuckDB ASOF semantics, but the window
+    // partitioning would group NULL keys together and match them — so
+    // NULL-key right rows are dropped (NULL-key left rows then partition
+    // with no right rows and correctly resolve to no match)
     // forward direction = backward over negated (numeric) times
     def dir(c: org.apache.spark.sql.Column) = if (forward) -c else c
     // the right time travels inside the payload struct (first field) so a
     // tolerance bound can be checked after the running-last match resolves
-    val rSel = right.filter(col(rightTime).isNotNull).select(
+    val rightNonNull = keys.foldLeft(col(rightTime).isNotNull)((acc, k) => acc && col(k).isNotNull)
+    val rSel = right.filter(rightNonNull).select(
       keys.map(col) ++ Seq(dir(col(rightTime)).as("__t"), lit(0).as("__tag"),
         struct((col(rightTime).as("__rt") +: payload.map(col)): _*).as("__rp")): _*)
     val lSel = left.withColumn("__t", dir(col(leftTime))).withColumn("__tag", lit(1))

@@ -170,9 +170,21 @@ object PathFormatterPlugin {
       case "fixed" | "time" | "key" | "value" | "" => None // built-in
       case "mp" => Some(new MpPathFormatterPlugin(new MpDimensionSource.Rest(properties)))
       case cls =>
-        try Class.forName(cls).getConstructor().newInstance() match {
+        // fail fast like the reference's Class.forName branch: a typo'd
+        // plugin name silently resolving to nothing would leave every
+        // ${name:...} param at its 'unknown-*' fallback
+        val instance =
+          try Class.forName(cls).getConstructor().newInstance()
+          catch {
+            case e: ReflectiveOperationException => throw new IllegalArgumentException(
+              s"Unknown path plugin '$cls': not a built-in plugin name and not a " +
+                "loadable class with a no-arg constructor", e)
+          }
+        instance match {
           case p: PathFormatterPlugin => Some(p)
-          case _ => None
-        } catch { case _: ReflectiveOperationException => None }
+          case other => throw new IllegalArgumentException(
+            s"Path plugin class '$cls' (${other.getClass.getName}) does not " +
+              "implement graft.paths.PathFormatterPlugin")
+        }
     }
 }

@@ -58,7 +58,7 @@ object StreamingRestructure {
       .withColumn(AvroRead.FileCol, lit(f"batch-$batchId%012d"))
       .withColumn(AvroRead.PosCol, monotonically_increasing_id())
     if (cfg.format == "json")
-      Restructure.writeJsonBins(spark, cfg, fs, topic, stamped, pathCol,
+      Restructure.writeJsonBins(spark, cfg, fs, topic, stamped, dataSchema, pathCol,
         cfg.topicConfig(topic))
     else
       Restructure.writeCsvBins(spark, cfg, fs, topic, stamped, dataSchema, pathCol,

@@ -102,6 +102,17 @@ class ConfigLoaderSpec extends AnyFunSuite {
       graft.paths.PathFormatterPlugin.fromNames(Seq("mp"), Map.empty)
     }
     assert(e.getMessage.contains("managementPortalUrl"))
+    // a typo'd plugin name fails fast instead of silently resolving every
+    // ${name:...} param to its 'unknown-*' fallback
+    val typo = intercept[IllegalArgumentException] {
+      graft.paths.PathFormatterPlugin.fromNames(Seq("mpp"), Map.empty)
+    }
+    assert(typo.getMessage.contains("mpp"))
+    // a loadable class that is not a PathFormatterPlugin is also an error
+    val notPlugin = intercept[IllegalArgumentException] {
+      graft.paths.PathFormatterPlugin.fromNames(Seq("java.lang.Object"), Map.empty)
+    }
+    assert(notPlugin.getMessage.contains("does not"))
   }
 
   test("defaults for an empty config") {

@@ -154,6 +154,32 @@ class FormatsSpec extends SparkSpec {
     assert(Files.readAllLines(bin).get(0).startsWith("{\"key\":"))
   }
 
+  test("JSON + path plugin: enrichment columns route the path but never reach records") {
+    import org.apache.spark.sql.functions.col
+    import graft.paths.{MpDimensionSource, MpPathFormatterPlugin}
+    val sql = spark
+    import sql.implicits._
+    val (in, out) = setup()
+    val projects = Seq(("STAGING_PROJECT", "org-A", Map.empty[String, String]))
+      .toDF("id", "organization", "attributes")
+    val subjects = Seq(("STAGING_PROJECT", "1543bc93-3c17-4381-89a5-c5d6272b827c",
+      "grpX", "ext-7", Map.empty[String, String]))
+      .toDF("projectId", "id", "group", "externalId", "attributes")
+    val plugin = new MpPathFormatterPlugin(new MpDimensionSource.Static(projects, subjects))
+    Restructure.run(spark, RestructureJobConfig(
+      inputRoot = in.toString, outputRoot = out.toString, format = "json",
+      pathTemplate = "${mp:organization}/${mp:group}/${projectId}/${userId}/${topic}/${filename}",
+      pathPlugins = Seq(plugin)))
+    // path derived from the plugin's dimension join
+    val bin = out.resolve(s"org-A/grpX/$binDir/20200128_1300.json")
+    assert(Files.exists(bin), s"expected plugin-routed bin at $bin")
+    val lines = Files.readAllLines(bin)
+    assert(lines.size() == 1)
+    // the __mp_* enrichment structs must not leak into written records
+    assert(!lines.get(0).contains("__mp"), s"plugin columns leaked: ${lines.get(0)}")
+    assert(lines.get(0).startsWith("{\"key\":{\"projectId\":\"STAGING_PROJECT\""))
+  }
+
   test("corrupt existing target is quarantined, fresh bin written (K9)") {
     val (in, out) = setup()
     val cfg = RestructureJobConfig(inputRoot = in.toString, outputRoot = out.toString, gzip = true)

@@ -209,4 +209,36 @@ class SimilaritySpec extends SparkSpec {
       r.getLong(r.fieldIndex("vec_id")) -> r.getLong(r.fieldIndex("cell"))).toMap
     assert(cells(0L) == 0L && cells(1L) == 1L)
   }
+
+  test("pqTopKAdc / ivfPqTopK: non-integral id fails fast BEFORE the query collect") {
+    val strVecs = Seq(("a", Seq(1.0f, 0.0f)), ("b", Seq(0.9f, 0.1f)))
+      .toDF("vec_id", "embedding")
+    val centroids = vecs.select(col("vec_id"), slice(col("embedding"), 1, 2).as("embedding"))
+    val qs = strVecs.select(col("vec_id")).filter(col("vec_id") === "a")
+    val e1 = intercept[IllegalArgumentException] {
+      Similarity.pqTopKAdc(strVecs, centroids, qs, k = 1, m = 2)
+    }
+    assert(e1.getMessage.contains("integral"))
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.ivfPqTopK(strVecs, centroids, qs, k = 1, nprobe = 1, m = 2)
+    }
+    assert(e2.getMessage.contains("integral"))
+  }
+
+  test("driver-collect guards: oversized query set and codebook fail with actionable errors") {
+    val big = spark.range(Similarity.MaxQueryRows + 10)
+      .select(col("id").as("vec_id"),
+        array(col("id").cast("float"), lit(1.0f)).as("embedding"))
+    val eq = intercept[IllegalArgumentException] {
+      Similarity.pqTopKAdc(big, big.limit(2), big.select(col("vec_id")), k = 1, m = 2)
+    }
+    assert(eq.getMessage.contains("query set exceeds"))
+    val bigCodebook = spark.range(Similarity.MaxCodebookRows + 10)
+      .select(col("id").as("vec_id"),
+        array(col("id").cast("float"), lit(1.0f)).as("embedding"))
+    val ec = intercept[IllegalArgumentException] {
+      Similarity.ivfAssign(vecs, bigCodebook)
+    }
+    assert(ec.getMessage.contains("codebook exceeds"))
+  }
 }

@@ -89,6 +89,21 @@ class TemporalJoinSpec extends SparkSpec {
     assert(got.toSeq == Seq(("ok", 50.0)))
   }
 
+  test("asofJoin: NULL keys never match (SQL equality-join semantics)") {
+    val left = Seq((Some(1L), 10L, "keyed"), (Option.empty[Long], 10L, "null-key"))
+      .toDF("k", "t", "tag")
+    val right = Seq((Some(1L), 5L, 50.0), (Option.empty[Long], 5L, 999.0))
+      .toDF("k", "rt", "rv")
+    // NULL = NULL is false: the null-key left row must not match the
+    // null-key right row (it would under raw window partitioning)
+    val inner = TemporalJoin.asofJoin(left, right, Seq("k"), "t", "rt", Seq("rv"))
+      .collect().map(r => (r.getString(2), r.getDouble(3)))
+    assert(inner.toSeq == Seq(("keyed", 50.0)))
+    val outer = TemporalJoin.asofJoin(left, right, Seq("k"), "t", "rt", Seq("rv"), inner = false)
+      .orderBy(col("tag")).collect()
+    assert(outer.length == 2 && !outer(0).isNullAt(3) && outer(1).isNullAt(3))
+  }
+
   test("asofJoin + rangeJoin: random workloads match the brute-force reference") {
     val rnd = new scala.util.Random(11) // seeded — deterministic test
     val nKeys = 5
