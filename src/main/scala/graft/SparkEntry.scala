@@ -389,8 +389,10 @@ object SparkEntry {
 
   /** MinHash + LSH candidate near-duplicate pairs. */
   private def qMinhashPairs(implicit s: SparkSession, d: String): DataFrame =
+    // lazy (materialize = false): the pairs are consumed exactly once, so
+    // the eager persist+count barrier would only add two blocking jobs
     TextDedup.minhashCandidatePairs(t("documents"), "doc_id", "text",
-        shingleN = 3, k = 12, bands = 6, rowsPerBand = 2)
+        shingleN = 3, k = 12, bands = 6, rowsPerBand = 2, materialize = false)
       .orderBy(col("doc_a"), col("doc_b"))
 
   /** SimHash-banded near-dup candidates + hamming distances. The md5-based
@@ -545,11 +547,18 @@ object SparkEntry {
     val e = t("embeddings")
     val centroids = e.filter(col("vec_id") < 16)
     val assigned = Similarity.ivfAssign(e, centroids)
+    // vector-sum BEFORE any explode: the bounded element-wise aggregate
+    // shuffles one |dim|-long partial per (cell, mapper) — the per-(cell,
+    // dim) explode runs on the |cells| aggregated rows, never on the corpus
+    // (exploding first would multiply shuffle input ×dim)
+    val scaled = transform(col("embedding"),
+      x => round(x.cast(DoubleType) * 1e6).cast(LongType))
     assigned
-      .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "x")))
-      .groupBy(col("cell").cast(LongType).as("cell"), col("dim").cast(LongType).as("dim"))
-      .agg(sum(round(col("x").cast(DoubleType) * 1e6).cast(LongType)).as("sum_scaled"),
+      .groupBy(col("cell").cast(LongType).as("cell"))
+      .agg(graft.functions.GraftExpressions.vectorSumLong(scaled).as("__sums"),
         count(lit(1)).as("n"))
+      .select(col("cell"), col("n"), posexplode(col("__sums")).as(Seq("dim", "sum_scaled")))
+      .select(col("cell"), col("dim").cast(LongType).as("dim"), col("sum_scaled"), col("n"))
       .orderBy(col("cell"), col("dim"))
   }
 
@@ -621,16 +630,27 @@ object SparkEntry {
     val docs = graft.operators.Scale.widen(t("documents"))
     val tokens = docs.select(col("doc_id"), explode(TextFunctions.words(col("text"))).as("token"))
     val tf = tokens.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
-    val df_ = tokens.select(col("doc_id"), col("token")).distinct()
-      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+    // df derives FROM tf (tf rows are already distinct (doc, token) pairs),
+    // so the expensive tokenize+explode+aggregate subtree is byte-identical
+    // in both branches and Spark's ReusedExchange computes it once — the
+    // corpus is tokenized a single time. The tf > 0 filter (vacuously true)
+    // keeps the count column alive through this branch's pruning: without
+    // it the df-side partial aggregate drops the count, the two tf
+    // exchanges no longer canonicalize equal, and AQE cannot reuse the
+    // stage (measured: tokenize then runs twice)
+    val df_ = tf.filter(col("tf") > 0).groupBy(col("token")).agg(count(lit(1)).as("df"))
     val n = t("documents").count() // corpus size: one scalar
-    val w = Window.partitionBy(col("doc_id"))
-      .orderBy((col("tf").cast(DoubleType) * lit(n.toDouble) / col("df").cast(DoubleType)).desc,
-        col("token").asc)
+    // per-doc top-3: bounded-heap aggregate with the token as tie-break —
+    // map-side partials keep ≤3 rows per (doc, mapper); never a row_number
+    // window funneling every scored row into |docs| sort partitions
+    val score = col("tf").cast(DoubleType) * lit(n.toDouble) / col("df").cast(DoubleType)
     tf.join(broadcast(df_), "token")
-      .withColumn("rnk", row_number().over(w).cast(LongType))
-      .filter(col("rnk") <= 3)
-      .select(col("doc_id"), col("token"), col("tf"), col("df"), col("rnk"))
+      .groupBy(col("doc_id"))
+      .agg(graft.functions.GraftExpressions.topKPayload(score, col("token"),
+        struct(col("token"), col("tf"), col("df")), 3).as("__top"))
+      .select(col("doc_id"), posexplode(col("__top")).as(Seq("__pos", "__p")))
+      .select(col("doc_id"), col("__p.token").as("token"), col("__p.tf").as("tf"),
+        col("__p.df").as("df"), (col("__pos") + 1).cast(LongType).as("rnk"))
       .orderBy(col("doc_id"), col("rnk"))
   }
 

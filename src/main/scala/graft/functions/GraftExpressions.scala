@@ -345,6 +345,205 @@ object GraftExpressions {
     }
   }
 
+  /** Element-wise sum of long arrays — the vector-sum aggregate a k-means
+    * centroid update needs. A [[TypedImperativeAggregate]], so per-cell
+    * partial sums combine map-side and the shuffle carries ONE |dim|-long
+    * array per (cell, mapper) instead of |vectors|·dim exploded rows —
+    * the difference between a shuffle proportional to the corpus and one
+    * proportional to the codebook. Buffers grow to the longest input seen
+    * (ragged inputs sum positionally); null elements count as 0.
+    */
+  case class VectorSumLong(
+      child: Expression,
+      override val mutableAggBufferOffset: Int = 0,
+      override val inputAggBufferOffset: Int = 0)
+      extends TypedImperativeAggregate[Array[Long]] {
+    override def prettyName: String = "graft_vec_sum_long"
+    override def children: Seq[Expression] = Seq(child)
+    override def nullable: Boolean = false
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case ArrayType(LongType, _) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_vec_sum_long needs array<bigint>, got $t")
+      }
+    override def createAggregationBuffer(): Array[Long] = Array.emptyLongArray
+    private def grown(b: Array[Long], n: Int): Array[Long] =
+      if (b.length >= n) b else java.util.Arrays.copyOf(b, n)
+    override def update(b: Array[Long], input: InternalRow): Array[Long] = {
+      val v = child.eval(input)
+      if (v == null) return b
+      val arr = v.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val out = grown(b, n)
+      var i = 0
+      while (i < n) {
+        if (!arr.isNullAt(i)) out(i) += arr.getLong(i)
+        i += 1
+      }
+      out
+    }
+    override def merge(b: Array[Long], o: Array[Long]): Array[Long] = {
+      val out = grown(b, o.length)
+      var i = 0
+      while (i < o.length) { out(i) += o(i); i += 1 }
+      out
+    }
+    override def eval(b: Array[Long]): Any = new GenericArrayData(b)
+    override def serialize(b: Array[Long]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(4 + 8 * b.length)
+      bb.putInt(b.length)
+      b.foreach(bb.putLong)
+      bb.array()
+    }
+    override def deserialize(bytes: Array[Byte]): Array[Long] = {
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+      val n = bb.getInt()
+      Array.fill(n)(bb.getLong())
+    }
+    override def withNewMutableAggBufferOffset(o: Int): VectorSumLong =
+      copy(mutableAggBufferOffset = o)
+    override def withNewInputAggBufferOffset(o: Int): VectorSumLong =
+      copy(inputAggBufferOffset = o)
+    override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): VectorSumLong =
+      copy(child = c(0))
+  }
+
+  /** [[TopKIds]] generalized to carry a payload: keeps the `k` best
+    * `(score desc, tie asc)` entries in a size-k heap and returns the
+    * payload values best-first. The tie column (string or numeric) makes
+    * the order total, so partial-heap merges are order-independent — the
+    * per-group shortlist primitive (top tokens per document, top docs per
+    * source) without a `row_number` window funneling every scored row into
+    * |groups| sort tasks.
+    */
+  case class TopKPayload(
+      score: Expression, tie: Expression, payload: Expression, kExpr: Expression,
+      override val mutableAggBufferOffset: Int = 0,
+      override val inputAggBufferOffset: Int = 0)
+      extends TypedImperativeAggregate[TopKPayload.Buffer] {
+    override def prettyName: String = "graft_topk_payload"
+    private lazy val k: Int = kExpr.eval(null).asInstanceOf[Number].intValue()
+    override def children: Seq[Expression] = Seq(score, tie, payload, kExpr)
+    override def nullable: Boolean = false
+    override def dataType: DataType = ArrayType(payload.dataType, containsNull = false)
+
+    // tie comparison: ascending = better. UTF8String binary order equals
+    // code-point order, the same total order the DuckDB oracle sorts by.
+    private lazy val tieCmp: (Any, Any) => Int = tie.dataType match {
+      case StringType => (a, b) =>
+        a.asInstanceOf[UTF8String].compareTo(b.asInstanceOf[UTF8String])
+      case LongType | IntegerType | ShortType | ByteType => (a, b) =>
+        java.lang.Long.compare(
+          a.asInstanceOf[Number].longValue(), b.asInstanceOf[Number].longValue())
+      case DoubleType | FloatType => (a, b) =>
+        java.lang.Double.compare(
+          a.asInstanceOf[Number].doubleValue(), b.asInstanceOf[Number].doubleValue())
+      case t => throw new IllegalArgumentException(
+        s"graft_topk_payload: unsupported tie type $t (string or numeric)")
+    }
+
+    override def createAggregationBuffer(): TopKPayload.Buffer =
+      new TopKPayload.Buffer(k, tieCmp)
+    override def update(b: TopKPayload.Buffer, input: InternalRow): TopKPayload.Buffer = {
+      val s = score.eval(input)
+      val t = tie.eval(input)
+      val p = payload.eval(input)
+      if (s != null && t != null && p != null) {
+        // deep-copy: eval results may alias reused row/column buffers
+        val tc = t match { case u: UTF8String => u.clone(); case o => o }
+        val pc = p match {
+          case r: InternalRow => r.copy()
+          case a: ArrayData => a.copy()
+          case u: UTF8String => u.clone()
+          case o => o
+        }
+        b.add(s.asInstanceOf[Number].doubleValue(), tc, pc)
+      }
+      b
+    }
+    override def merge(b: TopKPayload.Buffer, o: TopKPayload.Buffer): TopKPayload.Buffer = {
+      b.addAll(o); b
+    }
+    override def eval(b: TopKPayload.Buffer): Any = new GenericArrayData(b.payloadsBestFirst)
+
+    // (de)serialization through an UnsafeProjection over (score, tie,
+    // payload) — handles any payload type without a bespoke format
+    private lazy val serSchema = StructType(Seq(
+      StructField("s", DoubleType), StructField("t", tie.dataType),
+      StructField("p", payload.dataType)))
+    private lazy val serProj =
+      org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(serSchema)
+    private lazy val tieGet = InternalRow.getAccessor(tie.dataType)
+    private lazy val payloadGet = InternalRow.getAccessor(payload.dataType)
+    override def serialize(b: TopKPayload.Buffer): Array[Byte] = {
+      val rows = b.entries.map { case (s, t, p) =>
+        serProj(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](s, t, p))).copy().getBytes
+      }
+      val bb = java.nio.ByteBuffer.allocate(8 + rows.map(4 + _.length).sum)
+      bb.putInt(b.k).putInt(rows.length)
+      rows.foreach { r => bb.putInt(r.length); bb.put(r) }
+      bb.array()
+    }
+    override def deserialize(bytes: Array[Byte]): TopKPayload.Buffer = {
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+      val b = new TopKPayload.Buffer(bb.getInt(), tieCmp)
+      val n = bb.getInt()
+      var i = 0
+      while (i < n) {
+        val len = bb.getInt()
+        val rowBytes = new Array[Byte](len)
+        bb.get(rowBytes)
+        val row = new org.apache.spark.sql.catalyst.expressions.UnsafeRow(3)
+        row.pointTo(rowBytes, len)
+        b.add(row.getDouble(0), tieGet(row, 1), payloadGet(row, 2))
+        i += 1
+      }
+      b
+    }
+    override def withNewMutableAggBufferOffset(o: Int): TopKPayload =
+      copy(mutableAggBufferOffset = o)
+    override def withNewInputAggBufferOffset(o: Int): TopKPayload =
+      copy(inputAggBufferOffset = o)
+    override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): TopKPayload =
+      copy(score = c(0), tie = c(1), payload = c(2), kExpr = c(3))
+  }
+
+  object TopKPayload {
+    /** Size-k heap with the WORST entry at the head (smaller score, then
+      * larger tie), mirroring [[TopKIds.Buffer]] with a payload slot.
+      */
+    final class Buffer(val k: Int, tieCmp: (Any, Any) => Int) {
+      private val worstFirst = new java.util.Comparator[(Double, Any, Any)] {
+        override def compare(a: (Double, Any, Any), b: (Double, Any, Any)): Int = {
+          val c = java.lang.Double.compare(a._1, b._1)
+          if (c != 0) c else tieCmp(b._2, a._2)
+        }
+      }
+      private val pq = new java.util.PriorityQueue[(Double, Any, Any)](math.max(1, k), worstFirst)
+      def add(s: Double, t: Any, p: Any): Unit =
+        if (pq.size < k) pq.offer((s, t, p))
+        else {
+          val w = pq.peek()
+          val c = java.lang.Double.compare(s, w._1)
+          if (c > 0 || (c == 0 && tieCmp(t, w._2) < 0)) { pq.poll(); pq.offer((s, t, p)) }
+        }
+      def addAll(o: Buffer): Unit = o.pq.forEach(e => add(e._1, e._2, e._3))
+      def entries: Seq[(Double, Any, Any)] = {
+        import scala.jdk.CollectionConverters._
+        pq.iterator().asScala.toSeq
+      }
+      def payloadsBestFirst: Array[Any] = {
+        val arr = pq.toArray(new Array[(Double, Any, Any)](pq.size))
+        java.util.Arrays.sort(arr, worstFirst.reversed())
+        arr.map(_._3)
+      }
+    }
+  }
+
   /** Register all graft scalar functions on a session (idempotent). */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -356,6 +555,10 @@ object GraftExpressions {
       es => NearestCells(es(0), es(1), es(2), es(3)), "built-in")
     reg.createOrReplaceTempFunction("graft_topk",
       es => TopKIds(es(0), es(1), es(2)), "built-in")
+    reg.createOrReplaceTempFunction("graft_vec_sum_long",
+      es => VectorSumLong(es.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_topk_payload",
+      es => TopKPayload(es(0), es(1), es(2), es(3)), "built-in")
   }
 
   // builders self-register on the active session (idempotent) so a bare
@@ -383,6 +586,20 @@ object GraftExpressions {
   def topKIds(score: Column, id: Column, k: Int): Column = {
     ensureRegistered()
     call_function("graft_topk", score, id, lit(k))
+  }
+
+  /** [[VectorSumLong]] element-wise long-array sum aggregate. */
+  def vectorSumLong(arr: Column): Column = {
+    ensureRegistered()
+    call_function("graft_vec_sum_long", arr)
+  }
+
+  /** [[TopKPayload]] bounded top-k aggregate (score desc, tie asc →
+    * payloads best-first).
+    */
+  def topKPayload(score: Column, tie: Column, payload: Column, k: Int): Column = {
+    ensureRegistered()
+    call_function("graft_topk_payload", score, tie, payload, lit(k))
   }
 
   /** Hamming distance between two 64-bit simhashes (built-ins only). */

@@ -97,12 +97,24 @@ object TextDedup {
     * band bucket. `df` must have `idCol` and `textCol`. One shuffle for the
     * signature agg, one for the band-bucket self-join (bucket keyspace grows
     * with corpus size, so buckets stay small; AQE handles stragglers).
+    *
+    * `materialize = true` (default) eagerly persists + computes the pairs
+    * and releases the intermediate band cache before returning — the
+    * long-running-service contract (no orphaned cached tables across
+    * batches; the returned frame stays cached and is the caller's to
+    * unpersist). `materialize = false` returns a fully LAZY plan with no
+    * persist and no blocking job — right for one-shot pipelines that
+    * consume the pairs exactly once (the band pipeline is still computed
+    * only once: both self-join sides shuffle on the same band key from an
+    * identical subtree, so the exchange is reused).
     */
   def minhashCandidatePairs(
       df: DataFrame, idCol: String, textCol: String,
-      shingleN: Int = 3, k: Int = 12, bands: Int = 6, rowsPerBand: Int = 2): DataFrame =
+      shingleN: Int = 3, k: Int = 12, bands: Int = 6, rowsPerBand: Int = 2,
+      materialize: Boolean = true): DataFrame =
     minhashCandidatePairsFromSets(
-      distinctShingleSets(df, idCol, textCol, shingleN), idCol, k, bands, rowsPerBand)
+      distinctShingleSets(df, idCol, textCol, shingleN), idCol, k, bands, rowsPerBand,
+      materialize)
 
   /** [[minhashCandidatePairs]] over a prebuilt (ideally persisted) shingle-set
     * frame, so pipelines that also need the sets (exact-Jaccard verification)
@@ -110,37 +122,43 @@ object TextDedup {
     */
   private[graft] def minhashCandidatePairsFromSets(
       sets: DataFrame, idCol: String,
-      k: Int = 12, bands: Int = 6, rowsPerBand: Int = 2): DataFrame = {
+      k: Int = 12, bands: Int = 6, rowsPerBand: Int = 2,
+      materialize: Boolean = true): DataFrame = {
     require(bands * rowsPerBand <= k, "bands*rowsPerBand must be <= k")
     val sigs = minhashSignaturesFromSets(sets, idCol, k)
     val bandArr = array((0 until bands).map { j =>
       md5(concat_ws(",",
         (0 until rowsPerBand).map(r => col(s"__mh_${j * rowsPerBand + r}")): _*))
     }: _*)
-    val withBands = sigs
+    val bandTable = sigs
       .select(col(idCol).as("__id"), posexplode(bandArr).as(Seq("__band_idx", "__band_hash")))
+    def pairsOf(a: DataFrame, b: DataFrame): DataFrame =
+      a.alias("a").join(b.alias("b"),
+          col("a.__band_idx") === col("b.__band_idx") &&
+          col("a.__band_hash") === col("b.__band_hash") &&
+          col("a.__id") < col("b.__id"))
+        .select(col("a.__id").as("doc_a"), col("b.__id").as("doc_b"))
+        .distinct()
+    if (materialize) {
       // the self-join would otherwise recompute the whole shingle→minhash
-      // pipeline on both sides (measured ~2×); the band table is tiny
-      // (bands·|docs| rows of (long, int, hash)) — at cluster scale this is
-      // the classic LSH materialization point (persist or checkpoint)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a = withBands.alias("a")
-    val b = withBands.alias("b")
-    // candidates materialize eagerly (persist + count — NOT localCheckpoint,
-    // which compiles the non-AQE plan and ran ~10× slower) so the band
-    // cache can be released: a long-running service calling this per batch
-    // must not accumulate orphaned cached band tables. The returned frame
-    // stays cached (pairs only — KBs); callers may unpersist when done.
-    val candidates = a.join(b,
-        col("a.__band_idx") === col("b.__band_idx") &&
-        col("a.__band_hash") === col("b.__band_hash") &&
-        col("a.__id") < col("b.__id"))
-      .select(col("a.__id").as("doc_a"), col("b.__id").as("doc_b"))
-      .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    candidates.count()
-    withBands.unpersist(false)
-    candidates
+      // pipeline on both sides; the band table is tiny (bands·|docs| rows)
+      // — at cluster scale this is the classic LSH materialization point.
+      // candidates materialize eagerly (persist + count — NOT
+      // localCheckpoint, which compiles the non-AQE plan and ran ~10×
+      // slower) so the band cache can be released: a long-running service
+      // calling this per batch must not accumulate orphaned cached tables.
+      val withBands = bandTable.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val candidates = pairsOf(withBands, withBands)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      candidates.count()
+      withBands.unpersist(false)
+      candidates
+    } else
+      // lazy path: a SHUFFLE_HASH hint keeps both sides exchanging on the
+      // band key — the two exchange subtrees are identical, so AQE reuses
+      // the stage and the shingle→minhash pipeline runs once. (A broadcast
+      // join would instead recompute the pipeline for the build side.)
+      pairsOf(bandTable.hint("SHUFFLE_HASH"), bandTable)
   }
 
   /** SimHash-banded candidate pairs: documents sharing any 16-bit band of

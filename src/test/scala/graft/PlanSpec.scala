@@ -94,9 +94,34 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), "contamination probe fell back to a shuffle join")
   }
 
-  test("q_kmeans_step: partial aggregation before the (cell, dim) shuffle") {
+  test("q_kmeans_step: vector-sum partials — the shuffle carries |cells| rows, not |vectors|·dim") {
+    import org.apache.spark.sql.execution.GenerateExec
+    import org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    import org.apache.spark.sql.catalyst.expressions.aggregate.Partial
     val plan = formatted("q_kmeans_step")
-    assert(plan.contains("partial_sum"), "map-side combine missing for centroid sums")
+    assert(plan.contains("graft_vec_sum_long"),
+      s"element-wise vector-sum aggregate missing:\n$plan")
+    // structural proof the shuffle is codebook-sized: the groupBy(cell) hash
+    // exchange must have a PARTIAL vector-sum aggregate below it (map-side
+    // combine → ≤ |cells| rows per task) and the per-dim explode strictly
+    // ABOVE it — exploding first would multiply shuffle input ×dim.
+    // (AQE off: executedPlan is then the plain exchange-bearing tree)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val sparkPlan =
+      try SparkEntry.queries("q_kmeans_step")(spark, sf).queryExecution.executedPlan
+      finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    val hashEx = sparkPlan.collectFirst {
+      case e: ShuffleExchangeExec if e.outputPartitioning.isInstanceOf[HashPartitioning] => e
+    }.getOrElse(fail(s"no hash exchange in plan:\n$sparkPlan"))
+    assert(hashEx.collectFirst { case g: GenerateExec => g }.isEmpty,
+      s"explode runs BELOW the shuffle (corpus×dim shuffle volume):\n$sparkPlan")
+    assert(hashEx.collectFirst {
+      case a: ObjectHashAggregateExec if a.aggregateExpressions.exists(_.mode == Partial) => a
+    }.nonEmpty, s"no partial vector-sum below the exchange:\n$sparkPlan")
+    assert(sparkPlan.collectFirst { case g: GenerateExec => g }.nonEmpty,
+      s"per-dim explode missing entirely:\n$sparkPlan")
   }
 
   test("ANN family: no query_id window and no join/shuffle in IVF assignment") {
@@ -128,10 +153,30 @@ class PlanSpec extends SparkSpec {
     assert(windows.exists(_.contains("__b")), s"no bucket-partitioned window:\n$windows")
   }
 
-  test("q_tfidf: vocabulary df table is the broadcast side") {
+  test("q_tfidf: df broadcast, no per-doc window, tokenize subtree computed once") {
     val plan = formatted("q_tfidf")
     assert(plan.contains("BroadcastHashJoin"), s"df join not broadcast:\n$plan")
     assert(!plan.contains("SortMergeJoin"), "tfidf join fell back to a shuffle join")
+    // per-doc top-3 must be the bounded-heap payload aggregate, never a
+    // row_number window funneling all scored rows into |docs| sort tasks
+    assert(!plan.contains("Window ("), s"window crept back into tfidf top-k:\n$plan")
+    assert(plan.contains("graft_topk_payload"), s"payload top-k aggregate missing:\n$plan")
+    // df derives from tf, so the tokenize+tf exchange is byte-identical in
+    // both branches and must be REUSED — the corpus tokenizes once. AQE
+    // stage reuse only shows on the EXECUTED final plan, and the reused
+    // stage must be the tf exchange (the HashAggregate one), not merely the
+    // raw-text widen exchange below it
+    val df = SparkEntry.queries("q_tfidf")(spark, sf)
+    df.collect()
+    val executed = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    val finalPlan = executed.split("== Initial Plan ==").head
+    val reuseIdx = finalPlan.linesIterator.indexWhere(_.contains("ReusedExchange"))
+    assert(reuseIdx >= 0, s"tf exchange not reused — corpus tokenized twice:\n$finalPlan")
+    // the broadcast (df) branch must NOT re-run the tokenizer: no Generate
+    // between its BroadcastExchange and the ReusedExchange leaf
+    val dfBranch = finalPlan.split("BroadcastExchange").last.split("ReusedExchange").head
+    assert(!dfBranch.contains("Generate ("),
+      s"df branch re-tokenizes (Generate above ReusedExchange):\n$dfBranch")
   }
 
   test("q_sample_mix: scan reads only the projected columns") {

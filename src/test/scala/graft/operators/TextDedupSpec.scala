@@ -26,6 +26,38 @@ class TextDedupSpec extends SparkSpec {
     assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
   }
 
+  test("lazy candidate pairs: identical result to the materialized path, zero persisted RDDs") {
+    val docs = Seq(
+      (1L, "spark catalyst optimizer rewrites logical plans into physical plans"),
+      (2L, "spark catalyst optimizer rewrites logical plans into physical plans"),
+      (3L, "spark catalyst optimizer rewrites logical plans into physical trees"),
+      (4L, "entirely unrelated words about cooking pasta with tomato sauce basil"))
+      .toDF("doc_id", "text")
+    val eager = TextDedup.minhashCandidatePairs(docs, "doc_id", "text")
+    val eagerPairs = eager.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    eager.unpersist(false) // materialized path: the pairs cache is the caller's
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val lazyPairs = TextDedup.minhashCandidatePairs(docs, "doc_id", "text",
+        materialize = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lazyPairs == eagerPairs)
+    // the lazy path must not persist anything
+    assert(spark.sparkContext.getPersistentRDDs.keySet == before,
+      "lazy minhashCandidatePairs persisted RDDs")
+  }
+
+  test("dedupCorpus leaves no cached RDDs behind (service-loop hygiene)") {
+    val docs = (0L until 40L).map { i =>
+      val base = s"document number ${i % 10} talks about topic ${i % 10} in detail with many words"
+      (i, if (i < 10) base else base + s" variant $i")
+    }.toDF("doc_id", "text")
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    val survivors = TextDedup.dedupCorpus(docs, "doc_id", "text").collect()
+    assert(survivors.nonEmpty)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      s"dedupCorpus leaked cached RDDs: ${spark.sparkContext.getPersistentRDDs.keys}")
+  }
+
   test("jaccardCounts: identical sets → inter == union") {
     val df = Seq(("a b c d e f", "a b c d e f"), ("a b c d e f", "q r s t u v"))
       .toDF("t1", "t2")
