@@ -50,26 +50,146 @@ trait MpDimensionSource {
 
 object MpDimensionSource {
   /** REST-backed source (reference: managementPortalUrl +
-    * managementPortalClientId/Secret, MPPathFormatterPlugin.kt:66-81).
-    * STUB: this sandbox has no network egress and no HTTP client
-    * dependency, so the fetch itself is unimplemented; the property
-    * validation and the dimension-table contract are real. A deployment
-    * wires any OAuth2 client-credentials HTTP fetch here and returns the
-    * two frames.
+    * managementPortalClientId/Secret, MPPathFormatterPlugin.kt:66-81 and
+    * the MPClient it builds): an OAuth2 client-credentials token from
+    * `<url>/oauth/token` (HTTP Basic, form-encoded grant), then paginated
+    * `GET /api/projects` and `GET /api/projects/{id}/subjects` — all on
+    * JDK `java.net.http`, no added dependencies. Pages are cached for 10
+    * minutes (the reference's CachedMap refreshDuration) and parsed INTO
+    * DataFrames by Spark's own JSON reader, so the driver never needs a
+    * JSON library (the one driver-side extraction, the access token, is a
+    * single well-known field).
     */
-  final class Rest(properties: Map[String, String]) extends MpDimensionSource {
+  final class Rest(properties: Map[String, String],
+      pageSize: Int = 100,
+      refreshMs: Long = 10 * 60 * 1000L) extends MpDimensionSource {
+    import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
     val url: String = properties.getOrElse("managementPortalUrl",
       throw new IllegalArgumentException("Missing managementPortalUrl configuration")).stripSuffix("/")
     val clientId: Option[String] = properties.get("managementPortalClientId")
       .orElse(sys.env.get("MANAGEMENT_PORTAL_CLIENT_ID"))
     val clientSecret: Option[String] = properties.get("managementPortalClientSecret")
       .orElse(sys.env.get("MANAGEMENT_PORTAL_CLIENT_SECRET"))
-    private def unimplemented: Nothing = throw new UnsupportedOperationException(
-      s"MP REST fetch from $url is not implemented in this environment " +
-        "(no HTTP client available); provide an MpDimensionSource backed by " +
-        "your portal's project/subject export")
-    def projects(spark: SparkSession): DataFrame = unimplemented
-    def subjects(spark: SparkSession): DataFrame = unimplemented
+
+    private lazy val http = HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofSeconds(30))
+      .followRedirects(HttpClient.Redirect.NORMAL)
+      .build()
+
+    // one fetch epoch: project pages + per-project subject pages, refreshed
+    // together after refreshMs (reference: 10-minute CachedMap)
+    private case class Epoch(at: Long, projectPages: Seq[String],
+        subjectPages: Map[String, Seq[String]])
+    @volatile private var epoch: Option[Epoch] = None
+
+    private def fetchToken(): String = {
+      val id = clientId.getOrElse(throw new IllegalArgumentException(
+        "Missing managementPortalClientId (property or MANAGEMENT_PORTAL_CLIENT_ID)"))
+      val secret = clientSecret.getOrElse(throw new IllegalArgumentException(
+        "Missing managementPortalClientSecret (property or MANAGEMENT_PORTAL_CLIENT_SECRET)"))
+      val basic = java.util.Base64.getEncoder
+        .encodeToString(s"$id:$secret".getBytes("UTF-8"))
+      val req = HttpRequest.newBuilder(java.net.URI.create(s"$url/oauth/token"))
+        .header("Authorization", s"Basic $basic")
+        .header("Content-Type", "application/x-www-form-urlencoded")
+        .POST(HttpRequest.BodyPublishers.ofString("grant_type=client_credentials"))
+        .build()
+      val resp = http.send(req, HttpResponse.BodyHandlers.ofString())
+      require(resp.statusCode() / 100 == 2,
+        s"MP token request failed: HTTP ${resp.statusCode()} from $url/oauth/token")
+      """"access_token"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(resp.body())
+        .map(_.group(1))
+        .getOrElse(throw new IllegalStateException(
+          s"no access_token in token response from $url/oauth/token"))
+    }
+
+    private def get(uri: String, token: String): String = {
+      val req = HttpRequest.newBuilder(java.net.URI.create(uri))
+        .header("Authorization", s"Bearer $token")
+        .header("Accept", "application/json")
+        .GET().build()
+      val resp = http.send(req, HttpResponse.BodyHandlers.ofString())
+      require(resp.statusCode() / 100 == 2, s"MP request failed: HTTP ${resp.statusCode()} from $uri")
+      resp.body()
+    }
+
+    /** All pages of a collection endpoint: `page=N&size=pageSize` until an
+      * empty array comes back (Spring pageable semantics). A repeated body
+      * also stops the loop — a server ignoring pagination returns its whole
+      * payload once instead of looping forever.
+      */
+    private def fetchPages(base: String, token: String): Seq[String] = {
+      val out = Seq.newBuilder[String]
+      val sep = if (base.contains("?")) "&" else "?"
+      var page = 0
+      var prev = ""
+      var done = false
+      while (!done) {
+        val body = get(s"$base${sep}page=$page&size=$pageSize", token)
+        val trimmed = body.trim
+        if (trimmed.isEmpty || trimmed == "[]" || body == prev) done = true
+        else { out += body; prev = body; page += 1 }
+      }
+      out.result()
+    }
+
+    private val projectArraySchema = ArrayType(StructType(Seq(
+      StructField("projectName", StringType),
+      StructField("organization",
+        StructType(Seq(StructField("id", StringType), StructField("name", StringType)))),
+      StructField("attributes", MapType(StringType, StringType)))))
+    private val subjectArraySchema = ArrayType(StructType(Seq(
+      StructField("login", StringType),
+      StructField("externalId", StringType),
+      StructField("group", StringType),
+      StructField("attributes", MapType(StringType, StringType)))))
+
+    private def projectFrame(spark: SparkSession, pages: Seq[String]): DataFrame = {
+      import spark.implicits._
+      spark.createDataset(pages).toDF("__json")
+        .select(explode(from_json(col("__json"), projectArraySchema)).as("p"))
+        .select(col("p.projectName").as("id"),
+          coalesce(col("p.organization.id"), col("p.organization.name")).as("organization"),
+          col("p.attributes").as("attributes"))
+    }
+
+    /** Fetch (or reuse ≤10-min-old) pages; subject pages are fetched per
+      * project, so the project ids come from the already-fetched project
+      * pages — parsed by Spark, collected (the project list is by
+      * definition a small dimension table).
+      */
+    private def ensureFetched(spark: SparkSession): Epoch = synchronized {
+      val now = System.currentTimeMillis()
+      epoch match {
+        case Some(e) if now - e.at < refreshMs => e
+        case _ =>
+          val token = fetchToken()
+          val projectPages = fetchPages(s"$url/api/projects", token)
+          val pids = projectFrame(spark, projectPages)
+            .select(col("id")).collect().map(_.getString(0)).toSeq
+          val subjectPages = pids.map { pid =>
+            val enc = java.net.URLEncoder.encode(pid, "UTF-8").replace("+", "%20")
+            pid -> fetchPages(s"$url/api/projects/$enc/subjects", token)
+          }.toMap
+          val e = Epoch(now, projectPages, subjectPages)
+          epoch = Some(e)
+          e
+      }
+    }
+
+    def projects(spark: SparkSession): DataFrame =
+      projectFrame(spark, ensureFetched(spark).projectPages)
+
+    def subjects(spark: SparkSession): DataFrame = {
+      import spark.implicits._
+      val pages = ensureFetched(spark).subjectPages.toSeq
+        .flatMap { case (pid, ps) => ps.map(pid -> _) }
+      spark.createDataset(pages).toDF("projectId", "__json")
+        .select(col("projectId"), explode(from_json(col("__json"), subjectArraySchema)).as("s"))
+        .select(col("projectId"), col("s.login").as("id"), col("s.group").as("group"),
+          col("s.externalId").as("externalId"), col("s.attributes").as("attributes"))
+    }
   }
 
   /** Fixed in-memory dimension tables (tests; also useful for file-backed
