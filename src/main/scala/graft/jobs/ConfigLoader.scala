@@ -125,7 +125,13 @@ object ConfigLoader {
       maxFilesPerTopic = opt(root, "worker", "maxFilesPerTopic")
         .filter(n => n.isNumber).map(_.asInt()),
       minimumFileAgeMs = opt(root, "worker", "minimumFileAge")
-        .filter(_.isNumber).map(_.asLong() * 1000).getOrElse(60000L))
+        .filter(_.isNumber).map(_.asLong() * 1000).getOrElse(60000L),
+      // S9: close open-ended ranges from object tags (S3) / blob metadata
+      // (Azure) — reference S3Config.endOffsetFromTags,
+      // AzureConfig.endOffsetFromMetadata
+      endOffsetFromTags =
+        bool(root, default = false, "source", "s3", "endOffsetFromTags") ||
+        bool(root, default = false, "source", "azure", "endOffsetFromMetadata"))
 
     Loaded(
       job = job,

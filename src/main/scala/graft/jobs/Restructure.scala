@@ -39,6 +39,7 @@ object Restructure {
     fs.setWriteChecksum(false)
     fs.setVerifyChecksum(false)
     val ledger = loadLedger(fs, cfg.ledger)
+    migrateLegacyOffsets(fs, cfg, ledger)
     val inFs = new HPath(cfg.inputRoot).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val topics = listing.getOrElse(TopicFiles.listTopics(inFs, cfg.inputRoot))
     val now = System.currentTimeMillis()
@@ -190,9 +191,21 @@ object Restructure {
     })
 
     // ledger commit: closed ranges are sized by their offset span; only
-    // open-ended files (no end offset in the name) need a counting scan
-    val parsed = files.map(f => new HPath(f).getName)
-      .flatMap(n => TopicFiles.parseFilename(n).map(n -> _))
+    // open-ended files (no end offset in the name) need a counting scan.
+    // S9: an endOffset object tag closes an open range FIRST — tagged files
+    // commit the tag's end offset with zero extra Spark jobs
+    val tagSource = cfg.tagOffsetSource(fs.getConf)
+    val parsed = files
+      .flatMap { f =>
+        val n = new HPath(f).getName
+        TopicFiles.parseFilename(n).map { r =>
+          val closed =
+            if (r.to.isEmpty)
+              tagSource.flatMap(_.endOffset(f)).fold(r)(e => r.copy(to = Some(e)))
+            else r
+          n -> closed
+        }
+      }
     val openEnded = parsed.collect { case (n, r) if r.to.isEmpty => n }
     val counts: Map[String, Long] =
       if (openEnded.isEmpty) Map.empty
@@ -662,6 +675,36 @@ object Restructure {
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     try Await.result(Future.sequence(xs.map(x => Future(f(x)))), Duration.Inf)
     finally pool.shutdown()
+  }
+
+  /** Legacy `offsets/<topic>.csv` migration on startup (reference
+    * AccountantImpl.readDeprecatedOffsets:38-53 +
+    * OffsetFilePersistence.kt:70-93): pre-JSON CSV offset files under the
+    * output root merge into the ledger and are deleted, then the merged
+    * ledger is flushed — an upgrading deployment keeps its extraction
+    * history instead of re-extracting everything.
+    */
+  private[graft] def migrateLegacyOffsets(
+      fs: FileSystem, cfg: RestructureJobConfig, ledger: OffsetRangeSet): Unit = {
+    val dir = new HPath(s"${cfg.outputRoot}/offsets")
+    if (!fs.exists(dir)) return
+    val csvs = fs.listStatus(dir)
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".csv"))
+    if (csvs.isEmpty) return
+    csvs.foreach { st =>
+      val in = fs.open(st.getPath)
+      val content =
+        try {
+          val buf = new java.io.ByteArrayOutputStream()
+          val chunk = new Array[Byte](8192)
+          var n = in.read(chunk)
+          while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+          new String(buf.toByteArray, "UTF-8")
+        } finally in.close()
+      OffsetRangeSet.addLegacyCsv(content.linesIterator, ledger)
+      fs.delete(st.getPath, false)
+    }
+    saveLedger(fs, cfg.ledger, ledger)
   }
 
   def loadLedger(fs: FileSystem, path: String): OffsetRangeSet = {

@@ -37,7 +37,18 @@ final case class RestructureJobConfig(
     timeBinFormat: String = "yyyyMMdd_HH00",
     // G6: enrichment-backed path-template plugins (e.g. `mp:`), applied to
     // the record frame before path compilation (paths.path.plugins)
-    pathPlugins: Seq[graft.paths.PathFormatterPlugin] = Nil) {
+    pathPlugins: Seq[graft.paths.PathFormatterPlugin] = Nil,
+    // S9: close open-ended file ranges from per-object tags/metadata
+    // (reference endOffsetFromTags / endOffsetFromMetadata). The flag turns
+    // on the Hadoop-XAttr lookup; endOffsetSource overrides it with a
+    // custom tag source (tests, exports)
+    endOffsetFromTags: Boolean = false,
+    endOffsetSource: Option[graft.sources.EndOffsetSource] = None) {
+
+  def tagOffsetSource(conf: org.apache.hadoop.conf.Configuration)
+      : Option[graft.sources.EndOffsetSource] =
+    endOffsetSource.orElse(
+      if (endOffsetFromTags) Some(new graft.sources.EndOffsetSource.HadoopXAttr(conf)) else None)
 
   def ledger: String = ledgerPath.getOrElse(s"$outputRoot/_ledger.json")
   def extension: String =

@@ -56,6 +56,23 @@ final class OffsetRangeSet {
 }
 
 object OffsetRangeSet {
+
+  /** Merge reference-format legacy CSV offset lines into `into` — the
+    * pre-JSON `offsets/<topic>.csv` format
+    * (accounting/OffsetFilePersistence.kt:70-93, header
+    * `offsetFrom,offsetTo,partition,topic[,lastModified]`): header dropped,
+    * topic column unquoted, a missing lastModified column defaults to now,
+    * exactly like the reference's parseLine. Blank lines are skipped.
+    */
+  def addLegacyCsv(lines: Iterator[String], into: OffsetRangeSet): Unit =
+    lines.drop(1).map(_.trim).filter(_.nonEmpty).foreach { line =>
+      val cols = line.split(",")
+      val topic = cols(3).replaceAll("^\"+", "").replaceAll("\"+$", "")
+      val lastModified =
+        if (cols.length >= 5) Instant.parse(cols(4)) else Instant.now()
+      into.add(topic, cols(2).toInt, cols(0).toLong, cols(1).toLong, lastModified)
+    }
+
   def fromJson(json: String): OffsetRangeSet = {
     val set = new OffsetRangeSet
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()

@@ -96,4 +96,24 @@ class LedgerSpec extends AnyFunSuite {
     assert(back.contains("topicA", 0, 10, 50, t0))
     assert(!back.contains("topicB", 0, 8, 8, t0))
   }
+
+  test("legacy offsets.csv import: reference format (quoted topics, optional lastModified)") {
+    // reference-format fixture (OffsetFilePersistence.kt:70-93 writer shape)
+    val csv =
+      """offsetFrom,offsetTo,partition,topic,lastModified
+        |0,100,0,topicA,2026-01-01T00:00:00Z
+        |5,10,1,"topicA",2026-01-02T00:00:00Z
+        |7,7,0,topicB
+        |
+        |200,300,0,topicA,2026-01-01T00:00:00Z""".stripMargin
+    val set = new OffsetRangeSet
+    OffsetRangeSet.addLegacyCsv(csv.linesIterator, set)
+    assert(set.contains("topicA", 0, 0, 100, t0))
+    assert(set.contains("topicA", 0, 250, 260, t0))
+    assert(!set.contains("topicA", 0, 150, 150, t0)) // gap preserved
+    assert(set.contains("topicA", 1, 5, 10, t0))     // quoted topic unquoted
+    assert(set.contains("topicB", 0, 7, 7, t0))      // lastModified defaulted
+    // merged set round-trips through the JSON ledger unchanged
+    assert(OffsetRangeSet.fromJson(set.toJson).toJson == set.toJson)
+  }
 }
