@@ -32,7 +32,13 @@ object Cleaner {
     val fs = new HPath(cfg.outputRoot).getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.setWriteChecksum(false)
     fs.setVerifyChecksum(false)
-    val ledger = Restructure.loadLedger(fs, cfg.ledger)
+    val store = cfg.ledgerStore()
+    val ledger = store match {
+      case Some(s) =>
+        s.get(cfg.ledger).map(graft.ledger.OffsetRangeSet.fromJson)
+          .getOrElse(new graft.ledger.OffsetRangeSet)
+      case None => Restructure.loadLedger(fs, cfg.ledger)
+    }
     val now = System.currentTimeMillis()
     val deleted = Seq.newBuilder[String]
     val rolledBack = Seq.newBuilder[String]
@@ -68,7 +74,10 @@ object Cleaner {
         }
       }
     }
-    Restructure.saveLedger(fs, cfg.ledger, ledger)
+    store match {
+      case Some(s) => try s.set(cfg.ledger, ledger.toJson) finally s.close()
+      case None => Restructure.saveLedger(fs, cfg.ledger, ledger)
+    }
     CleanResult(deleted.result(), rolledBack.result())
   }
 

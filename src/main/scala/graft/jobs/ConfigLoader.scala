@@ -131,7 +131,12 @@ object ConfigLoader {
       // AzureConfig.endOffsetFromMetadata
       endOffsetFromTags =
         bool(root, default = false, "source", "s3", "endOffsetFromTags") ||
-        bool(root, default = false, "source", "azure", "endOffsetFromMetadata"))
+        bool(root, default = false, "source", "azure", "endOffsetFromMetadata"),
+      // reference RedisConfig: uri + lockPrefix — ledger in Redis under the
+      // ledger-path key, locks via SET NX PX
+      redisUri = str(root, "redis", "uri"),
+      redisLockPrefix = str(root, "redis", "lockPrefix")
+        .map(p => s"$p/lock").getOrElse("radar-output/lock"))
 
     Loaded(
       job = job,

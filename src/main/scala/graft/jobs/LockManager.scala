@@ -5,6 +5,31 @@ import java.util.UUID
 
 import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 
+/** Advisory per-topic locks between replicas: the ledger remains the
+  * correctness mechanism; a broken lock can at worst duplicate work, never
+  * corrupt accounting. Backends: [[LockManager]] (filesystem) and
+  * [[StoreLocks]] (Redis-protocol `SET NX PX`, the reference's scheme).
+  */
+trait RemoteLocks {
+  /** Run `f` under the lock; None if the lock is held elsewhere. */
+  def withLock[T](name: String)(f: => T): Option[T]
+}
+
+/** Reference Redis lock semantics over any [[graft.ledger.LedgerStore]]
+  * (accounting/RedisRemoteLockManager.kt:18-44): acquire with
+  * `SET <prefix>/<name>.lock <uuid> NX PX <24h>`, release only when the
+  * stored owner is still this instance's UUID.
+  */
+final class StoreLocks(store: graft.ledger.LedgerStore, keyPrefix: String,
+    ttlMillis: Long = 24L * 3600 * 1000) extends RemoteLocks {
+  private val owner = UUID.randomUUID().toString
+  private def key(name: String): String = s"$keyPrefix/$name.lock"
+  def withLock[T](name: String)(f: => T): Option[T] =
+    if (!store.setNxPx(key(name), owner, ttlMillis)) None
+    else try Some(f)
+    finally if (store.get(key(name)).contains(owner)) store.del(key(name))
+}
+
 /** Per-topic advisory locks for multi-instance deployments — the semantics
   * of the reference's Redis lock (`SET NX PX <ttl>` with a UUID owner,
   * accounting/RedisRemoteLockManager.kt:18-44) on a filesystem: atomic
@@ -18,7 +43,8 @@ import org.apache.hadoop.fs.{FileSystem, Path => HPath}
   * reference: the ledger remains the correctness mechanism; a broken lock
   * can at worst duplicate work, never corrupt accounting.
   */
-final class LockManager(fs: FileSystem, lockDir: String, ttlMillis: Long = 24L * 3600 * 1000) {
+final class LockManager(fs: FileSystem, lockDir: String, ttlMillis: Long = 24L * 3600 * 1000)
+    extends RemoteLocks {
 
   private val owner = UUID.randomUUID().toString
   private val dir = new HPath(lockDir)

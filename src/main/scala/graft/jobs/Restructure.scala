@@ -38,8 +38,16 @@ object Restructure {
     // local-FS checksum sidecars (.crc) are not part of the output contract
     fs.setWriteChecksum(false)
     fs.setVerifyChecksum(false)
-    val ledger = loadLedger(fs, cfg.ledger)
-    migrateLegacyOffsets(fs, cfg, ledger)
+    // ledger/lock backend: the Redis-protocol store when configured
+    // (reference `redis:` deployments share state with an existing
+    // install), the filesystem otherwise
+    val store = cfg.ledgerStore()
+    val ledger = store match {
+      case Some(s) =>
+        s.get(cfg.ledger).map(OffsetRangeSet.fromJson).getOrElse(new OffsetRangeSet)
+      case None => loadLedger(fs, cfg.ledger)
+    }
+    migrateLegacyOffsets(fs, cfg, ledger, store)
     val inFs = new HPath(cfg.inputRoot).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val topics = listing.getOrElse(TopicFiles.listTopics(inFs, cfg.inputRoot))
     val now = System.currentTimeMillis()
@@ -50,13 +58,17 @@ object Restructure {
     // already-committed topics; the end-of-run flush remains as a safety net
     val flushLock = new Object
     def flushLedger(): Unit =
-      Timer.time("accounting.flush")(flushLock.synchronized(saveLedger(fs, cfg.ledger, ledger)))
+      Timer.time("accounting.flush")(flushLock.synchronized(
+        store.fold(saveLedger(fs, cfg.ledger, ledger))(_.set(cfg.ledger, ledger.toJson))))
 
     // multi-instance admission control (reference: per-topic Redis SET NX
     // lock, RedisRemoteLockManager.kt:18-44): a topic locked by another
     // replica is skipped this iteration; the ledger stays the correctness
     // mechanism either way
-    val locks = cfg.lockDir.map(d => new LockManager(fs, d))
+    val locks: Option[RemoteLocks] = store match {
+      case Some(s) => Some(new StoreLocks(s, cfg.redisLockPrefix))
+      case None => cfg.lockDir.map(d => new LockManager(fs, d))
+    }
 
     def processOne(topic: String, files: Seq[org.apache.hadoop.fs.FileStatus]): Option[TopicResult] =
       locks match {
@@ -119,6 +131,7 @@ object Restructure {
         finally pool.shutdown()
       }
     flushLedger()
+    store.foreach(_.close())
     RunResult(results, ledger)
   }
 
@@ -685,7 +698,8 @@ object Restructure {
     * history instead of re-extracting everything.
     */
   private[graft] def migrateLegacyOffsets(
-      fs: FileSystem, cfg: RestructureJobConfig, ledger: OffsetRangeSet): Unit = {
+      fs: FileSystem, cfg: RestructureJobConfig, ledger: OffsetRangeSet,
+      store: Option[graft.ledger.LedgerStore] = None): Unit = {
     val dir = new HPath(s"${cfg.outputRoot}/offsets")
     if (!fs.exists(dir)) return
     val csvs = fs.listStatus(dir)
@@ -704,7 +718,7 @@ object Restructure {
       OffsetRangeSet.addLegacyCsv(content.linesIterator, ledger)
       fs.delete(st.getPath, false)
     }
-    saveLedger(fs, cfg.ledger, ledger)
+    store.fold(saveLedger(fs, cfg.ledger, ledger))(_.set(cfg.ledger, ledger.toJson))
   }
 
   def loadLedger(fs: FileSystem, path: String): OffsetRangeSet = {

@@ -43,7 +43,16 @@ final case class RestructureJobConfig(
     // on the Hadoop-XAttr lookup; endOffsetSource overrides it with a
     // custom tag source (tests, exports)
     endOffsetFromTags: Boolean = false,
-    endOffsetSource: Option[graft.sources.EndOffsetSource] = None) {
+    endOffsetSource: Option[graft.sources.EndOffsetSource] = None,
+    // Redis-protocol ledger + lock backend (reference `redis:` config —
+    // OffsetRedisPersistence + RedisRemoteLockManager). None = filesystem
+    // ledger/locks (the default backend)
+    redisUri: Option[String] = None,
+    redisLockPrefix: String = "radar-output/lock") {
+
+  /** The configured ledger/lock store, if any (caller closes). */
+  def ledgerStore(): Option[graft.ledger.LedgerStore] =
+    redisUri.map(graft.ledger.RespLedgerStore.fromUri)
 
   def tagOffsetSource(conf: org.apache.hadoop.conf.Configuration)
       : Option[graft.sources.EndOffsetSource] =

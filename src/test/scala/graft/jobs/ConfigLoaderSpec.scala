@@ -120,5 +120,19 @@ class ConfigLoaderSpec extends AnyFunSuite {
     assert(l.job.inputRoot == "in" && l.job.outputRoot == "output")
     assert(!l.job.gzip && !l.job.dedup && !l.serviceEnabled)
     assert(l.job.minimumFileAgeMs == 60000L)
+    assert(l.job.redisUri.isEmpty && l.job.ledgerStore().isEmpty)
+  }
+
+  test("redis: uri + lockPrefix map to the RESP ledger/lock backend") {
+    val l = ConfigLoader.load(
+      """redis:
+        |  uri: redis://redis-host:6380
+        |  lockPrefix: my-prefix
+        |""".stripMargin)
+    assert(l.job.redisUri.contains("redis://redis-host:6380"))
+    assert(l.job.redisLockPrefix == "my-prefix/lock")
+    // reference default prefix
+    assert(ConfigLoader.load("redis:\n  uri: redis://h\n").job.redisLockPrefix
+      == "radar-output/lock")
   }
 }
