@@ -527,12 +527,14 @@ object SparkEntry {
     val clusters = TextDedup.corpusClusters(t("documents"), "doc_id", "text")
     val quality = t("documents")
       .select(col("doc_id"), TextFunctions.qualityScoreBp(col("text")).as("score_bp"))
-    val w = Window.partitionBy(col("cluster"))
-      .orderBy(col("score_bp").desc, col("doc_id").asc)
+    // best-of-cluster via max_by (score desc, id asc — the negated id breaks
+    // ties): ONE aggregation with map-side partials instead of a
+    // row_number window sorting every cluster's rows
     clusters.join(quality, "doc_id")
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select(col("cluster").cast(LongType).as("cluster"), col("doc_id"), col("score_bp"))
+      .groupBy(col("cluster").cast(LongType).as("cluster"))
+      .agg(max_by(struct(col("doc_id"), col("score_bp")),
+        struct(col("score_bp"), (-col("doc_id")).as("__tie"))).as("__w"))
+      .select(col("cluster"), col("__w.doc_id").as("doc_id"), col("__w.score_bp").as("score_bp"))
       .orderBy(col("cluster"))
   }
 
@@ -563,20 +565,23 @@ object SparkEntry {
   }
 
   /** Ranked retention: top-3 documents per source by quality score (score
-    * desc, id asc) — the per-group shortlist primitive. Partial evaluation
-    * note: the window shuffles once on `source`; group cardinality is the
-    * number of sources, so AQE coalesces the exchange at small scale while
-    * large corpora spread naturally.
+    * desc, id asc) — the per-group shortlist primitive, as the bounded-heap
+    * payload aggregate: each mapper keeps ≤3 candidates per source, so the
+    * shuffle is O(3·|sources|·mappers) and nothing sorts — a `row_number`
+    * window would instead funnel the whole scored corpus into |sources|
+    * sort tasks (the hot-group scale hazard).
     */
-  private def qTopDocs(implicit s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy(col("source"))
-      .orderBy(col("score_bp").desc, col("doc_id").asc)
+  private def qTopDocs(implicit s: SparkSession, d: String): DataFrame =
     t("documents")
       .select(col("doc_id"), col("source"), TextFunctions.qualityScoreBp(col("text")).as("score_bp"))
-      .withColumn("rnk", row_number().over(w).cast(LongType))
-      .filter(col("rnk") <= 3)
+      .groupBy(col("source"))
+      .agg(graft.functions.GraftExpressions.topKPayload(
+        col("score_bp").cast(DoubleType), col("doc_id"),
+        struct(col("doc_id"), col("score_bp")), 3).as("__top"))
+      .select(col("source"), posexplode(col("__top")).as(Seq("__pos", "__p")))
+      .select(col("__p.doc_id").as("doc_id"), col("source"), col("__p.score_bp").as("score_bp"),
+        (col("__pos") + 1).cast(LongType).as("rnk"))
       .orderBy(col("source"), col("rnk"))
-  }
 
   /** Sequence packing for LLM training: documents concatenated in id order
     * and chunked into 2048-token context windows — each document's sequence

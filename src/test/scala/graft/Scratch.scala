@@ -25,6 +25,10 @@ object Scratch {
       spark.stop(); return
     }
     if (args.headOption.contains("minhash")) { profileMinhash(spark, sfDir); spark.stop(); return }
+    if (args.headOption.contains("heavy")) {
+      profileHeavy(spark, sfDir, args.lift(1).map(_.toInt).getOrElse(10))
+      spark.stop(); return
+    }
     val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
     names.foreach { name =>
       try SparkEntry.queries(name)(spark, sfDir).count()
@@ -57,6 +61,67 @@ object Scratch {
       println(f"QUERY $name%-22s $wall%8.3f s  jobs=${nJobs.get}%3d jobWall=${jobWall.get / 1e9}%7.3f driverGap=${wall - jobWall.get / 1e9}%7.3f")
     }
     spark.stop()
+  }
+
+  /** sf1-equivalent heavy-query sweep: the documents/embeddings tables
+    * replicated ×`replicate` with disjoint id spaces (500k docs / 40k
+    * vectors at sf0.1 ×10), through the heaviest operator pipelines. The
+    * point is the SHAPE at scale: which stages turn from overhead-bound to
+    * throughput-bound, and that nothing blows up quadratically.
+    */
+  private def profileHeavy(spark: SparkSession, sfDir: String, replicate: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.operators.{Similarity, TextDedup}
+    def time[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"HEAVY $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.3f s")
+      r
+    }
+    val docs0 = Tables.load(spark, sfDir, "documents")
+    val span = docs0.agg(max(col("doc_id"))).collect()(0).getLong(0) + 1
+    val docs = (0 until replicate).map { i =>
+      docs0.select((col("doc_id") + lit(i * span)).as("doc_id"),
+        // perturb the text per replica so near-dup structure stays realistic
+        // (pure copies would make every replica a duplicate cluster)
+        concat(col("text"), lit(s" replica-tag-$i")).as("text"))
+    }.reduce(_ unionByName _)
+    docs.persist(); println(s"docs=${docs.count()} (replicate=$replicate)")
+    time("minhash pairs (lazy)") {
+      TextDedup.minhashCandidatePairs(docs, "doc_id", "text", 3, 12, 6, 2,
+        materialize = false).count()
+    }
+    time("corpus dedup clusters") {
+      TextDedup.corpusClusters(docs, "doc_id", "text").count()
+    }
+    time("tfidf-shape (tokens+tf+df)") {
+      val tokens = docs.select(col("doc_id"),
+        explode(graft.functions.TextFunctions.words(col("text"))).as("token"))
+      val tf = tokens.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+      tf.filter(col("tf") > 0).groupBy(col("token")).agg(count(lit(1))).count()
+    }
+    docs.unpersist()
+    val emb0 = Tables.load(spark, sfDir, "embeddings")
+    val espan = emb0.agg(max(col("vec_id"))).collect()(0).getLong(0) + 1
+    val emb = (0 until replicate).map { i =>
+      emb0.select((col("vec_id") + lit(i * espan)).as("vec_id"), col("embedding"))
+    }.reduce(_ unionByName _)
+    emb.persist(); println(s"vectors=${emb.count()}")
+    val centroids = emb0.filter(col("vec_id") < 64)
+    time("ivf assign + kmeans step") {
+      val assigned = Similarity.ivfAssign(emb, centroids)
+      val scaled = transform(col("embedding"), x => round(x.cast("double") * 1e6).cast("long"))
+      assigned.groupBy(col("cell"))
+        .agg(graft.functions.GraftExpressions.vectorSumLong(scaled), count(lit(1))).count()
+    }
+    time("embedding near-dup pairs") {
+      Similarity.cosineNearDupPairs(
+        Similarity.ivfAssign(emb, centroids), threshold = 0.95).count()
+    }
+    time("ivf probed topk (64q)") {
+      Similarity.ivfTopKProbed(emb, centroids,
+        emb.select(col("vec_id")).filter(col("vec_id") < 64), k = 10, nprobe = 4).count()
+    }
+    emb.unpersist()
   }
 
   private def profileMinhash(spark: SparkSession, sfDir: String): Unit = {
