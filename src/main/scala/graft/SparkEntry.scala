@@ -316,7 +316,7 @@ object SparkEntry {
   private def qExcludeFields(implicit s: SparkSession, d: String): DataFrame = {
     val excluded = Set("value", "props") // configured flattened names
     val ev = t("events")
-    val keep = ev.columns.filterNot(excluded).filterNot(_ == "ts").map(n => col(n)) :+
+    val keep = ev.columns.toSeq.filterNot(excluded).filterNot(_ == "ts").map(n => col(n)) :+
       date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_str")
     ev.select(keep: _*).orderBy(col("event_id"))
   }
@@ -400,7 +400,7 @@ object SparkEntry {
     * recomputed in DuckDB from the same md5 halves).
     */
   private def qSimhashPairs(implicit s: SparkSession, d: String): DataFrame =
-    TextDedup.simhashCandidatePairs(t("documents"), "doc_id", "text")
+    TextDedup.simhashCandidatePairs(t("documents"), "doc_id", "text", materialize = false)
       .select(col("doc_a"), col("doc_b"), col("hamming").cast(LongType).as("hamming"))
       .orderBy(col("doc_a"), col("doc_b"))
 

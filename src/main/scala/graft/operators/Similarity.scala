@@ -486,7 +486,7 @@ object Similarity {
       struct(lit(qid).as("query_id"), dist.as("__dist"))
     }
     val scored = encoded
-      .select(col("neighbor_id"), explode(array(perQueryScores: _*)).as("__q"))
+      .select(col("neighbor_id"), explode(array(perQueryScores.toIndexedSeq: _*)).as("__q"))
       .select(col("neighbor_id"), col("__q.query_id").cast(idType).as("query_id"),
         (-col("__q.__dist")).cast(org.apache.spark.sql.types.DoubleType).as("__sim"))
       .filter(col("neighbor_id") =!= col("query_id"))

@@ -165,29 +165,38 @@ object TextDedup {
     * their 64-bit simhash (guarantees recall for hamming distance ≤ 3 —
     * pigeonhole over 4 bands). Same bucket-join shape as MinHash LSH; the
     * verifier is then `GraftExpressions.hammingDist64` on the candidates.
+    * `materialize` follows [[minhashCandidatePairs]]: eager persist+release
+    * for service loops, a fully lazy reuse-the-band-exchange plan for
+    * one-shot consumers.
     */
-  def simhashCandidatePairs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simhashCandidatePairs(df: DataFrame, idCol: String, textCol: String,
+      materialize: Boolean = true): DataFrame = {
     import graft.functions.{GraftExpressions, TextFunctions}
     GraftExpressions.register(df.sparkSession)
     val sh = GraftExpressions.simHash64(TextFunctions.words(col(textCol)))
-    val bands = Scale.widen(df).select(col(idCol).as("__id"), sh.as("__sh"))
+    val bandTable = Scale.widen(df).select(col(idCol).as("__id"), sh.as("__sh"))
       .select(col("__id"), col("__sh"), posexplode(array((0 until 4).map(i =>
         shiftrightunsigned(col("__sh"), i * 16).bitwiseAND(lit(0xFFFFL))): _*))
         .as(Seq("__band_idx", "__band_val")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a = bands.alias("a")
-    val b = bands.alias("b")
-    val candidates = a.join(b,
-        col("a.__band_idx") === col("b.__band_idx") &&
-        col("a.__band_val") === col("b.__band_val") &&
-        col("a.__id") < col("b.__id"))
-      .select(col("a.__id").as("doc_a"), col("b.__id").as("doc_b"),
-        GraftExpressions.hammingDist64(col("a.__sh"), col("b.__sh")).as("hamming"))
-      .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    candidates.count()
-    bands.unpersist(false)
-    candidates
+    def pairsOf(a: DataFrame, b: DataFrame): DataFrame =
+      a.alias("a").join(b.alias("b"),
+          col("a.__band_idx") === col("b.__band_idx") &&
+          col("a.__band_val") === col("b.__band_val") &&
+          col("a.__id") < col("b.__id"))
+        .select(col("a.__id").as("doc_a"), col("b.__id").as("doc_b"),
+          GraftExpressions.hammingDist64(col("a.__sh"), col("b.__sh")).as("hamming"))
+        .distinct()
+    if (materialize) {
+      val bands = bandTable.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val candidates = pairsOf(bands, bands)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      candidates.count()
+      bands.unpersist(false)
+      candidates
+    } else
+      // identical subtrees on both shuffle-join sides → AQE reuses the
+      // band exchange; the simhash pipeline computes once, no barrier
+      pairsOf(bandTable.hint("SHUFFLE_HASH"), bandTable)
   }
 
   /** Exact n-gram Jaccard between explicit pairs: intersection and union

@@ -46,6 +46,24 @@ class TextDedupSpec extends SparkSpec {
       "lazy minhashCandidatePairs persisted RDDs")
   }
 
+  test("lazy simhash pairs: identical result to the materialized path, zero persisted RDDs") {
+    val docs = Seq(
+      (1L, "spark catalyst optimizer rewrites logical plans into physical plans"),
+      (2L, "spark catalyst optimizer rewrites logical plans into physical plan"),
+      (3L, "entirely unrelated words about cooking pasta with tomato sauce basil"))
+      .toDF("doc_id", "text")
+    val eager = TextDedup.simhashCandidatePairs(docs, "doc_id", "text")
+    val eagerPairs = eager.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    eager.unpersist(false)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val lazyPairs = TextDedup.simhashCandidatePairs(docs, "doc_id", "text", materialize = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(lazyPairs == eagerPairs)
+    assert(spark.sparkContext.getPersistentRDDs.keySet == before,
+      "lazy simhashCandidatePairs persisted RDDs")
+  }
+
   test("dedupCorpus leaves no cached RDDs behind (service-loop hygiene)") {
     val docs = (0L until 40L).map { i =>
       val base = s"document number ${i % 10} talks about topic ${i % 10} in detail with many words"
