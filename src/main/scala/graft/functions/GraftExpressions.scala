@@ -200,7 +200,7 @@ object GraftExpressions {
     * `ORDER BY dist ASC, id ASC` tie rule bit-for-bit.
     */
   case class NearestCells(vec: Expression, ids: Expression, cents: Expression, n: Expression)
-      extends Expression with CodegenFallback {
+      extends Expression {
     override def prettyName: String = "graft_nearest_cells"
     override def children: Seq[Expression] = Seq(vec, ids, cents, n)
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -217,10 +217,31 @@ object GraftExpressions {
       require(v >= 1, s"graft_nearest_cells: nprobe must be >= 1, got $v")
       v
     }
+    // semi-codegen: the generated stage calls [[nearestIds]] on this
+    // (serialized) expression object directly, so the assignment scan stays
+    // INSIDE whole-stage codegen — a CodegenFallback would box an
+    // InternalRow per corpus row (ivfAssign / pqEncode evaluate this per
+    // row, m times per row for PQ) just to re-extract the one array child
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val self = ctx.addReferenceObj("nearestCells", this, classOf[NearestCells].getName)
+      val child = vec.genCode(ctx)
+      val arrayData = classOf[ArrayData].getName
+      ev.copy(code =
+        code"""
+          ${child.code}
+          boolean ${ev.isNull} = ${child.isNull};
+          $arrayData ${ev.value} = null;
+          if (!${ev.isNull}) { ${ev.value} = $self.nearestIds(${child.value}); }""")
+    }
     override def eval(input: InternalRow): Any = {
       val v = vec.eval(input)
       if (v == null) return null
-      val arr = v.asInstanceOf[ArrayData]
+      nearestIds(v.asInstanceOf[ArrayData])
+    }
+    /** The nprobe-nearest-centroid kernel over one input vector (public:
+      * invoked from generated code).
+      */
+    def nearestIds(arr: ArrayData): ArrayData = {
       val elemT = vec.dataType.asInstanceOf[ArrayType].elementType
       val m = arr.numElements()
       val x = new Array[Double](m)

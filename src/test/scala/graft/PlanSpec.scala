@@ -142,6 +142,13 @@ class PlanSpec extends SparkSpec {
     val aPlan = assigned.queryExecution.explainString(ExplainMode.fromString("formatted"))
     assert(!aPlan.contains("hashpartitioning") && !aPlan.contains("Join"),
       s"ivfAssign is no longer a narrow projection:\n$aPlan")
+    // the assignment projection must stay INSIDE whole-stage codegen
+    // (NearestCells semi-codegen — a fallback would box a row per vector)
+    assigned.collect()
+    val simple = assigned.queryExecution.explainString(ExplainMode.fromString("simple"))
+    val assignLines = simple.linesIterator.filter(_.contains("graft_nearest_cells")).toSeq
+    assert(assignLines.nonEmpty && assignLines.exists(_.trim.matches("""[+\-:\s]*\*\(\d+\).*""")),
+      s"ivfAssign projection not codegen'd:\n$simple")
   }
 
   test("q_seq_pack: bucket offsets broadcast; full-data window is bucket-partitioned") {
