@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions.{call_function, lit, typedLit}
@@ -19,22 +19,31 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object GraftExpressions {
 
+  /** Rolling-hash kernel (public static forwarder — called from generated
+    * code): h = h*257 + b (mod 1e9+7) over UTF-8 bytes.
+    */
+  def rollingHash64(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    var h = 0L
+    var i = 0
+    while (i < bytes.length) {
+      h = (h * 257 + (bytes(i) & 0xff)) % 1000000007L
+      i += 1
+    }
+    h
+  }
+
   /** Polynomial rolling hash over UTF-8 bytes: h = h*257 + b (mod 1e9+7).
     * The content-defined fingerprint primitive for shift-tolerant dedup.
+    * Codegen'd via the static kernel, so per-document fingerprint scans
+    * stay inside whole-stage codegen.
     */
-  case class RollingHash(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+  case class RollingHash(child: Expression) extends UnaryExpression {
     override def dataType: DataType = LongType
-    override protected def nullSafeEval(input: Any): Any = {
-      val bytes = input.asInstanceOf[UTF8String].getBytes
-      var h = 0L
-      var i = 0
-      while (i < bytes.length) {
-        h = (h * 257 + (bytes(i) & 0xff)) % 1000000007L
-        i += 1
-      }
-      java.lang.Long.valueOf(h)
-    }
+    override protected def nullSafeEval(input: Any): Any =
+      java.lang.Long.valueOf(rollingHash64(input.asInstanceOf[UTF8String]))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.GraftExpressions.rollingHash64($c)")
     override protected def withNewChildInternal(newChild: Expression): RollingHash =
       copy(child = newChild)
   }
@@ -59,36 +68,43 @@ object GraftExpressions {
       ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
   }
 
-  /** 64-bit SimHash over an array of token strings: per-bit vote of each
-    * token's md5-derived hash ([[md5Half64]]); bit set iff the vote is
+  /** SimHash kernel (public static forwarder — called from generated code):
+    * per-bit vote of each token's md5-derived hash; bit set iff the vote is
     * positive. Empty/null token arrays hash to 0.
     */
-  case class SimHash64(child: Expression)
-      extends UnaryExpression with CodegenFallback {
-    override def dataType: DataType = LongType
-    override protected def nullSafeEval(input: Any): Any = {
-      val arr = input.asInstanceOf[ArrayData]
-      val votes = new Array[Int](64)
-      var i = 0
-      while (i < arr.numElements()) {
-        if (!arr.isNullAt(i)) {
-          val h = md5Half64(arr.getUTF8String(i).getBytes)
-          var b = 0
-          while (b < 64) {
-            if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
-            b += 1
-          }
+  def simHash64Kernel(arr: ArrayData): Long = {
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i)) {
+        val h = md5Half64(arr.getUTF8String(i).getBytes)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
         }
-        i += 1
       }
-      var out = 0L
-      var b = 0
-      while (b < 64) {
-        if (votes(b) > 0) out |= (1L << b)
-        b += 1
-      }
-      java.lang.Long.valueOf(out)
+      i += 1
     }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  /** 64-bit SimHash over an array of token strings ([[simHash64Kernel]]).
+    * Codegen'd via the static kernel, so the per-document simhash scan
+    * stays inside whole-stage codegen.
+    */
+  case class SimHash64(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override protected def nullSafeEval(input: Any): Any =
+      java.lang.Long.valueOf(simHash64Kernel(input.asInstanceOf[ArrayData]))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.GraftExpressions.simHash64Kernel($c)")
     override protected def withNewChildInternal(newChild: Expression): SimHash64 =
       copy(child = newChild)
   }
