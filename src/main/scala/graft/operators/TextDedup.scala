@@ -246,8 +246,13 @@ object TextDedup {
     val sets = distinctShingleSets(df, idCol, textCol, shingleN)
       .withColumnRenamed(idCol, "__sid")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // LAZY candidates: the pair table is consumed exactly once (by the
+    // verification join below), so the eager persist+count barrier would
+    // only add blocking jobs; the band pipeline reads the persisted `sets`,
+    // so nothing upstream recomputes either
     val candidates = minhashCandidatePairsFromSets(
-      sets.withColumnRenamed("__sid", idCol), idCol, k, bands, rowsPerBand)
+      sets.withColumnRenamed("__sid", idCol), idCol, k, bands, rowsPerBand,
+      materialize = false)
     val withSets = candidates
       .join(sets.withColumnRenamed("__sid", "doc_a").withColumnRenamed("__sh", "__sha"), "doc_a")
       .join(sets.withColumnRenamed("__sid", "doc_b").withColumnRenamed("__sh", "__shb"), "doc_b")
@@ -260,6 +265,6 @@ object TextDedup {
     // so the returned frame no longer depends on `sets` or `candidates`
     try Similarity.connectedComponents(verified, df.select(col(idCol).as(idCol)),
         "doc_a", "doc_b", idCol)
-    finally { sets.unpersist(false); candidates.unpersist(false) }
+    finally sets.unpersist(false)
   }
 }
