@@ -67,4 +67,59 @@ class GraftExpressionsSpec extends SparkSpec {
       .select(GraftExpressions.hammingDist64(col("a"), col("b"))).collect()(0).getInt(0)
     assert(got == 4)
   }
+
+  test("TopKPayload: random workloads match brute-force under any partitioning (merge + serde)") {
+    val rnd = new scala.util.Random(17) // seeded — deterministic test
+    for (trial <- 1 to 4) {
+      val k = 1 + rnd.nextInt(4)
+      val rows = (0 until 300).map { i =>
+        // duplicate scores force the tie-break path; payload carries extra data
+        (s"g${i % 7}", rnd.nextInt(8).toDouble, s"tok${rnd.nextInt(50)}%03d$i", i.toLong)
+      }
+      val expected = rows.groupBy(_._1).map { case (g, rs) =>
+        g -> rs.sortBy(r => (-r._2, r._3)).take(k).map(r => (r._3, r._4))
+      }
+      // random repartitioning exercises partial buffers, merges and the
+      // UnsafeProjection-based (de)serialization between them
+      val df = rows.toDF("g", "score", "tok", "payload")
+        .repartition(1 + rnd.nextInt(8))
+      val got = df.groupBy(col("g"))
+        .agg(GraftExpressions.topKPayload(col("score"), col("tok"),
+          struct(col("tok"), col("payload")), k).as("top"))
+        .collect()
+        .map(r => r.getString(0) ->
+          r.getSeq[org.apache.spark.sql.Row](1).map(p => (p.getString(0), p.getLong(1))))
+        .toMap
+      assert(got == expected, s"trial $trial (k=$k) mismatch")
+    }
+    // numeric tie column too (long)
+    val d2 = Seq((1.0, 5L), (1.0, 3L), (1.0, 9L), (2.0, 7L)).toDF("s", "id")
+    val top2 = d2.agg(GraftExpressions.topKPayload(col("s"), col("id"),
+      col("id"), 2)).collect()(0).getSeq[Long](0)
+    assert(top2 == Seq(7L, 3L)) // score desc, then id asc
+  }
+
+  test("VectorSumLong: ragged and null-element arrays sum positionally; matches explode+sum") {
+    val rows = Seq(
+      (0, Seq[java.lang.Long](1L, 2L, 3L)),
+      (0, Seq[java.lang.Long](10L, null, 30L, 40L)), // null element counts as 0
+      (1, Seq[java.lang.Long](5L)),
+      (1, Seq.empty[java.lang.Long]))
+    val df = rows.toDF("g", "xs").repartition(3)
+    val got = df.groupBy(col("g"))
+      .agg(GraftExpressions.vectorSumLong(col("xs")).as("sums"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
+    assert(got(0) == Seq(11L, 2L, 33L, 40L))
+    assert(got(1) == Seq(5L))
+    // cross-check vs the explode+groupBy shape on dense input
+    val dense = (0 until 200).map(i => (i % 5, Seq.fill(16)(i.toLong))).toDF("g", "xs")
+    val viaAgg = dense.groupBy(col("g"))
+      .agg(GraftExpressions.vectorSumLong(col("xs")).as("sums"))
+      .select(col("g"), posexplode(col("sums")).as(Seq("dim", "s")))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val viaExplode = dense.select(col("g"), posexplode(col("xs")).as(Seq("dim", "x")))
+      .groupBy(col("g"), col("dim")).agg(sum(col("x")).as("s"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(viaAgg == viaExplode)
+  }
 }
