@@ -395,6 +395,19 @@ object SparkEntry {
         shingleN = 3, k = 12, bands = 6, rowsPerBand = 2, materialize = false)
       .orderBy(col("doc_a"), col("doc_b"))
 
+  /** Incremental dedup: candidates between the standing corpus (history)
+    * and one incoming batch (doc_id ≡ 0 mod 10 stands in for the new
+    * slice) — the batch band table broadcasts, the corpus streams, and no
+    * history×history pair is ever formed.
+    */
+  private def qIncrementalDedup(implicit s: SparkSession, d: String): DataFrame = {
+    val docs = t("documents")
+    TextDedup.minhashCandidatePairsAgainst(
+        docs.filter(col("doc_id") % 10 =!= 0), docs.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text")
+      .orderBy(col("history_id"), col("batch_id"))
+  }
+
   /** SimHash-banded near-dup candidates + hamming distances. The md5-based
     * token hash makes the full pipeline oracle-checkable (bands and hamming
     * recomputed in DuckDB from the same md5 halves).
@@ -816,6 +829,7 @@ object SparkEntry {
     "q_doc_fingerprint"  -> mk(qDocFingerprint(_, _)),
     "q_ngram_jaccard"    -> mk(qNgramJaccard(_, _)),
     "q_minhash_pairs"    -> mk(qMinhashPairs(_, _)),
+    "q_incremental_dedup" -> mk(qIncrementalDedup(_, _)),
     "q_corpus_dedup"     -> mk(qCorpusDedup(_, _)),
     "q_simhash"          -> mk(qSimhash(_, _)),
     "q_simhash_pairs"    -> mk(qSimhashPairs(_, _)),
@@ -967,6 +981,16 @@ object SparkEntry {
            |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
            |FROM bands a JOIN bands b ON a.j = b.j AND a.bh = b.bh AND a.doc_id < b.doc_id
            |ORDER BY doc_a, doc_b""".stripMargin,
+      "q_incremental_dedup" ->
+        s"""WITH ${Frag.wordsCte},
+           |${Frag.shinglesCte},
+           |sig AS (SELECT doc_id, $sigList AS sig FROM sh),
+           |bands AS (SELECT doc_id, j, md5(array_to_string(sig[j*2+1:j*2+2], ',')) AS bh
+           |  FROM sig CROSS JOIN generate_series(0, 5) AS tt(j))
+           |SELECT DISTINCT h.doc_id AS history_id, b.doc_id AS batch_id
+           |FROM bands h JOIN bands b ON h.j = b.j AND h.bh = b.bh
+           |  AND h.doc_id % 10 <> 0 AND b.doc_id % 10 = 0
+           |ORDER BY history_id, batch_id""".stripMargin,
       "q_corpus_dedup" ->
         s"""WITH RECURSIVE ${Frag.wordsCte},
            |${Frag.shinglesCte},

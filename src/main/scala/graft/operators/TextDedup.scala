@@ -120,18 +120,26 @@ object TextDedup {
     * frame, so pipelines that also need the sets (exact-Jaccard verification)
     * compute shingles exactly once.
     */
-  private[graft] def minhashCandidatePairsFromSets(
-      sets: DataFrame, idCol: String,
-      k: Int = 12, bands: Int = 6, rowsPerBand: Int = 2,
-      materialize: Boolean = true): DataFrame = {
+  /** The LSH band-bucket table of a shingle-set frame: one row per
+    * (document, band) with the band's row-concat md5 — the standing index a
+    * near-dup pipeline keys on. Output: `__id, __band_idx, __band_hash`.
+    */
+  private def bandTableOfSets(
+      sets: DataFrame, idCol: String, k: Int, bands: Int, rowsPerBand: Int): DataFrame = {
     require(bands * rowsPerBand <= k, "bands*rowsPerBand must be <= k")
     val sigs = minhashSignaturesFromSets(sets, idCol, k)
     val bandArr = array((0 until bands).map { j =>
       md5(concat_ws(",",
         (0 until rowsPerBand).map(r => col(s"__mh_${j * rowsPerBand + r}")): _*))
     }: _*)
-    val bandTable = sigs
-      .select(col(idCol).as("__id"), posexplode(bandArr).as(Seq("__band_idx", "__band_hash")))
+    sigs.select(col(idCol).as("__id"), posexplode(bandArr).as(Seq("__band_idx", "__band_hash")))
+  }
+
+  private[graft] def minhashCandidatePairsFromSets(
+      sets: DataFrame, idCol: String,
+      k: Int = 12, bands: Int = 6, rowsPerBand: Int = 2,
+      materialize: Boolean = true): DataFrame = {
+    val bandTable = bandTableOfSets(sets, idCol, k, bands, rowsPerBand)
     def pairsOf(a: DataFrame, b: DataFrame): DataFrame =
       a.alias("a").join(b.alias("b"),
           col("a.__band_idx") === col("b.__band_idx") &&
@@ -159,6 +167,30 @@ object TextDedup {
       // the stage and the shingle→minhash pipeline runs once. (A broadcast
       // join would instead recompute the pipeline for the build side.)
       pairsOf(bandTable.hint("SHUFFLE_HASH"), bandTable)
+  }
+
+  /** Incremental (cross-batch) near-dup candidates: documents of a NEW
+    * `batch` sharing an LSH band bucket with the HISTORICAL corpus — the
+    * standing production shape: history's band table is the persisted dedup
+    * index, each incoming batch probes it without recomputing or
+    * re-pairing the corpus against itself. The batch side is small by
+    * definition (one ingest slice), so its band table broadcasts and the
+    * history side STREAMS — no shuffle of the corpus, no history×history
+    * pair space. Output: (history_id, batch_id), distinct; ids may overlap
+    * across frames (no cross-side ordering constraint).
+    */
+  def minhashCandidatePairsAgainst(
+      history: DataFrame, batch: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, k: Int = 12, bands: Int = 6, rowsPerBand: Int = 2): DataFrame = {
+    val hb = bandTableOfSets(
+      distinctShingleSets(history, idCol, textCol, shingleN), idCol, k, bands, rowsPerBand)
+    val bb = bandTableOfSets(
+      distinctShingleSets(batch, idCol, textCol, shingleN), idCol, k, bands, rowsPerBand)
+    hb.alias("h").join(broadcast(bb.alias("b")),
+        col("h.__band_idx") === col("b.__band_idx") &&
+        col("h.__band_hash") === col("b.__band_hash"))
+      .select(col("h.__id").as("history_id"), col("b.__id").as("batch_id"))
+      .distinct()
   }
 
   /** SimHash-banded candidate pairs: documents sharing any 16-bit band of

@@ -64,6 +64,28 @@ class TextDedupSpec extends SparkSpec {
       "lazy simhashCandidatePairs persisted RDDs")
   }
 
+  test("incremental candidates: batch-vs-history only, no history pairs, batch side broadcast") {
+    val history = Seq(
+      (1L, "spark catalyst optimizer rewrites logical plans into physical plans"),
+      (2L, "spark catalyst optimizer rewrites logical plans into physical plans"),
+      (3L, "entirely unrelated words about cooking pasta with tomato sauce basil"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (100L, "spark catalyst optimizer rewrites logical plans into physical plans"),
+      (101L, "totally novel content that matches nothing in the history corpus at all"))
+      .toDF("doc_id", "text")
+    val df = TextDedup.minhashCandidatePairsAgainst(history, batch, "doc_id", "text")
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // both history duplicates pair with the matching batch doc; the novel
+    // batch doc and the unrelated history doc pair with nothing — and no
+    // (1,2) history-internal pair is ever produced
+    assert(got == Set((1L, 100L), (2L, 100L)))
+    // the batch band table must be the broadcast side (history streams)
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("BroadcastHashJoin"), s"batch side not broadcast:\n$plan")
+  }
+
   test("dedupCorpus leaves no cached RDDs behind (service-loop hygiene)") {
     val docs = (0L until 40L).map { i =>
       val base = s"document number ${i % 10} talks about topic ${i % 10} in detail with many words"
