@@ -472,6 +472,17 @@ object SparkEntry {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** Incremental semantic dedup: exact cosine-threshold pairs between the
+    * standing corpus and one new batch (vec_id ≡ 0 mod 10) — batch
+    * broadcasts whole, corpus streams once; no index, no recall loss.
+    */
+  private def qEmbeddingIncremental(implicit s: SparkSession, d: String): DataFrame = {
+    val emb = t("embeddings")
+    Similarity.cosineNearDupAgainst(
+        emb.filter(col("vec_id") % 10 =!= 0), emb.filter(col("vec_id") % 10 === 0), 0.3)
+      .orderBy(col("history_id"), col("batch_id"))
+  }
+
   /** Near-dup cluster collapse: connected components over the cosine pair
     * graph (hash-min fixpoint; DuckDB oracle = recursive transitive
     * closure). Output: only vertices in non-trivial clusters.
@@ -838,6 +849,7 @@ object SparkEntry {
     "q_ivf_topk"         -> mk(qIvfTopk(_, _)),
     "q_ivf_probe"        -> mk(qIvfProbe(_, _)),
     "q_embedding_neardup" -> mk(qEmbeddingNeardup(_, _)),
+    "q_embedding_incremental" -> mk(qEmbeddingIncremental(_, _)),
     "q_dedup_cluster"    -> mk(qDedupCluster(_, _)),
     "q_multimodal_meta"  -> mk(qMultimodalMeta(_, _)),
     "q_sample_mix"       -> mk(qSampleMix(_, _)),
@@ -1050,6 +1062,12 @@ object SparkEntry {
            |  FROM cl JOIN pr ON cl.cell = pr.cell AND cl.vec_id != pr.query_id)
            |SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS INTEGER) AS "rank", neighbor_id
            |FROM s QUALIFY "rank" <= 3 ORDER BY query_id, "rank"""".stripMargin,
+      "q_embedding_incremental" ->
+        s"""WITH ${Frag.embCte}
+           |SELECT h.vec_id AS history_id, b.vec_id AS batch_id
+           |FROM e h JOIN e b ON h.vec_id % 10 <> 0 AND b.vec_id % 10 = 0
+           |  AND ${Frag.cosine("h.v", "b.v")} > 0.3
+           |ORDER BY history_id, batch_id""".stripMargin,
       "q_embedding_neardup" ->
         s"""WITH ${Frag.embCte},
            |c AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 16),

@@ -211,6 +211,29 @@ object Similarity {
         greatest(col("vec_a"), col("vec_b")).as("vec_b"))
   }
 
+  /** Incremental (cross-batch) embedding near-dup: EXACT cosine-threshold
+    * pairs between a standing `history` corpus and one new `batch` — the
+    * per-ingest semantic-dedup probe. The batch is small by definition, so
+    * it broadcasts whole and history streams through ONE narrow scan of
+    * |history|·|batch| codegen'd folds: exact (no cell-boundary recall
+    * loss), no index build, no shuffle of the corpus. For batch sizes past
+    * a few thousand, assign both sides to IVF cells first and use
+    * [[cosineNearDupPairs]]'s blocked join instead.
+    */
+  def cosineNearDupAgainst(
+      history: DataFrame, batch: DataFrame, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    GraftExpressions.register(history.sparkSession)
+    val h = Scale.widen(history).select(col(idCol).as("history_id"), col(vecCol).as("__hv"),
+      sqrt(dot(col(vecCol), col(vecCol))).as("__hn"))
+    val b = batch.select(col(idCol).as("batch_id"), col(vecCol).as("__bv"),
+      sqrt(dot(col(vecCol), col(vecCol))).as("__bn"))
+    h.join(broadcast(b), lit(true))
+      .withColumn("__sim", dot(col("__hv"), col("__bv")) / (col("__hn") * col("__bn")))
+      .filter(col("__sim") > threshold)
+      .select(col("history_id"), col("batch_id"))
+  }
+
   /** Connected components over a pair table (undirected): every vertex maps
     * to the minimum id reachable through the pairs — the cluster
     * representative for near-dup collapse. Deterministic: the min-rep

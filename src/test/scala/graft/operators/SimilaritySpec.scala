@@ -210,6 +210,25 @@ class SimilaritySpec extends SparkSpec {
     assert(cells(0L) == 0L && cells(1L) == 1L)
   }
 
+  test("cosineNearDupAgainst: exact threshold pairs, batch broadcast, no history pairs") {
+    val history = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f)),
+      (2L, Seq(0.99f, 0.1f, 0.0f)), // near-dup of vec 1 AND of batch 10
+      (3L, Seq(0.0f, 0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val batch = Seq(
+      (10L, Seq(1.0f, 0.01f, 0.0f)),
+      (11L, Seq(0.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val df = Similarity.cosineNearDupAgainst(history, batch, 0.95)
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // history 1 and 2 match batch 10; batch 11 and history 3 match nothing;
+    // the (1,2) history-internal near-dup never appears
+    assert(got == Set((1L, 10L), (2L, 10L)))
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"batch side not broadcast:\n$plan")
+  }
+
   test("pqTopKAdc / ivfPqTopK: non-integral id fails fast BEFORE the query collect") {
     val strVecs = Seq(("a", Seq(1.0f, 0.0f)), ("b", Seq(0.9f, 0.1f)))
       .toDF("vec_id", "embedding")
