@@ -526,6 +526,25 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Deterministic per-source quota sample: the 20 documents with the
+    * smallest salted md5 per source — fixed-size per-group samples
+    * (corpus curation's quota counterpart to rate-based [[qSampleMix]]),
+    * reproducible across engines/partitionings, and executed as the
+    * bounded-heap aggregate: ≤20 candidates per (source, mapper) shuffle,
+    * no per-group sort.
+    */
+  private def qQuotaSample(implicit s: SparkSession, d: String): DataFrame = {
+    val hash = conv(substring(md5(concat(lit("quota:"),
+      col("doc_id").cast(StringType))), 1, 8), 16, 10).cast(LongType)
+    t("documents")
+      .select(col("doc_id"), col("source"), hash.as("__h"))
+      .groupBy(col("source"))
+      .agg(graft.functions.GraftExpressions.topKPayload(
+        (-col("__h")).cast(DoubleType), col("doc_id"), col("doc_id"), 20).as("__keep"))
+      .select(col("source"), explode(col("__keep")).as("doc_id"))
+      .orderBy(col("source"), col("doc_id"))
+  }
+
   /** Eval-set contamination check: documents sharing any 3-gram shingle
     * with the held-out set (doc_id ≡ 0 mod 100), with the overlap size.
     * The eval shingle set is small by construction → broadcast side of the
@@ -853,6 +872,7 @@ object SparkEntry {
     "q_dedup_cluster"    -> mk(qDedupCluster(_, _)),
     "q_multimodal_meta"  -> mk(qMultimodalMeta(_, _)),
     "q_sample_mix"       -> mk(qSampleMix(_, _)),
+    "q_quota_sample"     -> mk(qQuotaSample(_, _)),
     "q_contamination"    -> mk(qContamination(_, _)),
     "q_dedup_quality"    -> mk(qDedupQuality(_, _)),
     "q_kmeans_step"      -> mk(qKmeansStep(_, _)),
@@ -1355,6 +1375,13 @@ object SparkEntry {
           |WHERE CAST('0x' || substring(md5('smp:' || CAST(doc_id AS VARCHAR)), 1, 2) AS INTEGER)
           |  < (CASE WHEN source = 'src0' THEN 128 WHEN source = 'src1' THEN 64 ELSE 32 END)
           |ORDER BY doc_id""".stripMargin,
+      "q_quota_sample" ->
+        """WITH h AS (SELECT source, doc_id,
+          |  CAST('0x' || substring(md5('quota:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS hh
+          |  FROM documents)
+          |SELECT source, doc_id FROM
+          |  (SELECT source, doc_id, row_number() OVER (PARTITION BY source ORDER BY hh ASC, doc_id ASC) AS rn FROM h)
+          |WHERE rn <= 20 ORDER BY source, doc_id""".stripMargin,
       "q_contamination" ->
         s"""WITH ${Frag.wordsCte},
            |${Frag.shinglesCte},
