@@ -99,6 +99,19 @@ class GraftExpressionsSpec extends SparkSpec {
     assert(top2 == Seq(7L, 3L)) // score desc, then id asc
   }
 
+  test("TopKPayload buffer: NaN admission matches heap order regardless of arrival order") {
+    // NaN compares greatest under Double.compare (Spark's sort order), same
+    // contract TopKIds pins: a NaN score wins a top-1 contest either way
+    val cmp: (Any, Any) => Int = (a, b) =>
+      java.lang.Long.compare(a.asInstanceOf[Long], b.asInstanceOf[Long])
+    val b1 = new GraftExpressions.TopKPayload.Buffer(1, cmp)
+    b1.add(Double.NaN, 7L, "nan"); b1.add(1.0, 8L, "one")
+    val b2 = new GraftExpressions.TopKPayload.Buffer(1, cmp)
+    b2.add(1.0, 8L, "one"); b2.add(Double.NaN, 7L, "nan")
+    assert(b1.payloadsBestFirst.toSeq == Seq("nan"))
+    assert(b2.payloadsBestFirst.toSeq == Seq("nan"))
+  }
+
   test("VectorSumLong: ragged and null-element arrays sum positionally; matches explode+sum") {
     val rows = Seq(
       (0, Seq[java.lang.Long](1L, 2L, 3L)),
