@@ -79,5 +79,30 @@ class FullTypesGoldenSpec extends SparkSpec {
     assert(lines(0) == "b,c,d,e,f,g,h,i.some,j.0,j.1,k,l.la,m")
     // unpadded base64 0xFF = "/w"; nulls render empty; JVM number rendering
     assert(lines(1) == "/w,/w,1000000000000000000,1.21322421E-15,0.1213231,132101,,1,,some,Y,,false")
+
+    // the same datum through the JSON writer (JsonAvroConverter analog):
+    // nested structure preserved (no flatten), explicit nulls, top-level
+    // excludeFields dropped, exact numeric rendering
+    val jroot = Files.createTempDirectory("graft-fulltypes-json")
+    val jin = jroot.resolve("in/full/partition=0")
+    Files.createDirectories(jin)
+    Files.copy(inDir.resolve("full+0+0000000000.avro"),
+      jin.resolve("full+0+0000000000.avro"))
+    Restructure.run(spark, RestructureJobConfig(
+      inputRoot = jroot.resolve("in").toString,
+      outputRoot = jroot.resolve("out").toString,
+      format = "json", excludeFields = Set("a")))
+    val jout = jroot.resolve("out/unknown-project/unknown-user/full/unknown-time.json")
+    val jlines = new String(Files.readAllBytes(jout), "UTF-8")
+      .split("\n").toSeq.filter(_.nonEmpty)
+    assert(jlines.size == 1, s"expected one JSON record, got:\n${jlines.mkString("\n")}")
+    val rec0 = jlines.head
+    assert(!rec0.contains("\"a\""), s"excluded field leaked: $rec0")
+    assert(rec0.contains("\"d\":1000000000000000000"))
+    assert(rec0.contains("\"e\":1.21322421E-15"))
+    assert(rec0.contains("\"h\":null"), s"explicit null dropped: $rec0")
+    assert(rec0.contains("\"i\":{\"some\":1,\"other\":-1}"), s"map not preserved: $rec0")
+    assert(rec0.contains("\"l\":{\"la\":null}"), s"nested record not preserved: $rec0")
+    assert(rec0.contains("\"m\":false"))
   }
 }
