@@ -124,7 +124,7 @@ object TextDedup {
     * (document, band) with the band's row-concat md5 — the standing index a
     * near-dup pipeline keys on. Output: `__id, __band_idx, __band_hash`.
     */
-  private def bandTableOfSets(
+  private[graft] def bandTableOfSets(
       sets: DataFrame, idCol: String, k: Int, bands: Int, rowsPerBand: Int): DataFrame = {
     require(bands * rowsPerBand <= k, "bands*rowsPerBand must be <= k")
     val sigs = minhashSignaturesFromSets(sets, idCol, k)
@@ -278,25 +278,47 @@ object TextDedup {
     val sets = distinctShingleSets(df, idCol, textCol, shingleN)
       .withColumnRenamed(idCol, "__sid")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // LAZY candidates: the pair table is consumed exactly once (by the
-    // verification join below), so the eager persist+count barrier would
-    // only add blocking jobs; the band pipeline reads the persisted `sets`,
-    // so nothing upstream recomputes either
-    val candidates = minhashCandidatePairsFromSets(
-      sets.withColumnRenamed("__sid", idCol), idCol, k, bands, rowsPerBand,
-      materialize = false)
+    // the band table self-join CANNOT ride on AQE exchange reuse here: when
+    // the band pipeline reads a persisted frame (InMemoryTableScan leaf),
+    // the two self-join subtrees no longer canonicalize equal and AQE
+    // silently computes the whole shingle→minhash→band pipeline TWICE
+    // (PlanSpec-verified; the reuse DOES hold over plain file scans, which
+    // is why the direct materialize=false paths keep the lazy shape).
+    // Persisting the band table — tiny: bands·|docs| short rows — makes
+    // compute-once structural instead of canonicalization-dependent.
+    val bandTable = bandTableOfSets(
+        sets.withColumnRenamed("__sid", idCol), idCol, k, bands, rowsPerBand)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val verified = verifiedPairsFromSets(sets, bandTable, num, den)
+    // connectedComponents materializes its mapping internally (checkpointed),
+    // so the returned frame no longer depends on `sets` or the band cache
+    try Similarity.connectedComponents(verified, df.select(col(idCol).as(idCol)),
+        "doc_a", "doc_b", idCol)
+    finally { bandTable.unpersist(false); sets.unpersist(false) }
+  }
+
+  /** The verified-pair plan behind [[corpusClusters]]: candidate pairs from
+    * a prebuilt (persisted) band table, exact-Jaccard verified against the
+    * `(__sid, __sh)` shingle-set frame (`jaccard ≥ num/den` via integer
+    * cross-multiply). Exposed for plan tests: the candidate self-join must
+    * read the band CACHE on both sides (compute-once), which PlanSpec
+    * asserts on the executed plan.
+    */
+  private[graft] def verifiedPairsFromSets(
+      sets: DataFrame, bandTable: DataFrame, num: Int, den: Int): DataFrame = {
+    val candidates = bandTable.alias("a").join(bandTable.alias("b"),
+        col("a.__band_idx") === col("b.__band_idx") &&
+        col("a.__band_hash") === col("b.__band_hash") &&
+        col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("doc_a"), col("b.__id").as("doc_b"))
+      .distinct()
     val withSets = candidates
       .join(sets.withColumnRenamed("__sid", "doc_a").withColumnRenamed("__sh", "__sha"), "doc_a")
       .join(sets.withColumnRenamed("__sid", "doc_b").withColumnRenamed("__sh", "__shb"), "doc_b")
     val inter = size(array_intersect(col("__sha"), col("__shb")))
     val union = size(col("__sha")) + size(col("__shb")) - inter
     // jaccard ≥ num/den  ⇔  den·inter ≥ num·union (integers, exact)
-    val verified = withSets.filter(inter * den >= union * num)
+    withSets.filter(inter * den >= union * num)
       .select(col("doc_a"), col("doc_b"))
-    // connectedComponents materializes its mapping internally (checkpointed),
-    // so the returned frame no longer depends on `sets` or `candidates`
-    try Similarity.connectedComponents(verified, df.select(col(idCol).as(idCol)),
-        "doc_a", "doc_b", idCol)
-    finally sets.unpersist(false)
   }
 }

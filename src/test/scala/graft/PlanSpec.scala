@@ -186,6 +186,93 @@ class PlanSpec extends SparkSpec {
       s"df branch re-tokenizes (Generate above ReusedExchange):\n$dfBranch")
   }
 
+  // ---- lazy LSH compute-once asserts ---------------------------------
+  // The materialize=false paths rely on AQE reusing the band exchange of
+  // the bucket self-join (both sides shuffle an identical subtree). That
+  // reuse is load-bearing — losing it silently doubles the heaviest stage
+  // of the whole corpus-dedup family — and it is fragile (column-pruning
+  // canonicalization differences between the sides break it), so each lazy
+  // shape is pinned on the EXECUTED final plan.
+
+  /** Execute `df` and flatten its AQE-final physical tree, descending into
+    * query stages (their subtrees are hidden from `collect` — QueryStageExec
+    * is a leaf) but not into reused exchanges or cached relations (those
+    * subtrees are NOT recomputed, so counting their operators would be
+    * wrong).
+    */
+  private def flattenExecuted(df: org.apache.spark.sql.DataFrame)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    df.collect()
+    def flat(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => p +: flat(a.executedPlan)
+      case q: QueryStageExec => p +: flat(q.plan)
+      case _: InMemoryTableScanExec => Seq(p)
+      case _ => p +: p.children.flatMap(flat)
+    }
+    flat(df.queryExecution.executedPlan)
+  }
+
+  private def assertBandReuse(
+      ops: Seq[org.apache.spark.sql.execution.SparkPlan], bandCol: String,
+      maxGenerates: Int): Unit = {
+    import org.apache.spark.sql.execution.GenerateExec
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    val reused = ops.collect { case r: ReusedExchangeExec => r }
+    assert(reused.exists(_.output.exists(_.name == bandCol)),
+      s"band exchange not reused (ReusedExchange outputs: " +
+        s"${reused.map(_.output.map(_.name).mkString("[", ",", "]"))}):\n${ops.head}")
+    // the signature pipeline must appear exactly once: a reuse regression
+    // doubles its Generate(s) (shingle explode / band posexplode)
+    val generates = ops.count(_.isInstanceOf[GenerateExec])
+    assert(generates <= maxGenerates,
+      s"band pipeline computed more than once ($generates generates):\n${ops.head}")
+  }
+
+  test("lazy minhash pairs: band exchange reused — shingle pipeline computes once") {
+    val pairs = graft.operators.TextDedup.minhashCandidatePairs(
+      Tables.load(spark, sf, "documents"), "doc_id", "text", materialize = false)
+    // one Generate for the shingle explode + one for the band posexplode
+    assertBandReuse(flattenExecuted(pairs), "__band_hash", maxGenerates = 2)
+  }
+
+  test("lazy simhash pairs: band exchange reused — simhash pipeline computes once") {
+    val pairs = graft.operators.TextDedup.simhashCandidatePairs(
+      Tables.load(spark, sf, "documents"), "doc_id", "text", materialize = false)
+    // a single band posexplode — a second Generate means the simhash
+    // pipeline ran for both join sides
+    assertBandReuse(flattenExecuted(pairs), "__band_val", maxGenerates = 1)
+  }
+
+  test("corpusClusters candidates: signature pipeline computes once via the band cache") {
+    import org.apache.spark.sql.execution.GenerateExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    // AQE exchange reuse does NOT hold when the self-join subtree bottoms
+    // out in an InMemoryTableScan (the persisted sets) — the two sides stop
+    // canonicalizing equal and the shingle→minhash→band pipeline silently
+    // computes twice. corpusClusters therefore persists the band table and
+    // self-joins the CACHE; this pins that shape: every band/signature
+    // Generate lives inside the cached relation, none in the outer plan.
+    val sets = graft.operators.TextDedup.distinctShingleSets(
+        Tables.load(spark, sf, "documents"), "doc_id", "text", 3)
+      .withColumnRenamed("doc_id", "__sid")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bands = graft.operators.TextDedup.bandTableOfSets(
+        sets.withColumnRenamed("__sid", "doc_id"), "doc_id", 12, 6, 2)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val verified = graft.operators.TextDedup.verifiedPairsFromSets(sets, bands, 1, 2)
+      val ops = flattenExecuted(verified)
+      val cacheScans = ops.collect { case s: InMemoryTableScanExec => s }
+      assert(cacheScans.count(_.output.exists(_.name == "__band_hash")) >= 2,
+        s"band self-join no longer reads the band cache on both sides:\n${ops.head}")
+      assert(!ops.exists(_.isInstanceOf[GenerateExec]),
+        s"signature pipeline recomputed outside the band cache:\n${ops.head}")
+    } finally { bands.unpersist(false); sets.unpersist(false) }
+  }
+
   test("q_sample_mix: scan reads only the projected columns") {
     val plan = formatted("q_sample_mix")
     val readSchema = plan.linesIterator.find(_.trim.startsWith("ReadSchema")).get
