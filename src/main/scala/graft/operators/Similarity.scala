@@ -56,6 +56,26 @@ object Similarity {
   val MaxCodebookRows = 65536
   val MaxQueryRows = 4096
 
+  /** Cap on the broadcast side of the incremental (cross-batch) probes
+    * ([[cosineNearDupAgainst]], `TextDedup.minhashCandidatePairsAgainst`):
+    * "the batch is small by definition" is a contract, and an unenforced
+    * contract fails as an opaque multi-GB broadcast error mid-join. At 64k
+    * rows a 768-float embedding batch broadcasts ~200 MB — near the
+    * comfortable ceiling for per-executor build sides.
+    */
+  val MaxProbeBatchRows = 65536
+
+  /** Bounded count of a probe batch: scans at most `cap`+1 rows (the limit
+    * short-circuits the scan), so the guard itself stays cheap on an
+    * arbitrarily large mis-passed frame.
+    */
+  private[operators] def requireProbeBatch(
+      batch: DataFrame, cap: Int, what: String, cure: String): Unit = {
+    val n = batch.limit(cap + 1).count()
+    require(n <= cap,
+      s"$what exceeds $cap rows; it broadcasts whole to every executor — $cure")
+  }
+
   private def requireIntegralId(idType: DataType, what: String): Unit =
     require(integralTypes.contains(idType),
       s"$what column must be integral (byte/short/int/long), got $idType; " +
@@ -222,8 +242,12 @@ object Similarity {
     */
   def cosineNearDupAgainst(
       history: DataFrame, batch: DataFrame, threshold: Double,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxBatchRows: Int = MaxProbeBatchRows): DataFrame = {
     GraftExpressions.register(history.sparkSession)
+    requireProbeBatch(batch, maxBatchRows, "probe batch",
+      "for large batches assign both sides to IVF cells (ivfAssign) and use " +
+        "cosineNearDupPairs's blocked cell join instead")
     val h = Scale.widen(history).select(col(idCol).as("history_id"), col(vecCol).as("__hv"),
       sqrt(dot(col(vecCol), col(vecCol))).as("__hn"))
     val b = batch.select(col(idCol).as("batch_id"), col(vecCol).as("__bv"),

@@ -181,7 +181,11 @@ object TextDedup {
     */
   def minhashCandidatePairsAgainst(
       history: DataFrame, batch: DataFrame, idCol: String, textCol: String,
-      shingleN: Int = 3, k: Int = 12, bands: Int = 6, rowsPerBand: Int = 2): DataFrame = {
+      shingleN: Int = 3, k: Int = 12, bands: Int = 6, rowsPerBand: Int = 2,
+      maxBatchRows: Int = Similarity.MaxProbeBatchRows): DataFrame = {
+    Similarity.requireProbeBatch(batch, maxBatchRows, "probe batch",
+      "for large batches run minhashCandidatePairs over the combined corpus " +
+        "(bucketed self-join — never all-pairs) instead of the broadcast probe")
     val hb = bandTableOfSets(
       distinctShingleSets(history, idCol, textCol, shingleN), idCol, k, bands, rowsPerBand)
     val bb = bandTableOfSets(

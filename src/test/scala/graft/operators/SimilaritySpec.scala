@@ -260,4 +260,19 @@ class SimilaritySpec extends SparkSpec {
     }
     assert(ec.getMessage.contains("codebook exceeds"))
   }
+
+  test("cosineNearDupAgainst: oversized probe batch fails fast naming the blocked alternative") {
+    val history = spark.range(4).select(col("id").as("vec_id"),
+      array(col("id").cast("float"), lit(1.0f)).as("embedding"))
+    val batch = spark.range(12).select((col("id") + 100).as("vec_id"),
+      array(col("id").cast("float"), lit(1.0f)).as("embedding"))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.cosineNearDupAgainst(history, batch, 0.9, maxBatchRows = 10)
+    }
+    assert(e.getMessage.contains("probe batch exceeds 10 rows"), e.getMessage)
+    assert(e.getMessage.contains("cosineNearDupPairs"), e.getMessage)
+    // at the cap it still runs (guard counts, does not truncate)
+    assert(Similarity.cosineNearDupAgainst(history, batch.limit(10), 0.9,
+      maxBatchRows = 10).columns.toSeq == Seq("history_id", "batch_id"))
+  }
 }

@@ -86,6 +86,21 @@ class TextDedupSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"batch side not broadcast:\n$plan")
   }
 
+  test("incremental candidates: oversized probe batch fails fast naming the alternative") {
+    val history = Seq((1L, "some history document text here")).toDF("doc_id", "text")
+    val batch = (0L until 12L).map(i => (100L + i, s"batch document $i text"))
+      .toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      TextDedup.minhashCandidatePairsAgainst(history, batch, "doc_id", "text",
+        maxBatchRows = 10)
+    }
+    assert(e.getMessage.contains("probe batch exceeds 10 rows"), e.getMessage)
+    assert(e.getMessage.contains("minhashCandidatePairs"), e.getMessage)
+    // at the cap it still runs
+    assert(TextDedup.minhashCandidatePairsAgainst(history, batch.limit(10),
+      "doc_id", "text", maxBatchRows = 10).columns.toSeq == Seq("history_id", "batch_id"))
+  }
+
   test("dedupCorpus leaves no cached RDDs behind (service-loop hygiene)") {
     val docs = (0L until 40L).map { i =>
       val base = s"document number ${i % 10} talks about topic ${i % 10} in detail with many words"
