@@ -668,11 +668,14 @@ object SparkEntry {
       .filter(col("df") >= 50)
       .orderBy(col("df").desc, col("token").asc)
 
-  /** TF-IDF token shortlist: top-3 tokens per document by tf·(N/df) — idf
-    * kept as the exact rational N/df (no log), so the one double division
-    * is the same IEEE operation in every engine and the ranking is stable.
-    * df comes from one corpus-wide aggregation joined back (broadcast — df
-    * table is vocabulary-sized).
+  /** TF-IDF token shortlist: top-3 tokens per document ranked by tf/df —
+    * the corpus-size factor N of the textbook tf·(N/df) score is constant
+    * within the query, so it scales every score identically and CANNOT
+    * change the ranking (the only thing the output keeps); dropping it
+    * removes a whole separate count() job. The one double division is the
+    * same IEEE operation in every engine (the oracle ranks by the identical
+    * expression), so the ranking is stable. df comes from one corpus-wide
+    * aggregation joined back (broadcast — df table is vocabulary-sized).
     */
   private def qTfidf(implicit s: SparkSession, d: String): DataFrame = {
     val docs = graft.operators.Scale.widen(t("documents"))
@@ -687,11 +690,10 @@ object SparkEntry {
     // exchanges no longer canonicalize equal, and AQE cannot reuse the
     // stage (measured: tokenize then runs twice)
     val df_ = tf.filter(col("tf") > 0).groupBy(col("token")).agg(count(lit(1)).as("df"))
-    val n = t("documents").count() // corpus size: one scalar
     // per-doc top-3: bounded-heap aggregate with the token as tie-break —
     // map-side partials keep ≤3 rows per (doc, mapper); never a row_number
     // window funneling every scored row into |docs| sort partitions
-    val score = col("tf").cast(DoubleType) * lit(n.toDouble) / col("df").cast(DoubleType)
+    val score = col("tf").cast(DoubleType) / col("df").cast(DoubleType)
     tf.join(broadcast(df_), "token")
       .groupBy(col("doc_id"))
       .agg(graft.functions.GraftExpressions.topKPayload(score, col("token"),
@@ -1188,11 +1190,10 @@ object SparkEntry {
            |tok AS (SELECT doc_id, unnest(ws) AS token FROM w),
            |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
            |dfr AS (SELECT token, count(*) AS df FROM (SELECT DISTINCT doc_id, token FROM tok) GROUP BY 1),
-           |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
            |r AS (SELECT tf.doc_id, tf.token, tf.tf, dfr.df,
            |  CAST(row_number() OVER (PARTITION BY tf.doc_id
-           |    ORDER BY CAST(tf.tf AS DOUBLE) * n.n / CAST(dfr.df AS DOUBLE) DESC, tf.token ASC) AS BIGINT) AS rnk
-           |  FROM tf JOIN dfr USING (token) CROSS JOIN n)
+           |    ORDER BY CAST(tf.tf AS DOUBLE) / CAST(dfr.df AS DOUBLE) DESC, tf.token ASC) AS BIGINT) AS rnk
+           |  FROM tf JOIN dfr USING (token))
            |SELECT doc_id, token, tf, df, rnk FROM r WHERE rnk <= 3
            |ORDER BY doc_id, rnk""".stripMargin,
       "q_top_orders" ->
