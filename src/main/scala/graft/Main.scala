@@ -2,20 +2,35 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-import graft.jobs.{Cleaner, ConfigLoader, Restructure, Service}
+import graft.jobs.{Cleaner, CliArgs, ConfigLoader, Restructure, Service}
 
-/** CLI entry point — the reference's `radar-output-restructure [config.yml]`
-  * surface (config/CommandLineArgs.kt): one-shot restructure (+cleaner) or
-  * polling service mode, driven by a restructure.yml-compatible file.
+/** CLI entry point — the reference's `radar-output-restructure` surface
+  * (config/CommandLineArgs.kt) with its config layering
+  * (Application.kt:214-217): YAML file → environment overrides
+  * (`SOURCE_S3_*`, `TARGET_AZURE_*`, `REDIS_URI`, …) → command-line flags,
+  * then validate.
   *
-  * Usage: graft.Main <config.yml> [--service] [--clean] [--once]
+  * Usage: graft.Main [-F <config.yml>] [options] [<input_path> ...]
+  * (see `CliArgs.usage`; a bare leading `<config.yml>` argument is also
+  * accepted for compatibility with earlier rounds' invocation).
   */
 object Main {
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: graft.Main <config.yml> [--service|--clean|--once]")
-    val yaml = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(args(0))), "UTF-8")
-    val loaded = ConfigLoader.load(yaml)
-    val flags = args.drop(1).toSet
+    // legacy form: first positional arg ending in .yml/.yaml is the config
+    val argv = args.toSeq match {
+      case head +: rest if head.endsWith(".yml") || head.endsWith(".yaml") =>
+        Seq("-F", head) ++ rest.map {
+          case "--service" => "-S" // legacy spellings of the reference flags
+          case other => other
+        }
+      case other => other
+    }
+    val cli = CliArgs.parse(argv)
+    if (cli.help) { println(CliArgs.usage); return }
+    val configPath = cli.configFile.getOrElse("restructure.yml")
+    val yaml = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(configPath)), "UTF-8")
+    val loaded = ConfigLoader.load(yaml, sys.env, cli).validate()
 
     val builder = SparkSession.builder()
       .appName("graft-restructure")
@@ -34,17 +49,20 @@ object Main {
       loaded.pathPluginNames, loaded.pathProperties))
 
     val cleanerAgeMs = loaded.cleanerAgeDays.toLong * 24 * 3600 * 1000
-    if (loaded.serviceEnabled && flags.contains("--service")) {
+    if (loaded.serviceEnabled) {
       Service.runLoop(spark, job, Service.ServiceConfig(
         intervalMs = loaded.serviceIntervalSec * 1000,
         cleanerEnabled = loaded.cleanerEnabled,
-        cleanerAgeMs = cleanerAgeMs))
+        cleanerAgeMs = cleanerAgeMs,
+        restructureEnabled = loaded.workerEnabled))
     } else {
-      val result = Restructure.run(spark, job)
-      result.processedTopics.foreach { t =>
-        println(s"[graft] ${t.topic}: ${t.files.size} files, ${t.records} records, ${t.paths.size} bins")
+      if (loaded.workerEnabled) {
+        val result = Restructure.run(spark, job)
+        result.processedTopics.foreach { t =>
+          println(s"[graft] ${t.topic}: ${t.files.size} files, ${t.records} records, ${t.paths.size} bins")
+        }
       }
-      if (loaded.cleanerEnabled || flags.contains("--clean")) {
+      if (loaded.cleanerEnabled) {
         val c = Cleaner.run(spark, job, cleanerAgeMs)
         println(s"[graft] cleaner: deleted ${c.deleted.size}, rolled back ${c.rolledBack.size}")
       }

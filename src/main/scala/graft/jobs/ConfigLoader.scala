@@ -24,7 +24,23 @@ object ConfigLoader {
       // factories; the session-holding caller instantiates them via
       // PathFormatterPlugin.fromNames and sets job.pathPlugins
       pathPluginNames: Seq[String] = Seq("fixed", "time", "key", "value"),
-      pathProperties: Map[String, String] = Map.empty)
+      pathProperties: Map[String, String] = Map.empty,
+      // reference WorkerConfig.enable (--no-restructure turns it off;
+      // validate() requires worker or cleaner enabled)
+      workerEnabled: Boolean = true,
+      // accepted-for-parity knobs with no Spark-side effect: Spark stages
+      // its own shuffle/temp files (paths.temp / --tmp-dir) and has no
+      // per-thread open-file cache (worker.cacheSize / --cache-size);
+      // recorded so ops configs round-trip without error
+      tmpDir: Option[String] = None,
+      cacheSize: Option[Int] = None) {
+    /** Reference RestructureConfig.validate():33. */
+    def validate(): Loaded = {
+      require(workerEnabled || cleanerEnabled,
+        "Either restructuring or cleaning needs to be enabled.")
+      this
+    }
+  }
 
   private def opt(n: JsonNode, path: String*): Option[JsonNode] =
     path.foldLeft(Option(n)) { (acc, p) => acc.flatMap(x => Option(x.get(p))) }
@@ -35,41 +51,119 @@ object ConfigLoader {
   private def strSet(n: JsonNode, path: String*): Set[String] =
     opt(n, path: _*).filter(_.isArray).fold(Set.empty[String])(_.elements().asScala.map(_.asText()).toSet)
 
-  def load(yaml: String): Loaded = {
+  /** S3: Azure credential forms → per-account Hadoop ABFS configuration,
+    * with the reference's precedence (AzureConfig.kt:24-47
+    * createAzureClient: username/password, then accountName/accountKey,
+    * then sasToken, else anonymous/public). `cred(yamlName, envSuffix)`
+    * resolves one credential field with env-over-YAML layering
+    * (AzureConfig.withEnv: `{SOURCE|TARGET}_AZURE_<FIELD>`).
+    *
+    *  - username/password → OAuth2 client credentials
+    *    (`ClientCredsTokenProvider`; the token endpoint comes from
+    *    `azure.tokenEndpoint`, defaulting to Azure AD's common endpoint)
+    *  - accountName/accountKey → SharedKey on the endpoint account
+    *  - sasToken → fixed SAS token provider
+    *
+    * All keys are suffixed with the abfss URI authority so source and
+    * target may use different accounts without collision.
+    */
+  private def azureAuthConf(account: String,
+      cred: (String, String) => Option[String]): Map[String, String] = {
+    val username = cred("username", "USERNAME")
+    val password = cred("password", "PASSWORD")
+    val accountName = cred("accountName", "ACCOUNT_NAME")
+    val accountKey = cred("accountKey", "ACCOUNT_KEY")
+    val sasToken = cred("sasToken", "SAS_TOKEN")
+    (username, password) match {
+      case (Some(u), Some(p)) => Map(
+        s"fs.azure.account.auth.type.$account" -> "OAuth",
+        s"fs.azure.account.oauth.provider.type.$account" ->
+          "org.apache.hadoop.fs.azurebfs.oauth2.ClientCredsTokenProvider",
+        s"fs.azure.account.oauth2.client.id.$account" -> u,
+        s"fs.azure.account.oauth2.client.secret.$account" -> p,
+        s"fs.azure.account.oauth2.client.endpoint.$account" ->
+          cred("tokenEndpoint", "TOKEN_ENDPOINT")
+            .getOrElse("https://login.microsoftonline.com/common/oauth2/token"))
+      case _ => (accountName, accountKey) match {
+        case (_, Some(k)) if accountName.nonEmpty => Map(
+          s"fs.azure.account.auth.type.$account" -> "SharedKey",
+          s"fs.azure.account.key.$account" -> k)
+        case _ => sasToken match {
+          case Some(t) => Map(
+            s"fs.azure.account.auth.type.$account" -> "SAS",
+            s"fs.azure.sas.token.provider.type.$account" ->
+              "org.apache.hadoop.fs.azurebfs.sas.FixedSASTokenProvider",
+            s"fs.azure.sas.fixed.token.$account" -> t.stripPrefix("?"))
+          // no credentials: anonymous/public container, like the
+          // reference's warning-and-continue path
+          case None => Map.empty
+        }
+      }
+    }
+  }
+
+  /** Load the reference's config surface with its layering
+    * (Application.kt:214-217): YAML, then environment overrides
+    * (S3Config/AzureConfig/RedisConfig `withEnv`, prefixes `SOURCE_` /
+    * `TARGET_`), then command-line flags (RestructureConfig.addArgs) —
+    * last writer wins.
+    */
+  def load(yaml: String, env: Map[String, String] = Map.empty,
+           cli: CliArgs = CliArgs()): Loaded = {
     val mapper = new ObjectMapper(new YAMLFactory())
     val root = mapper.readTree(yaml)
 
     // --- storage roots ------------------------------------------------
-    val input0 = opt(root, "paths", "inputs").filter(_.isArray)
-      .flatMap(a => a.elements().asScala.toSeq.headOption).map(_.asText()).getOrElse("in")
-    val output = str(root, "paths", "output").getOrElse("output")
+    val input0 = cli.inputPaths.headOption.orElse(
+      opt(root, "paths", "inputs").filter(_.isArray)
+        .flatMap(a => a.elements().asScala.toSeq.headOption).map(_.asText()))
+      .getOrElse("in")
+    val output = cli.outputDirectory
+      .orElse(str(root, "paths", "output")).getOrElse("output")
 
-    def resourceRoot(section: String, innerPath: String): (String, Map[String, String]) =
+    // env override beats the YAML value; empty env values are ignored
+    // (reference copyEnv's `takeIf { it.isNotEmpty() }`)
+    def envOrYaml(envKey: String, path: String*): Option[String] =
+      env.get(envKey).filter(_.nonEmpty).orElse(str(root, path: _*).filter(_.nonEmpty))
+
+    def resourceRoot(section: String, innerPath: String): (String, Map[String, String]) = {
+      val prefix = section.toUpperCase + "_" // SOURCE_ / TARGET_
       str(root, section, "type").getOrElse("local") match {
         case "s3" =>
-          val bucket = str(root, section, "s3", "bucket").getOrElse("")
+          val bucket = envOrYaml(s"${prefix}S3_BUCKET", section, "s3", "bucket").getOrElse("")
           val conf = Seq(
-            str(root, section, "s3", "endpoint").map("fs.s3a.endpoint" -> _),
-            str(root, section, "s3", "accessToken").map("fs.s3a.access.key" -> _),
-            str(root, section, "s3", "secretKey").map("fs.s3a.secret.key" -> _)).flatten.toMap
+            envOrYaml(s"${prefix}S3_ENDPOINT", section, "s3", "endpoint")
+              .map("fs.s3a.endpoint" -> _),
+            envOrYaml(s"${prefix}S3_ACCESS_TOKEN", section, "s3", "accessToken")
+              .map("fs.s3a.access.key" -> _),
+            envOrYaml(s"${prefix}S3_SECRET_KEY", section, "s3", "secretKey")
+              .map("fs.s3a.secret.key" -> _)).flatten.toMap
           (s"s3a://$bucket/$innerPath", conf)
         case "azure" =>
           val container = str(root, section, "azure", "container").getOrElse("")
+          // the abfss URI authority (and the per-account Hadoop conf key
+          // suffix) is the endpoint host, e.g. account.dfs.core.windows.net
           val account = str(root, section, "azure", "endpoint")
             .map(_.replaceAll("^https?://", "").replaceAll("/.*$", "")).getOrElse("")
-          (s"abfss://$container@$account/$innerPath", Map.empty)
+          (s"abfss://$container@$account/$innerPath", azureAuthConf(account,
+            (yamlName, envSuffix) =>
+              envOrYaml(prefix + "AZURE_" + envSuffix, section, "azure", yamlName)))
         case _ => (innerPath, Map.empty)
       }
+    }
 
     val (inputRoot, inConf) = resourceRoot("source", input0)
     val (outputRoot, outConf) = resourceRoot("target", output)
 
     // --- format / compression / dedup --------------------------------
-    val format = str(root, "format", "type").map(_.toLowerCase).getOrElse("csv")
-    val compressionType = str(root, "compression", "type").map(_.toLowerCase)
+    val format = cli.format.orElse(str(root, "format", "type"))
+      .map(_.toLowerCase).getOrElse("csv")
+    val compressionType = cli.compression
+      .orElse(str(root, "compression", "type")).map(_.toLowerCase)
     val gzip = compressionType.contains("gzip")
     val zip = compressionType.contains("zip")
-    val dedup = bool(root, default = false, "format", "deduplication", "enable")
+    val dedup = cli.deduplicate.getOrElse(
+      bool(root, default = false, "format", "deduplication", "enable"))
 
     // --- topics -------------------------------------------------------
     val topics = opt(root, "topics").filter(_.isObject).fold(Map.empty[String, TopicJobConfig]) { t =>
@@ -111,8 +205,8 @@ object ConfigLoader {
       format = format,
       gzip = gzip,
       zip = zip,
-      topicParallelism = opt(root, "worker", "numThreads")
-        .filter(_.isNumber).map(_.asInt()).getOrElse(1),
+      topicParallelism = cli.numThreads.orElse(opt(root, "worker", "numThreads")
+        .filter(_.isNumber).map(_.asInt())).getOrElse(1),
       dedup = dedup,
       distinctFields = strSet(root, "format", "deduplication", "distinctFields"),
       ignoreFields = strSet(root, "format", "deduplication", "ignoreFields"),
@@ -122,8 +216,11 @@ object ConfigLoader {
       // the target FS (semantics of RedisRemoteLockManager on atomic
       // create-exclusive files)
       lockDir = str(root, "worker", "lockDir"),
-      maxFilesPerTopic = opt(root, "worker", "maxFilesPerTopic")
-        .filter(n => n.isNumber).map(_.asInt()),
+      // CLI below 1 disables the limit (CommandLineArgs.kt maxFilesPerTopic
+      // doc), even one set in YAML
+      maxFilesPerTopic = cli.maxFilesPerTopic
+        .fold(opt(root, "worker", "maxFilesPerTopic")
+          .filter(n => n.isNumber).map(_.asInt()))(v => Some(v).filter(_ >= 1)),
       minimumFileAgeMs = opt(root, "worker", "minimumFileAge")
         .filter(_.isNumber).map(_.asLong() * 1000).getOrElse(60000L),
       // S9: close open-ended ranges from object tags (S3) / blob metadata
@@ -134,19 +231,28 @@ object ConfigLoader {
         bool(root, default = false, "source", "azure", "endOffsetFromMetadata"),
       // reference RedisConfig: uri + lockPrefix — ledger in Redis under the
       // ledger-path key, locks via SET NX PX
-      redisUri = str(root, "redis", "uri"),
+      // RedisConfig.withEnv: REDIS_URI overrides the YAML uri
+      redisUri = env.get("REDIS_URI").filter(_.nonEmpty).orElse(str(root, "redis", "uri")),
       redisLockPrefix = str(root, "redis", "lockPrefix")
         .map(p => s"$p/lock").getOrElse("radar-output/lock"))
 
     Loaded(
       job = job,
       hadoopConf = inConf ++ outConf,
-      serviceEnabled = bool(root, default = false, "service", "enable"),
-      serviceIntervalSec = opt(root, "service", "interval").map(_.asLong()).getOrElse(300L),
-      cleanerEnabled = bool(root, default = false, "cleaner", "enable"),
+      serviceEnabled = cli.asService.getOrElse(
+        bool(root, default = false, "service", "enable")),
+      serviceIntervalSec = cli.pollInterval.orElse(
+        opt(root, "service", "interval").map(_.asLong())).getOrElse(300L),
+      cleanerEnabled = cli.clean.getOrElse(
+        bool(root, default = false, "cleaner", "enable")),
       cleanerAgeDays = opt(root, "cleaner", "age").map(_.asInt()).getOrElse(7),
       cleanerIntervalSec = opt(root, "cleaner", "interval").map(_.asLong()).getOrElse(1260L),
       pathPluginNames = pathPluginNames,
-      pathProperties = pathProperties)
+      pathProperties = pathProperties,
+      workerEnabled = !cli.noRestructure.getOrElse(
+        !bool(root, default = true, "worker", "enable")),
+      tmpDir = cli.tmpDir.orElse(str(root, "paths", "temp")),
+      cacheSize = cli.cacheSize.orElse(
+        opt(root, "worker", "cacheSize").filter(_.isNumber).map(_.asInt())))
   }
 }

@@ -18,6 +18,8 @@ object Service {
       // iteration (no staleness); set higher only when listing cost
       // dominates and up-to-interval-delayed pickup is acceptable.
       fullSyncIntervalMs: Long = 0L,
+      // worker.enable / --no-restructure: cleaner-only service loops
+      restructureEnabled: Boolean = true,
       maxIterations: Option[Int] = None)     // bounded loops for tests
 
   def runLoop(spark: SparkSession, cfg: RestructureJobConfig, svc: ServiceConfig): Unit = {
@@ -31,7 +33,7 @@ object Service {
     while (svc.maxIterations.forall(iter < _)) {
       val t0 = System.currentTimeMillis()
       try {
-        Restructure.run(spark, cfg, index.map(_.topics()))
+        if (svc.restructureEnabled) Restructure.run(spark, cfg, index.map(_.topics()))
         if (svc.cleanerEnabled) {
           Cleaner.run(spark, cfg, svc.cleanerAgeMs)
           index.foreach(_.invalidate()) // deletes change the tree

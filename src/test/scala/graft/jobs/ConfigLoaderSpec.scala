@@ -123,6 +123,125 @@ class ConfigLoaderSpec extends AnyFunSuite {
     assert(l.job.redisUri.isEmpty && l.job.ledgerStore().isEmpty)
   }
 
+  private def azureYml(creds: String): String =
+    s"""target:
+       |  type: azure
+       |  azure:
+       |    endpoint: https://acct.dfs.core.windows.net
+       |    container: data
+       |$creds""".stripMargin
+
+  test("azure accountName/accountKey map to SharedKey Hadoop conf") {
+    val l = ConfigLoader.load(azureYml(
+      """    accountName: acct
+        |    accountKey: key0==
+        |""".stripMargin))
+    assert(l.job.outputRoot == "abfss://data@acct.dfs.core.windows.net/output")
+    assert(l.hadoopConf("fs.azure.account.auth.type.acct.dfs.core.windows.net") == "SharedKey")
+    assert(l.hadoopConf("fs.azure.account.key.acct.dfs.core.windows.net") == "key0==")
+  }
+
+  test("azure sasToken maps to a fixed SAS token provider") {
+    val l = ConfigLoader.load(azureYml("    sasToken: \"?sv=2024&sig=abc\"\n"))
+    val h = "acct.dfs.core.windows.net"
+    assert(l.hadoopConf(s"fs.azure.account.auth.type.$h") == "SAS")
+    assert(l.hadoopConf(s"fs.azure.sas.token.provider.type.$h")
+      == "org.apache.hadoop.fs.azurebfs.sas.FixedSASTokenProvider")
+    // leading '?' stripped: Hadoop expects the bare query string
+    assert(l.hadoopConf(s"fs.azure.sas.fixed.token.$h") == "sv=2024&sig=abc")
+  }
+
+  test("azure username/password map to OAuth client credentials") {
+    val l = ConfigLoader.load(azureYml(
+      """    username: client-id
+        |    password: client-secret
+        |""".stripMargin))
+    val h = "acct.dfs.core.windows.net"
+    assert(l.hadoopConf(s"fs.azure.account.auth.type.$h") == "OAuth")
+    assert(l.hadoopConf(s"fs.azure.account.oauth2.client.id.$h") == "client-id")
+    assert(l.hadoopConf(s"fs.azure.account.oauth2.client.secret.$h") == "client-secret")
+    assert(l.hadoopConf(s"fs.azure.account.oauth2.client.endpoint.$h")
+      .contains("login.microsoftonline.com"))
+  }
+
+  test("azure credential precedence matches AzureConfig.createAzureClient") {
+    // username/password beats accountName/accountKey beats sasToken
+    val all = ConfigLoader.load(azureYml(
+      """    username: u
+        |    password: p
+        |    accountName: acct
+        |    accountKey: k
+        |    sasToken: s
+        |""".stripMargin))
+    val h = "acct.dfs.core.windows.net"
+    assert(all.hadoopConf(s"fs.azure.account.auth.type.$h") == "OAuth")
+    val keyAndSas = ConfigLoader.load(azureYml(
+      """    accountName: acct
+        |    accountKey: k
+        |    sasToken: s
+        |""".stripMargin))
+    assert(keyAndSas.hadoopConf(s"fs.azure.account.auth.type.$h") == "SharedKey")
+    // no credentials: public container, no auth conf (reference warns + continues)
+    val anon = ConfigLoader.load(azureYml(""))
+    assert(!anon.hadoopConf.keys.exists(_.startsWith("fs.azure.account.auth")))
+  }
+
+  test("environment overrides beat YAML (reference withEnv)") {
+    val l = ConfigLoader.load(yml, env = Map(
+      "SOURCE_S3_ACCESS_TOKEN" -> "env-ak",
+      "SOURCE_S3_BUCKET" -> "env-bucket",
+      "SOURCE_S3_SECRET_KEY" -> "",          // empty env values are ignored
+      "REDIS_URI" -> "redis://env-host:7000"))
+    assert(l.hadoopConf("fs.s3a.access.key") == "env-ak")
+    assert(l.job.inputRoot == "s3a://env-bucket/in")
+    assert(l.hadoopConf("fs.s3a.secret.key") == "sk")
+    assert(l.job.redisUri.contains("redis://env-host:7000"))
+    // azure env form: TARGET_AZURE_ACCOUNT_KEY with no YAML credentials
+    val az = ConfigLoader.load(azureYml(""), env = Map(
+      "TARGET_AZURE_ACCOUNT_NAME" -> "acct",
+      "TARGET_AZURE_ACCOUNT_KEY" -> "env-key"))
+    assert(az.hadoopConf("fs.azure.account.key.acct.dfs.core.windows.net") == "env-key")
+  }
+
+  test("CLI flags beat env and YAML (reference addArgs order)") {
+    val cli = CliArgs.parse(Seq(
+      "-f", "json", "-c", "zip", "-d", "-o", "cli-out", "-t", "4",
+      "--max-files-per-topic", "3", "-S", "-i", "45", "-C", "custom-in"))
+    val l = ConfigLoader.load(yml, env = Map.empty, cli = cli)
+    assert(l.job.format == "json")
+    assert(l.job.zip && !l.job.gzip)        // YAML said gzip; CLI wins
+    assert(l.job.dedup)
+    assert(l.job.outputRoot == "cli-out")   // target is local in yml
+    assert(l.job.inputRoot == "s3a://radar/custom-in") // positional input path
+    assert(l.job.topicParallelism == 4)
+    assert(l.job.maxFilesPerTopic.contains(3))
+    assert(l.serviceEnabled && l.serviceIntervalSec == 45)
+    assert(l.cleanerEnabled)
+    // below-1 disables the YAML limit (CommandLineArgs.kt)
+    val noLimit = ConfigLoader.load(yml,
+      cli = CliArgs.parse(Seq("--max-files-per-topic", "0")))
+    assert(noLimit.job.maxFilesPerTopic.isEmpty)
+  }
+
+  test("CliArgs.parse covers the reference flag surface") {
+    val a = CliArgs.parse(Seq("-F", "conf.yml", "--no-restructure", "--tmp-dir",
+      "/tmp/stage", "-s", "200", "--timer", "in1", "in2"))
+    assert(a.configFile.contains("conf.yml"))
+    assert(a.noRestructure.contains(true))
+    assert(a.tmpDir.contains("/tmp/stage"))
+    assert(a.cacheSize.contains(200))
+    assert(a.inputPaths == Seq("in1", "in2"))
+    assert(CliArgs.parse(Seq("--once")).asService.contains(false))
+    assert(CliArgs.parse(Seq("-h")).help)
+    intercept[IllegalArgumentException](CliArgs.parse(Seq("--bogus")))
+    intercept[IllegalArgumentException](CliArgs.parse(Seq("-t", "0")))
+    // validate(): worker or cleaner must be enabled
+    val off = ConfigLoader.load("{}", cli = CliArgs.parse(Seq("--no-restructure")))
+    intercept[IllegalArgumentException](off.validate())
+    assert(ConfigLoader.load("{}", cli =
+      CliArgs.parse(Seq("--no-restructure", "-C"))).validate().cleanerEnabled)
+  }
+
   test("redis: uri + lockPrefix map to the RESP ledger/lock backend") {
     val l = ConfigLoader.load(
       """redis:
