@@ -30,13 +30,19 @@ object AvroRead {
   val PosCol = "__pos"
 
   /** Avro → Spark type mapping (§1.2 of SURVEY.md). Multi-branch non-null
-    * unions render as strings (the reference resolves the runtime branch and
-    * stringifies into one CSV column).
+    * unions render as strings by default (the reference resolves the
+    * runtime branch and stringifies into one CSV column,
+    * format/CsvAvroDataConverter.kt:64-67); with `typedUnions` they map to
+    * a struct of one nullable `member<i>` field per non-null branch
+    * (exactly one set per record — the resolved branch), preserving branch
+    * types for downstream relational work.
     */
-  def sparkType(s: Schema): DataType = s.getType match {
+  def sparkType(s: Schema): DataType = sparkType(s, typedUnions = false)
+
+  def sparkType(s: Schema, typedUnions: Boolean): DataType = s.getType match {
     case Schema.Type.RECORD =>
       StructType(s.getFields.asScala.toSeq.map(f =>
-        StructField(f.name, sparkType(f.schema), nullable = true)))
+        StructField(f.name, sparkType(f.schema, typedUnions), nullable = true)))
     case Schema.Type.ENUM | Schema.Type.STRING => StringType
     case Schema.Type.BYTES | Schema.Type.FIXED => BinaryType
     case Schema.Type.INT => IntegerType
@@ -45,11 +51,16 @@ object AvroRead {
     case Schema.Type.DOUBLE => DoubleType
     case Schema.Type.BOOLEAN => BooleanType
     case Schema.Type.NULL => NullType
-    case Schema.Type.MAP => MapType(StringType, sparkType(s.getValueType))
-    case Schema.Type.ARRAY => ArrayType(sparkType(s.getElementType))
+    case Schema.Type.MAP => MapType(StringType, sparkType(s.getValueType, typedUnions))
+    case Schema.Type.ARRAY => ArrayType(sparkType(s.getElementType, typedUnions))
     case Schema.Type.UNION =>
       val nonNull = s.getTypes.asScala.filter(_.getType != Schema.Type.NULL)
-      if (nonNull.size == 1) sparkType(nonNull.head) else StringType
+      if (nonNull.size == 1) sparkType(nonNull.head, typedUnions)
+      else if (typedUnions)
+        StructType(nonNull.toSeq.zipWithIndex.map { case (b, i) =>
+          StructField(s"member$i", sparkType(b, typedUnions), nullable = true)
+        })
+      else StringType
   }
 
   /** Avro datum → Spark external row value, following [[sparkType]]. */
@@ -170,13 +181,17 @@ object AvroRead {
       // files above this size split into byte-range slices on Avro sync
       // boundaries (a huge container file otherwise pins one task for its
       // whole decode); 0 disables splitting
-      splitBytes: Long = 256L << 20): DataFrame = {
+      splitBytes: Long = 256L << 20,
+      // "string" (reference CSV rendering) | "typed" (struct-of-branch
+      // member<i> columns for multi-branch non-null unions)
+      unionMode: String = "string"): DataFrame = {
     require(files.nonEmpty, "no avro files to read")
     val schema = readerSchema.getOrElse(topicReaderSchema(spark, files))
     val rd = spark.read.format("graft-avro")
       .option("files", files.mkString("\n"))
       .option("readerSchema", schema.toString)
       .option("splitBytes", splitBytes.toString)
+      .option("unionMode", unionMode)
     (if (skipPositions.isEmpty) rd
      else rd.option("skipPositions", v2.GraftAvroSource.encodeSkip(skipPositions)))
       .load()

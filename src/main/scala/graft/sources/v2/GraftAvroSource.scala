@@ -45,7 +45,8 @@ class GraftAvroSource extends TableProvider
   override def shortName(): String = "graft-avro"
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    GraftAvroSource.fullSchema(GraftAvroSource.readerSchema(options))
+    GraftAvroSource.fullSchema(GraftAvroSource.readerSchema(options),
+      GraftAvroSource.typedUnions(options))
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
@@ -62,6 +63,20 @@ private[graft] object GraftAvroSource {
     * range (count + seek per block — no record decode).
     */
   val SplitBytesOption = "splitbytes"
+  /** `unionMode=typed` maps multi-branch non-null unions to a struct of
+    * nullable `member<i>` branch columns instead of the default
+    * stringified-resolved-branch rendering (P3 typed mode).
+    */
+  val UnionModeOption = "unionmode"
+
+  def typedUnions(options: CaseInsensitiveStringMap): Boolean =
+    Option(options.get(UnionModeOption)).map(_.toLowerCase) match {
+      case None | Some("string") => false
+      case Some("typed") => true
+      case Some(other) =>
+        throw new IllegalArgumentException(
+          s"$UnionModeOption must be 'string' or 'typed', got '$other'")
+    }
 
   /** `basename \t start-end[,start-end…]` per line — record POSITIONS
     * (0-based within the file, inclusive) the reader must not emit (P10 at
@@ -96,8 +111,8 @@ private[graft] object GraftAvroSource {
     v.split('\n').toSeq.filter(_.nonEmpty)
   }
 
-  def fullSchema(reader: Schema): StructType = {
-    val data = AvroRead.sparkType(reader).asInstanceOf[StructType]
+  def fullSchema(reader: Schema, typedUnions: Boolean = false): StructType = {
+    val data = AvroRead.sparkType(reader, typedUnions).asInstanceOf[StructType]
     StructType(data.fields.toSeq :+
       StructField(AvroRead.FileCol, StringType, nullable = false) :+
       StructField(AvroRead.PosCol, LongType, nullable = false))
@@ -422,11 +437,31 @@ private[v2] object GraftAvroPartitionReader {
         val nonNull = s.getTypes.asScala.filter(_.getType != Schema.Type.NULL)
         if (nonNull.size == 1) convert(datum, nonNull.head, dt)
         else {
-          // runtime-branch resolution, stringified (CsvAvroDataConverter.kt:64-67)
           val idx = GenericData.get().resolveUnion(s, datum)
           val branch = s.getTypes.get(idx)
           if (branch.getType == Schema.Type.NULL) null
-          else UTF8String.fromString(String.valueOf(AvroRead.convert(datum, branch)))
+          else dt match {
+            // typed mode (unionMode=typed): struct of nullable member<i>
+            // branch columns; only the resolved branch is set. The member
+            // index comes from the field NAME so nested pruning may drop
+            // branches without shifting the others.
+            case st: StructType =>
+              val memberIdx = nonNull.indexOf(branch)
+              val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(st.fields.length)
+              var i = 0
+              while (i < st.fields.length) {
+                val f = st.fields(i)
+                if (f.name == s"member$memberIdx")
+                  row.update(i, convert(datum, branch, f.dataType))
+                else row.update(i, null)
+                i += 1
+              }
+              row
+            // default: runtime-branch resolution, stringified
+            // (CsvAvroDataConverter.kt:64-67)
+            case _ =>
+              UTF8String.fromString(String.valueOf(AvroRead.convert(datum, branch)))
+          }
         }
     }
   }

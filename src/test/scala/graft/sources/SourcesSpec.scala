@@ -153,6 +153,57 @@ class SourcesSpec extends SparkSpec {
     assert(rows(3).getString(1) == "true")
   }
 
+  test("multi-branch union in unionMode=typed keeps branch types as member<i> struct fields (P3 typed)") {
+    import org.apache.spark.sql.types.{BooleanType, LongType, StringType, StructType}
+    val schema = new Schema.Parser().parse(
+      """{"type":"record","name":"R","fields":[
+        |{"name":"value","type":{"type":"record","name":"V","fields":[
+        |  {"name":"time","type":"double"},
+        |  {"name":"u","type":["null","long","string","boolean"],"default":null}]}}]}""".stripMargin)
+    val dir = Files.createTempDirectory("graft-union-typed").resolve("t/partition=0")
+    Files.createDirectories(dir)
+    val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
+    w.create(schema, new File(dir.toFile, "t+0+0000000000.avro"))
+    def rec(time: Double, u: Any): GenericRecord = {
+      val v = new GenericData.Record(schema.getField("value").schema)
+      v.put("time", time); v.put("u", u)
+      val r = new GenericData.Record(schema)
+      r.put("value", v); r
+    }
+    w.append(rec(1.0, null))
+    w.append(rec(2.0, java.lang.Long.valueOf(42L)))
+    w.append(rec(3.0, new org.apache.avro.util.Utf8("x")))
+    w.append(rec(4.0, java.lang.Boolean.TRUE))
+    w.close()
+    val file = dir.resolve("t+0+0000000000.avro").toString
+    val df = AvroRead.read(spark, Seq(file), unionMode = "typed")
+    val uType = df.schema("value").dataType.asInstanceOf[StructType]
+      .apply("u").dataType.asInstanceOf[StructType]
+    assert(uType.fieldNames.toSeq == Seq("member0", "member1", "member2"))
+    assert(uType("member0").dataType == LongType)
+    assert(uType("member1").dataType == StringType)
+    assert(uType("member2").dataType == BooleanType)
+    val rows = df.select("value.time", "value.u.member0", "value.u.member1", "value.u.member2")
+      .orderBy("time").collect()
+    assert(rows(0).isNullAt(1) && rows(0).isNullAt(2) && rows(0).isNullAt(3))
+    assert(rows(1).getLong(1) == 42L && rows(1).isNullAt(2) && rows(1).isNullAt(3))
+    assert(rows(2).isNullAt(1) && rows(2).getString(2) == "x" && rows(2).isNullAt(3))
+    assert(rows(3).isNullAt(1) && rows(3).isNullAt(2) && rows(3).getBoolean(3))
+    // pruning a subset of branch members keeps member-name → branch mapping
+    // (names, not positions, select the branch)
+    val pruned = AvroRead.read(spark, Seq(file), unionMode = "typed")
+      .select("value.time", "value.u.member2").orderBy("time").collect()
+    assert(pruned(3).getBoolean(1) && pruned(1).isNullAt(1))
+    // string mode on the same file is unchanged (both modes coexist)
+    val str = AvroRead.read(spark, Seq(file))
+    assert(str.schema("value").dataType.asInstanceOf[StructType]
+      .apply("u").dataType == StringType)
+    // an unknown mode fails fast
+    intercept[Exception] {
+      AvroRead.read(spark, Seq(file), unionMode = "bogus").collect()
+    }
+  }
+
   test("SchemaMerge: missing fields become nullable-with-default; merge is field-complete both ways") {
     val a = new Schema.Parser().parse(
       """{"type":"record","name":"R","fields":[
