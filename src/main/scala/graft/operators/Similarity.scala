@@ -346,6 +346,14 @@ object Similarity {
           .localCheckpoint(true)
     stars.unpersist()
     val idType = vertices.schema(vertices.columns.indexOf(idCol)).dataType
+    // measured at the threshold (Scratch ccbroadcast, Spark 4.1): a 1M-row
+    // (long, long) mapping broadcasts as 39.6 MiB serialized and costs
+    // ~71 MB resident driver heap for the HashedRelation build — 4× the
+    // 10 MB autoBroadcastJoinThreshold default but well inside normal
+    // driver sizing, and it spares the full vertices-table shuffle that
+    // dominates beyond it. Above 1M rows the shuffle join is the safer
+    // trade (mapping size grows with the duplicate-vertex count, which is
+    // unbounded).
     val smallMapping = if (cnt <= 1000000L) broadcast(mapping) else mapping
     vertices.select(col(idCol))
       .join(smallMapping, col(idCol) === col("__id"), "left")

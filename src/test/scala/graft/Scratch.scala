@@ -25,6 +25,14 @@ object Scratch {
       spark.stop(); return
     }
     if (args.headOption.contains("minhash")) { profileMinhash(spark, sfDir); spark.stop(); return }
+    if (args.headOption.contains("ccbroadcast")) {
+      profileCcBroadcast(spark, args.lift(1).map(_.toInt).getOrElse(1000000))
+      spark.stop(); return
+    }
+    if (args.headOption.contains("incremental")) {
+      profileIncremental(spark, sfDir, args.lift(1).map(_.toInt).getOrElse(100))
+      spark.stop(); return
+    }
     if (args.headOption.contains("heavy")) {
       profileHeavy(spark, sfDir, args.lift(1).map(_.toInt).getOrElse(10))
       spark.stop(); return
@@ -122,6 +130,109 @@ object Scratch {
         emb.select(col("vec_id")).filter(col("vec_id") < 64), k = 10, nprobe = 4).count()
     }
     emb.unpersist()
+  }
+
+  /** Measures what connectedComponents' mapping broadcast actually costs
+    * at its threshold row count: builds an n-row (id, rep) mapping, runs
+    * the same broadcast left join, and reports the BroadcastExchange
+    * dataSize/build-time metrics plus driver heap before/after.
+    */
+  private def profileCcBroadcast(spark: SparkSession, n: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    val mapping = spark.range(n.toLong).select(col("id").as("__id"),
+      (col("id") % 1000).as("__rep"))
+    val vertices = spark.range(n.toLong * 2).select(col("id").as("vec_id"))
+    def heapMb: Long = {
+      System.gc()
+      (Runtime.getRuntime.totalMemory - Runtime.getRuntime.freeMemory) >> 20
+    }
+    val before = heapMb
+    val t0 = System.nanoTime()
+    val joined = vertices.join(broadcast(mapping), col("vec_id") === col("__id"), "left")
+      .select(coalesce(col("__rep"), col("vec_id")).as("cluster"))
+    println(s"rows=${joined.count()} wall=${(System.nanoTime() - t0) / 1e9}%.2f".replace("%.2f", ""))
+    val after = heapMb
+    val exec = joined.queryExecution.executedPlan
+    def walk(p: org.apache.spark.sql.execution.SparkPlan): Unit = {
+      p match {
+        case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec =>
+          val m = b.metrics
+          println(s"broadcast dataSize=${m.get("dataSize").map(_.value).getOrElse(-1L)} bytes " +
+            s"buildTime=${m.get("buildTime").map(_.value).getOrElse(-1L)} ms " +
+            s"broadcastTime=${m.get("broadcastTime").map(_.value).getOrElse(-1L)} ms " +
+            s"rows=${m.get("numOutputRows").map(_.value).getOrElse(-1L)}")
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => walk(q.plan)
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          walk(a.executedPlan)
+        case _ =>
+      }
+      p.children.foreach(walk)
+      p.subqueries.foreach(walk)
+    }
+    walk(exec)
+    // authoritative dataSize: the SQL status store's accumulated metric
+    // values (plan-object metrics can be stale copies under AQE)
+    val store = spark.sharedState.statusStore
+    store.executionsList().foreach { e =>
+      val metricValues = store.executionMetrics(e.executionId)
+      e.metrics.filter(m => m.name == "data size").foreach { m =>
+        metricValues.get(m.accumulatorId).foreach(v =>
+          println(s"statusStore dataSize: $v"))
+      }
+    }
+    println(s"driver heap ${before}MB -> ${after}MB (delta ${after - before}MB)")
+  }
+
+  /** Incremental-probe stress at a production history:batch ratio: the
+    * history side replicated ×`replicate` with disjoint id spaces (500k
+    * docs / 200k vectors at sf0.1 ×100) probed by ONE original-sized batch
+    * (5k docs / 2k vectors). The claims under test: history streams (no
+    * corpus shuffle), the batch broadcasts once, and wall time scales
+    * linearly in |history| — so runs at ×10 and ×100 should be ~10× apart.
+    */
+  private def profileIncremental(spark: SparkSession, sfDir: String, replicate: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.operators.{Similarity, TextDedup}
+    def time[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"INCR $name%-34s ${(System.nanoTime() - t0) / 1e9}%8.3f s")
+      r
+    }
+    val docs0 = Tables.load(spark, sfDir, "documents")
+    val span = docs0.agg(max(col("doc_id"))).collect()(0).getLong(0) + 1
+    val history = (0 until replicate).map { i =>
+      docs0.select((col("doc_id") + lit(i * span)).as("doc_id"),
+        concat(col("text"), lit(s" replica-tag-$i")).as("text"))
+    }.reduce(_ unionByName _)
+    history.persist(); println(s"history docs=${history.count()} (replicate=$replicate)")
+    val batch = docs0.select(col("doc_id"), col("text"))
+    (1 to 2).foreach { i =>
+      time(s"minhash probe 500k:5k warm$i") {
+        TextDedup.minhashCandidatePairsAgainst(
+          history, batch, "doc_id", "text", 3, 12, 6, 2).count()
+      }
+    }
+    time("minhash probe 500k:5k") {
+      TextDedup.minhashCandidatePairsAgainst(
+        history, batch, "doc_id", "text", 3, 12, 6, 2).count()
+    }
+    history.unpersist()
+    val emb0 = Tables.load(spark, sfDir, "embeddings")
+    val espan = emb0.agg(max(col("vec_id"))).collect()(0).getLong(0) + 1
+    val ehistory = (0 until replicate).map { i =>
+      emb0.select((col("vec_id") + lit(i * espan)).as("vec_id"), col("embedding"))
+    }.reduce(_ unionByName _)
+    ehistory.persist(); println(s"history vectors=${ehistory.count()}")
+    val ebatch = emb0.select(col("vec_id"), col("embedding"))
+    (1 to 2).foreach { i =>
+      time(s"cosine probe 200k:2k warm$i") {
+        Similarity.cosineNearDupAgainst(ehistory, ebatch, threshold = 0.95).count()
+      }
+    }
+    time("cosine probe 200k:2k") {
+      Similarity.cosineNearDupAgainst(ehistory, ebatch, threshold = 0.95).count()
+    }
+    ehistory.unpersist()
   }
 
   private def profileMinhash(spark: SparkSession, sfDir: String): Unit = {
