@@ -43,8 +43,7 @@ object Cleaner {
     val deleted = Seq.newBuilder[String]
     val rolledBack = Seq.newBuilder[String]
 
-    val inFs = new HPath(cfg.inputRoot).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val topics = TopicFiles.listTopics(inFs, cfg.inputRoot)
+    val topics = TopicFiles.listTopicsAll(spark, cfg.inputRoot +: cfg.extraInputRoots)
     for ((topic, files) <- topics.toSeq.sortBy(_._1)) {
       val tCfg = cfg.topicConfig(topic)
       if (!tCfg.exclude && !tCfg.excludeFromDelete) {
@@ -64,7 +63,10 @@ object Cleaner {
           eligible.foreach { case (st, r) =>
             val name = st.getPath.getName
             if (missingByFile.getOrElse(name, 0L) == 0L) {
-              graft.util.Timer.time("cleaner.delete")(inFs.delete(st.getPath, false))
+              // resolve the FS per file: roots may live on different stores
+              graft.util.Timer.time("cleaner.delete")(st.getPath
+                .getFileSystem(spark.sparkContext.hadoopConfiguration)
+                .delete(st.getPath, false))
               deleted += st.getPath.toString
             } else {
               ledger.remove(r.topic, r.partition, r.from, r.to.get)

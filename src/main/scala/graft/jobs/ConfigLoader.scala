@@ -114,10 +114,16 @@ object ConfigLoader {
     val root = mapper.readTree(yaml)
 
     // --- storage roots ------------------------------------------------
-    val input0 = cli.inputPaths.headOption.orElse(
-      opt(root, "paths", "inputs").filter(_.isArray)
-        .flatMap(a => a.elements().asScala.toSeq.headOption).map(_.asText()))
-      .getOrElse("in")
+    // CLI input paths REPLACE the YAML list (reference addArgs), which may
+    // hold several roots — all scanned and merged by the jobs
+    val inputs: Seq[String] = {
+      val fromCli = cli.inputPaths
+      val fromYaml = opt(root, "paths", "inputs").filter(_.isArray)
+        .fold(Seq.empty[String])(_.elements().asScala.map(_.asText()).toSeq)
+      if (fromCli.nonEmpty) fromCli
+      else if (fromYaml.nonEmpty) fromYaml
+      else Seq("in")
+    }
     val output = cli.outputDirectory
       .orElse(str(root, "paths", "output")).getOrElse("output")
 
@@ -152,7 +158,9 @@ object ConfigLoader {
       }
     }
 
-    val (inputRoot, inConf) = resourceRoot("source", input0)
+    val inputResources = inputs.map(resourceRoot("source", _))
+    val (inputRoot, inConf) = inputResources.head
+    val extraInputRoots = inputResources.tail.map(_._1)
     val (outputRoot, outConf) = resourceRoot("target", output)
 
     // --- format / compression / dedup --------------------------------
@@ -194,6 +202,7 @@ object ConfigLoader {
 
     val job = RestructureJobConfig(
       inputRoot = inputRoot,
+      extraInputRoots = extraInputRoots,
       outputRoot = outputRoot,
       pathTemplate = str(root, "paths", "path", "format")
         .orElse(str(root, "paths", "properties", "format"))

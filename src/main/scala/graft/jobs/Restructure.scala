@@ -48,8 +48,8 @@ object Restructure {
       case None => loadLedger(fs, cfg.ledger)
     }
     migrateLegacyOffsets(fs, cfg, ledger, store)
-    val inFs = new HPath(cfg.inputRoot).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val topics = listing.getOrElse(TopicFiles.listTopics(inFs, cfg.inputRoot))
+    val topics = listing.getOrElse(
+      TopicFiles.listTopicsAll(spark, cfg.inputRoot +: cfg.extraInputRoots))
     val now = System.currentTimeMillis()
 
     // incremental accounting: the ledger is persisted after EVERY topic

@@ -18,6 +18,10 @@ final case class TopicJobConfig(
 
 final case class RestructureJobConfig(
     inputRoot: String,
+    // paths.inputs beyond the first (reference takes a LIST of input
+    // paths, config/PathConfig inputs / CommandLineArgs variable arity);
+    // all roots are scanned and their topic trees merged
+    extraInputRoots: Seq[String] = Nil,
     outputRoot: String,
     pathTemplate: String = PathTemplate.defaultTemplate,
     bucketTemplate: Option[String] = None,    // G8 per-record bucket routing

@@ -23,20 +23,31 @@ object Service {
       maxIterations: Option[Int] = None)     // bounded loops for tests
 
   def runLoop(spark: SparkSession, cfg: RestructureJobConfig, svc: ServiceConfig): Unit = {
-    // S10: cached source listing between iterations, slow full-resync cadence
-    val index = try {
-      val inFs = new org.apache.hadoop.fs.Path(cfg.inputRoot)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      Some(new graft.sources.StorageIndex(inFs, cfg.inputRoot, svc.fullSyncIntervalMs))
-    } catch { case _: Exception => None }
+    // S10: cached source listing between iterations, slow full-resync
+    // cadence — one index per input root, topic maps merged
+    val indexes = try {
+      (cfg.inputRoot +: cfg.extraInputRoots).map { root =>
+        val inFs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        new graft.sources.StorageIndex(inFs, root, svc.fullSyncIntervalMs)
+      }
+    } catch { case _: Exception => Nil }
+    def mergedTopics(): Map[String, Seq[org.apache.hadoop.fs.FileStatus]] =
+      indexes.map(_.topics()).reduce { (a, b) =>
+        (a.keySet ++ b.keySet).iterator.map { t =>
+          t -> (a.getOrElse(t, Nil) ++ b.getOrElse(t, Nil))
+        }.toMap
+      }
     var iter = 0
     while (svc.maxIterations.forall(iter < _)) {
       val t0 = System.currentTimeMillis()
       try {
-        if (svc.restructureEnabled) Restructure.run(spark, cfg, index.map(_.topics()))
+        if (svc.restructureEnabled)
+          Restructure.run(spark, cfg,
+            if (indexes.isEmpty) None else Some(mergedTopics()))
         if (svc.cleanerEnabled) {
           Cleaner.run(spark, cfg, svc.cleanerAgeMs)
-          index.foreach(_.invalidate()) // deletes change the tree
+          indexes.foreach(_.invalidate()) // deletes change the tree
         }
       } catch {
         case e: Exception =>

@@ -49,6 +49,23 @@ object TopicFiles {
     * recursive listing call (S3A turns this into paged LIST requests — the
     * S2/S3 operators of SURVEY.md §2.1).
     */
+  /** Topic listings merged across several input roots (reference
+    * paths.inputs is a list — each root holds the same topic/partition
+    * layout, e.g. per-cluster or per-era trees; files for a topic present
+    * in several roots concatenate, sorted per root).
+    */
+  def listTopicsAll(spark: org.apache.spark.sql.SparkSession, roots: Seq[String])
+      : Map[String, Seq[org.apache.hadoop.fs.FileStatus]] =
+    roots.map { root =>
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      listTopics(fs, root)
+    }.reduce { (a, b) =>
+      (a.keySet ++ b.keySet).iterator.map { t =>
+        t -> (a.getOrElse(t, Nil) ++ b.getOrElse(t, Nil))
+      }.toMap
+    }
+
   def listTopics(fs: org.apache.hadoop.fs.FileSystem, root: String)
       : Map[String, Seq[org.apache.hadoop.fs.FileStatus]] = {
     val rootPath = new org.apache.hadoop.fs.Path(root)

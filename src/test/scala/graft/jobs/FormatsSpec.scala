@@ -88,6 +88,62 @@ class FormatsSpec extends SparkSpec {
       "append-merge mangled quoted/multiline rows")
   }
 
+  test("multiple input roots merge into one topic work list (paths.inputs list)") {
+    import org.apache.avro.Schema
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    val schema = new Schema.Parser().parse(
+      """{"type":"record","name":"R","fields":[
+        |{"name":"key","type":{"type":"record","name":"K","fields":[
+        |  {"name":"userId","type":"string"}]}},
+        |{"name":"value","type":{"type":"record","name":"V","fields":[
+        |  {"name":"time","type":"double"},
+        |  {"name":"n","type":"long"}]}}]}""".stripMargin)
+    val work = Files.createTempDirectory("graft-multi-in")
+    def write(root: String, topic: String, name: String, ns: Seq[Long]): Unit = {
+      val dir = work.resolve(s"$root/$topic/partition=0")
+      Files.createDirectories(dir)
+      val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
+      w.create(schema, dir.resolve(name).toFile)
+      ns.foreach { n =>
+        val k = new GenericData.Record(schema.getField("key").schema)
+        k.put("userId", "u1")
+        val v = new GenericData.Record(schema.getField("value").schema)
+        v.put("time", 1.6095816e9); v.put("n", n)
+        val r = new GenericData.Record(schema)
+        r.put("key", k); r.put("value", v)
+        w.append(r)
+      }
+      w.close()
+    }
+    // topic t_shared lives in both roots (different offset slices);
+    // t_only_b exists only in the second root
+    write("in_a", "t_shared", "t_shared+0+0000000000+0000000001.avro", Seq(0L, 1L))
+    write("in_b", "t_shared", "t_shared+0+0000000002+0000000003.avro", Seq(2L, 3L))
+    write("in_b", "t_only_b", "t_only_b+0+0000000000+0000000000.avro", Seq(9L))
+    val out = work.resolve("out")
+    val result = Restructure.run(spark, RestructureJobConfig(
+      inputRoot = work.resolve("in_a").toString,
+      extraInputRoots = Seq(work.resolve("in_b").toString),
+      outputRoot = out.toString))
+    val byTopic = result.processedTopics.map(t => t.topic -> t.records).toMap
+    assert(byTopic == Map("t_shared" -> 4L, "t_only_b" -> 1L))
+    val shared = spark.read.option("header", "true")
+      .csv(out.resolve("unknown-project/u1/t_shared/20210102_1000.csv").toString)
+      .select("`value.n`").collect().map(_.getString(0).toLong).toSeq.sorted
+    assert(shared == Seq(0L, 1L, 2L, 3L))
+    // the yml list surface maps through (paths.inputs → roots)
+    val l = ConfigLoader.load(
+      """paths:
+        |  inputs: [a, b, c]
+        |""".stripMargin)
+    assert(l.job.inputRoot == "a" && l.job.extraInputRoots == Seq("b", "c"))
+    // CLI positional paths REPLACE the yaml list
+    val cli = ConfigLoader.load("paths:\n  inputs: [a, b]\n",
+      cli = CliArgs.parse(Seq("x", "y")))
+    assert(cli.job.inputRoot == "x" && cli.job.extraInputRoots == Seq("y"))
+  }
+
   test("gzip CSV bins: .csv.gz extension, valid gzip, same content") {
     val (in, out) = setup()
     Restructure.run(spark, RestructureJobConfig(
