@@ -1,0 +1,132 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.operators.TextDedup
+
+/** Cross-batch NEAR-duplicate deduplication for a document stream — the
+  * streaming composition of the incremental probe operators: each
+  * micro-batch is
+  *
+  *  1. near-deduped within itself ([[TextDedup.dedupCorpus]] — LSH →
+  *     exact-Jaccard verify → connected components, at batch scale);
+  *  2. probed against the accumulated history with the broadcast-batch LSH
+  *     probe ([[TextDedup.minhashCandidatePairsAgainst]] — the history
+  *     side STREAMS through one scan, the batch band table broadcasts;
+  *     never history×history);
+  *  3. candidates exact-verified by shingle Jaccard (integer
+  *     cross-multiply, no float compare), matching `dedupCorpus`
+  *     semantics across the batch boundary;
+  *  4. survivors appended to the parquet-backed history under a
+  *     `batch=<id>` directory — overwritten on replay, so retries of a
+  *     micro-batch are idempotent (effectively-once history).
+  *
+  * State lives in the history parquet, not in Spark streaming state: the
+  * shingle/LSH pipeline over history re-derives per batch, which at
+  * production ratios is one linear scan (PLANS.md "Incremental-probe
+  * stress": 500k-doc history probes in seconds, linear in |history|).
+  * The batch side is guarded by `MaxProbeBatchRows` — an oversized
+  * micro-batch fails fast with the batch-LSH alternative named.
+  */
+object StreamingNearDedup {
+
+  /** One micro-batch step (also directly usable for batch ingest loops):
+    * returns this batch's survivors and appends them to `historyDir`.
+    *
+    * `epoch` namespaces the history partition: replays of the same
+    * (epoch, batchId) overwrite their own partition, while a NEW streaming
+    * query (fresh checkpoint → batch ids restart at 0) must use a
+    * different epoch so it cannot clobber an earlier query's partitions —
+    * [[run]] derives it from the checkpoint location.
+    */
+  def dedupBatch(batch: DataFrame, batchId: Long, historyDir: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      shingleN: Int = 3, k: Int = 12, bands: Int = 6, rowsPerBand: Int = 2,
+      num: Int = 1, den: Int = 2, epoch: String = "b"): DataFrame = {
+    val partitionKey = s"$epoch-$batchId"
+    val spark = batch.sparkSession
+    val rows = batch.select(col(idCol), col(textCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var kept: DataFrame = null
+    try {
+      // 1. in-batch near-dedup (keep the minimum id per duplicate cluster)
+      kept = rows.join(
+        TextDedup.dedupCorpus(rows, idCol, textCol, shingleN, k, bands, rowsPerBand, num, den),
+        Seq(idCol), "left_semi")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      kept.count()
+
+      // 2-3. probe the history; exact-verify candidates by shingle Jaccard.
+      // The batch's OWN partition is excluded: on a foreachBatch replay it
+      // already holds this batch's previous survivors, which would
+      // self-duplicate every doc (and empty the partition on overwrite)
+      val history = readHistory(spark, historyDir, excludeKey = Some(partitionKey))
+      val survivors = history match {
+        case None => kept
+        case Some(h) =>
+          val cands = TextDedup.minhashCandidatePairsAgainst(
+            h, kept, idCol, textCol, shingleN, k, bands, rowsPerBand)
+          // candidate ids are bounded by |batch| × matches — the small
+          // side; history shingle sets are computed only for candidates
+          val hSets = TextDedup.distinctShingleSets(h, idCol, textCol, shingleN)
+            .withColumnRenamed(idCol, "__hid").withColumnRenamed("__sh", "__hsh")
+          val bSets = TextDedup.distinctShingleSets(kept, idCol, textCol, shingleN)
+            .withColumnRenamed(idCol, "__bid").withColumnRenamed("__sh", "__bsh")
+          val (inter, union) = TextDedup.jaccardCounts(col("__hsh"), col("__bsh"))
+          val dupIds = hSets
+            .join(broadcast(cands), col("__hid") === col("history_id"))
+            .join(broadcast(bSets), col("batch_id") === col("__bid"))
+            .filter(inter * den >= union * num) // jaccard ≥ num/den, exact
+            .select(col("batch_id").as(idCol)).distinct()
+          kept.join(dupIds, Seq(idCol), "left_anti")
+      }
+
+      // 4. idempotent append: replays of a micro-batch overwrite their own
+      // partition instead of double-appending
+      survivors.write.mode("overwrite")
+        .parquet(s"$historyDir/batch=$partitionKey")
+      // materialize before releasing the caches the plan reads from
+      survivors.localCheckpoint(true)
+    } finally {
+      if (kept != null) kept.unpersist(false)
+      rows.unpersist(false)
+    }
+  }
+
+  private[streaming] def readHistory(spark: SparkSession, historyDir: String,
+      excludeKey: Option[String] = None): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(historyDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p) || fs.listStatus(p).isEmpty) None
+    else {
+      // partition discovery surfaces `batch=<key>` as a column; the filter
+      // partition-prunes (never lists the excluded directory's files)
+      val all = spark.read.parquet(historyDir)
+      val pruned = excludeKey.fold(all)(key => all.filter(col("batch") =!= key))
+      Some(pruned.drop("batch"))
+    }
+  }
+
+  /** The streaming driver: foreachBatch over a document stream. Survivors
+    * accumulate in `historyDir`; the returned query is the handle.
+    */
+  def run(docs: DataFrame, historyDir: String, checkpointDir: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      shingleN: Int = 3, k: Int = 12, bands: Int = 6, rowsPerBand: Int = 2,
+      num: Int = 1, den: Int = 2): StreamingQuery = {
+    // stable per-checkpoint epoch: a restart FROM this checkpoint replays
+    // into the same partitions (idempotent); a fresh checkpoint gets its
+    // own namespace and cannot clobber earlier epochs' history
+    val epoch = f"ck${checkpointDir.hashCode & 0x7fffffff}%x"
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        dedupBatch(batch, batchId, historyDir, idCol, textCol,
+          shingleN, k, bands, rowsPerBand, num, den, epoch)
+        ()
+      }
+      .start()
+  }
+}

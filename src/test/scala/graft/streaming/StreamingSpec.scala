@@ -116,6 +116,48 @@ class StreamingSpec extends SparkSpec {
     assert(n2 == n1, s"cross-run duplicates leaked: $n2 vs $n1")
   }
 
+  test("streaming near-dedup: in-batch clusters collapse, cross-batch near-dups drop, replay is idempotent") {
+    val work = Files.createTempDirectory("graft-sneardup")
+    val historyDir = work.resolve("history").toString
+    def doc(id: Long, text: String) = (id, text)
+    val base = "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight"
+    // batch 0: 1 & 2 near-dup (in-batch), 3 distinct
+    val b0 = Seq(
+      doc(1L, base),
+      doc(2L, base + " ok"),                    // near-dup of 1
+      doc(3L, "completely different content about spark catalyst optimizer internals and codegen")
+    ).toDF("doc_id", "text")
+    val s0 = StreamingNearDedup.dedupBatch(b0, 0L, historyDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s0 == Set(1L, 3L), s"batch 0 survivors: $s0")
+    // batch 1: 4 near-dups history doc 1, 5 is new; 6 near-dups 5 in-batch
+    val b1 = Seq(
+      doc(4L, base + " yes"),                   // near-dup of history 1
+      doc(5L, "novel text with entirely fresh tokens nothing shared with previous documents at all"),
+      doc(6L, "novel text with entirely fresh tokens nothing shared with previous documents at all really")
+    ).toDF("doc_id", "text")
+    val s1 = StreamingNearDedup.dedupBatch(b1, 1L, historyDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s1 == Set(5L), s"batch 1 survivors: $s1")
+    def historyIds: Set[Long] = StreamingNearDedup.readHistory(spark, historyDir)
+      .get.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(historyIds == Set(1L, 3L, 5L))
+    // replay of batch 1 (foreachBatch retry): history unchanged, not doubled
+    StreamingNearDedup.dedupBatch(b1, 1L, historyDir)
+    assert(historyIds == Set(1L, 3L, 5L), "replay must overwrite, not append")
+    // the real streaming driver runs the same step per micro-batch
+    val srcDir = work.resolve("src")
+    Files.createDirectories(srcDir)
+    Seq(doc(7L, base + " no"), doc(8L, "yet another wholly unrelated document body mentioning structured streaming watermarks"))
+      .toDF("doc_id", "text").write.parquet(srcDir.resolve("p0").toString)
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType))))
+      .parquet(srcDir.toString + "/*")
+    val q = StreamingNearDedup.run(stream, historyDir, work.resolve("ckpt").toString)
+    try q.processAllAvailable() finally q.stop()
+    assert(historyIds == Set(1L, 3L, 5L, 8L)) // 7 near-dups history 1
+  }
+
   test("streaming restructure writes exactly-named bins via foreachBatch") {
     val out = Files.createTempDirectory("graft-stream-out")
     val ckpt = Files.createTempDirectory("graft-ckpt")
