@@ -95,6 +95,60 @@ object StreamingNearDedup {
     }
   }
 
+  /** The embedding counterpart: cosine near-dup against the accumulated
+    * vector history ([[graft.operators.Similarity.cosineNearDupAgainst]] —
+    * batch broadcasts once, history streams through one codegen'd scan;
+    * exact cosine, no verification pass needed). In-batch near-dups
+    * collapse to the minimum id via the same probe run batch-vs-batch.
+    */
+  def dedupEmbeddingBatch(batch: DataFrame, batchId: Long, historyDir: String,
+      threshold: Double = 0.95, idCol: String = "vec_id",
+      vecCol: String = "embedding", epoch: String = "b"): DataFrame = {
+    import graft.operators.Similarity
+    val partitionKey = s"$epoch-$batchId"
+    val spark = batch.sparkSession
+    val rows = batch.select(col(idCol), col(vecCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // in-batch: exact pairwise over the (small, broadcastable) batch;
+      // min id per duplicate cluster survives, transitively
+      val inPairs = Similarity.cosineNearDupAgainst(rows, rows, threshold, idCol, vecCol)
+        .filter(col("history_id") < col("batch_id"))
+      val clusters = Similarity.connectedComponents(
+        inPairs, rows.select(col(idCol)), "history_id", "batch_id", idCol)
+      val kept = rows.join(
+        clusters.filter(col(idCol) === col("cluster")).select(col(idCol)),
+        Seq(idCol), "left_semi")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      kept.count()
+      val survivors = readHistory(spark, historyDir, excludeKey = Some(partitionKey)) match {
+        case None => kept
+        case Some(h) =>
+          val dupIds = Similarity.cosineNearDupAgainst(h, kept, threshold, idCol, vecCol)
+            .select(col("batch_id").as(idCol)).distinct()
+          kept.join(dupIds, Seq(idCol), "left_anti")
+      }
+      survivors.write.mode("overwrite").parquet(s"$historyDir/batch=$partitionKey")
+      val out = survivors.localCheckpoint(true)
+      kept.unpersist(false)
+      out
+    } finally rows.unpersist(false)
+  }
+
+  /** Streaming driver for [[dedupEmbeddingBatch]]. */
+  def runEmbedding(vecs: DataFrame, historyDir: String, checkpointDir: String,
+      threshold: Double = 0.95, idCol: String = "vec_id",
+      vecCol: String = "embedding"): StreamingQuery = {
+    val epoch = f"ck${checkpointDir.hashCode & 0x7fffffff}%x"
+    vecs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        dedupEmbeddingBatch(batch, batchId, historyDir, threshold, idCol, vecCol, epoch)
+        ()
+      }
+      .start()
+  }
+
   private[streaming] def readHistory(spark: SparkSession, historyDir: String,
       excludeKey: Option[String] = None): Option[DataFrame] = {
     val p = new org.apache.hadoop.fs.Path(historyDir)

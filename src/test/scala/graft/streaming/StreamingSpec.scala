@@ -158,6 +158,29 @@ class StreamingSpec extends SparkSpec {
     assert(historyIds == Set(1L, 3L, 5L, 8L)) // 7 near-dups history 1
   }
 
+  test("streaming embedding near-dedup: cosine dups collapse in-batch and against history") {
+    val work = Files.createTempDirectory("graft-sembdup")
+    val historyDir = work.resolve("history").toString
+    def vec(id: Long, v: Seq[Float]) = (id, v.toArray)
+    val a = Seq(1.0f, 0.0f, 0.0f, 0.0f)
+    val aJit = Seq(0.999f, 0.04f, 0.0f, 0.0f)    // cosine ≈ 0.9992 vs a
+    val b = Seq(0.0f, 1.0f, 0.0f, 0.0f)
+    val c = Seq(0.0f, 0.0f, 0.7f, 0.7f)
+    // batch 0: 1 and 2 are cosine near-dups; 3 distinct
+    val b0 = Seq(vec(1L, a), vec(2L, aJit), vec(3L, b)).toDF("vec_id", "embedding")
+    val s0 = StreamingNearDedup.dedupEmbeddingBatch(b0, 0L, historyDir)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(s0 == Set(1L, 3L), s"batch 0 survivors: $s0")
+    // batch 1: 4 duplicates history 3; 5 is new
+    val b1 = Seq(vec(4L, b.map(_ * 2f)), vec(5L, c)).toDF("vec_id", "embedding")
+    val s1 = StreamingNearDedup.dedupEmbeddingBatch(b1, 1L, historyDir)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(s1 == Set(5L), s"batch 1 survivors: $s1")
+    val history = StreamingNearDedup.readHistory(spark, historyDir)
+      .get.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(history == Set(1L, 3L, 5L))
+  }
+
   test("streaming restructure writes exactly-named bins via foreachBatch") {
     val out = Files.createTempDirectory("graft-stream-out")
     val ckpt = Files.createTempDirectory("graft-ckpt")
