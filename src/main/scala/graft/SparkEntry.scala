@@ -408,6 +408,22 @@ object SparkEntry {
       .orderBy(col("history_id"), col("batch_id"))
   }
 
+  /** Bloom-guarded incremental EXACT dedup (Dedup.bloomDedupAgainst): the
+    * batch probes a one-aggregation Bloom digest of the history's content
+    * fingerprints row-locally; only might-contain hits anti-join the
+    * history. Result is exact, so the oracle is the plain anti join — the
+    * Bloom path must agree with it bit-for-bit on every run.
+    */
+  private def qBloomDedup(implicit s: SparkSession, d: String): DataFrame = {
+    val fp = md5(col("text").cast(BinaryType)).as("fp")
+    val docs = t("documents").select(col("doc_id"), fp)
+    graft.operators.Dedup.bloomDedupAgainst(
+        history = docs.filter(col("doc_id") % 3 =!= 0),
+        batch = docs.filter(col("doc_id") % 3 === 0), keyCol = "fp")
+      .select(col("doc_id"), col("fp"))
+      .orderBy(col("doc_id"))
+  }
+
   /** SimHash-banded near-dup candidates + hamming distances. The md5-based
     * token hash makes the full pipeline oracle-checkable (bands and hamming
     * recomputed in DuckDB from the same md5 halves).
@@ -862,6 +878,7 @@ object SparkEntry {
     "q_ngram_jaccard"    -> mk(qNgramJaccard(_, _)),
     "q_minhash_pairs"    -> mk(qMinhashPairs(_, _)),
     "q_incremental_dedup" -> mk(qIncrementalDedup(_, _)),
+    "q_bloom_dedup"      -> mk(qBloomDedup(_, _)),
     "q_corpus_dedup"     -> mk(qCorpusDedup(_, _)),
     "q_simhash"          -> mk(qSimhash(_, _)),
     "q_simhash_pairs"    -> mk(qSimhashPairs(_, _)),
@@ -1025,6 +1042,12 @@ object SparkEntry {
            |FROM bands h JOIN bands b ON h.j = b.j AND h.bh = b.bh
            |  AND h.doc_id % 10 <> 0 AND b.doc_id % 10 = 0
            |ORDER BY history_id, batch_id""".stripMargin,
+      "q_bloom_dedup" ->
+        """SELECT d.doc_id, md5(d.text) AS fp FROM documents d
+          |WHERE d.doc_id % 3 = 0
+          |  AND md5(d.text) NOT IN
+          |    (SELECT md5(text) FROM documents WHERE doc_id % 3 <> 0)
+          |ORDER BY d.doc_id""".stripMargin,
       "q_corpus_dedup" ->
         s"""WITH RECURSIVE ${Frag.wordsCte},
            |${Frag.shinglesCte},

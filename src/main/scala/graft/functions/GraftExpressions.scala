@@ -596,6 +596,20 @@ object GraftExpressions {
       es => VectorSumLong(es.head), "built-in")
     reg.createOrReplaceTempFunction("graft_topk_payload",
       es => TopKPayload(es(0), es(1), es(2), es(3)), "built-in")
+    // Spark's internal (non-SQL-registered) Bloom filter expressions,
+    // exposed for the Bloom-guarded incremental dedup (Dedup
+    // .bloomDedupAgainst): the aggregate folds XxHash64'd keys into a
+    // sketch with map-side partial merges; the probe is row-local and
+    // codegen'd. Both take the raw key; hashing happens here so callers
+    // cannot mismatch seeds between build and probe.
+    reg.createOrReplaceTempFunction("graft_bloom_agg",
+      es => new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(es(0))), es(1), es(2)),
+      "built-in")
+    reg.createOrReplaceTempFunction("graft_bloom_might_contain",
+      es => org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(es(0),
+        new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(es(1)))),
+      "built-in")
   }
 
   // builders self-register on the active session (idempotent) so a bare
@@ -642,4 +656,16 @@ object GraftExpressions {
   /** Hamming distance between two 64-bit simhashes (built-ins only). */
   def hammingDist64(a: Column, b: Column): Column =
     org.apache.spark.sql.functions.bit_count(a.bitwiseXOR(b))
+
+  /** Bloom-filter sketch aggregate over a key column (binary result). */
+  def bloomAgg(key: Column, expectedItems: Long, numBits: Long): Column = {
+    ensureRegistered()
+    call_function("graft_bloom_agg", key, lit(expectedItems), lit(numBits))
+  }
+
+  /** Row-local membership probe of a [[bloomAgg]] digest. */
+  def bloomMightContain(digest: Column, key: Column): Column = {
+    ensureRegistered()
+    call_function("graft_bloom_might_contain", digest, key)
+  }
 }

@@ -39,6 +39,54 @@ object Dedup {
   def keepFirst(df: DataFrame, keys: Seq[Column], pos: Column): DataFrame =
     argBy(df, keys, pos, last = false)
 
+  /** Incremental exact dedup against a large history WITHOUT joining the
+    * history per batch: survivors of `batch` whose `keyCol` does not occur
+    * in `history`, computed the Bloom-guarded way —
+    *
+    *  1. ONE aggregation folds the history keys into a Bloom filter
+    *     (Spark's `BloomFilterAggregate` — map-side partial filters merge
+    *     before a single-row shuffle; the digest is `numBits/8` bytes,
+    *     ~1.2 MB for the 1M-item/3% default, independent of history width);
+    *  2. the batch probes the digest ROW-LOCALLY (`BloomFilterMightContain`
+    *     over the filter as a plan literal — no shuffle, no broadcast join,
+    *     stays inside whole-stage codegen): definite-new rows (filter says
+    *     "absent", which is never wrong) pass through untouched;
+    *  3. only the might-contain HITS — true duplicates plus the fpp share
+    *     of the batch — anti-join the history for the exact verdict, so
+    *     the only shuffle of history keys is semi-join-pruned to the hit
+    *     set.
+    *
+    * Result is EXACT (the filter only short-circuits definite-news); fpp
+    * trades digest size against verify-join volume. At 100 TB the digest
+    * re-derives per batch from one linear history scan, or is persisted
+    * and re-used across batches by the caller (the filter is mergeable).
+    *
+    * For very large histories size `expectedItems` to the real key count:
+    * an undersized filter degrades fpp (more verify volume), never
+    * correctness. `numBits` is capped by Spark's
+    * `spark.sql.optimizer.runtime.bloomFilter.maxNumBits` (default 8 MB).
+    */
+  def bloomDedupAgainst(history: DataFrame, batch: DataFrame, keyCol: String,
+      expectedItems: Long = 1000000L, fpp: Double = 0.03): DataFrame = {
+    import graft.functions.GraftExpressions
+    require(expectedItems > 0 && fpp > 0 && fpp < 1,
+      s"expectedItems=$expectedItems, fpp=$fpp out of range")
+    GraftExpressions.register(history.sparkSession)
+    val numBits = math.ceil(
+      -expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong
+    val digest = Scale.widen(history).select(col(keyCol))
+      .agg(GraftExpressions.bloomAgg(col(keyCol), expectedItems, numBits).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    // null digest = empty history: everything in the batch is new
+    if (digest == null) return batch
+    val mightContain = GraftExpressions.bloomMightContain(lit(digest), col(keyCol))
+    val definiteNew = batch.filter(!mightContain)
+    val hits = batch.filter(mightContain)
+    val verified = hits.join(
+      history.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
+    definiteNew.unionByName(verified)
+  }
+
   /** The reference's key-projection rule (format/CsvAvroConverterFactory.kt:
     * 203-221): use `distinctFields` if all are present in the frame, else the
     * complement of `ignoreFields`, else all columns.

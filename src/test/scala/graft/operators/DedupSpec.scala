@@ -25,6 +25,30 @@ class DedupSpec extends SparkSpec {
     assert(got == Seq(0, 2, 3))
   }
 
+  test("bloomDedupAgainst: exact result at any fpp, empty history passes all, guards") {
+    val history = (0L until 500L).map(i => (i, s"key-${i % 200}")).toDF("id", "k")
+    val batch = (1000L until 1100L).map(i => (i, s"key-${i % 250}")).toDF("id", "k")
+    // oracle: plain anti join on the key
+    val expect = batch.join(history.select(col("k")).distinct(), Seq("k"), "left_anti")
+      .select("id").collect().map(_.getLong(0)).toSet
+    // exactness must hold across filter sizing, including a deliberately
+    // tiny/saturated filter (every probe a hit → everything verified)
+    for (fpp <- Seq(0.03, 0.5); items <- Seq(10L, 1000000L)) {
+      val got = Dedup.bloomDedupAgainst(history, batch, "k", items, fpp)
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(got == expect, s"fpp=$fpp items=$items")
+    }
+    // empty history: the whole batch survives (null digest short-circuit)
+    val none = Dedup.bloomDedupAgainst(history.filter(lit(false)), batch, "k")
+    assert(none.count() == 100L)
+    intercept[IllegalArgumentException] {
+      Dedup.bloomDedupAgainst(history, batch, "k", expectedItems = -1L)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.bloomDedupAgainst(history, batch, "k", fpp = 1.5)
+    }
+  }
+
   test("keyColumns: distinctFields, else complement of ignoreFields, else all") {
     val d = df
     assert(Dedup.keyColumns(d, Set("user", "kind"), Set()).map(_.toString).size == 2)
