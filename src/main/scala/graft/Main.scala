@@ -54,7 +54,10 @@ object Main {
         intervalMs = loaded.serviceIntervalSec * 1000,
         cleanerEnabled = loaded.cleanerEnabled,
         cleanerAgeMs = cleanerAgeMs,
-        restructureEnabled = loaded.workerEnabled))
+        fullSyncIntervalMs = loaded.indexFullSyncMs,
+        emptyDirSyncIntervalMs = loaded.indexEmptyDirSyncMs,
+        restructureEnabled = loaded.workerEnabled,
+        cleanerMaxFilesPerTopic = loaded.cleanerMaxFilesPerTopic))
     } else {
       if (loaded.workerEnabled) {
         val result = Restructure.run(spark, job)
@@ -63,7 +66,7 @@ object Main {
         }
       }
       if (loaded.cleanerEnabled) {
-        val c = Cleaner.run(spark, job, cleanerAgeMs)
+        val c = Cleaner.run(spark, job, cleanerAgeMs, loaded.cleanerMaxFilesPerTopic)
         println(s"[graft] cleaner: deleted ${c.deleted.size}, rolled back ${c.rolledBack.size}")
       }
     }

@@ -28,7 +28,10 @@ object Cleaner {
 
   final case class CleanResult(deleted: Seq[String], rolledBack: Seq[String])
 
-  def run(spark: SparkSession, cfg: RestructureJobConfig, ageMs: Long = 7L * 24 * 3600 * 1000): CleanResult = {
+  def run(spark: SparkSession, cfg: RestructureJobConfig, ageMs: Long = 7L * 24 * 3600 * 1000,
+      // cleaner.maxFilesPerTopic (SourceDataCleaner.kt:39-40): cap the
+      // files verified+deleted per topic per iteration
+      maxFilesPerTopic: Option[Int] = None): CleanResult = {
     val fs = new HPath(cfg.outputRoot).getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.setWriteChecksum(false)
     fs.setVerifyChecksum(false)
@@ -44,6 +47,7 @@ object Cleaner {
     val rolledBack = Seq.newBuilder[String]
 
     val topics = TopicFiles.listTopicsAll(spark, cfg.inputRoot +: cfg.extraInputRoots)
+    val fileLimit = maxFilesPerTopic.getOrElse(Int.MaxValue)
     for ((topic, files) <- topics.toSeq.sortBy(_._1)) {
       val tCfg = cfg.topicConfig(topic)
       if (!tCfg.exclude && !tCfg.excludeFromDelete) {
@@ -57,6 +61,7 @@ object Cleaner {
             ledger.contains(r.topic, r.partition, r.from, r.to.get + 1,
               Instant.ofEpochMilli(st.getModificationTime))
           }
+          .take(fileLimit)
         if (eligible.nonEmpty) {
           val missingByFile = graft.util.Timer.time("cleaner.contains")(
             verifyTopic(spark, cfg, topic, eligible.map(_._1.getPath.toString)))

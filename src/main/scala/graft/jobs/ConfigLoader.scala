@@ -33,7 +33,12 @@ object ConfigLoader {
       // per-thread open-file cache (worker.cacheSize / --cache-size);
       // recorded so ops configs round-trip without error
       tmpDir: Option[String] = None,
-      cacheSize: Option[Int] = None) {
+      cacheSize: Option[Int] = None,
+      // source.index cadences for service-mode listings (S10)
+      indexFullSyncMs: Long = 3600000L,
+      indexEmptyDirSyncMs: Long = 900000L,
+      // cleaner.maxFilesPerTopic (SourceDataCleaner.kt:39-40)
+      cleanerMaxFilesPerTopic: Option[Int] = None) {
     /** Reference RestructureConfig.validate():33. */
     def validate(): Loaded = {
       require(workerEnabled || cleanerEnabled,
@@ -260,6 +265,14 @@ object ConfigLoader {
       pathProperties = pathProperties,
       workerEnabled = !cli.noRestructure.getOrElse(
         !bool(root, default = true, "worker", "enable")),
+      // source.index cadences (StorageIndexConfig.kt: fullSyncInterval
+      // 3600 s, emptyDirectorySyncInterval 900 s), seconds → ms
+      indexFullSyncMs = opt(root, "source", "index", "fullSyncInterval")
+        .filter(_.isNumber).map(_.asLong() * 1000).getOrElse(3600000L),
+      indexEmptyDirSyncMs = opt(root, "source", "index", "emptyDirectorySyncInterval")
+        .filter(_.isNumber).map(_.asLong() * 1000).getOrElse(900000L),
+      cleanerMaxFilesPerTopic = opt(root, "cleaner", "maxFilesPerTopic")
+        .filter(_.isNumber).map(_.asInt()),
       tmpDir = cli.tmpDir.orElse(str(root, "paths", "temp")),
       cacheSize = cli.cacheSize.orElse(
         opt(root, "worker", "cacheSize").filter(_.isNumber).map(_.asInt())))

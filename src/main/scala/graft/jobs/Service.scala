@@ -18,8 +18,12 @@ object Service {
       // iteration (no staleness); set higher only when listing cost
       // dominates and up-to-interval-delayed pickup is acceptable.
       fullSyncIntervalMs: Long = 0L,
+      // source.index.emptyDirectorySyncInterval (StorageIndexConfig.kt)
+      emptyDirSyncIntervalMs: Long = 900000L,
       // worker.enable / --no-restructure: cleaner-only service loops
       restructureEnabled: Boolean = true,
+      // cleaner.maxFilesPerTopic per iteration
+      cleanerMaxFilesPerTopic: Option[Int] = None,
       maxIterations: Option[Int] = None)     // bounded loops for tests
 
   def runLoop(spark: SparkSession, cfg: RestructureJobConfig, svc: ServiceConfig): Unit = {
@@ -29,7 +33,8 @@ object Service {
       (cfg.inputRoot +: cfg.extraInputRoots).map { root =>
         val inFs = new org.apache.hadoop.fs.Path(root)
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        new graft.sources.StorageIndex(inFs, root, svc.fullSyncIntervalMs)
+        new graft.sources.StorageIndex(inFs, root,
+          svc.fullSyncIntervalMs, svc.emptyDirSyncIntervalMs)
       }
     } catch { case _: Exception => Nil }
     def mergedTopics(): Map[String, Seq[org.apache.hadoop.fs.FileStatus]] =
@@ -46,7 +51,7 @@ object Service {
           Restructure.run(spark, cfg,
             if (indexes.isEmpty) None else Some(mergedTopics()))
         if (svc.cleanerEnabled) {
-          Cleaner.run(spark, cfg, svc.cleanerAgeMs)
+          Cleaner.run(spark, cfg, svc.cleanerAgeMs, svc.cleanerMaxFilesPerTopic)
           indexes.foreach(_.invalidate()) // deletes change the tree
         }
       } catch {

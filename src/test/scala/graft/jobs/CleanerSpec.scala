@@ -38,6 +38,17 @@ class CleanerSpec extends SparkSpec {
     assert(Files.exists(in.resolve(openFile)))
   }
 
+  test("cleaner.maxFilesPerTopic caps deletions per iteration; next run takes the rest") {
+    val (in, _, cfg) = setup()
+    Restructure.run(spark, cfg)
+    // cap 0: eligible file survives this iteration
+    val capped = Cleaner.run(spark, cfg, ageMs = 0, maxFilesPerTopic = Some(0))
+    assert(capped.deleted.isEmpty && Files.exists(in.resolve(closedFile)))
+    // next iteration with headroom deletes it
+    val next = Cleaner.run(spark, cfg, ageMs = 0, maxFilesPerTopic = Some(1))
+    assert(next.deleted.size == 1 && !Files.exists(in.resolve(closedFile)))
+  }
+
   test("cleaner verifies through zip bins (decompressed read)") {
     val (in, _, cfg0) = setup()
     val cfg = cfg0.copy(zip = true)

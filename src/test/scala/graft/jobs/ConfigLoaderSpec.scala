@@ -242,6 +242,25 @@ class ConfigLoaderSpec extends AnyFunSuite {
       CliArgs.parse(Seq("--no-restructure", "-C"))).validate().cleanerEnabled)
   }
 
+  test("source.index cadences and cleaner.maxFilesPerTopic map through") {
+    val l = ConfigLoader.load(
+      """source:
+        |  index:
+        |    fullSyncInterval: 7200
+        |    emptyDirectorySyncInterval: 120
+        |cleaner:
+        |  enable: true
+        |  maxFilesPerTopic: 5
+        |""".stripMargin)
+    assert(l.indexFullSyncMs == 7200000L)
+    assert(l.indexEmptyDirSyncMs == 120000L)
+    assert(l.cleanerMaxFilesPerTopic.contains(5))
+    // StorageIndexConfig.kt defaults: 3600 s / 900 s
+    val d = ConfigLoader.load("{}")
+    assert(d.indexFullSyncMs == 3600000L && d.indexEmptyDirSyncMs == 900000L)
+    assert(d.cleanerMaxFilesPerTopic.isEmpty)
+  }
+
   test("redis: uri + lockPrefix map to the RESP ledger/lock backend") {
     val l = ConfigLoader.load(
       """redis:
