@@ -65,7 +65,11 @@ private[jobs] object BinWriter {
   def writePartition(
       it: Iterator[(String, String, String)], outputRoot: String,
       confEntries: Map[String, String], header: Option[String],
-      gzip: Boolean, zip: Boolean, dedup: Int = DedupOff): Iterator[String] = {
+      gzip: Boolean, zip: Boolean, dedup: Int = DedupOff,
+      // target.local.{userId,groupId} (reference LocalTargetStorage.kt:
+      // 94-101): committed files and created directories get these unix
+      // owner attributes when >= 0; local filesystems only
+      localUid: Int = -1, localGid: Int = -1): Iterator[String] = {
     if (!it.hasNext) return Iterator.empty
     val conf = new Configuration()
     confEntries.foreach { case (k, v) => conf.set(k, v) }
@@ -83,6 +87,14 @@ private[jobs] object BinWriter {
     val seen = new java.util.HashSet[String]()
     val lastMap = new java.util.LinkedHashMap[String, String]()
 
+    val localFs = fs.getScheme == "file"
+    def chown(p: HPath): Unit =
+      if (localFs && (localUid >= 0 || localGid >= 0)) {
+        val nio = java.nio.file.Paths.get(p.toUri.getPath)
+        if (localUid >= 0) java.nio.file.Files.setAttribute(nio, "unix:uid", localUid)
+        if (localGid >= 0) java.nio.file.Files.setAttribute(nio, "unix:gid", localGid)
+      }
+
     def close(): Unit = if (out != null) {
       if (dedup == DedupKeepLast) {
         val it2 = lastMap.values.iterator()
@@ -92,16 +104,19 @@ private[jobs] object BinWriter {
       seen.clear()
       out.close() // cascades: flush chars → finish gzip/zip → close stream
       renameOver(fs, conf, tmp, target)
+      chown(target)
       written += current
       out = null
     }
-    val localFs = fs.getScheme == "file"
     val mkdirsDone = new java.util.HashSet[String]()
     def open(rel: String): Unit = {
       target = new HPath(s"$outputRoot/$rel")
       // one mkdirs per distinct parent, not per bin (tasks write many bins
       // per directory; at 50k bins the repeated stat+mkdir chain is real)
-      if (mkdirsDone.add(target.getParent.toString)) fs.mkdirs(target.getParent)
+      if (mkdirsDone.add(target.getParent.toString)) {
+        fs.mkdirs(target.getParent)
+        chown(target.getParent)
+      }
       tmp = new HPath(target.getParent, s".${target.getName}.tmp-${java.util.UUID.randomUUID()}")
       // local FS: plain FileOutputStream — skip the Hadoop stream wrapper
       // (same rationale as renameOver's nio move)

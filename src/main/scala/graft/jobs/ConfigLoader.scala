@@ -245,6 +245,11 @@ object ConfigLoader {
         bool(root, default = false, "source", "azure", "endOffsetFromMetadata"),
       // reference RedisConfig: uri + lockPrefix — ledger in Redis under the
       // ledger-path key, locks via SET NX PX
+      // target.local.{userId,groupId} → unix owner of written files
+      localUid = opt(root, "target", "local", "userId")
+        .filter(_.isNumber).map(_.asInt()).getOrElse(-1),
+      localGid = opt(root, "target", "local", "groupId")
+        .filter(_.isNumber).map(_.asInt()).getOrElse(-1),
       // RedisConfig.withEnv: REDIS_URI overrides the YAML uri
       redisUri = env.get("REDIS_URI").filter(_.nonEmpty).orElse(str(root, "redis", "uri")),
       redisLockPrefix = str(root, "redis", "lockPrefix")

@@ -687,8 +687,10 @@ object Restructure {
     val outputRoot = cfg.outputRoot
     val gz = cfg.gzip
     val zip = cfg.zip
+    val uid = cfg.localUid
+    val gid = cfg.localGid
     val written = Timer.time("write.convert")(prepared.mapPartitions { it =>
-      BinWriter.writePartition(it, outputRoot, confEntries, header, gz, zip, dedupMode)
+      BinWriter.writePartition(it, outputRoot, confEntries, header, gz, zip, dedupMode, uid, gid)
     }.collect())
     written.toSeq.sorted
   }

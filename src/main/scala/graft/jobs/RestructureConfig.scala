@@ -52,7 +52,11 @@ final case class RestructureJobConfig(
     // OffsetRedisPersistence + RedisRemoteLockManager). None = filesystem
     // ledger/locks (the default backend)
     redisUri: Option[String] = None,
-    redisLockPrefix: String = "radar-output/lock") {
+    redisLockPrefix: String = "radar-output/lock",
+    // target.local.{userId,groupId}: unix owner for written files/dirs on
+    // local targets (reference LocalConfig.kt); -1 = leave as-is
+    localUid: Int = -1,
+    localGid: Int = -1) {
 
   /** The configured ledger/lock store, if any (caller closes). */
   def ledgerStore(): Option[graft.ledger.LedgerStore] =

@@ -30,6 +30,30 @@ class BinWriterSpec extends AnyFunSuite {
     assert(stray.isEmpty, s"stray temps: $stray")
   }
 
+  test("writePartition: local uid/gid applied to committed files and created dirs") {
+    val root = Files.createTempDirectory("graft-bw-own")
+    // setting the CURRENT uid/gid needs no privilege; asserts the attribute
+    // plumbing without requiring root (reference LocalTargetStorage.kt:94-101)
+    val uid = Files.getAttribute(root, "unix:uid").asInstanceOf[Int]
+    val gid = Files.getAttribute(root, "unix:gid").asInstanceOf[Int]
+    BinWriter.writePartition(rows3(("a/one.csv", "r1")), root.toString,
+      Map.empty, None, gzip = false, zip = false, BinWriter.DedupOff, uid, gid).toSeq
+    val f = root.resolve("a/one.csv")
+    assert(Files.getAttribute(f, "unix:uid") == uid)
+    assert(Files.getAttribute(f, "unix:gid") == gid)
+    assert(Files.getAttribute(root.resolve("a"), "unix:uid") == uid)
+    // config surface: target.local.{userId,groupId}
+    val l = ConfigLoader.load(
+      s"""target:
+         |  type: local
+         |  local:
+         |    userId: $uid
+         |    groupId: $gid
+         |""".stripMargin)
+    assert(l.job.localUid == uid && l.job.localGid == gid)
+    assert(ConfigLoader.load("{}").job.localUid == -1)
+  }
+
   test("writePartition: atomically replaces an existing target") {
     val root = Files.createTempDirectory("graft-bw2").toString
     Files.createDirectories(java.nio.file.Paths.get(root, "a"))
