@@ -445,6 +445,15 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Repeated-passage spans (TextDedup.repeatedSpans): 8-token window
+    * fingerprints occurring in ≥2 distinct documents — the exact-substring
+    * dedup primitive whole-document dedup cannot see. Oracle recomputes
+    * the same windows with generate_series + inclusive list slicing.
+    */
+  private def qRepeatedSpans(implicit s: SparkSession, d: String): DataFrame =
+    graft.operators.TextDedup.repeatedSpans(t("documents"), "doc_id", "text")
+      .orderBy(col("fp"))
+
   /** Rolling-hash fingerprint via custom expression (oracle: the same
     * left-fold over code points — documents are ASCII, so bytes ≡ points).
     */
@@ -879,6 +888,7 @@ object SparkEntry {
     "q_minhash_pairs"    -> mk(qMinhashPairs(_, _)),
     "q_incremental_dedup" -> mk(qIncrementalDedup(_, _)),
     "q_bloom_dedup"      -> mk(qBloomDedup(_, _)),
+    "q_repeated_spans"   -> mk(qRepeatedSpans(_, _)),
     "q_corpus_dedup"     -> mk(qCorpusDedup(_, _)),
     "q_simhash"          -> mk(qSimhash(_, _)),
     "q_simhash_pairs"    -> mk(qSimhashPairs(_, _)),
@@ -1042,6 +1052,14 @@ object SparkEntry {
            |FROM bands h JOIN bands b ON h.j = b.j AND h.bh = b.bh
            |  AND h.doc_id % 10 <> 0 AND b.doc_id % 10 = 0
            |ORDER BY history_id, batch_id""".stripMargin,
+      "q_repeated_spans" ->
+        s"""WITH ${Frag.wordsCte},
+           |pos AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 7)) AS i FROM w),
+           |wins AS (SELECT DISTINCT doc_id,
+           |    md5(array_to_string(ws[i:i+7], ' ')) AS fp FROM pos)
+           |SELECT fp, count(*) AS n_docs, min(doc_id) AS min_doc_id
+           |FROM wins GROUP BY fp HAVING count(*) >= 2
+           |ORDER BY fp""".stripMargin,
       "q_bloom_dedup" ->
         """SELECT d.doc_id, md5(d.text) AS fp FROM documents d
           |WHERE d.doc_id % 3 = 0

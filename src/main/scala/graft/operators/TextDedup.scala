@@ -235,6 +235,38 @@ object TextDedup {
       pairsOf(bandTable.hint("SHUFFLE_HASH"), bandTable)
   }
 
+  /** Repeated-passage detection (exact substring dedup at token-window
+    * granularity, the Lee et al. "Deduplicating Training Data Makes
+    * Language Models Better" primitive): fingerprint every `windowTokens`-
+    * token sliding window, and report fingerprints occurring in at least
+    * `minDocs` DISTINCT documents. Callers use the hits to mask or drop
+    * repeated passages (boilerplate, licenses, templated spans) that
+    * whole-document dedup cannot see.
+    *
+    * Scale shape: window explosion is linear in total tokens (one row per
+    * token position, no pair space); the per-doc `distinct` collapses
+    * within-doc repeats BEFORE the fingerprint shuffle, and the doc count
+    * is then a plain `count` with map-side partial combine — never a
+    * count-distinct over the raw window stream.
+    */
+  def repeatedSpans(df: DataFrame, idCol: String, textCol: String,
+      windowTokens: Int = 8, minDocs: Int = 2): DataFrame = {
+    require(windowTokens >= 1 && minDocs >= 1, s"windowTokens=$windowTokens, minDocs=$minDocs")
+    import graft.functions.TextFunctions
+    val toks = TextFunctions.words(col(textCol))
+    val w = windowTokens
+    val fps = Scale.widen(df).select(col(idCol),
+      explode(when(size(toks) >= w,
+          transform(sequence(lit(1), size(toks) - w + 1),
+            i => md5(concat_ws(" ", slice(toks, i, lit(w)))
+              .cast(org.apache.spark.sql.types.BinaryType))))
+        .otherwise(array().cast("array<string>"))).as("fp"))
+    fps.distinct()
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("min_doc_id"))
+      .filter(col("n_docs") >= minDocs)
+  }
+
   /** Exact n-gram Jaccard between explicit pairs: intersection and union
     * sizes over distinct shingle sets (ints — exact; callers derive the
     * ratio).

@@ -14,6 +14,34 @@ class TextDedupSpec extends SparkSpec {
     assert(got(1) == Seq("xy"))
   }
 
+  test("repeatedSpans: cross-doc windows hit, within-doc repeats don't, short docs drop") {
+    // doc 1 and 2 share an exact 4-token passage embedded in different text;
+    // doc 3 repeats a window TWICE within itself but shares with nobody;
+    // doc 4 is shorter than the window
+    val docs = Seq(
+      (1L, "alpha beta gamma delta shared span one two epsilon"),
+      (2L, "zeta shared span one two eta theta"),
+      (3L, "solo repeat block x solo repeat block x"),
+      (4L, "tiny doc")).toDF("doc_id", "text")
+    val spans = TextDedup.repeatedSpans(docs, "doc_id", "text", windowTokens = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // exactly the windows inside "shared span one two" region common to 1 & 2
+    assert(spans.nonEmpty)
+    assert(spans.forall { case (_, n, minId) => n == 2L && minId == 1L },
+      s"unexpected spans: ${spans.toSeq}")
+    // the within-doc repeat of doc 3 does not reach minDocs=2
+    val withDoc3 = TextDedup.repeatedSpans(
+      docs.filter(col("doc_id") === 3L), "doc_id", "text", windowTokens = 4)
+    assert(withDoc3.count() == 0L)
+    // windows at minDocs=1 include doc 3's internal repeat exactly once
+    val all3 = TextDedup.repeatedSpans(
+      docs.filter(col("doc_id") === 3L), "doc_id", "text", windowTokens = 4, minDocs = 1)
+    assert(all3.count() > 0L && all3.agg(max(col("n_docs"))).head().getLong(0) == 1L)
+    intercept[IllegalArgumentException] {
+      TextDedup.repeatedSpans(docs, "doc_id", "text", windowTokens = 0)
+    }
+  }
+
   test("identical docs always collide in minhash LSH; disjoint docs get distinct signatures") {
     val docs = Seq(
       (1L, "spark catalyst optimizer rewrites logical plans into physical plans"),
