@@ -419,7 +419,10 @@ object SparkEntry {
     val docs = t("documents").select(col("doc_id"), fp)
     graft.operators.Dedup.bloomDedupAgainst(
         history = docs.filter(col("doc_id") % 3 =!= 0),
-        batch = docs.filter(col("doc_id") % 3 === 0), keyCol = "fp")
+        batch = docs.filter(col("doc_id") % 3 === 0), keyCol = "fp",
+        // sized to the actual history key count (the 1M default embeds a
+        // 1.2 MB digest literal in the probe plan — pure overhead here)
+        expectedItems = 100000L)
       .select(col("doc_id"), col("fp"))
       .orderBy(col("doc_id"))
   }

@@ -273,6 +273,29 @@ class PlanSpec extends SparkSpec {
     } finally { bands.unpersist(false); sets.unpersist(false) }
   }
 
+  test("q_repeated_spans: no count-distinct expand; distinct collapses before the fp count") {
+    val plan = formatted("q_repeated_spans")
+    // count(DISTINCT ...) would plan an Expand + double aggregation over
+    // the raw window stream; the operator must instead dedup (fp, doc)
+    // pairs first and count with a plain partial-combining count
+    assert(!plan.contains("Expand"), s"count-distinct Expand in plan:\n$plan")
+    assert(plan.contains("partial_count"), "doc count lost its map-side combine")
+    // two aggregations: the (fp, doc) distinct and the per-fp count
+    assert("HashAggregate".r.findAllIn(plan).size >= 2)
+  }
+
+  test("q_bloom_dedup: digest probe is a row-local filter; only hits reach the anti join") {
+    val plan = formatted("q_bloom_dedup")
+    // exactly one join in the whole plan — the hit-set anti join; the
+    // definite-new branch must be join-free (the bloom probe is a Filter
+    // over a plan-literal digest, inside codegen)
+    assert(plan.contains("LeftAnti"), s"hit-set anti join missing:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      "anti join should broadcast/hash at this scale, not sort-merge")
+    assert(plan.contains("might_contain") || plan.contains("BloomFilterMightContain") ||
+      plan.contains("graft_bloom_might_contain"), s"bloom probe missing:\n$plan")
+  }
+
   test("q_sample_mix: scan reads only the projected columns") {
     val plan = formatted("q_sample_mix")
     val readSchema = plan.linesIterator.find(_.trim.startsWith("ReadSchema")).get
