@@ -457,6 +457,18 @@ object SparkEntry {
     graft.operators.TextDedup.repeatedSpans(t("documents"), "doc_id", "text")
       .orderBy(col("fp"))
 
+  /** Repeated-span masking (TextDedup.maskRepeatedSpans): documents with
+    * their globally-repeated 8-token passages removed. The oracle rebuilds
+    * the same mask from list functions; texts compare as md5 to keep the
+    * result frame narrow.
+    */
+  private def qMaskSpans(implicit s: SparkSession, d: String): DataFrame =
+    graft.operators.TextDedup.maskRepeatedSpans(t("documents"), "doc_id", "text")
+      .select(col("doc_id"),
+        md5(col("masked_text").cast(BinaryType)).as("masked_fp"),
+        col("n_masked_tokens"))
+      .orderBy(col("doc_id"))
+
   /** Rolling-hash fingerprint via custom expression (oracle: the same
     * left-fold over code points — documents are ASCII, so bytes ≡ points).
     */
@@ -892,6 +904,7 @@ object SparkEntry {
     "q_incremental_dedup" -> mk(qIncrementalDedup(_, _)),
     "q_bloom_dedup"      -> mk(qBloomDedup(_, _)),
     "q_repeated_spans"   -> mk(qRepeatedSpans(_, _)),
+    "q_mask_spans"       -> mk(qMaskSpans(_, _)),
     "q_corpus_dedup"     -> mk(qCorpusDedup(_, _)),
     "q_simhash"          -> mk(qSimhash(_, _)),
     "q_simhash_pairs"    -> mk(qSimhashPairs(_, _)),
@@ -1063,6 +1076,26 @@ object SparkEntry {
            |SELECT fp, count(*) AS n_docs, min(doc_id) AS min_doc_id
            |FROM wins GROUP BY fp HAVING count(*) >= 2
            |ORDER BY fp""".stripMargin,
+      "q_mask_spans" ->
+        s"""WITH ${Frag.wordsCte},
+           |pos AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 7)) AS i FROM w),
+           |wins AS (SELECT doc_id, i, md5(array_to_string(ws[i:i+7], ' ')) AS fp FROM pos),
+           |rep AS (SELECT fp FROM (SELECT DISTINCT doc_id, fp FROM wins)
+           |  GROUP BY fp HAVING count(*) >= 2),
+           |starts AS (SELECT w2.doc_id, list(DISTINCT w2.i) AS ms
+           |  FROM wins w2 JOIN rep USING (fp) GROUP BY w2.doc_id),
+           |masked AS (SELECT w.doc_id,
+           |    CASE WHEN len(ws) > 0 THEN
+           |      list_filter(generate_series(1, len(ws)),
+           |        i -> NOT list_has_any(generate_series(greatest(1, i - 7), i),
+           |                              coalesce(ms, [])))
+           |    ELSE [] END AS kept, ws
+           |  FROM w LEFT JOIN starts USING (doc_id))
+           |SELECT doc_id,
+           |  -- duckdb: array_to_string([]) is NULL, spark concat_ws is ''
+           |  md5(coalesce(array_to_string(list_transform(kept, i -> ws[i]), ' '), '')) AS masked_fp,
+           |  CAST(len(ws) - len(kept) AS BIGINT) AS n_masked_tokens
+           |FROM masked ORDER BY doc_id""".stripMargin,
       "q_bloom_dedup" ->
         """SELECT d.doc_id, md5(d.text) AS fp FROM documents d
           |WHERE d.doc_id % 3 = 0

@@ -267,6 +267,52 @@ object TextDedup {
       .filter(col("n_docs") >= minDocs)
   }
 
+  /** Mask the repeated passages [[repeatedSpans]] detects: tokens covered
+    * by any window fingerprint occurring in ≥ `minDocs` distinct documents
+    * are REMOVED from the text (the Lee-et-al-style cleanup step: strip
+    * boilerplate/licenses/templated spans, keep the unique content).
+    *
+    * Returns `(idCol, masked_text, n_masked_tokens)` for every input row.
+    *
+    * Scale shape: the repeated-fingerprint table is duplicate-bounded
+    * (only spans seen ≥ minDocs times) and joins the per-doc window stream
+    * as a broadcast left-semi; hit positions group back per doc (one
+    * shuffle keyed by doc); the final token surgery is row-local
+    * higher-order functions (filter/transform/exists — all codegen'd,
+    * no UDF).
+    */
+  def maskRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
+      windowTokens: Int = 8, minDocs: Int = 2): DataFrame = {
+    import graft.functions.TextFunctions
+    val w = windowTokens
+    val spans = repeatedSpans(df, idCol, textCol, w, minDocs).select(col("fp"))
+    val toks = TextFunctions.words(col(textCol))
+    val winFps = when(size(toks) >= w,
+        transform(sequence(lit(1), size(toks) - w + 1),
+          i => md5(concat_ws(" ", slice(toks, i, lit(w)))
+            .cast(org.apache.spark.sql.types.BinaryType))))
+      .otherwise(array().cast("array<string>"))
+    // (doc, window-start) rows whose fingerprint is globally repeated
+    val hits = Scale.widen(df)
+      .select(col(idCol), posexplode(winFps).as(Seq("__i0", "fp")))
+      .join(broadcast(spans), Seq("fp"), "left_semi")
+      .select(col(idCol), (col("__i0") + 1).as("__start")) // 1-based
+      .groupBy(col(idCol))
+      .agg(collect_set(col("__start")).as("__starts"))
+    // row-local surgery: keep token i unless some repeated window covers it
+    val ms = coalesce(col("__starts"), array().cast("array<int>"))
+    // sequence(1, 0) would count DOWN — guard empty token lists explicitly
+    val keptIdx = when(size(toks) > 0,
+        filter(sequence(lit(1), size(toks)),
+          i => !exists(ms, s => i >= s && i < s + w)))
+      .otherwise(array().cast("array<int>"))
+    df.join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        concat_ws(" ", transform(keptIdx, i => element_at(toks, i))).as("masked_text"),
+        (size(toks) - size(keptIdx)).cast(org.apache.spark.sql.types.LongType)
+          .as("n_masked_tokens"))
+  }
+
   /** Exact n-gram Jaccard between explicit pairs: intersection and union
     * sizes over distinct shingle sets (ints — exact; callers derive the
     * ratio).

@@ -42,6 +42,27 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("maskRepeatedSpans removes exactly the shared-passage tokens, keeps unique content") {
+    val docs = Seq(
+      (1L, "unique alpha beta shared passage body one two three four gamma tail"),
+      (2L, "other intro shared passage body one two three four closing words here"),
+      (3L, "no overlap with anything else in this corpus at all today")).toDF("doc_id", "text")
+    val out = TextDedup.maskRepeatedSpans(docs, "doc_id", "text", windowTokens = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    // the 7-token run "shared passage body one two three four" is common to
+    // docs 1 and 2 (4 repeated 4-windows cover it exactly); the differing
+    // neighbors keep every window that leaks outside the run unique
+    assert(out(1L) == (("unique alpha beta gamma tail", 7L)), s"got ${out(1L)}")
+    assert(out(2L) == (("other intro closing words here", 7L)), s"got ${out(2L)}")
+    // doc 3 shares nothing and is untouched
+    assert(out(3L) == (("no overlap with anything else in this corpus at all today", 0L)))
+    // an 8-token window cannot repeat here (the shared run is 7 tokens):
+    // nothing is masked at the default window size
+    val none = TextDedup.maskRepeatedSpans(docs, "doc_id", "text", windowTokens = 8)
+      .agg(max(col("n_masked_tokens"))).head().getLong(0)
+    assert(none == 0L)
+  }
+
   test("identical docs always collide in minhash LSH; disjoint docs get distinct signatures") {
     val docs = Seq(
       (1L, "spark catalyst optimizer rewrites logical plans into physical plans"),
