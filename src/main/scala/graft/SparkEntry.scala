@@ -387,6 +387,23 @@ object SparkEntry {
     TextDedup.dedupCorpus(t("documents"), "doc_id", "text")
       .orderBy(col("doc_id"))
 
+  /** Leakage-free train/eval split: the split is decided per NEAR-DUP
+    * CLUSTER (TextDedup.corpusClusters), so no document ever lands in
+    * train while a near-duplicate sits in eval — the contamination mode a
+    * per-document hash split cannot prevent. ~10% of clusters (salted-md5
+    * bucket of the cluster representative) go to eval; the bucket hash is
+    * engine-portable, so the oracle reproduces the exact assignment.
+    */
+  private def qSplitLeakfree(implicit s: SparkSession, d: String): DataFrame = {
+    val clusters = graft.operators.TextDedup.corpusClusters(t("documents"), "doc_id", "text")
+    val bucket = conv(substring(md5(concat(lit("split:"),
+      col("cluster").cast(StringType))), 1, 2), 16, 10).cast(IntegerType)
+    clusters
+      .select(col("doc_id"), col("cluster"),
+        when(bucket < 26, lit("eval")).otherwise(lit("train")).as("split"))
+      .orderBy(col("doc_id"))
+  }
+
   /** MinHash + LSH candidate near-duplicate pairs. */
   private def qMinhashPairs(implicit s: SparkSession, d: String): DataFrame =
     // lazy (materialize = false): the pairs are consumed exactly once, so
@@ -906,6 +923,7 @@ object SparkEntry {
     "q_repeated_spans"   -> mk(qRepeatedSpans(_, _)),
     "q_mask_spans"       -> mk(qMaskSpans(_, _)),
     "q_corpus_dedup"     -> mk(qCorpusDedup(_, _)),
+    "q_split_leakfree"   -> mk(qSplitLeakfree(_, _)),
     "q_simhash"          -> mk(qSimhash(_, _)),
     "q_simhash_pairs"    -> mk(qSimhashPairs(_, _)),
     "q_rolling_hash"     -> mk(qRollingHash(_, _)),
@@ -1124,6 +1142,31 @@ object SparkEntry {
            |  SELECT ed.src, reach.rep FROM ed JOIN reach ON ed.dst = reach.id)
            |SELECT id AS doc_id FROM reach GROUP BY id HAVING min(rep) = id
            |ORDER BY doc_id""".stripMargin,
+      "q_split_leakfree" ->
+        s"""WITH RECURSIVE ${Frag.wordsCte},
+           |${Frag.shinglesCte},
+           |dd AS (SELECT doc_id, list_distinct(sh) AS ds FROM sh),
+           |sig AS (SELECT doc_id, $sigList AS sig FROM sh),
+           |bands AS (SELECT doc_id, j, md5(array_to_string(sig[j*2+1:j*2+2], ',')) AS bh
+           |  FROM sig CROSS JOIN generate_series(0, 5) AS tt(j)),
+           |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM bands a JOIN bands b ON a.j = b.j AND a.bh = b.bh AND a.doc_id < b.doc_id),
+           |ver AS (SELECT doc_a, doc_b FROM cand
+           |  JOIN dd da ON da.doc_id = cand.doc_a
+           |  JOIN dd db ON db.doc_id = cand.doc_b
+           |  WHERE 2 * len(list_intersect(da.ds, db.ds)) >=
+           |    (len(da.ds) + len(db.ds) - len(list_intersect(da.ds, db.ds)))),
+           |ed AS (SELECT doc_a AS src, doc_b AS dst FROM ver
+           |  UNION ALL SELECT doc_b, doc_a FROM ver),
+           |reach AS (
+           |  SELECT doc_id AS id, doc_id AS rep FROM documents
+           |  UNION
+           |  SELECT ed.src, reach.rep FROM ed JOIN reach ON ed.dst = reach.id),
+           |cl AS (SELECT id AS doc_id, min(rep) AS cluster FROM reach GROUP BY id)
+           |SELECT doc_id, cluster,
+           |  CASE WHEN CAST('0x' || substring(md5('split:' || CAST(cluster AS VARCHAR)), 1, 2) AS INTEGER) < 26
+           |    THEN 'eval' ELSE 'train' END AS split
+           |FROM cl ORDER BY doc_id""".stripMargin,
       "q_cosine_topk" ->
         s"""WITH ${Frag.embCte},
            |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
