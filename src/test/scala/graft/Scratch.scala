@@ -101,6 +101,17 @@ object Scratch {
     time("corpus dedup clusters") {
       TextDedup.corpusClusters(docs, "doc_id", "text").count()
     }
+    time("repeated spans (8-token)") {
+      TextDedup.repeatedSpans(docs, "doc_id", "text").count()
+    }
+    time("mask repeated spans") {
+      TextDedup.maskRepeatedSpans(docs, "doc_id", "text").count()
+    }
+    time("bloom dedup (10% batch)") {
+      graft.operators.Dedup.bloomDedupAgainst(
+        docs.filter(col("doc_id") % 10 =!= 0), docs.filter(col("doc_id") % 10 === 0),
+        "text", expectedItems = 1000000L).count()
+    }
     time("tfidf-shape (tokens+tf+df)") {
       val tokens = docs.select(col("doc_id"),
         explode(graft.functions.TextFunctions.words(col("text"))).as("token"))
