@@ -869,6 +869,110 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_docs"))
       .orderBy(col("bucket"))
 
+  /** Balanced shard assignment for training-data writes: documents ranked
+    * by size (token count desc, id asc) and serpentine-packed into 8
+    * shards — the greedy longest-processing-time layout that keeps shard
+    * token totals within one document of each other, so no training shard
+    * becomes a straggler.
+    *
+    * The global rank is computed two-level, like qSeqPack's prefix sum:
+    * per-length offsets come from the tiny token-count histogram
+    * (broadcast; cardinality ≤ max doc length), and the in-group
+    * `row_number` window partitions by that same length — no stage sorts
+    * the corpus in a single task, unlike a bare global-ORDER-BY window.
+    */
+  private def qShardBalance(implicit s: SparkSession, d: String): DataFrame = {
+    val nShards = 8
+    val docs = t("documents")
+      .select(col("doc_id"), TextFunctions.tokenCount(col("text")).cast(LongType).as("n_tokens"))
+    // offsets(len) = number of documents with strictly more tokens
+    val wOff = Window.orderBy(col("n_tokens").desc)
+      .rowsBetween(Window.unboundedPreceding, -1) // histogram table only
+    val offsets = docs.groupBy(col("n_tokens")).agg(count(lit(1)).as("__n"))
+      .withColumn("__off", coalesce(sum(col("__n")).over(wOff), lit(0L)))
+      .select(col("n_tokens"), col("__off"))
+    val wIn = Window.partitionBy(col("n_tokens")).orderBy(col("doc_id"))
+    val idx = col("rnk") - 1
+    val pos = idx % nShards
+    docs.join(broadcast(offsets), "n_tokens")
+      .withColumn("rnk", col("__off") + row_number().over(wIn))
+      .withColumn("shard",
+        when(floor(idx / nShards) % 2 === 0, pos).otherwise(lit(nShards - 1) - pos)
+          .cast(LongType))
+      .select(col("doc_id"), col("n_tokens"), col("rnk").cast(LongType).as("rnk"), col("shard"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Overlapping token-window chunking (retrieval/embedding prep): each
+    * document split into 128-token windows starting every 96 tokens (32
+    * overlap), last window short. Row-local array expressions — the chunk
+    * explode is the only row multiplier and everything stays inside
+    * whole-stage codegen; no shuffle before the final presentation sort.
+    * Chunk text is emitted as an md5 so the oracle checks content, not
+    * just counts.
+    */
+  private def qChunkWindows(implicit s: SparkSession, d: String): DataFrame = {
+    val W = 128
+    val S = 96
+    val withWs = t("documents").select(col("doc_id"),
+      TextFunctions.words(col("text")).as("__ws"))
+      .withColumn("__n", size(col("__ws")).cast(LongType))
+      .filter(col("__n") > 0)
+    val nChunks = floor((col("__n") + (S - 1)) / S) // ceil(n/S), integer math
+    withWs
+      .select(col("doc_id"), col("__ws"), col("__n"),
+        explode(sequence(lit(0L), nChunks - 1)).as("chunk_id"))
+      .withColumn("__start", col("chunk_id") * S)
+      .select(
+        col("doc_id"),
+        col("chunk_id"),
+        least(lit(W), col("__n") - col("__start")).cast(LongType).as("n_chunk_tokens"),
+        md5(concat_ws(" ", slice(col("__ws"), (col("__start") + 1).cast(IntegerType), lit(W))))
+          .as("chunk_hash"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  /** One BPE-style merge-candidate step: the 20 most frequent adjacent
+    * token pairs across the corpus (count desc, pair asc). The bigram
+    * build is the same row-local transform as qRepetition; the global
+    * count is one map-side-combined shuffle and the top-20 runs as
+    * TakeOrderedAndProject (per-partition bounded heaps → driver merge of
+    * 20-row partials), never a full sort.
+    */
+  private def qBpePairs(implicit s: SparkSession, d: String): DataFrame = {
+    val ws = TextFunctions.words(col("text"))
+    val bg = when(size(ws) < 2, array().cast(ArrayType(StringType)))
+      .otherwise(transform(sequence(lit(0), size(ws) - 2),
+        i => concat(element_at(ws, i + 1), lit(" "), element_at(ws, i + 2))))
+    t("documents")
+      .select(explode(bg).as("pair"))
+      .groupBy(col("pair"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair").asc)
+      .limit(20)
+  }
+
+  /** Temperature-weighted source mixture (multilingual/source rebalancing,
+    * alpha = 0.5): per-source document counts and the resampling weight
+    * `count^alpha / Σ count^alpha` in parts-per-million. The per-source
+    * weight is scaled to an exact integer BEFORE the cross-source sum
+    * (the numeric-determinism policy above), and every full-data stage is
+    * one map-side-combined count — the window total runs over the
+    * |sources|-row aggregate only.
+    */
+  private def qSourceTemperature(implicit s: SparkSession, d: String): DataFrame = {
+    val counts = t("documents").groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val w = floor(sqrt(col("n_docs").cast(DoubleType)) * 1e6 + 0.5).cast(LongType)
+    counts
+      .withColumn("__w", w)
+      .withColumn("__tot", sum(col("__w")).over(Window.partitionBy())) // |sources| rows
+      .withColumn("ppm",
+        floor(col("__w").cast(DoubleType) * 1e6 / col("__tot").cast(DoubleType) + 0.5)
+          .cast(LongType))
+      .select(col("source"), col("n_docs"), col("ppm"))
+      .orderBy(col("source"))
+  }
+
   /** Multimodal batch feature extraction through the Dataset/mapPartitions
     * decode boundary (stubbed codec — rows-only check; the deterministic
     * stub features are unit-tested in MultimodalSpec).
@@ -958,6 +1062,10 @@ object SparkEntry {
     "q_length_quantiles" -> mk(qLengthQuantiles(_, _)),
     "q_token_freq"       -> mk(qTokenFreq(_, _)),
     "q_doc_histogram"    -> mk(qDocHistogram(_, _)),
+    "q_shard_balance"    -> mk(qShardBalance(_, _)),
+    "q_chunk_windows"    -> mk(qChunkWindows(_, _)),
+    "q_bpe_pairs"        -> mk(qBpePairs(_, _)),
+    "q_source_temperature" -> mk(qSourceTemperature(_, _)),
     "q_media_features"   -> mk(qMediaFeatures(_, _)))
 
   private def mk(f: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame = f
@@ -1542,7 +1650,39 @@ object SparkEntry {
            |  SELECT cl.cluster, qs.doc_id, qs.score_bp,
            |    row_number() OVER (PARTITION BY cl.cluster ORDER BY qs.score_bp DESC, qs.doc_id ASC) AS rn
            |  FROM cl JOIN qs ON qs.doc_id = cl.id)
-           |WHERE rn = 1 ORDER BY cluster""".stripMargin)
+           |WHERE rn = 1 ORDER BY cluster""".stripMargin,
+      "q_shard_balance" ->
+        s"""WITH ${Frag.wordsCte},
+           |tc AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens FROM w),
+           |r AS (SELECT doc_id, n_tokens,
+           |  row_number() OVER (ORDER BY n_tokens DESC, doc_id ASC) AS rnk FROM tc)
+           |SELECT doc_id, n_tokens, CAST(rnk AS BIGINT) AS rnk,
+           |  CAST(CASE WHEN ((rnk-1)//8) % 2 = 0 THEN (rnk-1)%8 ELSE 7-((rnk-1)%8) END AS BIGINT) AS shard
+           |FROM r ORDER BY doc_id""".stripMargin,
+      "q_chunk_windows" ->
+        s"""WITH ${Frag.wordsCte},
+           |c AS (SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS n,
+           |  unnest(range(0, CAST(ceil(len(ws)/96.0) AS BIGINT))) AS k
+           |  FROM w WHERE len(ws) > 0)
+           |SELECT doc_id, CAST(k AS BIGINT) AS chunk_id,
+           |  CAST(least(128, n - k*96) AS BIGINT) AS n_chunk_tokens,
+           |  md5(array_to_string(ws[k*96+1:k*96+128], ' ')) AS chunk_hash
+           |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+      "q_bpe_pairs" ->
+        s"""WITH ${Frag.wordsCte},
+           |b AS (SELECT CASE WHEN len(ws) < 2 THEN []::VARCHAR[]
+           |  ELSE list_transform(range(0, len(ws)-1), i -> ws[i+1] || ' ' || ws[i+2]) END AS bg FROM w),
+           |p AS (SELECT unnest(bg) AS pair FROM b)
+           |SELECT pair, count(*) AS cnt FROM p GROUP BY pair
+           |ORDER BY cnt DESC, pair ASC LIMIT 20""".stripMargin,
+      "q_source_temperature" ->
+        """WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+          |s AS (SELECT source, n_docs,
+          |  CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS w FROM c)
+          |SELECT source, n_docs,
+          |  CAST(floor(CAST(w AS DOUBLE) * 1e6
+          |    / CAST((SELECT CAST(sum(w) AS BIGINT) FROM s) AS DOUBLE) + 0.5) AS BIGINT) AS ppm
+          |FROM s ORDER BY source""".stripMargin)
   }
 
   def oracleSql: Map[String, String] = llmOracles ++ Map(

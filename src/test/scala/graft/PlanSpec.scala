@@ -349,4 +349,30 @@ class PlanSpec extends SparkSpec {
     assert(scoring.exists(_.trim.matches("""[+\-:\s]*\*\(\d+\).*""")),
       s"fold projection not codegen'd:\n${scoring.mkString("\n")}")
   }
+
+  test("q_shard_balance: histogram offsets broadcast; corpus window is length-partitioned") {
+    val plan = formatted("q_shard_balance")
+    assert(plan.contains("BroadcastHashJoin"), s"length-histogram offsets not broadcast:\n$plan")
+    // the corpus-wide row_number must partition by token count — the only
+    // unpartitioned window allowed is the one over the tiny histogram
+    val windows = plan.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(windows.exists(_.contains("n_tokens")),
+      s"no length-partitioned corpus window:\n${windows.mkString("\n")}")
+  }
+
+  test("q_bpe_pairs: top-20 runs as TakeOrdered, never a full sort of the pair counts") {
+    val plan = formatted("q_bpe_pairs")
+    assert(plan.contains("TakeOrderedAndProject"), s"limit not pushed into TakeOrdered:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("HashAggregate"),
+      s"pair count lost its map-side partial:\n$plan")
+  }
+
+  test("q_chunk_windows: row-local chunking — no join, single explode, pruned scan") {
+    val plan = formatted("q_chunk_windows")
+    assert(!plan.contains("Join"), s"chunking should be join-free:\n$plan")
+    assert(plan.linesIterator.count(_.trim.startsWith("Generate")) <= 1
+      || plan.split("Generate").length <= 3, s"more than one explode:\n$plan")
+    assert(plan.contains("doc_id") && plan.contains("text"),
+      s"unexpected scan shape:\n$plan")
+  }
 }
