@@ -940,11 +940,15 @@ object SparkEntry {
     * 20-row partials), never a full sort.
     */
   private def qBpePairs(implicit s: SparkSession, d: String): DataFrame = {
-    val ws = TextFunctions.words(col("text"))
+    // tokenize into a materialized column FIRST: referencing words(text)
+    // inside the transform lambda would re-run the regex split per bigram
+    // (O(tokens²) tokenizer work per document)
+    val withWs = t("documents").select(TextFunctions.words(col("text")).as("__ws"))
+    val ws = col("__ws")
     val bg = when(size(ws) < 2, array().cast(ArrayType(StringType)))
       .otherwise(transform(sequence(lit(0), size(ws) - 2),
         i => concat(element_at(ws, i + 1), lit(" "), element_at(ws, i + 2))))
-    t("documents")
+    withWs
       .select(explode(bg).as("pair"))
       .groupBy(col("pair"))
       .agg(count(lit(1)).as("cnt"))
@@ -971,6 +975,35 @@ object SparkEntry {
           .cast(LongType))
       .select(col("source"), col("n_docs"), col("ppm"))
       .orderBy(col("source"))
+  }
+
+  /** Unigram-LM quality scoring (the perplexity-proxy filter of
+    * CCNet-style pipelines): each document scored by the corpus-frequency
+    * mass of its tokens — rare-token-heavy documents score low and get
+    * filtered. The "log probability" is the exact integer floor(log2(freq))
+    * bucket, computed from the binary-string length, so cross-engine
+    * parity is bit-exact (no libm log in either engine).
+    *
+    * Tokenizes ONCE like q_tfidf: the per-(doc, token) count exchange is
+    * byte-identical under the vocabulary build and the scoring probe, so
+    * AQE reuses it; the vocabulary bucket table broadcasts.
+    */
+  private def qUnigramLogprob(implicit s: SparkSession, d: String): DataFrame = {
+    val dt = t("documents")
+      .select(col("doc_id"), explode(TextFunctions.words(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("c"))
+    val freq = dt.groupBy(col("token")).agg(sum(col("c")).as("__f"))
+      .select(col("token"), (length(conv(col("__f"), 10, 2)) - 1).cast(LongType).as("__bucket"))
+    dt.join(broadcast(freq), "token")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"),
+        sum(col("c") * col("__bucket")).as("sum_bucket"))
+      .withColumn("avg_bucket_e4",
+        floor(col("sum_bucket").cast(DoubleType) * 1e4 / col("n_tokens").cast(DoubleType))
+          .cast(LongType))
+      .select(col("doc_id"), col("n_tokens"), col("sum_bucket"), col("avg_bucket_e4"))
+      .orderBy(col("doc_id"))
   }
 
   /** Multimodal batch feature extraction through the Dataset/mapPartitions
@@ -1066,6 +1099,7 @@ object SparkEntry {
     "q_chunk_windows"    -> mk(qChunkWindows(_, _)),
     "q_bpe_pairs"        -> mk(qBpePairs(_, _)),
     "q_source_temperature" -> mk(qSourceTemperature(_, _)),
+    "q_unigram_logprob"  -> mk(qUnigramLogprob(_, _)),
     "q_media_features"   -> mk(qMediaFeatures(_, _)))
 
   private def mk(f: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame = f
@@ -1682,7 +1716,20 @@ object SparkEntry {
           |SELECT source, n_docs,
           |  CAST(floor(CAST(w AS DOUBLE) * 1e6
           |    / CAST((SELECT CAST(sum(w) AS BIGINT) FROM s) AS DOUBLE) + 0.5) AS BIGINT) AS ppm
-          |FROM s ORDER BY source""".stripMargin)
+          |FROM s ORDER BY source""".stripMargin,
+      "q_unigram_logprob" ->
+        s"""WITH ${Frag.wordsCte},
+           |tok AS (SELECT doc_id, unnest(ws) AS token FROM w),
+           |dt AS (SELECT doc_id, token, count(*) AS c FROM tok GROUP BY doc_id, token),
+           |f AS (SELECT token,
+           |  CAST(length(bin(CAST(sum(c) AS BIGINT))) - 1 AS BIGINT) AS bucket
+           |  FROM dt GROUP BY token),
+           |sc AS (SELECT dt.doc_id, CAST(sum(dt.c) AS BIGINT) AS n_tokens,
+           |  CAST(sum(dt.c * f.bucket) AS BIGINT) AS sum_bucket
+           |  FROM dt JOIN f USING (token) GROUP BY dt.doc_id)
+           |SELECT doc_id, n_tokens, sum_bucket,
+           |  CAST(floor(CAST(sum_bucket AS DOUBLE) * 1e4 / CAST(n_tokens AS DOUBLE)) AS BIGINT) AS avg_bucket_e4
+           |FROM sc ORDER BY doc_id""".stripMargin)
   }
 
   def oracleSql: Map[String, String] = llmOracles ++ Map(

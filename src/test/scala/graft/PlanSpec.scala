@@ -367,6 +367,23 @@ class PlanSpec extends SparkSpec {
       s"pair count lost its map-side partial:\n$plan")
   }
 
+  test("q_unigram_logprob: vocab broadcast, (doc,token) exchange reused — tokenize once") {
+    val df = SparkEntry.queries("q_unigram_logprob")(spark, sf)
+    df.collect()
+    val executed = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    val finalPlan = executed.split("== Initial Plan ==").head
+    assert(finalPlan.contains("BroadcastHashJoin"), s"vocab join not broadcast:\n$finalPlan")
+    assert(!finalPlan.contains("SortMergeJoin"), "vocab join fell back to a shuffle join")
+    // the vocabulary derives from the same per-(doc, token) count as the
+    // scoring probe; that exchange must be reused or the corpus tokenizes
+    // (and pre-aggregates) twice
+    assert(finalPlan.contains("ReusedExchange"),
+      s"(doc,token) exchange not reused — corpus tokenized twice:\n$finalPlan")
+    val vocabBranch = finalPlan.split("BroadcastExchange").last.split("ReusedExchange").head
+    assert(!vocabBranch.contains("Generate ("),
+      s"vocab branch re-tokenizes (Generate above ReusedExchange):\n$vocabBranch")
+  }
+
   test("q_chunk_windows: row-local chunking — no join, single explode, pruned scan") {
     val plan = formatted("q_chunk_windows")
     assert(!plan.contains("Join"), s"chunking should be join-free:\n$plan")
