@@ -12,11 +12,10 @@ import org.apache.spark.sql.types._
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
 
-  // events.parquet with nanosAsLong: ts arrives as long nanos
-  private val rawSchema = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
+  // Stream with whatever physical ts type the driver generated, then apply
+  // the same normalization the batch loader uses (long nanos / NTZ / LTZ).
+  private val rawSchema =
+    spark.read.parquet(s"$sf/events.parquet").schema
 
   private def streamDir: String = {
     val d = Files.createTempDirectory("graft-stream")
@@ -25,8 +24,8 @@ class StreamingSpec extends SparkSpec {
     d.toString
   }
 
-  private def eventStream = spark.readStream.schema(rawSchema).parquet(streamDir)
-    .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  private def eventStream = graft.Tables.normalizeEventsTs(
+    spark.readStream.schema(rawSchema).parquet(streamDir))
 
   test("windowed bin counts with watermark match the batch aggregation") {
     val q = StreamingOps.windowedBinCounts(eventStream)
