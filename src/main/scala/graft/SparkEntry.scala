@@ -1006,6 +1006,136 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Bigram-LM quality scoring — the unigram bucket score extended to
+    * adjacent token pairs (a closer perplexity proxy: word-order breakage
+    * that a bag-of-words unigram score cannot see lowers this one).
+    * Bigrams form ROW-LOCALLY (`zip_with` over two shifted slices of the
+    * token array — no window, no per-position shuffle). The corpus bigram
+    * frequency table derives FROM the per-(doc, bigram) count aggregate —
+    * same exchange-reuse derivation as q_tfidf — and joins back with a
+    * shuffle join: unlike the unigram vocabulary, a corpus-scale BIGRAM
+    * vocabulary is not broadcastable by contract (it grows ~linearly with
+    * corpus size), so both sides hash-partition on the bigram key.
+    */
+  private def qBigramLogprob(implicit s: SparkSession, d: String): DataFrame = {
+    val nBg = size(col("__ws")) - 1
+    val db = t("documents")
+      .select(col("doc_id"), TextFunctions.words(col("text")).as("__ws"))
+      .filter(size(col("__ws")) >= 2)
+      .select(col("doc_id"), explode(zip_with(
+        slice(col("__ws"), lit(1), nBg), slice(col("__ws"), lit(2), nBg),
+        (a, b) => concat(a, lit(" "), b))).as("bigram"))
+      .groupBy(col("doc_id"), col("bigram"))
+      .agg(count(lit(1)).as("c"))
+    // c > 0 is vacuously true but keeps the count column alive through this
+    // branch's pruning so the two db exchanges canonicalize equal and AQE
+    // computes the tokenize+pair+aggregate subtree once (see qTfidf)
+    val freq = db.filter(col("c") > 0).groupBy(col("bigram"))
+      .agg(sum(col("c")).as("__f"))
+      .select(col("bigram"), (length(conv(col("__f"), 10, 2)) - 1).cast(LongType).as("__bucket"))
+    db.join(freq, "bigram")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_bigrams"),
+        sum(col("c") * col("__bucket")).as("sum_bucket"))
+      .withColumn("avg_bucket_e4",
+        floor(col("sum_bucket").cast(DoubleType) * 1e4 / col("n_bigrams").cast(DoubleType))
+          .cast(LongType))
+      .select(col("doc_id"), col("n_bigrams"), col("sum_bucket"), col("avg_bucket_e4"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** ANN recall evaluation: recall@3 of the IVF index against exact
+    * brute-force ground truth, per query — the index-quality gate a
+    * production semantic-dedup pipeline runs before trusting an index.
+    * Both sides come from the guarded top-k paths (bounded query set,
+    * `MaxQueryRows`/`MaxCodebookRows`), so the intersection join is over
+    * two k·|queries| row tables — driver-safe at any corpus size.
+    */
+  private def qAnnRecall(implicit s: SparkSession, d: String): DataFrame = {
+    val emb = t("embeddings")
+    val queries = emb.filter(col("vec_id") < 8)
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 3)
+      .select(col("query_id"), col("neighbor_id"))
+    val assigned = Similarity.ivfAssign(emb, emb.filter(col("vec_id") < 16))
+    val approx = Similarity.ivfTopK(assigned, emb.select(col("vec_id")).filter(col("vec_id") < 8), k = 3)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = exact.join(approx, Seq("query_id", "neighbor_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("__h"))
+    queries.select(col("vec_id").as("query_id"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("__h"), lit(0L)).as("hits"),
+        floor(coalesce(col("__h"), lit(0L)).cast(DoubleType) * 1e4 / 3.0)
+          .cast(LongType).as("recall_bp"))
+      .orderBy(col("query_id"))
+  }
+
+  /** Chunk-level (paragraph-granularity) exact dedup: the q_chunk_windows
+    * 128-token/96-stride windows hashed, then every chunk whose hash
+    * occurs in MORE THAN ONE document is flagged — per-document duplicated
+    * chunk ratio. This is the between-doc boilerplate detector (headers,
+    * license blocks, templated pages) that document-level dedup misses.
+    * Scale shape: chunks pre-aggregate to per-(hash, doc) counts FIRST —
+    * the per-hash doc count then derives from that aggregate (q_tfidf's
+    * exchange-reuse derivation, so the corpus is chunked once and there is
+    * no two-stage countDistinct), the join back runs hash-partitioned on
+    * chunk_hash, then one groupBy doc_id — no broadcast of anything
+    * corpus-sized, no all-pairs.
+    */
+  private def qChunkDedup(implicit s: SparkSession, d: String): DataFrame = {
+    val W = 128
+    val S = 96
+    val withWs = t("documents").select(col("doc_id"),
+      TextFunctions.words(col("text")).as("__ws"))
+      .withColumn("__n", size(col("__ws")).cast(LongType))
+      .filter(col("__n") > 0)
+    val nChunks = floor((col("__n") + (S - 1)) / S)
+    val chunks = withWs
+      .select(col("doc_id"), col("__ws"),
+        explode(sequence(lit(0L), nChunks - 1)).as("__k"))
+      .select(col("doc_id"),
+        md5(concat_ws(" ", slice(col("__ws"), (col("__k") * S + 1).cast(IntegerType), lit(W))))
+          .as("chunk_hash"))
+    val dc = chunks.groupBy(col("chunk_hash"), col("doc_id"))
+      .agg(count(lit(1)).as("__m"))
+    // __m > 0 is vacuously true but keeps the count column alive through
+    // this branch's pruning so the two dc exchanges canonicalize equal and
+    // AQE computes the chunk+aggregate subtree once (see qTfidf); dc rows
+    // are distinct (hash, doc) pairs, so count(*) per hash = distinct docs
+    val perHash = dc.filter(col("__m") > 0).groupBy(col("chunk_hash"))
+      .agg(count(lit(1)).as("__n_docs"))
+    dc.join(perHash, "chunk_hash")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("__m")).as("n_chunks"),
+        sum(when(col("__n_docs") > 1, col("__m")).otherwise(0L)).as("n_dup_chunks"))
+      .withColumn("dup_bp",
+        floor(col("n_dup_chunks").cast(DoubleType) * 1e4 / col("n_chunks").cast(DoubleType))
+          .cast(LongType))
+      .select(col("doc_id"), col("n_chunks"), col("n_dup_chunks"), col("dup_bp"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Dataset-card mix report: docs and whitespace tokens per (lang, source)
+    * cell plus each cell's share of all corpus tokens — the composition
+    * table every training-data release publishes. One corpus aggregation;
+    * the global-share window runs over the aggregated |langs|·|sources|
+    * crosstab (tens of rows at any corpus size), so the single-partition
+    * window is a driver-sized table, not a corpus funnel.
+    */
+  private def qDomainMix(implicit s: SparkSession, d: String): DataFrame = {
+    val m = t("documents")
+      .select(col("lang"), col("source"),
+        size(TextFunctions.words(col("text"))).cast(LongType).as("__nt"))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__nt")).as("n_tokens"))
+    m.withColumn("share_bp",
+        floor(col("n_tokens").cast(DoubleType) * 1e4 /
+          sum(col("n_tokens")).over(Window.partitionBy()).cast(DoubleType))
+          .cast(LongType))
+      .select(col("lang"), col("source"), col("n_docs"), col("n_tokens"), col("share_bp"))
+      .orderBy(col("lang"), col("source"))
+  }
+
   /** Multimodal batch feature extraction through the Dataset/mapPartitions
     * decode boundary (stubbed codec — rows-only check; the deterministic
     * stub features are unit-tested in MultimodalSpec).
@@ -1100,6 +1230,10 @@ object SparkEntry {
     "q_bpe_pairs"        -> mk(qBpePairs(_, _)),
     "q_source_temperature" -> mk(qSourceTemperature(_, _)),
     "q_unigram_logprob"  -> mk(qUnigramLogprob(_, _)),
+    "q_bigram_logprob"   -> mk(qBigramLogprob(_, _)),
+    "q_ann_recall"       -> mk(qAnnRecall(_, _)),
+    "q_chunk_dedup"      -> mk(qChunkDedup(_, _)),
+    "q_domain_mix"       -> mk(qDomainMix(_, _)),
     "q_media_features"   -> mk(qMediaFeatures(_, _)))
 
   private def mk(f: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame = f
@@ -1729,7 +1863,67 @@ object SparkEntry {
            |  FROM dt JOIN f USING (token) GROUP BY dt.doc_id)
            |SELECT doc_id, n_tokens, sum_bucket,
            |  CAST(floor(CAST(sum_bucket AS DOUBLE) * 1e4 / CAST(n_tokens AS DOUBLE)) AS BIGINT) AS avg_bucket_e4
-           |FROM sc ORDER BY doc_id""".stripMargin)
+           |FROM sc ORDER BY doc_id""".stripMargin,
+      "q_bigram_logprob" ->
+        s"""WITH ${Frag.wordsCte},
+           |bg AS (SELECT doc_id,
+           |  unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS bigram
+           |  FROM w WHERE len(ws) >= 2),
+           |db AS (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY doc_id, bigram),
+           |f AS (SELECT bigram,
+           |  CAST(length(bin(CAST(sum(c) AS BIGINT))) - 1 AS BIGINT) AS bucket
+           |  FROM db GROUP BY bigram),
+           |sc AS (SELECT db.doc_id, CAST(sum(db.c) AS BIGINT) AS n_bigrams,
+           |  CAST(sum(db.c * f.bucket) AS BIGINT) AS sum_bucket
+           |  FROM db JOIN f USING (bigram) GROUP BY db.doc_id)
+           |SELECT doc_id, n_bigrams, sum_bucket,
+           |  CAST(floor(CAST(sum_bucket AS DOUBLE) * 1e4 / CAST(n_bigrams AS DOUBLE)) AS BIGINT) AS avg_bucket_e4
+           |FROM sc ORDER BY doc_id""".stripMargin,
+      "q_ann_recall" ->
+        s"""WITH ${Frag.embCte},
+           |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+           |bs AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+           |  ${Frag.cosine("q.qv", "e.v")} AS sim
+           |  FROM e CROSS JOIN q WHERE e.vec_id != q.query_id),
+           |ex AS (SELECT query_id, neighbor_id FROM (SELECT query_id, neighbor_id,
+           |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rn FROM bs)
+           |  WHERE rn <= 3),
+           |c AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 16),
+           |ad AS (SELECT e.vec_id, e.v, c.cent_id, ${Frag.l2sq("e.v", "c.cv")} AS dist FROM e CROSS JOIN c),
+           |cl AS (SELECT vec_id, v, cent_id AS cell FROM
+           |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cent_id ASC) AS rn FROM ad)
+           |  WHERE rn = 1),
+           |qc AS (SELECT vec_id AS query_id, v AS qv, cell FROM cl WHERE vec_id < 8),
+           |s2 AS (SELECT qc.query_id, cl.vec_id AS neighbor_id, ${Frag.cosine("qc.qv", "cl.v")} AS sim
+           |  FROM cl JOIN qc ON cl.cell = qc.cell AND cl.vec_id != qc.query_id),
+           |ap AS (SELECT query_id, neighbor_id FROM (SELECT query_id, neighbor_id,
+           |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rn FROM s2)
+           |  WHERE rn <= 3),
+           |h AS (SELECT query_id, count(*) AS hits FROM ex JOIN ap USING (query_id, neighbor_id)
+           |  GROUP BY query_id)
+           |SELECT q.query_id, CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+           |  CAST(floor(coalesce(h.hits, 0) * 1e4 / 3.0) AS BIGINT) AS recall_bp
+           |FROM q LEFT JOIN h USING (query_id) ORDER BY query_id""".stripMargin,
+      "q_chunk_dedup" ->
+        s"""WITH ${Frag.wordsCte},
+           |c AS (SELECT doc_id, ws,
+           |  unnest(range(0, CAST(ceil(len(ws)/96.0) AS BIGINT))) AS k
+           |  FROM w WHERE len(ws) > 0),
+           |ch AS (SELECT doc_id, md5(array_to_string(ws[k*96+1:k*96+128], ' ')) AS chunk_hash FROM c),
+           |g AS (SELECT chunk_hash, count(DISTINCT doc_id) AS n_docs FROM ch GROUP BY chunk_hash),
+           |p AS (SELECT ch.doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+           |  CAST(sum(CASE WHEN g.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks
+           |  FROM ch JOIN g USING (chunk_hash) GROUP BY ch.doc_id)
+           |SELECT doc_id, n_chunks, n_dup_chunks,
+           |  CAST(floor(CAST(n_dup_chunks AS DOUBLE) * 1e4 / CAST(n_chunks AS DOUBLE)) AS BIGINT) AS dup_bp
+           |FROM p ORDER BY doc_id""".stripMargin,
+      "q_domain_mix" ->
+        s"""WITH m AS (SELECT lang, source, count(*) AS n_docs,
+           |  CAST(sum(len(list_filter(regexp_split_to_array(trim(text), '\\s+'), w -> len(w) > 0))) AS BIGINT) AS n_tokens
+           |  FROM documents GROUP BY lang, source)
+           |SELECT lang, source, CAST(n_docs AS BIGINT) AS n_docs, n_tokens,
+           |  CAST(floor(CAST(n_tokens AS DOUBLE) * 1e4 / (sum(CAST(n_tokens AS DOUBLE)) OVER ())) AS BIGINT) AS share_bp
+           |FROM m ORDER BY lang, source""".stripMargin)
   }
 
   def oracleSql: Map[String, String] = llmOracles ++ Map(

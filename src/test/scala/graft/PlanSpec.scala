@@ -384,6 +384,34 @@ class PlanSpec extends SparkSpec {
       s"vocab branch re-tokenizes (Generate above ReusedExchange):\n$vocabBranch")
   }
 
+  test("q_bigram_logprob: (doc,bigram) exchange reused, bigram join NOT broadcast") {
+    val df = SparkEntry.queries("q_bigram_logprob")(spark, sf)
+    df.collect()
+    val executed = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    val finalPlan = executed.split("== Initial Plan ==").head
+    // the bigram frequency table derives from the same per-(doc, bigram)
+    // count as the scoring probe; that exchange must be reused or the
+    // corpus tokenizes + pairs twice
+    assert(finalPlan.contains("ReusedExchange"),
+      s"(doc,bigram) exchange not reused — corpus paired twice:\n$finalPlan")
+    // unlike the unigram vocabulary, the bigram table grows with the corpus:
+    // the plan must NOT rely on broadcasting it (AQE may still pick a
+    // broadcast at sf0.001 — assert only that we didn't force one)
+    assert(!df.queryExecution.logical.toString.contains("ResolvedHint"),
+      "bigram join must not carry a broadcast hint — the table is corpus-scale")
+  }
+
+  test("q_chunk_dedup: per-hash count exchange reused by the join back") {
+    val df = SparkEntry.queries("q_chunk_dedup")(spark, sf)
+    df.collect()
+    val executed = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    val finalPlan = executed.split("== Initial Plan ==").head
+    // chunks feed both the per-hash distinct-doc count and the join probe —
+    // the chunk_hash exchange must be shared, not computed per branch
+    assert(finalPlan.contains("ReusedExchange"),
+      s"chunk exchange not reused — corpus chunked twice:\n$finalPlan")
+  }
+
   test("q_chunk_windows: row-local chunking — no join, single explode, pruned scan") {
     val plan = formatted("q_chunk_windows")
     assert(!plan.contains("Join"), s"chunking should be join-free:\n$plan")
