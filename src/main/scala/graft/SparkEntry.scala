@@ -645,6 +645,34 @@ object SparkEntry {
     * partial-aggregation order, unlike summing raw doubles. The division
     * (sum/n = new centroid) is the caller's trivial step.
     */
+  /** One power-iteration step over the embedding matrix (the top-
+    * principal-direction primitive behind PCA whitening / spectral
+    * diagnostics of an embedding corpus): out = Xᵀ(Xv) for a fixed
+    * deterministic start vector v (+1/−1 alternating). Everything runs in
+    * scaled-INTEGER space (components quantized at 1e3), so the
+    * row-visit-order-dependent float summation problem disappears — partial
+    * long sums commute exactly, and the cross-engine compare is bit-exact.
+    * Scale shape: s=⟨x,v⟩ and the s·x rescale are row-local; the only
+    * aggregation is one VectorSumLong — a |dim|-long partial per mapper
+    * (map-side combined), with the per-dim explode on the single aggregated
+    * row, never on the corpus.
+    */
+  private def qPowerIter(implicit s: SparkSession, d: String): DataFrame = {
+    val xq = transform(col("embedding"), x => round(x.cast(DoubleType) * 1e3).cast(LongType))
+    val signed = zip_with(xq, sequence(lit(0), size(col("embedding")) - 1),
+      (x, j) => x * (lit(1L) - lit(2L) * (j % 2)))
+    val sI = aggregate(signed, lit(0L), (a, x) => a + x)
+    t("embeddings")
+      .select(xq.as("__xq"), sI.as("__s"))
+      .agg(graft.functions.GraftExpressions.vectorSumLong(
+          transform(col("__xq"), x => x * col("__s"))).as("__out"),
+        count(lit(1)).as("__n"), sum(col("__s") * col("__s")).as("__s2"))
+      .select(col("__n"), col("__s2"), posexplode(col("__out")).as(Seq("dim", "out_scaled")))
+      .select(col("dim").cast(LongType).as("dim"), col("out_scaled"),
+        col("__n").as("n_vectors"), col("__s2").as("s_norm_sq"))
+      .orderBy(col("dim"))
+  }
+
   private def qKmeansStep(implicit s: SparkSession, d: String): DataFrame = {
     val e = t("embeddings")
     val centroids = e.filter(col("vec_id") < 16)
@@ -1234,6 +1262,7 @@ object SparkEntry {
     "q_ann_recall"       -> mk(qAnnRecall(_, _)),
     "q_chunk_dedup"      -> mk(qChunkDedup(_, _)),
     "q_domain_mix"       -> mk(qDomainMix(_, _)),
+    "q_power_iter"       -> mk(qPowerIter(_, _)),
     "q_media_features"   -> mk(qMediaFeatures(_, _)))
 
   private def mk(f: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame = f
@@ -1917,6 +1946,21 @@ object SparkEntry {
            |SELECT doc_id, n_chunks, n_dup_chunks,
            |  CAST(floor(CAST(n_dup_chunks AS DOUBLE) * 1e4 / CAST(n_chunks AS DOUBLE)) AS BIGINT) AS dup_bp
            |FROM p ORDER BY doc_id""".stripMargin,
+      "q_power_iter" ->
+        s"""WITH ${Frag.embCte},
+           |x AS (SELECT vec_id, list_transform(v, y -> CAST(round(y * 1e3) AS BIGINT)) AS xq FROM e),
+           |s AS (SELECT vec_id, xq,
+           |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |    list_transform(range(0, len(xq)), j -> xq[j+1] * (1 - 2 * (j % 2)))),
+           |    (a, b) -> a + b) AS si
+           |  FROM x),
+           |dims AS (SELECT si,
+           |  unnest(list_transform(range(0, len(xq)), j -> {'dim': j, 'o': xq[j+1] * si})) AS u
+           |  FROM s)
+           |SELECT CAST(u.dim AS BIGINT) AS dim, CAST(sum(u.o) AS BIGINT) AS out_scaled,
+           |  (SELECT count(*) FROM s) AS n_vectors,
+           |  (SELECT CAST(sum(si * si) AS BIGINT) FROM s) AS s_norm_sq
+           |FROM dims GROUP BY 1 ORDER BY dim""".stripMargin,
       "q_domain_mix" ->
         s"""WITH m AS (SELECT lang, source, count(*) AS n_docs,
            |  CAST(sum(len(list_filter(regexp_split_to_array(trim(text), '\\s+'), w -> len(w) > 0))) AS BIGINT) AS n_tokens

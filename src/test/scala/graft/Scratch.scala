@@ -118,6 +118,35 @@ object Scratch {
       val tf = tokens.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
       tf.filter(col("tf") > 0).groupBy(col("token")).agg(count(lit(1))).count()
     }
+    time("bigram-logprob shape") {
+      val nBg = size(col("__ws")) - 1
+      val db = docs.select(col("doc_id"),
+          graft.functions.TextFunctions.words(col("text")).as("__ws"))
+        .filter(size(col("__ws")) >= 2)
+        .select(col("doc_id"), explode(zip_with(
+          slice(col("__ws"), lit(1), nBg), slice(col("__ws"), lit(2), nBg),
+          (a, b) => concat(a, lit(" "), b))).as("bigram"))
+        .groupBy(col("doc_id"), col("bigram")).agg(count(lit(1)).as("c"))
+      val f = db.filter(col("c") > 0).groupBy(col("bigram")).agg(sum(col("c")).as("__f"))
+      db.join(f, "bigram").groupBy(col("doc_id")).agg(sum(col("c"))).count()
+    }
+    time("chunk-dedup shape") {
+      val withWs = docs.select(col("doc_id"),
+          graft.functions.TextFunctions.words(col("text")).as("__ws"))
+        .withColumn("__n", size(col("__ws")).cast("long"))
+        .filter(col("__n") > 0)
+      val chunks = withWs
+        .select(col("doc_id"), col("__ws"),
+          explode(sequence(lit(0L), floor((col("__n") + 95) / 96) - 1)).as("__k"))
+        .select(col("doc_id"),
+          md5(concat_ws(" ", slice(col("__ws"), (col("__k") * 96 + 1).cast("int"), lit(128))))
+            .as("chunk_hash"))
+      val dc = chunks.groupBy(col("chunk_hash"), col("doc_id")).agg(count(lit(1)).as("__m"))
+      val perHash = dc.filter(col("__m") > 0).groupBy(col("chunk_hash"))
+        .agg(count(lit(1)).as("__n_docs"))
+      dc.join(perHash, "chunk_hash").groupBy(col("doc_id"))
+        .agg(sum(col("__m")), sum(when(col("__n_docs") > 1, col("__m")).otherwise(0L))).count()
+    }
     docs.unpersist()
     val emb0 = Tables.load(spark, sfDir, "embeddings")
     val espan = emb0.agg(max(col("vec_id"))).collect()(0).getLong(0) + 1
