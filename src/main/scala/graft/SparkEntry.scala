@@ -412,6 +412,29 @@ object SparkEntry {
         shingleN = 3, k = 12, bands = 6, rowsPerBand = 2, materialize = false)
       .orderBy(col("doc_a"), col("doc_b"))
 
+  /** Cross-source duplication matrix: MinHash-LSH candidate pairs rolled
+    * up to (source, source) cells — "which sources copy each other", the
+    * provenance diagnostic that decides whether to dedup within or across
+    * sources before mixing. The pair set is band-bounded (never all-pairs);
+    * the two provenance lookups are shuffle joins on doc_id against a
+    * NARROW (id, source) projection of the corpus, then the matrix
+    * aggregate runs over candidate pairs only. Source order inside a cell
+    * is canonicalized with least/greatest so (A,B) and (B,A) collapse.
+    */
+  private def qSourceOverlap(implicit s: SparkSession, d: String): DataFrame = {
+    val docs = t("documents")
+    val pairs = TextDedup.minhashCandidatePairs(docs, "doc_id", "text",
+      shingleN = 3, k = 12, bands = 6, rowsPerBand = 2, materialize = false)
+    val srcA = docs.select(col("doc_id").as("doc_a"), col("source").as("__sa"))
+    val srcB = docs.select(col("doc_id").as("doc_b"), col("source").as("__sb"))
+    pairs.join(srcA, "doc_a").join(srcB, "doc_b")
+      .select(least(col("__sa"), col("__sb")).as("source_a"),
+        greatest(col("__sa"), col("__sb")).as("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   /** Incremental dedup: candidates between the standing corpus (history)
     * and one incoming batch (doc_id ≡ 0 mod 10 stands in for the new
     * slice) — the batch band table broadcasts, the corpus streams, and no
@@ -1143,6 +1166,48 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Content-defined chunking (FastCDC-style, at token granularity): a
+    * chunk boundary falls after token p wherever the hash of the 4-token
+    * window ending at p has a fixed suffix (last md5 hex digit = '0',
+    * P=1/16 → ~16-token average chunks). Unlike the fixed-stride
+    * q_chunk_windows, CDC boundaries survive insertions/deletions — shifted
+    * text re-synchronizes on the same content-derived cut points, which is
+    * what makes chunk-hash dedup robust to edits. Entirely ROW-LOCAL: the
+    * boundary scan, chunk assembly and hashing are array expressions; the
+    * chunk explode is the only row multiplier and there is no shuffle at
+    * all before the output sort.
+    */
+  private def qCdcChunks(implicit s: SparkSession, d: String): DataFrame = {
+    val ws = col("__ws")
+    val n = size(ws)
+    // 0-based boundary positions p ∈ [3, n): window ws[p-3..p] (1-based
+    // slice start p-2) hashes to a '0'-suffixed md5. sequence(3, n-1)
+    // would run DESCENDING for n < 4 — guard with an empty array.
+    val bounds = when(n >= 4,
+      filter(sequence(lit(3), n - 1),
+        p => substring(md5(concat_ws(" ", slice(ws, p - 2, lit(4)))), 32, 1) === "0"))
+      .otherwise(array().cast("array<int>"))
+    val starts = concat(array(lit(0)),
+      transform(filter(bounds, b => b + 1 < n), b => b + 1))
+    val chunks = transform(sequence(lit(0), size(starts) - 1),
+      k => struct(
+        element_at(starts, k + 1).as("s"),
+        when(k < size(starts) - 1, element_at(starts, k + 2) - 1)
+          .otherwise(n - 1).as("e")))
+    t("documents")
+      .select(col("doc_id"), TextFunctions.words(col("text")).as("__ws"))
+      .filter(size(col("__ws")) > 0)
+      .select(col("doc_id"), col("__ws"),
+        posexplode(chunks).as(Seq("chunk_id", "__c")))
+      .select(col("doc_id"), col("chunk_id").cast(LongType).as("chunk_id"),
+        col("__c.s").cast(LongType).as("start_tok"),
+        (col("__c.e") - col("__c.s") + 1).cast(LongType).as("n_chunk_tokens"),
+        md5(concat_ws(" ",
+          slice(col("__ws"), col("__c.s") + 1, col("__c.e") - col("__c.s") + 1)))
+          .as("chunk_hash"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
   /** Dataset-card mix report: docs and whitespace tokens per (lang, source)
     * cell plus each cell's share of all corpus tokens — the composition
     * table every training-data release publishes. One corpus aggregation;
@@ -1263,6 +1328,8 @@ object SparkEntry {
     "q_chunk_dedup"      -> mk(qChunkDedup(_, _)),
     "q_domain_mix"       -> mk(qDomainMix(_, _)),
     "q_power_iter"       -> mk(qPowerIter(_, _)),
+    "q_cdc_chunks"       -> mk(qCdcChunks(_, _)),
+    "q_source_overlap"   -> mk(qSourceOverlap(_, _)),
     "q_media_features"   -> mk(qMediaFeatures(_, _)))
 
   private def mk(f: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame = f
@@ -1961,6 +2028,40 @@ object SparkEntry {
            |  (SELECT count(*) FROM s) AS n_vectors,
            |  (SELECT CAST(sum(si * si) AS BIGINT) FROM s) AS s_norm_sq
            |FROM dims GROUP BY 1 ORDER BY dim""".stripMargin,
+      "q_source_overlap" ->
+        s"""WITH ${Frag.wordsCte},
+           |${Frag.shinglesCte},
+           |sig AS (SELECT doc_id, $sigList AS sig FROM sh),
+           |bands AS (SELECT doc_id, j, md5(array_to_string(sig[j*2+1:j*2+2], ',')) AS bh
+           |  FROM sig CROSS JOIN generate_series(0, 5) AS tt(j)),
+           |p AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM bands a JOIN bands b ON a.j = b.j AND a.bh = b.bh AND a.doc_id < b.doc_id)
+           |SELECT least(da.source, db.source) AS source_a,
+           |  greatest(da.source, db.source) AS source_b,
+           |  CAST(count(*) AS BIGINT) AS n_pairs
+           |FROM p JOIN documents da ON p.doc_a = da.doc_id
+           |  JOIN documents db ON p.doc_b = db.doc_id
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      "q_cdc_chunks" ->
+        s"""WITH ${Frag.wordsCte},
+           |v AS (SELECT doc_id, ws, len(ws) AS n FROM w WHERE len(ws) > 0),
+           |b AS (SELECT doc_id, ws, n,
+           |  list_filter(range(3, n), p ->
+           |    substring(md5(array_to_string(ws[p-2:p+1], ' ')), 32, 1) = '0') AS bnds
+           |  FROM v),
+           |st AS (SELECT doc_id, ws, n,
+           |  list_prepend(0, list_transform(list_filter(bnds, x -> x + 1 < n), x -> x + 1)) AS starts
+           |  FROM b),
+           |ch AS (SELECT doc_id, ws, n,
+           |  unnest(list_transform(range(0, len(starts)), k -> {'idx': k,
+           |    's': starts[k+1],
+           |    'e': CASE WHEN k + 1 < len(starts) THEN starts[k+2] - 1 ELSE n - 1 END})) AS u
+           |  FROM st)
+           |SELECT doc_id, CAST(u.idx AS BIGINT) AS chunk_id,
+           |  CAST(u.s AS BIGINT) AS start_tok,
+           |  CAST(u.e - u.s + 1 AS BIGINT) AS n_chunk_tokens,
+           |  md5(array_to_string(ws[u.s+1:u.e+1], ' ')) AS chunk_hash
+           |FROM ch ORDER BY doc_id, chunk_id""".stripMargin,
       "q_domain_mix" ->
         s"""WITH m AS (SELECT lang, source, count(*) AS n_docs,
            |  CAST(sum(len(list_filter(regexp_split_to_array(trim(text), '\\s+'), w -> len(w) > 0))) AS BIGINT) AS n_tokens
