@@ -412,6 +412,30 @@ class PlanSpec extends SparkSpec {
       s"chunk exchange not reused — corpus chunked twice:\n$finalPlan")
   }
 
+  test("q_cdc_chunks: row-local CDC — no join, single explode, no aggregation") {
+    val plan = formatted("q_cdc_chunks")
+    assert(!plan.contains("Join"), s"CDC chunking should be join-free:\n$plan")
+    assert(!plan.contains("HashAggregate"), s"CDC chunking should not aggregate:\n$plan")
+    // boundary scan + chunk assembly are array expressions; the chunk
+    // posexplode is the only row multiplier
+    assert(plan.split("Generate").length <= 3, s"more than one explode:\n$plan")
+  }
+
+  test("q_power_iter: one corpus aggregation, explode only on the aggregated row") {
+    val df = SparkEntry.queries("q_power_iter")(spark, sf)
+    df.collect()
+    val executed = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    val finalPlan = executed.split("== Initial Plan ==").head
+    assert(!finalPlan.contains("Join"), s"power iteration should be join-free:\n$finalPlan")
+    // the per-dim posexplode must sit ABOVE the vector-sum aggregate (one
+    // aggregated row), never under it (corpus × dim rows into the shuffle)
+    val genIdx = finalPlan.linesIterator.indexWhere(_.contains("Generate"))
+    val aggIdx = finalPlan.linesIterator.indexWhere(l =>
+      l.contains("ObjectHashAggregate") || l.contains("SortAggregate") || l.contains("HashAggregate"))
+    assert(genIdx >= 0 && aggIdx >= 0 && genIdx < aggIdx,
+      s"explode not above the aggregate (gen@$genIdx agg@$aggIdx):\n$finalPlan")
+  }
+
   test("q_chunk_windows: row-local chunking — no join, single explode, pruned scan") {
     val plan = formatted("q_chunk_windows")
     assert(!plan.contains("Join"), s"chunking should be join-free:\n$plan")
