@@ -412,6 +412,58 @@ object SparkEntry {
         shingleN = 3, k = 12, bands = 6, rowsPerBand = 2, materialize = false)
       .orderBy(col("doc_a"), col("doc_b"))
 
+  /** MinHash calibration: for every LSH candidate pair, the signature
+    * estimate of Jaccard (matching lanes / 12) next to the EXACT shingle
+    * Jaccard (integer intersection / union sizes) — the audit that tells
+    * you whether the banding parameters' recall/precision trade-off holds
+    * on YOUR corpus before trusting the index. All-integer outputs.
+    * Scale shape: the pair set is band-bounded; signatures and shingle
+    * sets re-attach through narrow id-keyed shuffle joins. In production
+    * this runs over a pair SAMPLE — the full-corpus form here is the
+    * oracle-checkable worst case.
+    */
+  private def qMinhashCalib(implicit s: SparkSession, d: String): DataFrame = {
+    val docs = t("documents")
+    val pairs = TextDedup.minhashCandidatePairs(docs, "doc_id", "text",
+      shingleN = 3, k = 12, bands = 6, rowsPerBand = 2, materialize = false)
+    val sigs = TextDedup.minhashSignatures(docs, "doc_id", "text", shingleN = 3, k = 12)
+    val sets = TextDedup.distinctShingleSets(docs, "doc_id", "text", 3)
+    val sigA = sigs.select(col("doc_id").as("doc_a") +:
+      (0 until 12).map(i => col(s"__mh_$i").as(s"__a_$i")): _*)
+    val sigB = sigs.select(col("doc_id").as("doc_b") +:
+      (0 until 12).map(i => col(s"__mh_$i").as(s"__b_$i")): _*)
+    val setA = sets.select(col("doc_id").as("doc_a"), col("__sh").as("__sha"))
+    val setB = sets.select(col("doc_id").as("doc_b"), col("__sh").as("__shb"))
+    val estLanes = (0 until 12)
+      .map(i => when(col(s"__a_$i") === col(s"__b_$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val (inter, union) = TextDedup.jaccardCounts(col("__sha"), col("__shb"))
+    pairs.join(sigA, "doc_a").join(sigB, "doc_b")
+      .join(setA, "doc_a").join(setB, "doc_b")
+      .select(col("doc_a"), col("doc_b"), estLanes.as("est_lanes"),
+        inter.cast(LongType).as("inter_sz"), union.cast(LongType).as("union_sz"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Dedup audit: histogram of near-dup cluster sizes (how much of the
+    * corpus sits in 2-doc pairs vs mega-clusters — the shape that decides
+    * retention policy and flags template explosions). Two tiny
+    * aggregations over the connected-components output: per-cluster size,
+    * then size → cluster count; both shuffle only cluster-count-sized
+    * tables, the corpus-scale work is the CC contraction itself.
+    */
+  private def qClusterSizes(implicit s: SparkSession, d: String): DataFrame = {
+    val emb = t("embeddings")
+    val assigned = Similarity.ivfAssign(emb, emb.filter(col("vec_id") < 16))
+    val pairs = Similarity.cosineNearDupPairs(assigned, 0.3)
+    Similarity.connectedComponents(pairs, emb.select(col("vec_id")))
+      .groupBy(col("cluster")).agg(count(lit(1)).as("__sz"))
+      .groupBy(col("__sz")).agg(count(lit(1)).as("n_clusters"))
+      .select(col("__sz").cast(LongType).as("cluster_size"), col("n_clusters"),
+        (col("__sz") * col("n_clusters")).cast(LongType).as("n_vectors"))
+      .orderBy(col("cluster_size"))
+  }
+
   /** Cross-source duplication matrix: MinHash-LSH candidate pairs rolled
     * up to (source, source) cells — "which sources copy each other", the
     * provenance diagnostic that decides whether to dedup within or across
@@ -1330,6 +1382,8 @@ object SparkEntry {
     "q_power_iter"       -> mk(qPowerIter(_, _)),
     "q_cdc_chunks"       -> mk(qCdcChunks(_, _)),
     "q_source_overlap"   -> mk(qSourceOverlap(_, _)),
+    "q_cluster_sizes"    -> mk(qClusterSizes(_, _)),
+    "q_minhash_calib"    -> mk(qMinhashCalib(_, _)),
     "q_media_features"   -> mk(qMediaFeatures(_, _)))
 
   private def mk(f: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame = f
@@ -2028,6 +2082,45 @@ object SparkEntry {
            |  (SELECT count(*) FROM s) AS n_vectors,
            |  (SELECT CAST(sum(si * si) AS BIGINT) FROM s) AS s_norm_sq
            |FROM dims GROUP BY 1 ORDER BY dim""".stripMargin,
+      "q_minhash_calib" ->
+        s"""WITH ${Frag.wordsCte},
+           |${Frag.shinglesCte},
+           |dd AS (SELECT doc_id, list_distinct(sh) AS ds FROM sh),
+           |sig AS (SELECT doc_id, $sigList AS sig FROM sh),
+           |bands AS (SELECT doc_id, j, md5(array_to_string(sig[j*2+1:j*2+2], ',')) AS bh
+           |  FROM sig CROSS JOIN generate_series(0, 5) AS tt(j)),
+           |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM bands a JOIN bands b ON a.j = b.j AND a.bh = b.bh AND a.doc_id < b.doc_id)
+           |SELECT cand.doc_a, cand.doc_b,
+           |  CAST(len(list_filter(range(1, 13), i -> sa.sig[i] = sb.sig[i])) AS BIGINT) AS est_lanes,
+           |  CAST(len(list_intersect(da.ds, db.ds)) AS BIGINT) AS inter_sz,
+           |  CAST(len(da.ds) + len(db.ds) - len(list_intersect(da.ds, db.ds)) AS BIGINT) AS union_sz
+           |FROM cand JOIN sig sa ON sa.doc_id = cand.doc_a
+           |  JOIN sig sb ON sb.doc_id = cand.doc_b
+           |  JOIN dd da ON da.doc_id = cand.doc_a
+           |  JOIN dd db ON db.doc_id = cand.doc_b
+           |ORDER BY doc_a, doc_b""".stripMargin,
+      "q_cluster_sizes" ->
+        s"""WITH RECURSIVE
+           |${Frag.embCte},
+           |cen AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 16),
+           |ad AS (SELECT e.vec_id, e.v, cen.cent_id, ${Frag.l2sq("e.v", "cen.cv")} AS dist FROM e CROSS JOIN cen),
+           |cl AS (SELECT vec_id, v, cent_id AS cell FROM
+           |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cent_id ASC) AS rn FROM ad)
+           |  WHERE rn = 1),
+           |p AS (SELECT vec_a, vec_b FROM (
+           |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, ${Frag.cosine("a.v", "b.v")} AS sim
+           |  FROM cl a JOIN cl b ON a.cell = b.cell AND a.vec_id < b.vec_id) WHERE sim > 0.3),
+           |ed AS (SELECT vec_a AS src, vec_b AS dst FROM p UNION ALL SELECT vec_b, vec_a FROM p),
+           |reach AS (
+           |  SELECT vec_id AS id, vec_id AS rep FROM e
+           |  UNION
+           |  SELECT ed.src, reach.rep FROM ed JOIN reach ON ed.dst = reach.id),
+           |asg AS (SELECT id, min(rep) AS cluster FROM reach GROUP BY id),
+           |cs AS (SELECT cluster, count(*) AS sz FROM asg GROUP BY cluster)
+           |SELECT CAST(sz AS BIGINT) AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+           |  CAST(sz * count(*) AS BIGINT) AS n_vectors
+           |FROM cs GROUP BY sz ORDER BY cluster_size""".stripMargin,
       "q_source_overlap" ->
         s"""WITH ${Frag.wordsCte},
            |${Frag.shinglesCte},
