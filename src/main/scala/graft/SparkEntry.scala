@@ -1235,22 +1235,35 @@ object SparkEntry {
     // 0-based boundary positions p ∈ [3, n): window ws[p-3..p] (1-based
     // slice start p-2) hashes to a '0'-suffixed md5. sequence(3, n-1)
     // would run DESCENDING for n < 4 — guard with an empty array.
+    // Each intermediate array materializes in its OWN projection: nested
+    // directly, `starts` is captured unevaluated inside the per-chunk
+    // lambda and the O(tokens) md5 boundary scan re-runs per chunk index.
+    // CollapseProject keeps the multi-referenced non-cheap aliases in
+    // separate Projects. The explode must be the OUTER variant: for a
+    // non-outer Generate, InferFiltersFromGenerate adds a size(chunks)>0
+    // guard that predicate pushdown then inlines below the projections,
+    // re-evaluating the whole boundary scan ~6x per row (measured 60 s vs
+    // 0.6 s at sf0.1); the guard is vacuous here — every doc with >=1
+    // token yields >=1 chunk — and outer generates are exempt from it.
     val bounds = when(n >= 4,
       filter(sequence(lit(3), n - 1),
         p => substring(md5(concat_ws(" ", slice(ws, p - 2, lit(4)))), 32, 1) === "0"))
       .otherwise(array().cast("array<int>"))
     val starts = concat(array(lit(0)),
-      transform(filter(bounds, b => b + 1 < n), b => b + 1))
-    val chunks = transform(sequence(lit(0), size(starts) - 1),
+      transform(filter(col("__bounds"), b => b + 1 < n), b => b + 1))
+    val chunks = transform(sequence(lit(0), size(col("__starts")) - 1),
       k => struct(
-        element_at(starts, k + 1).as("s"),
-        when(k < size(starts) - 1, element_at(starts, k + 2) - 1)
+        element_at(col("__starts"), k + 1).as("s"),
+        when(k < size(col("__starts")) - 1, element_at(col("__starts"), k + 2) - 1)
           .otherwise(n - 1).as("e")))
     t("documents")
       .select(col("doc_id"), TextFunctions.words(col("text")).as("__ws"))
       .filter(size(col("__ws")) > 0)
+      .withColumn("__bounds", bounds)
+      .withColumn("__starts", starts)
+      .withColumn("__chunks", chunks)
       .select(col("doc_id"), col("__ws"),
-        posexplode(chunks).as(Seq("chunk_id", "__c")))
+        posexplode_outer(col("__chunks")).as(Seq("chunk_id", "__c")))
       .select(col("doc_id"), col("chunk_id").cast(LongType).as("chunk_id"),
         col("__c.s").cast(LongType).as("start_tok"),
         (col("__c.e") - col("__c.s") + 1).cast(LongType).as("n_chunk_tokens"),
@@ -1279,6 +1292,38 @@ object SparkEntry {
           .cast(LongType))
       .select(col("lang"), col("source"), col("n_docs"), col("n_tokens"), col("share_bp"))
       .orderBy(col("lang"), col("source"))
+  }
+
+  /** Tokenizer vocabulary coverage (OOV-rate proxy): build the top-1000
+    * corpus vocabulary (count desc, token asc tie-break), then score every
+    * document by the fraction of its token occurrences covered — the
+    * pre-training check that a candidate tokenizer/vocab fits the corpus.
+    * The per-(doc, token) count exchange feeds BOTH the vocabulary build
+    * and the scoring probe (q_tfidf's reuse derivation: one tokenize).
+    * The top-1000 cut runs as a bounded TakeOrdered (never a full sort),
+    * and the vocabulary — capped at 1000 rows by construction — broadcasts.
+    */
+  private def qVocabCoverage(implicit s: SparkSession, d: String): DataFrame = {
+    val dt = t("documents")
+      .select(col("doc_id"), explode(TextFunctions.words(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("c"))
+    // c > 0 keeps the count alive so the two dt exchanges canonicalize
+    // equal and the tokenize+aggregate subtree computes once (see qTfidf)
+    val vocab = dt.filter(col("c") > 0).groupBy(col("token"))
+      .agg(sum(col("c")).as("__f"))
+      .orderBy(col("__f").desc, col("token").asc)
+      .limit(1000)
+      .select(col("token"), lit(1).as("__in_vocab"))
+    dt.join(broadcast(vocab), Seq("token"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"),
+        sum(when(col("__in_vocab").isNotNull, col("c")).otherwise(0L)).as("n_covered"))
+      .withColumn("coverage_bp",
+        floor(col("n_covered").cast(DoubleType) * 1e4 / col("n_tokens").cast(DoubleType))
+          .cast(LongType))
+      .select(col("doc_id"), col("n_tokens"), col("n_covered"), col("coverage_bp"))
+      .orderBy(col("doc_id"))
   }
 
   /** Multimodal batch feature extraction through the Dataset/mapPartitions
@@ -1384,6 +1429,7 @@ object SparkEntry {
     "q_source_overlap"   -> mk(qSourceOverlap(_, _)),
     "q_cluster_sizes"    -> mk(qClusterSizes(_, _)),
     "q_minhash_calib"    -> mk(qMinhashCalib(_, _)),
+    "q_vocab_coverage"   -> mk(qVocabCoverage(_, _)),
     "q_media_features"   -> mk(qMediaFeatures(_, _)))
 
   private def mk(f: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame = f
@@ -2082,6 +2128,19 @@ object SparkEntry {
            |  (SELECT count(*) FROM s) AS n_vectors,
            |  (SELECT CAST(sum(si * si) AS BIGINT) FROM s) AS s_norm_sq
            |FROM dims GROUP BY 1 ORDER BY dim""".stripMargin,
+      "q_vocab_coverage" ->
+        s"""WITH ${Frag.wordsCte},
+           |tok AS (SELECT doc_id, unnest(ws) AS token FROM w),
+           |dt AS (SELECT doc_id, token, count(*) AS c FROM tok GROUP BY doc_id, token),
+           |voc AS (SELECT token FROM (
+           |  SELECT token, sum(c) AS f FROM dt GROUP BY token
+           |  ORDER BY f DESC, token ASC LIMIT 1000)),
+           |sc AS (SELECT dt.doc_id, CAST(sum(dt.c) AS BIGINT) AS n_tokens,
+           |  CAST(sum(CASE WHEN voc.token IS NOT NULL THEN dt.c ELSE 0 END) AS BIGINT) AS n_covered
+           |  FROM dt LEFT JOIN voc USING (token) GROUP BY dt.doc_id)
+           |SELECT doc_id, n_tokens, n_covered,
+           |  CAST(floor(CAST(n_covered AS DOUBLE) * 1e4 / CAST(n_tokens AS DOUBLE)) AS BIGINT) AS coverage_bp
+           |FROM sc ORDER BY doc_id""".stripMargin,
       "q_minhash_calib" ->
         s"""WITH ${Frag.wordsCte},
            |${Frag.shinglesCte},

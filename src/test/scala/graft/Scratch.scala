@@ -38,6 +38,11 @@ object Scratch {
       spark.stop(); return
     }
     val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
+    if (sys.env.get("SCRATCH_EXPLAIN").contains("1")) names.foreach { name =>
+      println(s"==== $name ====")
+      println(SparkEntry.queries(name)(spark, sfDir).queryExecution
+        .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+    }
     names.foreach { name =>
       try SparkEntry.queries(name)(spark, sfDir).count()
       catch { case e: Throwable => println(s"WARM FAIL $name: $e") }
