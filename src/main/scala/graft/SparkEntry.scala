@@ -1294,6 +1294,37 @@ object SparkEntry {
       .orderBy(col("lang"), col("source"))
   }
 
+  /** Deterministic epoch shuffle: the seeded pseudo-random global
+    * permutation (rank of md5(seed‖doc_id)) that re-orders training data
+    * between epochs, plus round-robin shard assignment from the permuted
+    * position — reproducible from the seed alone, no stored state.
+    * The global rank uses the q_shard_balance two-level technique with the
+    * hash's first byte as the bucket: 256 bucket counts aggregate
+    * map-side, cumulate in a window over the 256-row histogram only, and
+    * broadcast; the corpus ranks inside `Window.partitionBy(bucket)` —
+    * md5 is uniform so buckets are balanced and no task sorts more than
+    * ~1/256 of the corpus. No global ORDER BY ever touches the full data.
+    */
+  private def qEpochShuffle(implicit s: SparkSession, d: String): DataFrame = {
+    val nShards = 8
+    val docs = t("documents")
+      .select(col("doc_id"),
+        md5(concat(lit("epoch7:"), col("doc_id").cast(StringType))).as("__hx"))
+      .withColumn("__b", substring(col("__hx"), 1, 2))
+    val wOff = Window.orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1) // 256-row histogram only
+    val offsets = docs.groupBy(col("__b")).agg(count(lit(1)).as("__n"))
+      .withColumn("__off", coalesce(sum(col("__n")).over(wOff), lit(0L)))
+      .select(col("__b"), col("__off"))
+    val wIn = Window.partitionBy(col("__b")).orderBy(col("__hx"), col("doc_id"))
+    docs.join(broadcast(offsets), "__b")
+      .withColumn("pos", (col("__off") + row_number().over(wIn) - 1).cast(LongType))
+      .select(col("doc_id"), col("pos"),
+        (col("pos") % nShards).cast(LongType).as("shard"),
+        floor(col("pos") / nShards).cast(LongType).as("shard_pos"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Tokenizer vocabulary coverage (OOV-rate proxy): build the top-1000
     * corpus vocabulary (count desc, token asc tie-break), then score every
     * document by the fraction of its token occurrences covered — the
@@ -1430,6 +1461,7 @@ object SparkEntry {
     "q_cluster_sizes"    -> mk(qClusterSizes(_, _)),
     "q_minhash_calib"    -> mk(qMinhashCalib(_, _)),
     "q_vocab_coverage"   -> mk(qVocabCoverage(_, _)),
+    "q_epoch_shuffle"    -> mk(qEpochShuffle(_, _)),
     "q_media_features"   -> mk(qMediaFeatures(_, _)))
 
   private def mk(f: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame = f
@@ -2128,6 +2160,14 @@ object SparkEntry {
            |  (SELECT count(*) FROM s) AS n_vectors,
            |  (SELECT CAST(sum(si * si) AS BIGINT) FROM s) AS s_norm_sq
            |FROM dims GROUP BY 1 ORDER BY dim""".stripMargin,
+      "q_epoch_shuffle" ->
+        s"""WITH h AS (SELECT doc_id,
+           |  md5('epoch7:' || CAST(doc_id AS VARCHAR)) AS hx FROM documents),
+           |r AS (SELECT doc_id,
+           |  CAST(row_number() OVER (ORDER BY hx, doc_id) - 1 AS BIGINT) AS pos FROM h)
+           |SELECT doc_id, pos, CAST(pos % 8 AS BIGINT) AS shard,
+           |  CAST(floor(pos / 8) AS BIGINT) AS shard_pos
+           |FROM r ORDER BY doc_id""".stripMargin,
       "q_vocab_coverage" ->
         s"""WITH ${Frag.wordsCte},
            |tok AS (SELECT doc_id, unnest(ws) AS token FROM w),

@@ -412,6 +412,16 @@ class PlanSpec extends SparkSpec {
       s"chunk exchange not reused — corpus chunked twice:\n$finalPlan")
   }
 
+  test("q_epoch_shuffle: bucket offsets broadcast; corpus window is hash-bucket-partitioned") {
+    val plan = formatted("q_epoch_shuffle")
+    assert(plan.contains("BroadcastHashJoin"), s"bucket offsets not broadcast:\n$plan")
+    // the corpus-wide row_number must partition by the hash bucket — the
+    // only unpartitioned window allowed is the 256-row histogram cumsum
+    val windows = plan.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(windows.exists(_.contains("__b")),
+      s"no bucket-partitioned corpus window:\n${windows.mkString("\n")}")
+  }
+
   test("q_cdc_chunks: row-local CDC — no join, single explode, no aggregation") {
     val plan = formatted("q_cdc_chunks")
     assert(!plan.contains("Join"), s"CDC chunking should be join-free:\n$plan")
