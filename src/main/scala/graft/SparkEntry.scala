@@ -1112,22 +1112,21 @@ object SparkEntry {
   /** Bigram-LM quality scoring — the unigram bucket score extended to
     * adjacent token pairs (a closer perplexity proxy: word-order breakage
     * that a bag-of-words unigram score cannot see lowers this one).
-    * Bigrams form ROW-LOCALLY (`zip_with` over two shifted slices of the
-    * token array — no window, no per-position shuffle). The corpus bigram
-    * frequency table derives FROM the per-(doc, bigram) count aggregate —
+    * Bigrams form ROW-LOCALLY (the codegen'd [[GraftExpressions.AdjacentPairs]]
+    * kernel — no window, no per-position shuffle; the `zip_with`-of-slices
+    * formulation kept the pairing stage in interpreted eval). The corpus
+    * bigram frequency table derives FROM the per-(doc, bigram) count aggregate —
     * same exchange-reuse derivation as q_tfidf — and joins back with a
     * shuffle join: unlike the unigram vocabulary, a corpus-scale BIGRAM
     * vocabulary is not broadcastable by contract (it grows ~linearly with
     * corpus size), so both sides hash-partition on the bigram key.
     */
   private def qBigramLogprob(implicit s: SparkSession, d: String): DataFrame = {
-    val nBg = size(col("__ws")) - 1
     val db = t("documents")
       .select(col("doc_id"), TextFunctions.words(col("text")).as("__ws"))
       .filter(size(col("__ws")) >= 2)
-      .select(col("doc_id"), explode(zip_with(
-        slice(col("__ws"), lit(1), nBg), slice(col("__ws"), lit(2), nBg),
-        (a, b) => concat(a, lit(" "), b))).as("bigram"))
+      .select(col("doc_id"),
+        explode(graft.functions.GraftExpressions.adjacentPairs(col("__ws"))).as("bigram"))
       .groupBy(col("doc_id"), col("bigram"))
       .agg(count(lit(1)).as("c"))
     // c > 0 is vacuously true but keeps the count column alive through this

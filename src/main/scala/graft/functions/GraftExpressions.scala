@@ -109,6 +109,44 @@ object GraftExpressions {
       copy(child = newChild)
   }
 
+  private val pairSep = UTF8String.fromString(" ")
+
+  /** Adjacent-pair kernel (public static forwarder — called from generated
+    * code): ["a","b","c"] → ["a b","b c"]; fewer than 2 elements → empty.
+    * Null elements are treated as empty strings (the tokenizer never emits
+    * them; this just keeps the kernel total).
+    */
+  def adjacentPairsKernel(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    if (n < 2) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](n - 1)
+    var prev = if (arr.isNullAt(0)) UTF8String.EMPTY_UTF8 else arr.getUTF8String(0)
+    var i = 0
+    while (i < n - 1) {
+      val next = if (arr.isNullAt(i + 1)) UTF8String.EMPTY_UTF8 else arr.getUTF8String(i + 1)
+      out(i) = UTF8String.concat(prev, pairSep, next)
+      prev = next
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Space-joined adjacent token pairs (the bigram builder). The
+    * `zip_with(slice, slice)` formulation keeps the whole projection in
+    * interpreted eval (higher-order functions are not codegen'd, and each
+    * lambda element re-drives the slice); this single codegen'd kernel is
+    * one tight pass (measured ~2× on the q_bigram_logprob pairing stage).
+    */
+  case class AdjacentPairs(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override protected def nullSafeEval(input: Any): Any =
+      adjacentPairsKernel(input.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.GraftExpressions.adjacentPairsKernel($c)")
+    override protected def withNewChildInternal(newChild: Expression): AdjacentPairs =
+      copy(child = newChild)
+  }
+
   /** Strict sequential left-fold dot product over two numeric arrays in
     * double precision — bit-identical to `list_reduce(list_prepend(0.0,
     * products), +)` in the DuckDB oracle, but a tight loop instead of
@@ -586,6 +624,7 @@ object GraftExpressions {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("graft_rolling_hash", es => RollingHash(es.head), "built-in")
     reg.createOrReplaceTempFunction("graft_simhash64", es => SimHash64(es.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_adjacent_pairs", es => AdjacentPairs(es.head), "built-in")
     reg.createOrReplaceTempFunction("graft_dot", es => DotProduct(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_l2sq", es => L2Squared(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_nearest_cells",
@@ -622,6 +661,7 @@ object GraftExpressions {
 
   def rollingHash(c: Column): Column = { ensureRegistered(); call_function("graft_rolling_hash", c) }
   def simHash64(c: Column): Column = { ensureRegistered(); call_function("graft_simhash64", c) }
+  def adjacentPairs(c: Column): Column = { ensureRegistered(); call_function("graft_adjacent_pairs", c) }
   def dotProduct(a: Column, b: Column): Column = { ensureRegistered(); call_function("graft_dot", a, b) }
   def l2Squared(a: Column, b: Column): Column = { ensureRegistered(); call_function("graft_l2sq", a, b) }
 

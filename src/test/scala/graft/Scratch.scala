@@ -43,6 +43,14 @@ object Scratch {
       println(SparkEntry.queries(name)(spark, sfDir).queryExecution
         .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
     }
+    if (sys.env.get("SCRATCH_EXPLAIN_EXEC").contains("1")) names.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      df.collect()
+      println(s"==== $name (executed) ====")
+      println(df.queryExecution
+        .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+        .split("== Initial Plan ==").head)
+    }
     names.foreach { name =>
       try SparkEntry.queries(name)(spark, sfDir).count()
       catch { case e: Throwable => println(s"WARM FAIL $name: $e") }

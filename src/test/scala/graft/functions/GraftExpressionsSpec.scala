@@ -112,6 +112,28 @@ class GraftExpressionsSpec extends SparkSpec {
     assert(b2.payloadsBestFirst.toSeq == Seq("nan"))
   }
 
+  test("AdjacentPairs: bigram pairing matches the zip_with-of-slices formulation") {
+    val df = Seq(
+      Seq("a", "b", "c", "d"),
+      Seq("x", "y"),
+      Seq("only"),
+      Seq.empty[String]).toDF("ws")
+    val got = df.select(GraftExpressions.adjacentPairs(col("ws")).as("bg"))
+      .collect().map(_.getSeq[String](0)).toSeq
+    assert(got == Seq(Seq("a b", "b c", "c d"), Seq("x y"), Seq(), Seq()))
+    // equivalence with the built-in formulation on realistic text
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(graft.functions.TextFunctions.words(col("text")).as("ws"))
+    val nBg = size(col("ws")) - 1
+    val mismatch = docs.select(
+        GraftExpressions.adjacentPairs(col("ws")).as("kernel"),
+        zip_with(slice(col("ws"), lit(1), greatest(nBg, lit(0))),
+          slice(col("ws"), lit(2), greatest(nBg, lit(0))),
+          (a, b) => concat(a, lit(" "), b)).as("hof"))
+      .filter(col("kernel") =!= col("hof")).count()
+    assert(mismatch == 0L)
+  }
+
   test("VectorSumLong: ragged and null-element arrays sum positionally; matches explode+sum") {
     val rows = Seq(
       (0, Seq[java.lang.Long](1L, 2L, 3L)),
