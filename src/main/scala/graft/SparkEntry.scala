@@ -1043,16 +1043,12 @@ object SparkEntry {
     * 20-row partials), never a full sort.
     */
   private def qBpePairs(implicit s: SparkSession, d: String): DataFrame = {
-    // tokenize into a materialized column FIRST: referencing words(text)
-    // inside the transform lambda would re-run the regex split per bigram
-    // (O(tokens²) tokenizer work per document)
-    val withWs = t("documents").select(TextFunctions.words(col("text")).as("__ws"))
-    val ws = col("__ws")
-    val bg = when(size(ws) < 2, array().cast(ArrayType(StringType)))
-      .otherwise(transform(sequence(lit(0), size(ws) - 2),
-        i => concat(element_at(ws, i + 1), lit(" "), element_at(ws, i + 2))))
-    withWs
-      .select(explode(bg).as("pair"))
+    // tokenize into a materialized column FIRST (referencing words(text)
+    // inside a per-pair lambda would re-run the regex split per bigram),
+    // then pair with the codegen'd AdjacentPairs kernel — the former
+    // transform/element_at formulation evaluated interpreted
+    t("documents").select(TextFunctions.words(col("text")).as("__ws"))
+      .select(explode(graft.functions.GraftExpressions.adjacentPairs(col("__ws"))).as("pair"))
       .groupBy(col("pair"))
       .agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("pair").asc)
