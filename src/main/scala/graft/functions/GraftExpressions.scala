@@ -147,6 +147,47 @@ object GraftExpressions {
       copy(child = newChild)
   }
 
+  /** n-gram kernel (public static forwarder — called from generated code):
+    * space-joined sliding windows of `n` tokens; fewer than n elements →
+    * empty (callers supply their own short-document fallback). Null
+    * elements render as empty strings (the tokenizer never emits them).
+    */
+  def nGramsKernel(arr: ArrayData, n: Int): ArrayData = {
+    val len = arr.numElements()
+    if (len < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](len - n + 1)
+    val parts = new Array[UTF8String](n)
+    var i = 0
+    while (i <= len - n) {
+      var j = 0
+      while (j < n) {
+        parts(j) = if (arr.isNullAt(i + j)) UTF8String.EMPTY_UTF8 else arr.getUTF8String(i + j)
+        j += 1
+      }
+      out(i) = UTF8String.concatWs(pairSep, parts: _*)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Space-joined n-gram windows (the shingle builder behind the whole
+    * LSH dedup family). Same interpreted-HOF motivation as
+    * [[AdjacentPairs]], with the per-window `slice` copy also gone — the
+    * shingle projection is the hottest row-local stage of the corpus-dedup
+    * pipelines.
+    */
+  case class NGrams(left: Expression, right: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override protected def nullSafeEval(arr: Any, n: Any): Any =
+      nGramsKernel(arr.asInstanceOf[ArrayData], n.asInstanceOf[Int])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        (a, n) => s"graft.functions.GraftExpressions.nGramsKernel($a, $n)")
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): NGrams = copy(newLeft, newRight)
+  }
+
   /** Strict sequential left-fold dot product over two numeric arrays in
     * double precision — bit-identical to `list_reduce(list_prepend(0.0,
     * products), +)` in the DuckDB oracle, but a tight loop instead of
@@ -625,6 +666,7 @@ object GraftExpressions {
     reg.createOrReplaceTempFunction("graft_rolling_hash", es => RollingHash(es.head), "built-in")
     reg.createOrReplaceTempFunction("graft_simhash64", es => SimHash64(es.head), "built-in")
     reg.createOrReplaceTempFunction("graft_adjacent_pairs", es => AdjacentPairs(es.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_ngrams", es => NGrams(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_dot", es => DotProduct(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_l2sq", es => L2Squared(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_nearest_cells",
@@ -662,6 +704,7 @@ object GraftExpressions {
   def rollingHash(c: Column): Column = { ensureRegistered(); call_function("graft_rolling_hash", c) }
   def simHash64(c: Column): Column = { ensureRegistered(); call_function("graft_simhash64", c) }
   def adjacentPairs(c: Column): Column = { ensureRegistered(); call_function("graft_adjacent_pairs", c) }
+  def nGrams(c: Column, n: Int): Column = { ensureRegistered(); call_function("graft_ngrams", c, lit(n)) }
   def dotProduct(a: Column, b: Column): Column = { ensureRegistered(); call_function("graft_dot", a, b) }
   def l2Squared(a: Column, b: Column): Column = { ensureRegistered(); call_function("graft_l2sq", a, b) }
 

@@ -46,9 +46,11 @@ object TextDedup {
     * `fallback` is the single shingle for documents shorter than n words.
     */
   def shinglesFromWords(ws: Column, fallback: Column, n: Int): Column =
+    // n-gram windows via the codegen'd kernel — the transform/slice HOF
+    // formulation evaluated interpreted with a per-window array copy, on
+    // the hottest row-local stage of the whole LSH dedup family
     when(size(ws) < n, array(fallback))
-      .otherwise(transform(sequence(lit(0), size(ws) - n),
-        i => concat_ws(" ", slice(ws, i + 1, lit(n)))))
+      .otherwise(graft.functions.GraftExpressions.nGrams(ws, n))
 
   /** Per-document distinct shingle sets — the single materialization point
     * the MinHash pipeline and the exact-Jaccard verifier both read (MinHash

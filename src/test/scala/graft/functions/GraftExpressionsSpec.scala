@@ -134,6 +134,29 @@ class GraftExpressionsSpec extends SparkSpec {
     assert(mismatch == 0L)
   }
 
+  test("NGrams: shingle windows match the transform/slice formulation") {
+    val df = Seq(
+      Seq("a", "b", "c", "d"),
+      Seq("x", "y", "z"),
+      Seq("u", "v"),
+      Seq.empty[String]).toDF("ws")
+    val got = df.select(GraftExpressions.nGrams(col("ws"), 3).as("sh"))
+      .collect().map(_.getSeq[String](0)).toSeq
+    assert(got == Seq(Seq("a b c", "b c d"), Seq("x y z"), Seq(), Seq()))
+    // equivalence with the HOF formulation on realistic text (n >= size
+    // rows excluded — the kernel returns empty where the HOF builds a
+    // descending sequence)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(graft.functions.TextFunctions.words(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 3)
+    val mismatch = docs.select(
+        GraftExpressions.nGrams(col("ws"), 3).as("kernel"),
+        transform(sequence(lit(0), size(col("ws")) - 3),
+          i => concat_ws(" ", slice(col("ws"), i + 1, lit(3)))).as("hof"))
+      .filter(col("kernel") =!= col("hof")).count()
+    assert(mismatch == 0L)
+  }
+
   test("VectorSumLong: ragged and null-element arrays sum positionally; matches explode+sum") {
     val rows = Seq(
       (0, Seq[java.lang.Long](1L, 2L, 3L)),
