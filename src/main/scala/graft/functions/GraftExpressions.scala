@@ -147,6 +147,49 @@ object GraftExpressions {
       copy(child = newChild)
   }
 
+  /** True iff `b` is one of the 6 chars both Java regex `\s` and RE2 `\s`
+    * match (space, \t, \n, \v, \f, \r) — neither engine's default `\s`
+    * includes unicode whitespace, so a byte test is exact parity. UTF-8
+    * multi-byte sequences never contain bytes < 0x80, so the byte scan
+    * cannot split inside a code point.
+    */
+  @inline private def isAsciiWs(b: Byte): Boolean =
+    b == 0x20 || b == 0x09 || b == 0x0a || b == 0x0b || b == 0x0c || b == 0x0d
+
+  /** Whitespace-token kernel (public static forwarder — called from
+    * generated code): maximal runs of non-whitespace bytes, identical to
+    * `filter(split(trim(s), "\\s+"), length > 0)` but one pass with no
+    * regex machinery.
+    */
+  def whitespaceTokensKernel(s: UTF8String): ArrayData = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    val out = new java.util.ArrayList[Any](16)
+    var i = 0
+    while (i < n) {
+      while (i < n && isAsciiWs(bytes(i))) i += 1
+      val start = i
+      while (i < n && !isAsciiWs(bytes(i))) i += 1
+      if (i > start) out.add(UTF8String.fromBytes(bytes, start, i - start))
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  /** Whitespace tokenization, empties dropped — the tokenizer behind every
+    * text query. The built-in formulation runs the regex split codegen'd
+    * but wraps it in an interpreted `filter` HOF (per-token lambda across
+    * the whole corpus); this kernel is a single byte scan.
+    */
+  case class WhitespaceTokens(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override protected def nullSafeEval(input: Any): Any =
+      whitespaceTokensKernel(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.GraftExpressions.whitespaceTokensKernel($c)")
+    override protected def withNewChildInternal(newChild: Expression): WhitespaceTokens =
+      copy(child = newChild)
+  }
+
   /** n-gram kernel (public static forwarder — called from generated code):
     * space-joined sliding windows of `n` tokens; fewer than n elements →
     * empty (callers supply their own short-document fallback). Null
@@ -667,6 +710,7 @@ object GraftExpressions {
     reg.createOrReplaceTempFunction("graft_simhash64", es => SimHash64(es.head), "built-in")
     reg.createOrReplaceTempFunction("graft_adjacent_pairs", es => AdjacentPairs(es.head), "built-in")
     reg.createOrReplaceTempFunction("graft_ngrams", es => NGrams(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_ws_tokens", es => WhitespaceTokens(es.head), "built-in")
     reg.createOrReplaceTempFunction("graft_dot", es => DotProduct(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_l2sq", es => L2Squared(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_nearest_cells",
@@ -705,6 +749,7 @@ object GraftExpressions {
   def simHash64(c: Column): Column = { ensureRegistered(); call_function("graft_simhash64", c) }
   def adjacentPairs(c: Column): Column = { ensureRegistered(); call_function("graft_adjacent_pairs", c) }
   def nGrams(c: Column, n: Int): Column = { ensureRegistered(); call_function("graft_ngrams", c, lit(n)) }
+  def whitespaceTokens(c: Column): Column = { ensureRegistered(); call_function("graft_ws_tokens", c) }
   def dotProduct(a: Column, b: Column): Column = { ensureRegistered(); call_function("graft_dot", a, b) }
   def l2Squared(a: Column, b: Column): Column = { ensureRegistered(); call_function("graft_l2sq", a, b) }
 

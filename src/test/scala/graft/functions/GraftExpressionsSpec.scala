@@ -134,6 +134,27 @@ class GraftExpressionsSpec extends SparkSpec {
     assert(mismatch == 0L)
   }
 
+  test("WhitespaceTokens: matches filter(split(trim)) on edge cases and the corpus") {
+    val df = Seq(
+      "  leading and trailing  ",
+      "tabs\tand\nnewlines\r\n mixed  ends",
+      "single",
+      "",
+      "   ").toDF("t")
+    val got = df.select(GraftExpressions.whitespaceTokens(col("t")).as("ws"))
+      .collect().map(_.getSeq[String](0)).toSeq
+    assert(got == Seq(
+      Seq("leading", "and", "trailing"),
+      Seq("tabs", "and", "newlines", "mixed", "ends"),
+      Seq("single"), Seq(), Seq()))
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val mismatch = docs.select(
+        GraftExpressions.whitespaceTokens(col("text")).as("kernel"),
+        filter(split(trim(col("text")), "\\s+"), w => length(w) > 0).as("hof"))
+      .filter(col("kernel") =!= col("hof")).count()
+    assert(mismatch == 0L)
+  }
+
   test("NGrams: shingle windows match the transform/slice formulation") {
     val df = Seq(
       Seq("a", "b", "c", "d"),
