@@ -418,16 +418,19 @@ object SparkEntry {
     * you whether the banding parameters' recall/precision trade-off holds
     * on YOUR corpus before trusting the index. All-integer outputs.
     * Scale shape: the pair set is band-bounded; signatures and shingle
-    * sets re-attach through narrow id-keyed shuffle joins. In production
-    * this runs over a pair SAMPLE — the full-corpus form here is the
-    * oracle-checkable worst case.
+    * sets re-attach through narrow id-keyed shuffle joins. The pairs, the
+    * signatures and the set re-attach all derive from ONE shingle-set
+    * frame, so the byte-identical subtrees share exchanges (AQE reuse)
+    * and the corpus shingles once. In production this runs over a pair
+    * SAMPLE — the full-corpus form here is the oracle-checkable worst
+    * case.
     */
   private def qMinhashCalib(implicit s: SparkSession, d: String): DataFrame = {
     val docs = t("documents")
-    val pairs = TextDedup.minhashCandidatePairs(docs, "doc_id", "text",
-      shingleN = 3, k = 12, bands = 6, rowsPerBand = 2, materialize = false)
-    val sigs = TextDedup.minhashSignatures(docs, "doc_id", "text", shingleN = 3, k = 12)
     val sets = TextDedup.distinctShingleSets(docs, "doc_id", "text", 3)
+    val pairs = TextDedup.minhashCandidatePairsFromSets(sets, "doc_id",
+      k = 12, bands = 6, rowsPerBand = 2, materialize = false)
+    val sigs = TextDedup.minhashSignaturesFromSets(sets, "doc_id", k = 12)
     val sigA = sigs.select(col("doc_id").as("doc_a") +:
       (0 until 12).map(i => col(s"__mh_$i").as(s"__a_$i")): _*)
     val sigB = sigs.select(col("doc_id").as("doc_b") +:

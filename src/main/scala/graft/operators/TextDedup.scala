@@ -81,7 +81,7 @@ object TextDedup {
   /** [[minhashSignatures]] over an already-built `(idCol, __sh)` shingle-set
     * frame (see [[distinctShingleSets]]).
     */
-  private def minhashSignaturesFromSets(sets: DataFrame, idCol: String, k: Int): DataFrame = {
+  private[graft] def minhashSignaturesFromSets(sets: DataFrame, idCol: String, k: Int): DataFrame = {
     // one salted md5 yields FOUR 32-bit (8-hex-char) minhash lanes — 3 md5
     // calls per shingle for k=12 instead of 12 (md5 dominates the stage)
     val nSalts = (k + 3) / 4
