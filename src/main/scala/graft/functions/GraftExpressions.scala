@@ -147,14 +147,17 @@ object GraftExpressions {
       copy(child = newChild)
   }
 
-  /** True iff `b` is one of the 6 chars both Java regex `\s` and RE2 `\s`
-    * match (space, \t, \n, \v, \f, \r) — neither engine's default `\s`
-    * includes unicode whitespace, so a byte test is exact parity. UTF-8
-    * multi-byte sequences never contain bytes < 0x80, so the byte scan
-    * cannot split inside a code point.
+  /** True iff `b` is one of the 5 chars RE2's `\s` matches (space, \t,
+    * \n, \f, \r — verified empirically against DuckDB: chr(11) does NOT
+    * split) — the DuckDB oracle is the semantics contract, so the kernel
+    * follows RE2, not Java regex `\s` (which also matches \v; the old
+    * `split(trim, "\\s+")` formulation carried that latent divergence).
+    * Neither engine's default `\s` includes unicode whitespace, so a byte
+    * test is exact parity, and UTF-8 multi-byte sequences never contain
+    * bytes < 0x80, so the byte scan cannot split inside a code point.
     */
   @inline private def isAsciiWs(b: Byte): Boolean =
-    b == 0x20 || b == 0x09 || b == 0x0a || b == 0x0b || b == 0x0c || b == 0x0d
+    b == 0x20 || b == 0x09 || b == 0x0a || b == 0x0c || b == 0x0d
 
   /** Whitespace-token kernel (public static forwarder — called from
     * generated code): maximal runs of non-whitespace bytes, identical to

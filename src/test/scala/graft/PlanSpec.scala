@@ -416,10 +416,14 @@ class PlanSpec extends SparkSpec {
     val plan = formatted("q_epoch_shuffle")
     assert(plan.contains("BroadcastHashJoin"), s"bucket offsets not broadcast:\n$plan")
     // the corpus-wide row_number must partition by the hash bucket — the
-    // only unpartitioned window allowed is the 256-row histogram cumsum
+    // only unpartitioned window allowed is the 256-row histogram cumsum.
+    // The corpus window is the one ordering by __hx: it must ALSO name __b
+    // (its partition key); matching on __b alone would be satisfied by the
+    // histogram window and miss a dropped partitionBy (= global sort funnel)
     val windows = plan.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
-    assert(windows.exists(_.contains("__b")),
-      s"no bucket-partitioned corpus window:\n${windows.mkString("\n")}")
+    val corpusWindows = windows.filter(_.contains("__hx"))
+    assert(corpusWindows.nonEmpty && corpusWindows.forall(_.contains("__b")),
+      s"corpus row_number window not bucket-partitioned:\n${windows.mkString("\n")}")
   }
 
   test("q_cdc_chunks: row-local CDC — no join, single explode, no aggregation") {

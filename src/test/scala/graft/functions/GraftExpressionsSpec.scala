@@ -137,7 +137,7 @@ class GraftExpressionsSpec extends SparkSpec {
   test("WhitespaceTokens: matches filter(split(trim)) on edge cases and the corpus") {
     val df = Seq(
       "  leading and trailing  ",
-      "tabs\tand\nnewlines\r\n mixed  ends",
+      "tabs\tand\nnewlines\r\n mixed \f ends",
       "single",
       "",
       "   ").toDF("t")
@@ -147,6 +147,14 @@ class GraftExpressionsSpec extends SparkSpec {
       Seq("leading", "and", "trailing"),
       Seq("tabs", "and", "newlines", "mixed", "ends"),
       Seq("single"), Seq(), Seq()))
+    // RE2 parity: \v (0x0B) is NOT whitespace to DuckDB's \s (verified:
+    // regexp_split_to_array('a'||chr(11)||'b', '\s+') stays one token),
+    // so the kernel must not split on it either — deliberate divergence
+    // from Java regex \s
+    val vtab = Seq("a\u000Bb c").toDF("t")
+      .select(GraftExpressions.whitespaceTokens(col("t")).as("ws"))
+      .collect().head.getSeq[String](0)
+    assert(vtab == Seq("a\u000Bb", "c"))
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val mismatch = docs.select(
         GraftExpressions.whitespaceTokens(col("text")).as("kernel"),

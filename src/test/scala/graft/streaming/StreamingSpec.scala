@@ -14,8 +14,14 @@ class StreamingSpec extends SparkSpec {
 
   // Stream with whatever physical ts type the driver generated, then apply
   // the same normalization the batch loader uses (long nanos / NTZ / LTZ).
-  private val rawSchema =
+  // readStream needs the RAW physical schema (normalization comes after),
+  // so this is the one sanctioned direct read of events.parquet — set
+  // nanosAsLong first so a TIMESTAMP(NANOS) regeneration still infers
+  // instead of failing schema discovery (see .claude/skills/verify gotcha).
+  private val rawSchema = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$sf/events.parquet").schema
+  }
 
   private def streamDir: String = {
     val d = Files.createTempDirectory("graft-stream")
