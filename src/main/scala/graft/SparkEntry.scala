@@ -1243,10 +1243,10 @@ object SparkEntry {
     // re-evaluating the whole boundary scan ~6x per row (measured 60 s vs
     // 0.6 s at sf0.1); the guard is vacuous here — every doc with >=1
     // token yields >=1 chunk — and outer generates are exempt from it.
-    val bounds = when(n >= 4,
-      filter(sequence(lit(3), n - 1),
-        p => substring(md5(concat_ws(" ", slice(ws, p - 2, lit(4)))), 32, 1) === "0"))
-      .otherwise(array().cast("array<int>"))
+    // one codegen'd pass (the filter-lambda formulation ran interpreted
+    // with a slice copy + hex round-trip per position); the kernel returns
+    // empty for < 4 tokens so no descending-sequence guard is needed
+    val bounds = graft.functions.GraftExpressions.cdcBoundaries(ws)
     val starts = concat(array(lit(0)),
       transform(filter(col("__bounds"), b => b + 1 < n), b => b + 1))
     val chunks = transform(sequence(lit(0), size(col("__starts")) - 1),

@@ -193,6 +193,48 @@ object GraftExpressions {
       copy(child = newChild)
   }
 
+  /** CDC boundary kernel (public static forwarder — called from generated
+    * code): 0-based positions p ∈ [3, len) where the md5 of the space-
+    * joined 4-token window ending at p has a '0' last hex digit (low
+    * nibble of the final digest byte = 0) — byte-identical to
+    * `substring(md5(concat_ws(' ', slice(ws, p-2, 4))), 32, 1) = '0'`.
+    */
+  def cdcBoundariesKernel(arr: ArrayData): ArrayData = {
+    val len = arr.numElements()
+    if (len < 4) return new GenericArrayData(Array.empty[Any])
+    val md = md5Local.get()
+    val out = new java.util.ArrayList[Any](len / 8)
+    var p = 3
+    while (p < len) {
+      md.reset()
+      var j = p - 3
+      while (j <= p) {
+        if (j > p - 3) md.update(0x20.toByte)
+        if (!arr.isNullAt(j)) md.update(arr.getUTF8String(j).getBytes)
+        j += 1
+      }
+      if ((md.digest()(15) & 0x0f) == 0) out.add(Integer.valueOf(p))
+      p += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  /** Content-defined-chunking boundary positions over a token array. The
+    * `filter(sequence, p -> substring(md5(concat_ws(slice))))` formulation
+    * runs interpreted per position with a slice copy and a hex-string
+    * round-trip; this kernel reuses one MessageDigest and tests the low
+    * nibble directly.
+    */
+  case class CdcBoundaries(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override protected def nullSafeEval(input: Any): Any =
+      cdcBoundariesKernel(input.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.GraftExpressions.cdcBoundariesKernel($c)")
+    override protected def withNewChildInternal(newChild: Expression): CdcBoundaries =
+      copy(child = newChild)
+  }
+
   /** n-gram kernel (public static forwarder — called from generated code):
     * space-joined sliding windows of `n` tokens; fewer than n elements →
     * empty (callers supply their own short-document fallback). Null
@@ -714,6 +756,7 @@ object GraftExpressions {
     reg.createOrReplaceTempFunction("graft_adjacent_pairs", es => AdjacentPairs(es.head), "built-in")
     reg.createOrReplaceTempFunction("graft_ngrams", es => NGrams(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_ws_tokens", es => WhitespaceTokens(es.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_cdc_bounds", es => CdcBoundaries(es.head), "built-in")
     reg.createOrReplaceTempFunction("graft_dot", es => DotProduct(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_l2sq", es => L2Squared(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_nearest_cells",
@@ -753,6 +796,7 @@ object GraftExpressions {
   def adjacentPairs(c: Column): Column = { ensureRegistered(); call_function("graft_adjacent_pairs", c) }
   def nGrams(c: Column, n: Int): Column = { ensureRegistered(); call_function("graft_ngrams", c, lit(n)) }
   def whitespaceTokens(c: Column): Column = { ensureRegistered(); call_function("graft_ws_tokens", c) }
+  def cdcBoundaries(c: Column): Column = { ensureRegistered(); call_function("graft_cdc_bounds", c) }
   def dotProduct(a: Column, b: Column): Column = { ensureRegistered(); call_function("graft_dot", a, b) }
   def l2Squared(a: Column, b: Column): Column = { ensureRegistered(); call_function("graft_l2sq", a, b) }
 

@@ -163,6 +163,25 @@ class GraftExpressionsSpec extends SparkSpec {
     assert(mismatch == 0L)
   }
 
+  test("CdcBoundaries: positions match the filter/md5-substring formulation") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(GraftExpressions.whitespaceTokens(col("text")).as("ws"))
+    val n = size(col("ws"))
+    val hof = when(n >= 4,
+      filter(sequence(lit(3), n - 1),
+        p => substring(md5(concat_ws(" ", slice(col("ws"), p - 2, lit(4)))), 32, 1) === "0"))
+      .otherwise(array().cast("array<int>"))
+    val mismatch = docs.select(
+        GraftExpressions.cdcBoundaries(col("ws")).as("kernel"), hof.as("hof"))
+      .filter(col("kernel") =!= col("hof")).count()
+    assert(mismatch == 0L)
+    // short-array edge: < 4 tokens → no boundaries
+    val short = Seq(Seq("a", "b", "c")).toDF("ws")
+      .select(GraftExpressions.cdcBoundaries(col("ws")).as("b"))
+      .collect().head.getSeq[Int](0)
+    assert(short.isEmpty)
+  }
+
   test("NGrams: shingle windows match the transform/slice formulation") {
     val df = Seq(
       Seq("a", "b", "c", "d"),
