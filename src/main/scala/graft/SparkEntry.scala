@@ -564,6 +564,24 @@ object SparkEntry {
         col("n_masked_tokens"))
       .orderBy(col("doc_id"))
 
+  /** Span-level eval decontamination: 8-token spans of training documents
+    * that appear verbatim in the eval slice (doc_id ≡ 0 mod 100, as in
+    * q_contamination) are masked out and the rest of the text kept — the
+    * benchmark-decontamination procedure at span granularity (the
+    * contamination probe only FLAGS documents). Output is the masked-text
+    * fingerprint + masked-token count per training doc.
+    */
+  private def qDecontamMask(implicit s: SparkSession, d: String): DataFrame = {
+    val docs = t("documents")
+    graft.operators.TextDedup.decontaminateAgainst(
+        docs.filter(col("doc_id") % 100 =!= 0), docs.filter(col("doc_id") % 100 === 0),
+        "doc_id", "text")
+      .select(col("doc_id"),
+        md5(col("masked_text").cast(BinaryType)).as("masked_fp"),
+        col("n_masked_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Rolling-hash fingerprint via custom expression (oracle: the same
     * left-fold over code points — documents are ASCII, so bytes ≡ points).
     */
@@ -1460,6 +1478,7 @@ object SparkEntry {
     "q_minhash_calib"    -> mk(qMinhashCalib(_, _)),
     "q_vocab_coverage"   -> mk(qVocabCoverage(_, _)),
     "q_epoch_shuffle"    -> mk(qEpochShuffle(_, _)),
+    "q_decontam_mask"    -> mk(qDecontamMask(_, _)),
     "q_media_features"   -> mk(qMediaFeatures(_, _)))
 
   private def mk(f: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame = f
@@ -2158,6 +2177,25 @@ object SparkEntry {
            |  (SELECT count(*) FROM s) AS n_vectors,
            |  (SELECT CAST(sum(si * si) AS BIGINT) FROM s) AS s_norm_sq
            |FROM dims GROUP BY 1 ORDER BY dim""".stripMargin,
+      "q_decontam_mask" ->
+        s"""WITH ${Frag.wordsCte},
+           |pos AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 7)) AS i FROM w),
+           |wins AS (SELECT doc_id, i, md5(array_to_string(ws[i:i+7], ' ')) AS fp FROM pos),
+           |ev AS (SELECT DISTINCT fp FROM wins WHERE doc_id % 100 = 0),
+           |tw AS (SELECT doc_id, ws FROM w WHERE doc_id % 100 != 0),
+           |starts AS (SELECT w2.doc_id, list(DISTINCT w2.i) AS ms
+           |  FROM wins w2 JOIN ev USING (fp) WHERE w2.doc_id % 100 != 0 GROUP BY w2.doc_id),
+           |masked AS (SELECT tw.doc_id,
+           |    CASE WHEN len(ws) > 0 THEN
+           |      list_filter(generate_series(1, len(ws)),
+           |        i -> NOT list_has_any(generate_series(greatest(1, i - 7), i),
+           |                              coalesce(ms, [])))
+           |    ELSE [] END AS kept, ws
+           |  FROM tw LEFT JOIN starts USING (doc_id))
+           |SELECT doc_id,
+           |  md5(coalesce(array_to_string(list_transform(kept, i -> ws[i]), ' '), '')) AS masked_fp,
+           |  CAST(len(ws) - len(kept) AS BIGINT) AS n_masked_tokens
+           |FROM masked ORDER BY doc_id""".stripMargin,
       "q_epoch_shuffle" ->
         s"""WITH h AS (SELECT doc_id,
            |  md5('epoch7:' || CAST(doc_id AS VARCHAR)) AS hx FROM documents),

@@ -285,9 +285,46 @@ object TextDedup {
     */
   def maskRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
       windowTokens: Int = 8, minDocs: Int = 2): DataFrame = {
+    val spans = repeatedSpans(df, idCol, textCol, windowTokens, minDocs).select(col("fp"))
+    maskSpansByFingerprints(df, idCol, textCol, spans, windowTokens)
+  }
+
+  /** Span-level decontamination: mask every `windowTokens`-token span of
+    * `train` whose fingerprint appears anywhere in `evalDf` — the
+    * published-benchmark decontamination procedure, at span rather than
+    * document granularity (q_contamination's probe FLAGS documents; this
+    * removes the overlapping text and keeps the rest). The eval window
+    * fingerprint set is bounded by definition (an eval suite, not a second
+    * corpus) and broadcasts, mirroring the contamination probe's contract;
+    * the train side streams through one fingerprint scan + the row-local
+    * surgery of [[maskSpansByFingerprints]].
+    */
+  def decontaminateAgainst(train: DataFrame, evalDf: DataFrame,
+      idCol: String, textCol: String, windowTokens: Int = 8): DataFrame = {
     import graft.functions.TextFunctions
     val w = windowTokens
-    val spans = repeatedSpans(df, idCol, textCol, w, minDocs).select(col("fp"))
+    val toks = TextFunctions.words(col(textCol))
+    val evalFps = evalDf.select(
+        explode(when(size(toks) >= w,
+          transform(sequence(lit(1), size(toks) - w + 1),
+            i => md5(concat_ws(" ", slice(toks, i, lit(w)))
+              .cast(org.apache.spark.sql.types.BinaryType))))
+          .otherwise(array().cast("array<string>"))).as("fp"))
+      .distinct()
+    maskSpansByFingerprints(train, idCol, textCol, evalFps, w)
+  }
+
+  /** The masking surgery shared by [[maskRepeatedSpans]] and
+    * [[decontaminateAgainst]]: drop every token covered by a
+    * `windowTokens`-token window whose fingerprint is in `spanFps`
+    * (a single-column `fp` frame, broadcast — span sets are bounded:
+    * globally-repeated spans or an eval suite, never corpus-sized).
+    */
+  private def maskSpansByFingerprints(df: DataFrame, idCol: String, textCol: String,
+      spanFps: DataFrame, windowTokens: Int): DataFrame = {
+    import graft.functions.TextFunctions
+    val w = windowTokens
+    val spans = spanFps
     val toks = TextFunctions.words(col(textCol))
     val winFps = when(size(toks) >= w,
         transform(sequence(lit(1), size(toks) - w + 1),
