@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
@@ -137,7 +137,8 @@ object GraftExpressions {
     * lambda element re-drives the slice); this single codegen'd kernel is
     * one tight pass (measured ~2× on the q_bigram_logprob pairing stage).
     */
-  case class AdjacentPairs(child: Expression) extends UnaryExpression {
+  case class AdjacentPairs(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
     override protected def nullSafeEval(input: Any): Any =
       adjacentPairsKernel(input.asInstanceOf[ArrayData])
@@ -183,7 +184,8 @@ object GraftExpressions {
     * but wraps it in an interpreted `filter` HOF (per-token lambda across
     * the whole corpus); this kernel is a single byte scan.
     */
-  case class WhitespaceTokens(child: Expression) extends UnaryExpression {
+  case class WhitespaceTokens(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(StringType)
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
     override protected def nullSafeEval(input: Any): Any =
       whitespaceTokensKernel(input.asInstanceOf[UTF8String])
@@ -197,7 +199,12 @@ object GraftExpressions {
     * code): 0-based positions p ∈ [3, len) where the md5 of the space-
     * joined 4-token window ending at p has a '0' last hex digit (low
     * nibble of the final digest byte = 0) — byte-identical to
-    * `substring(md5(concat_ws(' ', slice(ws, p-2, 4))), 32, 1) = '0'`.
+    * `substring(md5(concat_ws(' ', slice(ws, p-2, 4))), 32, 1) = '0'`
+    * when the array has no null elements (the tokenizer never emits
+    * them). On nulls the two diverge: `concat_ws` skips a null without
+    * emitting its separator, while this kernel always emits the space
+    * and renders the null as empty — same caveat as
+    * [[AdjacentPairs]]/[[NGrams]].
     */
   def cdcBoundariesKernel(arr: ArrayData): ArrayData = {
     val len = arr.numElements()
@@ -225,7 +232,8 @@ object GraftExpressions {
     * round-trip; this kernel reuses one MessageDigest and tests the low
     * nibble directly.
     */
-  case class CdcBoundaries(child: Expression) extends UnaryExpression {
+  case class CdcBoundaries(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
     override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
     override protected def nullSafeEval(input: Any): Any =
       cdcBoundariesKernel(input.asInstanceOf[ArrayData])
@@ -241,6 +249,8 @@ object GraftExpressions {
     * elements render as empty strings (the tokenizer never emits them).
     */
   def nGramsKernel(arr: ArrayData, n: Int): ArrayData = {
+    if (n < 1)
+      throw new IllegalArgumentException(s"graft_ngrams: n must be >= 1, got $n")
     val len = arr.numElements()
     if (len < n) return new GenericArrayData(Array.empty[Any])
     val out = new Array[Any](len - n + 1)
@@ -265,7 +275,8 @@ object GraftExpressions {
     * pipelines.
     */
   case class NGrams(left: Expression, right: Expression)
-      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType), IntegerType)
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
     override protected def nullSafeEval(arr: Any, n: Any): Any =
       nGramsKernel(arr.asInstanceOf[ArrayData], n.asInstanceOf[Int])

@@ -311,6 +311,15 @@ object TextDedup {
               .cast(org.apache.spark.sql.types.BinaryType))))
           .otherwise(array().cast("array<string>"))).as("fp"))
       .distinct()
+    // same contract-enforcement convention as minhashCandidatePairsAgainst
+    // (Similarity.requireProbeBatch): "an eval suite, not a second corpus"
+    // is a contract, and the fingerprint set broadcasts whole — an
+    // unbounded one must fail fast with a cure, not an opaque executor
+    // OOM mid-join. The guard scans only the cheap eval-side expansion.
+    Similarity.requireProbeBatch(evalFps, MaxSpanFingerprintRows,
+      "eval window fingerprint set",
+      "decontaminate against a bounded eval suite (or chunk it); a " +
+        "corpus-sized frame does not belong on the broadcast side of the masking join")
     maskSpansByFingerprints(train, idCol, textCol, evalFps, w)
   }
 
@@ -320,6 +329,13 @@ object TextDedup {
     * (a single-column `fp` frame, broadcast — span sets are bounded:
     * globally-repeated spans or an eval suite, never corpus-sized).
     */
+  /** Broadcast ceiling for the span-fingerprint set: 1M 32-char md5
+    * strings ≈ 64 MB on executors — safely inside build-side comfort. An
+    * eval suite or a repeated-span set stays far under this; hitting it
+    * means a corpus-sized frame was passed where a bounded set belongs.
+    */
+  val MaxSpanFingerprintRows: Int = 1 << 20
+
   private def maskSpansByFingerprints(df: DataFrame, idCol: String, textCol: String,
       spanFps: DataFrame, windowTokens: Int): DataFrame = {
     import graft.functions.TextFunctions
