@@ -56,6 +56,12 @@ object ConfigLoader {
   private def strSet(n: JsonNode, path: String*): Set[String] =
     opt(n, path: _*).filter(_.isArray).fold(Set.empty[String])(_.elements().asScala.map(_.asText()).toSet)
 
+  /** Like [[strSet]] but preserving YAML list order (for regex lists whose
+    * config order is meaningful to the user reading errors/logs).
+    */
+  private def strSeq(n: JsonNode, path: String*): Seq[String] =
+    opt(n, path: _*).filter(_.isArray).fold(Seq.empty[String])(_.elements().asScala.map(_.asText()).toSeq)
+
   /** S3: Azure credential forms → per-account Hadoop ABFS configuration,
     * with the reference's precedence (AzureConfig.kt:24-47
     * createAzureClient: username/password, then accountName/accountKey,
@@ -212,10 +218,12 @@ object ConfigLoader {
       pathTemplate = str(root, "paths", "path", "format")
         .orElse(str(root, "paths", "properties", "format"))
         .getOrElse(graft.paths.PathTemplate.defaultTemplate),
-      // G8: per-record bucket routing (reference BucketFormatterConfig.kt:4-8
-      // — the format string; disabledFormats/defaultName are an S3-naming
-      // concern the Hadoop-URI output root does not share)
+      // G8: per-record bucket routing (reference BucketFormatterConfig.kt:4-18:
+      // format string + disabledFormats regex safety net + defaultName)
       bucketTemplate = str(root, "paths", "bucket", "format"),
+      bucketDisabledFormats = strSeq(root, "paths", "bucket", "disabledFormats"),
+      bucketDefaultName = str(root, "paths", "bucket", "defaultName")
+        .getOrElse("radar-output-storage"),
       format = format,
       gzip = gzip,
       zip = zip,

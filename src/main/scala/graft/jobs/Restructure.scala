@@ -170,7 +170,8 @@ object Restructure {
       cfg.pathPlugins)
     // G8 bucket routing: a second template prefixes the output path
     val pathCol = cfg.bucketTemplate.fold(basePath)(bt =>
-      concat(PathTemplate.compile(bt, params, Some(timeCol), Some(dataSchema), cfg.pathPlugins),
+      concat(bucketWithFallback(cfg,
+          PathTemplate.compile(bt, params, Some(timeCol), Some(dataSchema), cfg.pathPlugins)),
         lit("/"), basePath))
 
     val hasDynamic = Flatten.leafPaths(dataSchema).exists {
@@ -448,6 +449,18 @@ object Restructure {
       .agg(min(struct(col(AvroRead.FileCol), col(AvroRead.PosCol))).as("__first"), dynAggs: _*)
       .orderBy(col("__first"))
       .collect()
+    // enforced bound on the per-group pass: each header shape filters the
+    // CACHED frame once (the source is scanned once, into the persist
+    // above), so total work grows linearly with shape count — fine for the
+    // schema-drift topics this serves (a handful of shapes), pathological
+    // beyond it. Fail with a cure instead of grinding through thousands of
+    // cache passes.
+    require(groupRows.length <= cfg.maxSchemaFingerprints,
+      s"topic $topic has ${groupRows.length} distinct map-key/array-arity header shapes " +
+        s"in one batch (cap ${cfg.maxSchemaFingerprints}); each shape writes its own header " +
+        "in its own pass over the cached batch. Fix the producer schema drift, raise " +
+        "worker.maxSchemaFingerprints, or process in smaller batches " +
+        "(worker.maxFilesPerTopic) so fewer shapes land per run")
 
     try groupRows.toSeq.flatMap { row =>
       val fp = row.getString(row.fieldIndex("__fp"))
@@ -489,7 +502,8 @@ object Restructure {
         cfg.pathPlugins)
       // G8 bucket routing applies to dynamic topics exactly as to static ones
       val basePathCol = cfg.bucketTemplate.fold(plainPathCol)(bt =>
-        concat(PathTemplate.compile(bt, params, Some(timeCol), Some(dataSchema), cfg.pathPlugins),
+        concat(bucketWithFallback(cfg,
+            PathTemplate.compile(bt, params, Some(timeCol), Some(dataSchema), cfg.pathPlugins)),
           lit("/"), plainPathCol))
       val withBase = group.select(outCols ++ Seq(
         basePathCol.as("__base"), col(AvroRead.FileCol), col(AvroRead.PosCol)): _*)
@@ -533,6 +547,23 @@ object Restructure {
     if (field.exists(c => c == ',' || c == '"' || c == '\n' || c == '\r'))
       "\"" + field.replace("\"", "\"\"") + "\""
     else field
+
+  /** Bucket-name safety net (reference FormattedPathFactory.kt:51-60):
+    * a formatted bucket name FULL-matching any `bucketDisabledFormats`
+    * regex — case-insensitively, per Kotlin's
+    * `toRegex(IGNORE_CASE).matches()` — is replaced by
+    * `bucketDefaultName`. A plain `when/rlike` column expression, so the
+    * substitution rides inside the same codegen'd path projection as the
+    * template itself (no extra pass, nothing driver-side).
+    */
+  private def bucketWithFallback(cfg: RestructureJobConfig, bucket: Column): Column =
+    if (cfg.bucketDisabledFormats.isEmpty) bucket
+    else {
+      // anchor for full-match and wrap each user regex non-capturing so
+      // alternation cannot leak across patterns
+      val pattern = cfg.bucketDisabledFormats.mkString("(?i)^(?:(?:", ")|(?:", "))$")
+      when(bucket.rlike(pattern), lit(cfg.bucketDefaultName)).otherwise(bucket)
+    }
 
   private def dataColName(c: Column): String = {
     // alias name of a projection column built with .as(name)

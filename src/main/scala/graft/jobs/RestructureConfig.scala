@@ -25,6 +25,13 @@ final case class RestructureJobConfig(
     outputRoot: String,
     pathTemplate: String = PathTemplate.defaultTemplate,
     bucketTemplate: Option[String] = None,    // G8 per-record bucket routing
+    // Bucket-name safety net (reference BucketFormatterConfig.kt:12-18,
+    // FormattedPathFactory.kt:51-60): a formatted bucket name that
+    // FULL-matches any of these case-insensitive regexes is replaced by
+    // bucketDefaultName — e.g. a deployment whose computed name comes out
+    // empty/invalid writes to the default bucket instead of a bad one
+    bucketDisabledFormats: Seq[String] = Nil,
+    bucketDefaultName: String = "radar-output-storage",
     format: String = "csv",                   // csv | json
     gzip: Boolean = false,
     zip: Boolean = false,                     // K6: single-entry zip, level 7
@@ -37,6 +44,11 @@ final case class RestructureJobConfig(
     ledgerPath: Option[String] = None,        // default <outputRoot>/_ledger.json
     lockDir: Option[String] = None,           // multi-instance per-topic locks
     maxFilesPerTopic: Option[Int] = None,
+    // bound on distinct map-key/array-arity header shapes one dynamic-topic
+    // batch may produce: each shape is one pass over the batch's persisted
+    // frame (linear in shapes), so a runaway producer fails fast with a
+    // cure instead of grinding through thousands of passes
+    maxSchemaFingerprints: Int = 256,
     minimumFileAgeMs: Long = 0L,
     timeBinFormat: String = "yyyyMMdd_HH00",
     // G6: enrichment-backed path-template plugins (e.g. `mp:`), applied to

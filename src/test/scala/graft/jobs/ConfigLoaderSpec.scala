@@ -90,6 +90,24 @@ class ConfigLoaderSpec extends AnyFunSuite {
         |    format: prod-${projectId}
         |""".stripMargin)
     assert(withBucket.job.bucketTemplate.contains("prod-${projectId}"))
+    // defaults mirror BucketFormatterConfig.kt: no disabled regexes, the
+    // reference's safety-net bucket name
+    assert(withBucket.job.bucketDisabledFormats.isEmpty)
+    assert(withBucket.job.bucketDefaultName == "radar-output-storage")
+    // disabledFormats/defaultName (BucketFormatterConfig.kt:12-18), list
+    // order preserved
+    val withFallback = ConfigLoader.load(
+      """paths:
+        |  bucket:
+        |    format: prod-${projectId}
+        |    disabledFormats:
+        |      - prod-unknown.*
+        |      - ".*[^a-z0-9-].*"
+        |    defaultName: safe-bucket
+        |""".stripMargin)
+    assert(withFallback.job.bucketDisabledFormats ==
+      Seq("prod-unknown.*", ".*[^a-z0-9-].*"))
+    assert(withFallback.job.bucketDefaultName == "safe-bucket")
     assert(l.pathProperties("managementPortalUrl") == "http://localhost:8080/managementportal")
     assert(l.pathProperties("managementPortalClientId") == "radar_restructure")
     assert(l.job.pathTemplate == "${projectId}/${mp:group}/${topic}/${filename}")

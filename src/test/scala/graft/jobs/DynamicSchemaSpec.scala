@@ -167,4 +167,96 @@ class DynamicSchemaSpec extends SparkSpec {
     assert(lines.head == "key.userId,value.time,value.props.a,value.arr.0")
     assert(lines.size == 3, s"dynamic dedup did not collapse duplicates: $lines")
   }
+
+  test("many header shapes: source scanned once into cache, not once per shape") {
+    import org.apache.spark.sql.execution.{QueryExecution, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    import org.apache.spark.sql.util.QueryExecutionListener
+
+    val schema = new Schema.Parser().parse(schemaJson)
+    val work = Files.createTempDirectory("graft-dynmany")
+    val dir = work.resolve("in/map_topic/partition=0")
+    Files.createDirectories(dir)
+    val f = new File(dir.toFile, "map_topic+0+0000000001+0000000012.avro")
+    val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
+    w.create(schema, f)
+    val t = 1.6095816E9
+    // 12 records, each with a UNIQUE map-key set → 12 fingerprint groups,
+    // 12 attempt files in the same bin
+    (0 until 12).foreach(i => w.append(rec(schema, "u1", t, Map(s"k$i" -> i), Seq("x"))))
+    w.close()
+
+    // count executions of the DSv2 avro source scan (BatchScanExec). The
+    // walker descends through AQE wrappers but NOT into InMemoryTableScan:
+    // reads served from the persisted fingerprint frame must not count.
+    def countScans(p: SparkPlan): Int = {
+      val self = if (p.isInstanceOf[BatchScanExec]) 1 else 0
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case o => o.children
+      }
+      self + kids.map(countScans).sum
+    }
+    val scans = new java.util.concurrent.atomic.AtomicInteger(0)
+    val queries = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit = {
+        queries.incrementAndGet()
+        scans.addAndGet(countScans(qe.executedPlan))
+      }
+      override def onFailure(funcName: String, qe: QueryExecution, ex: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    val out = work.resolve("out")
+    try {
+      Restructure.run(spark, RestructureJobConfig(
+        inputRoot = work.resolve("in").toString, outputRoot = out.toString))
+      // listener events are delivered async: wait for at least one query to
+      // prove the counter is live, then let the queue drain
+      val deadline = System.currentTimeMillis() + 10000
+      while (queries.get() < 1 && System.currentTimeMillis() < deadline) Thread.sleep(100)
+      Thread.sleep(1000)
+    } finally spark.listenerManager.unregister(listener)
+
+    val bin = out.resolve("unknown-project/u1/map_topic/20210102_1000.csv")
+    assert(Files.exists(bin), "base bin missing")
+    (1 until 12).foreach { i =>
+      assert(Files.exists(out.resolve(s"unknown-project/u1/map_topic/20210102_1000_$i.csv")),
+        s"attempt _$i missing")
+    }
+    assert(queries.get() >= 1, "listener never fired — counter not live")
+    // the per-shape passes read the persisted fingerprint frame
+    // (InMemoryTableScan — a leaf the walker does not descend into); the
+    // one real source scan happens inside the cache materialization, which
+    // is invisible to the listener. A regression to uncached per-group
+    // filters would surface a visible BatchScan per header shape (≥12).
+    val n = scans.get()
+    assert(n <= 6, s"avro source scanned $n times for 12 header shapes — " +
+      "per-shape passes are no longer served from the persisted frame")
+  }
+
+  test("header-shape count above the cap fails with an actionable error") {
+    val schema = new Schema.Parser().parse(schemaJson)
+    val work = Files.createTempDirectory("graft-dyncap")
+    val dir = work.resolve("in/map_topic/partition=0")
+    Files.createDirectories(dir)
+    val f = new File(dir.toFile, "map_topic+0+0000000001+0000000005.avro")
+    val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
+    w.create(schema, f)
+    val t = 1.6095816E9
+    (0 until 5).foreach(i => w.append(rec(schema, "u1", t, Map(s"k$i" -> i), Seq("x"))))
+    w.close()
+
+    val out = work.resolve("out")
+    val e = intercept[IllegalArgumentException] {
+      Restructure.run(spark, RestructureJobConfig(
+        inputRoot = work.resolve("in").toString, outputRoot = out.toString,
+        maxSchemaFingerprints = 3))
+    }
+    assert(e.getMessage.contains("5 distinct") && e.getMessage.contains("cap 3") &&
+      e.getMessage.contains("maxSchemaFingerprints"),
+      s"expected an actionable cap error, got: ${e.getMessage}")
+  }
 }

@@ -299,4 +299,33 @@ class FormatsSpec extends SparkSpec {
     assert(Files.exists(out.resolve(
       s"bucket-CONNECTED/$binDir/20200128_1300.csv")))
   }
+
+  test("disabled bucket formats fall back to the default name (G8, " +
+      "FormattedPathFactory.kt:51-60)") {
+    val (in, out) = setup()
+    // the formatted name is bucket-CONNECTED; the regex full-matches it
+    // case-insensitively (Kotlin toRegex(IGNORE_CASE).matches parity)
+    Restructure.run(spark, RestructureJobConfig(
+      inputRoot = in.toString, outputRoot = out.toString,
+      bucketTemplate = Some("bucket-${value:serverStatus}"),
+      bucketDisabledFormats = Seq("bucket-conn.*"),
+      bucketDefaultName = "safe-bucket"))
+    assert(Files.exists(out.resolve(s"safe-bucket/$binDir/20200128_1300.csv")))
+    assert(!Files.exists(out.resolve(s"bucket-CONNECTED/$binDir/20200128_1300.csv")))
+  }
+
+  test("non-matching disabled formats leave the formatted bucket intact; " +
+      "partial matches do not disable (full-match semantics)") {
+    val (in, out) = setup()
+    // "CONN" matches a substring only — Kotlin Regex.matches needs the
+    // whole string, so the formatted bucket must survive
+    Restructure.run(spark, RestructureJobConfig(
+      inputRoot = in.toString, outputRoot = out.toString,
+      bucketTemplate = Some("bucket-${value:serverStatus}"),
+      bucketDisabledFormats = Seq("CONN", "other-bucket"),
+      bucketDefaultName = "safe-bucket"))
+    assert(Files.exists(out.resolve(
+      s"bucket-CONNECTED/$binDir/20200128_1300.csv")))
+    assert(!Files.exists(out.resolve(s"safe-bucket/$binDir/20200128_1300.csv")))
+  }
 }
