@@ -1374,14 +1374,20 @@ object SparkEntry {
   }
 
   /** Multimodal batch feature extraction through the Dataset/mapPartitions
-    * decode boundary (stubbed codec — rows-only check; the deterministic
-    * stub features are unit-tested in MultimodalSpec).
+    * decode boundary. The corpus becomes REAL container blobs
+    * (PNG/GIF/WAV headers whose fields derive arithmetically from doc_id,
+    * body = the document bytes — `Multimodal.syntheticMediaFrame`), and
+    * the query output is what `Multimodal.decodeMeta` actually PARSES back
+    * from those bytes; the oracle recomputes every field arithmetically,
+    * so any header-layout or endianness bug in build or parse
+    * hash-mismatches.
     */
   private def qMediaFeatures(implicit s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val media = Multimodal.toMediaFrame(t("documents")).as[Multimodal.MediaRecord]
+    val media = Multimodal.syntheticMediaFrame(t("documents"))(s)
     Multimodal.decodeFeatures(media)(s).toDF()
-      .select(col("doc_id"), col("byte_len"), col("n_frames"), col("brightness"))
+      .select(col("doc_id"), col("media_kind"), col("byte_len"),
+        col("width"), col("height"), col("bit_depth"),
+        col("channels"), col("sample_rate"), col("duration_ms"))
       .orderBy(col("doc_id"))
   }
 
@@ -1793,13 +1799,25 @@ object SparkEntry {
       "q_rolling_hash" ->
         s"""SELECT doc_id, ${byteFold("(h, b) -> (h * 257 + b) % 1000000007")} AS rhash
            |FROM documents ORDER BY doc_id""".stripMargin,
+      // mirrors Multimodal.syntheticMediaFrame's arithmetic exactly: the
+      // Spark side PARSES these values back out of real PNG/GIF/WAV header
+      // bytes; the oracle recomputes them from doc_id + body length
       "q_media_features" ->
-        s"""WITH b AS (SELECT doc_id, octet_length(encode(text)) AS blen,
-           |  ${byteFold("(a, x) -> a + x")} AS bsum FROM documents)
-           |SELECT doc_id, CAST(blen AS INTEGER) AS byte_len,
-           |  CAST(blen // 256 AS INTEGER) AS n_frames,
-           |  CASE WHEN blen = 0 THEN 0.0 ELSE CAST(bsum AS DOUBLE) / blen END AS brightness
-           |FROM b ORDER BY doc_id""".stripMargin,
+        """WITH m AS (SELECT doc_id, octet_length(encode(text)) AS flen,
+          |  doc_id % 3 AS kind,
+          |  1 + doc_id % 512 AS w, 1 + (doc_id // 7) % 512 AS h,
+          |  1 + doc_id % 2 AS ch, 8000 * (1 + (doc_id // 3) % 3) AS rate
+          |  FROM documents)
+          |SELECT doc_id,
+          |  CASE kind WHEN 0 THEN 'png' WHEN 1 THEN 'gif' ELSE 'wav' END AS media_kind,
+          |  CAST(CASE kind WHEN 0 THEN 33 WHEN 1 THEN 13 ELSE 44 END + flen AS BIGINT) AS byte_len,
+          |  CAST(CASE WHEN kind = 2 THEN 0 ELSE w END AS BIGINT) AS width,
+          |  CAST(CASE WHEN kind = 2 THEN 0 ELSE h END AS BIGINT) AS height,
+          |  CAST(CASE WHEN kind = 2 THEN 0 ELSE 8 END AS BIGINT) AS bit_depth,
+          |  CAST(CASE WHEN kind = 2 THEN ch ELSE 0 END AS BIGINT) AS channels,
+          |  CAST(CASE WHEN kind = 2 THEN rate ELSE 0 END AS BIGINT) AS sample_rate,
+          |  CAST(CASE WHEN kind = 2 THEN flen * 1000 // (rate * ch * 2) ELSE 0 END AS BIGINT) AS duration_ms
+          |FROM m ORDER BY doc_id""".stripMargin,
       "q_kmeans_step" ->
         s"""WITH ${Frag.embCte},
            |c AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 16),
