@@ -69,7 +69,15 @@ private[jobs] object BinWriter {
       // target.local.{userId,groupId} (reference LocalTargetStorage.kt:
       // 94-101): committed files and created directories get these unix
       // owner attributes when >= 0; local filesystems only
-      localUid: Int = -1, localGid: Int = -1): Iterator[String] = {
+      localUid: Int = -1, localGid: Int = -1,
+      // K4 schema sidecar, written executor-side the first time a task
+      // touches an output directory: (filename, content). Create-if-absent
+      // is idempotent across concurrently-writing tasks (every writer holds
+      // the same bytes). The same first-touch hook sweeps stale dot-temps
+      // left by crashed writers (>1 h old — live writers' temps are younger
+      // by construction), so sidecar+sweep cost scales with executors
+      // instead of a driver thread pool over a collected bin list.
+      sidecar: Option[(String, Array[Byte])] = None): Iterator[String] = {
     if (!it.hasNext) return Iterator.empty
     val conf = new Configuration()
     confEntries.foreach { case (k, v) => conf.set(k, v) }
@@ -116,6 +124,20 @@ private[jobs] object BinWriter {
       if (mkdirsDone.add(target.getParent.toString)) {
         fs.mkdirs(target.getParent)
         chown(target.getParent)
+        sidecar.foreach { case (name, bytes) =>
+          val sc = new HPath(target.getParent, name)
+          if (!fs.exists(sc)) {
+            val o = fs.create(sc, true)
+            try o.write(bytes) finally o.close()
+            chown(sc)
+          }
+          val staleBefore = System.currentTimeMillis() - 3600000L
+          fs.listStatus(target.getParent).foreach { st =>
+            val n = st.getPath.getName
+            if (n.startsWith(".") && n.contains(".tmp-") && st.getModificationTime < staleBefore)
+              try fs.delete(st.getPath, false) catch { case _: Exception => }
+          }
+        }
       }
       tmp = new HPath(target.getParent, s".${target.getName}.tmp-${java.util.UUID.randomUUID()}")
       // local FS: plain FileOutputStream — skip the Hadoop stream wrapper

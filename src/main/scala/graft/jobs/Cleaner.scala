@@ -110,7 +110,7 @@ object Cleaner {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val cleanupTemps = scala.collection.mutable.ArrayBuffer.empty[HPath]
-    val paths = source.select("__path").distinct().collect().map(_.getString(0))
+    import spark.implicits._
     // The stored time field and its render-back-to-epoch-seconds converter,
     // in the SAME priority order as TimeExtract's chain — so the value
     // compared against __time is the one __time was derived from.
@@ -129,9 +129,32 @@ object Cleaner {
 
     val outFs = new HPath(cfg.outputRoot).getFileSystem(spark.sparkContext.hadoopConfiguration)
     // cleaner.cache = target-side metadata work (reference: TimestampFileCache
-    // loading, cleaner/TimestampFileCache.kt:39-68)
-    val existing = graft.util.Timer.time("cleaner.cache")(
-      paths.toSeq.filter(p => outFs.exists(new HPath(s"${cfg.outputRoot}/$p"))))
+    // loading, cleaner/TimestampFileCache.kt:39-68). The probe is
+    // DISTRIBUTED, mirroring Restructure.mergeExistingBins: existence +
+    // header reads run as one Spark job over the distinct bin paths, and
+    // only existing bins (with their header when CSV grouping needs it)
+    // come back — the driver never holds the full distinct-path set.
+    val confEntries = graft.sources.AvroRead.fsConfEntries(spark)
+    val outputRoot = cfg.outputRoot
+    val needHeader = !cfg.zip && cfg.format != "json"
+    val probed: Seq[(String, String)] = graft.util.Timer.time("cleaner.cache")(
+      source.select(col("__path")).distinct().as[String].mapPartitions { it =>
+        if (it.isEmpty) Iterator.empty
+        else {
+          val conf = new org.apache.hadoop.conf.Configuration()
+          confEntries.foreach { case (k, v) => conf.set(k, v) }
+          val pfs = new HPath(outputRoot).getFileSystem(conf)
+          it.flatMap { p =>
+            val full = new HPath(s"$outputRoot/$p")
+            if (!pfs.exists(full)) None
+            else if (!needHeader) Some((p, ""))
+            else Restructure.readHeaderLine(pfs, full).map(h => (p, h))
+            // unreadable target: dropped — its records count as missing, so
+            // the source file is kept (same outcome as the old None branch)
+          }
+        }
+      }.collect().toSeq)
+    val existing = probed.map(_._1)
     // scale path mirrors Restructure.mergeExistingBins: ONE distributed
     // scan per distinct CSV header (attempt files order columns
     // differently) / one overall for JSON, __path re-derived from
@@ -159,9 +182,7 @@ object Cleaner {
             "^" + java.util.regex.Pattern.quote(rootNorm), "")
           val groups =
             if (cfg.format == "json") Seq(existing)
-            else existing
-              .map(p => p -> Restructure.readHeaderLine(outFs, new HPath(s"${cfg.outputRoot}/$p")))
-              .collect { case (p, Some(h)) => (h, p) }
+            else probed.map { case (p, h) => (h, p) }
               .groupBy(_._1).values.map(_.map(_._2)).toSeq
           groups.map { members =>
             val full = members.map(p => s"${cfg.outputRoot}/$p")
@@ -184,8 +205,13 @@ object Cleaner {
         targetTimes.reduce(_ unionByName _).distinct(),
         Seq("__path", "__time"), "left_anti")
     val counts =
-      try missing.groupBy(col("__src")).count().collect()
-        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      try {
+        // chunked fetch of the per-source-file verdicts (tiny agg rows)
+        val it = missing.groupBy(col("__src")).count().toLocalIterator()
+        val b = Map.newBuilder[String, Long]
+        while (it.hasNext) { val r = it.next(); b += r.getString(0) -> r.getLong(1) }
+        b.result()
+      }
       finally {
         source.unpersist(false)
         cleanupTemps.foreach(t =>

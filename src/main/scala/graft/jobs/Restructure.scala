@@ -19,7 +19,8 @@ import graft.time.TimeExtract
   * driver: topic discovery → ledger filter → work list
   * cluster: avro scan → derive(time, path) → flatten → [dedup] →
   *          repartition(path) → one exactly-named file per bin
-  * driver: sidecars → ledger commit
+  *          (+ per-directory schema sidecars, written by the same tasks)
+  * driver: ledger commit
   *
   * Output parity with the reference: flattened dot-named CSV headers,
   * JVM-rendered values, unpadded base64, `""` nulls, minimal quoting,
@@ -178,49 +179,17 @@ object Restructure {
       case (_, _: MapType) | (_, _: ArrayType) => true
       case _ => false
     }
+    // K4 schema sidecar rides the write tasks (BinWriter first-touch per
+    // output directory, create-if-absent), along with the stale dot-temp
+    // sweep — no driver-side pass over a collected bin-directory list
+    val sidecarBytes = Some(avroSchema.toString(true).getBytes("UTF-8"))
     val written = Timer.time("close.store") {
-      if (cfg.format == "json") writeJsonBins(spark, cfg, fs, topic, dfE, dataSchema, pathCol, tCfg)
+      if (cfg.format == "json")
+        writeJsonBins(spark, cfg, fs, topic, dfE, dataSchema, pathCol, tCfg, sidecarBytes)
       else if (hasDynamic)
-        writeCsvBinsDynamic(spark, cfg, fs, topic, dfE, dataSchema, timeCol, template, tCfg)
-      else writeCsvBins(spark, cfg, fs, topic, dfE, dataSchema, pathCol, tCfg)
-    }
-
-    // K4 schema sidecar, once per output directory; same pass sweeps
-    // stale BinWriter dot-temps left by crashed tasks (>1 h old — current
-    // writers are younger by construction). Directories are independent and
-    // the work is pure FS metadata (exists/create/list), so the sweep fans
-    // out over a small driver pool — serially it was ~1/3 of commit wall at
-    // 10× bench scale (thousands of bins), pure driver-side latency
-    Timer.time("write.schema") {
-      val dirs = written.map(p => p.substring(0, math.max(p.lastIndexOf('/'), 0))).distinct
-      val schemaBytes = avroSchema.toString(true).getBytes("UTF-8")
-      val staleBefore = System.currentTimeMillis() - 3600000L
-      def sweep(dir: String): Unit = {
-        val dirPath = new HPath(s"${cfg.outputRoot}/$dir")
-        val sidecar = new HPath(dirPath, s"schema-$topic.json")
-        if (!fs.exists(sidecar)) {
-          val out = fs.create(sidecar, true)
-          try out.write(schemaBytes) finally out.close()
-        }
-        fs.listStatus(dirPath).foreach { st =>
-          val n = st.getPath.getName
-          if (n.startsWith(".") && n.contains(".tmp-") && st.getModificationTime < staleBefore)
-            fs.delete(st.getPath, false)
-        }
-      }
-      if (dirs.length <= 4) dirs.foreach(sweep)
-      else {
-        val pool = java.util.concurrent.Executors.newFixedThreadPool(16)
-        try {
-          import scala.jdk.CollectionConverters._
-          val errs = pool.invokeAll(
-            dirs.map(d => new java.util.concurrent.Callable[Option[Throwable]] {
-              def call(): Option[Throwable] =
-                try { sweep(d); None } catch { case e: Throwable => Some(e) }
-            }).asJava).asScala.flatMap(_.get())
-          errs.headOption.foreach(throw _)
-        } finally pool.shutdown()
-      }
+        writeCsvBinsDynamic(spark, cfg, fs, topic, dfE, dataSchema, timeCol, template, tCfg,
+          sidecarBytes)
+      else writeCsvBins(spark, cfg, fs, topic, dfE, dataSchema, pathCol, tCfg, sidecarBytes)
     }
 
     // ledger commit: closed ranges are sized by their offset span; only
@@ -242,9 +211,15 @@ object Restructure {
     val openEnded = parsed.collect { case (n, r) if r.to.isEmpty => n }
     val counts: Map[String, Long] =
       if (openEnded.isEmpty) Map.empty
-      else df.filter(col(AvroRead.FileCol).isin(openEnded: _*))
-        .groupBy(col(AvroRead.FileCol)).count().collect()
-        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      else {
+        // chunked fetch: the per-file count rows stream partition-by-
+        // partition (tiny post-shuffle agg), never one big collect buffer
+        val it = df.filter(col(AvroRead.FileCol).isin(openEnded: _*))
+          .groupBy(col(AvroRead.FileCol)).count().toLocalIterator()
+        val b = Map.newBuilder[String, Long]
+        while (it.hasNext) { val r = it.next(); b += r.getString(0) -> r.getLong(1) }
+        b.result()
+      }
     val processedAt = Instant.now()
     // skipped positions still count toward a file's total record count (the
     // open-ended end offset), but not toward records extracted this run
@@ -284,14 +259,15 @@ object Restructure {
 
   private[graft] def writeCsvBins(
       spark: SparkSession, cfg: RestructureJobConfig, fs: FileSystem, topic: String,
-      df: DataFrame, dataSchema: StructType, pathCol: Column, tCfg: TopicJobConfig): Seq[String] = {
+      df: DataFrame, dataSchema: StructType, pathCol: Column, tCfg: TopicJobConfig,
+      sidecar: Option[Array[Byte]] = None): Seq[String] = {
     val outCols = csvColumns(dataSchema, cfg.allExcludeFields(topic))
     val prepared = df.select(outCols ++ Seq(
       pathCol.as("__path"), col(AvroRead.FileCol), col(AvroRead.PosCol)): _*)
 
     val temps = scala.collection.mutable.ArrayBuffer.empty[HPath]
     val withExisting = mergeExistingBins(spark, cfg, fs, prepared, "csv", None, temps)
-    try commitBins(spark, cfg, fs, withExisting, "csv", topic)
+    try commitBins(spark, cfg, fs, withExisting, "csv", topic, sidecar)
     finally temps.foreach(t => fs.delete(t, false))
   }
 
@@ -299,8 +275,15 @@ object Restructure {
     * batch touches (existing rows sort before any new file and participate
     * in dedup, FileCache.kt:147-179). K9: an unreadable target (corrupt
     * gzip/zip) is quarantined as `<name>.corrupted[-i]` and the bin starts
-    * fresh (FileCache.kt:205-235) — readability is probed driver-side by
-    * streaming the compressed header bytes, no per-bin Spark job.
+    * fresh (FileCache.kt:205-235).
+    *
+    * Merge PLANNING is distributed: existence + readability + header
+    * probing runs as one Spark job over the distinct bin paths (one FS
+    * metadata call per bin rides the executors, not a driver thread pool),
+    * and only bins that EXIST come back to the driver — a cold run collects
+    * nothing, a re-run O(bins with targets). The driver-held residue is the
+    * existing-path list itself, which the DataFrameReader API needs anyway
+    * to enumerate its per-header path groups.
     *
     * `jsonSchema` is Some(nested schema) for JSON bins (read typed, no
     * inference); None for CSV bins (read as strings by each file's header).
@@ -309,9 +292,34 @@ object Restructure {
       spark: SparkSession, cfg: RestructureJobConfig, fs: FileSystem,
       prepared: DataFrame, format: String, jsonSchema: Option[StructType],
       temps: scala.collection.mutable.Buffer[HPath]): DataFrame = {
-    val targetPaths = prepared.select(col("__path")).distinct().collect().map(_.getString(0))
-    val existing = Timer.time("write.open")(parallelFilter(targetPaths.toSeq)(p =>
-      fs.exists(new HPath(s"${cfg.outputRoot}/$p"))))
+    import spark.implicits._
+    val confEntries = AvroRead.fsConfEntries(spark)
+    val outputRoot = cfg.outputRoot
+    // probe state: 0 = exists (zip mode: no header needed), 1 = readable
+    // with header, 2 = exists but unreadable/corrupt
+    val wantHeader = !cfg.zip
+    val fmt = format
+    val probed: Seq[(String, Int, String)] = Timer.time("write.open")(
+      prepared.select(col("__path")).distinct().as[String].mapPartitions { it =>
+        if (it.isEmpty) Iterator.empty
+        else {
+          val conf = new org.apache.hadoop.conf.Configuration()
+          confEntries.foreach { case (k, v) => conf.set(k, v) }
+          val pfs = new HPath(outputRoot).getFileSystem(conf)
+          it.flatMap { p =>
+            val full = new HPath(s"$outputRoot/$p")
+            if (!pfs.exists(full)) None
+            else if (!wantHeader) Some((p, 0, ""))
+            else if (!sniffReadable(pfs, full.toString)) Some((p, 2, ""))
+            else if (fmt == "json") Some((p, 1, ""))
+            else readHeaderLine(pfs, full) match {
+              case Some(h) => Some((p, 1, h))
+              case None => Some((p, 2, ""))
+            }
+          }
+        }
+      }.collect().toSeq)
+    val existing = probed.map(_._1)
     if (existing.isEmpty) prepared
     else if (cfg.zip) mergeExistingBinsFold(spark, cfg, fs, prepared, existing, format, jsonSchema, temps)
     else {
@@ -320,11 +328,9 @@ object Restructure {
       // O(attempt-schemas) plan nodes, not O(bins). The bin path is
       // re-derived from input_file_name, so all bins of a group load in a
       // single distributed scan.
-      val headered = parallelMap(existing) { p =>
-        val src = s"${cfg.outputRoot}/$p"
-        if (!sniffReadable(fs, src)) (p, None)
-        else if (format == "json") (p, Some(""))
-        else (p, readHeaderLine(fs, new HPath(src)))
+      val headered = probed.map {
+        case (p, 2, _) => (p, None)
+        case (p, _, h) => (p, Some(h))
       }
       headered.collect { case (p, None) => p }
         .foreach(p => quarantine(fs, new HPath(s"${cfg.outputRoot}/$p")))
@@ -417,7 +423,7 @@ object Restructure {
   private[graft] def writeCsvBinsDynamic(
       spark: SparkSession, cfg: RestructureJobConfig, fs: FileSystem, topic: String,
       df: DataFrame, dataSchema: StructType, timeCol: Column, template: String,
-      tCfg: TopicJobConfig): Seq[String] = {
+      tCfg: TopicJobConfig, sidecar: Option[Array[Byte]] = None): Seq[String] = {
     val dynLeaves = Flatten.leafPaths(dataSchema).collect {
       case (n, _: MapType) => n -> true
       case (n, _: ArrayType) => n -> false
@@ -507,13 +513,29 @@ object Restructure {
           lit("/"), plainPathCol))
       val withBase = group.select(outCols ++ Seq(
         basePathCol.as("__base"), col(AvroRead.FileCol), col(AvroRead.PosCol)): _*)
-      val basePaths = withBase.select(col("__base")).distinct().collect().map(_.getString(0))
-      val mapping = basePaths.toSeq.map(bp => bp -> resolveAttemptPath(fs, cfg, bp, header))
-      val mapDf = spark.createDataFrame(mapping).toDF("__base", "__path")
+      // attempt slots resolve EXECUTOR-side (one exists/header probe chain
+      // per distinct base path, distributed like the merge planning above);
+      // the mapping never materializes on the driver — it broadcasts
+      // straight into the join. Groups still commit sequentially, so
+      // earlier groups' files are visible to later groups' probes.
+      val confEntries = AvroRead.fsConfEntries(spark)
+      val outputRoot = cfg.outputRoot
+      val ext = cfg.extension
+      val hdr = header
+      import spark.implicits._
+      val mapDf = withBase.select(col("__base")).distinct().as[String].mapPartitions { it =>
+        if (it.isEmpty) Iterator.empty
+        else {
+          val conf = new org.apache.hadoop.conf.Configuration()
+          confEntries.foreach { case (k, v) => conf.set(k, v) }
+          val pfs = new HPath(outputRoot).getFileSystem(conf)
+          it.map(bp => (bp, resolveAttemptPath(pfs, outputRoot, ext, bp, hdr)))
+        }
+      }.toDF("__base", "__path")
       val prepared = withBase.join(broadcast(mapDf), "__base").drop("__base")
       val temps = scala.collection.mutable.ArrayBuffer.empty[HPath]
       try commitBins(spark, cfg, fs,
-        mergeExistingBins(spark, cfg, fs, prepared, "csv", None, temps), "csv", topic)
+        mergeExistingBins(spark, cfg, fs, prepared, "csv", None, temps), "csv", topic, sidecar)
       finally temps.foreach(t => fs.delete(t, false))
     } finally withFp.unpersist(false)
   }
@@ -573,19 +595,21 @@ object Restructure {
   }
 
   /** First free or header-matching attempt slot for `basePath`
-    * (`bin.csv`, `bin_1.csv`, `bin_2.csv`, …).
+    * (`bin.csv`, `bin_1.csv`, `bin_2.csv`, …). Runs executor-side (static
+    * call, primitive args) so attempt planning distributes with the paths.
     */
-  private def resolveAttemptPath(
-      fs: FileSystem, cfg: RestructureJobConfig, basePath: String, header: String): String = {
+  private[jobs] def resolveAttemptPath(
+      fs: FileSystem, outputRoot: String, extension: String,
+      basePath: String, header: String): String = {
     def withAttempt(i: Int): String =
       if (i == 0) basePath
-      else if (basePath.endsWith(cfg.extension))
-        basePath.dropRight(cfg.extension.length) + s"_$i" + cfg.extension
+      else if (basePath.endsWith(extension))
+        basePath.dropRight(extension.length) + s"_$i" + extension
       else basePath + s"_$i"
     var i = 0
     while (i < 1000) {
       val cand = withAttempt(i)
-      val full = new HPath(s"${cfg.outputRoot}/$cand")
+      val full = new HPath(s"$outputRoot/$cand")
       if (!fs.exists(full)) return cand
       if (readHeaderLine(fs, full).contains(header)) return cand
       i += 1
@@ -625,7 +649,8 @@ object Restructure {
 
   private[graft] def writeJsonBins(
       spark: SparkSession, cfg: RestructureJobConfig, fs: FileSystem, topic: String,
-      df: DataFrame, dataSchema: StructType, pathCol: Column, tCfg: TopicJobConfig): Seq[String] = {
+      df: DataFrame, dataSchema: StructType, pathCol: Column, tCfg: TopicJobConfig,
+      sidecar: Option[Array[Byte]] = None): Seq[String] = {
     // project by the topic's data schema (like csvColumns), NOT df.columns:
     // the frame arrives plugin-enriched, and the __-prefixed enrichment
     // structs must never reach written records or the dedup key
@@ -640,7 +665,7 @@ object Restructure {
     val withExisting = mergeExistingBins(spark, cfg, fs, prepared, "json", Some(dataOnly), temps)
     // A2 whole-record keep-first dedup happens inside the writer (commitBins
     // keys each rendered record)
-    try commitBins(spark, cfg, fs, withExisting, "json", topic)
+    try commitBins(spark, cfg, fs, withExisting, "json", topic, sidecar)
     finally temps.foreach(t => fs.delete(t, false))
   }
 
@@ -682,7 +707,8 @@ object Restructure {
 
   private def commitBins(
       spark: SparkSession, cfg: RestructureJobConfig, fs: FileSystem,
-      df: DataFrame, format: String, topic: String): Seq[String] = {
+      df: DataFrame, format: String, topic: String,
+      sidecar: Option[Array[Byte]] = None): Seq[String] = {
     import spark.implicits._
     val dataCols = df.columns.toSeq
       .filterNot(Seq("__path", AvroRead.FileCol, AvroRead.PosCol).contains)
@@ -720,26 +746,12 @@ object Restructure {
     val zip = cfg.zip
     val uid = cfg.localUid
     val gid = cfg.localGid
+    val sidecarEntry = sidecar.map(bytes => (s"schema-$topic.json", bytes))
     val written = Timer.time("write.convert")(prepared.mapPartitions { it =>
-      BinWriter.writePartition(it, outputRoot, confEntries, header, gz, zip, dedupMode, uid, gid)
+      BinWriter.writePartition(it, outputRoot, confEntries, header, gz, zip, dedupMode, uid, gid,
+        sidecarEntry)
     }.collect())
     written.toSeq.sorted
-  }
-
-  /** Parallel predicate filter over a driver-side path list (bounded pool —
-    * FS metadata ops are latency-bound, not CPU-bound).
-    */
-  private def parallelFilter[T](xs: Seq[T])(p: T => Boolean): Seq[T] =
-    parallelMap(xs)(x => (x, p(x))).collect { case (x, true) => x }
-
-  private def parallelMap[T, U](xs: Seq[T])(f: T => U): Seq[U] = {
-    if (xs.size < 64) return xs.map(f)
-    import scala.concurrent.{Await, ExecutionContext, Future}
-    import scala.concurrent.duration.Duration
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(32)
-    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-    try Await.result(Future.sequence(xs.map(x => Future(f(x)))), Duration.Inf)
-    finally pool.shutdown()
   }
 
   /** Legacy `offsets/<topic>.csv` migration on startup (reference
