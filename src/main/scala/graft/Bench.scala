@@ -118,12 +118,22 @@ object Bench {
     val total = r4(results.filter(_._4).map(_._2).sum)
     val totalMedian = r4(results.filter(_._4).map(_._3).sum)
     val restructureJson = restructure.toJson
+
+    // standing scale sections, one measured run each (plans are already
+    // warm from the sweeps above): the 10× replicated headline queries and
+    // the cleaner verify+delete over a tree the restructure path just wrote
+    val tenXJson = benchTenX(spark, sfDir, dropCachedBlocks _)
+    loadSamples += loadAvg
+    val cleanerJson = benchCleaner(spark, sfDir, dropCachedBlocks _)
+    loadSamples += loadAvg
+
     val failedJson = if (failed.isEmpty) "" else s""","failed":[${failed.mkString(",")}]"""
     val loadJson = s"""{"start":${r4(loadSamples.head)},"end":${r4(loadSamples.last)},""" +
       s""""max":${r4(loadSamples.max)},"cpus":$cpus}"""
     val line = s"""{"metric":"total","value":$total,"unit":"sec","total_median":$totalMedian,""" +
       s""""queries":$qs,"queries_median":$qsMedian$failedJson,"load":$loadJson,""" +
-      s""""sf":"$sfDir","restructure":$restructureJson}"""
+      s""""sf":"$sfDir","restructure":$restructureJson,""" +
+      s""""sf1x10":$tenXJson,"cleaner":$cleanerJson}"""
     // file copy survives even if the stdout tail truncates the line
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -135,6 +145,146 @@ object Bench {
   private def jsonStr(s: String): String =
     "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
       .replace("\n", "\\n").replace("\r", "\\r").replace("\t", "\\t") + "\""
+
+  private def r4(x: Double): Double = math.rint(x * 1e4) / 1e4
+
+  /** Standing ≥10× scale row: the headline dedup/ANN/text queries over a
+    * 10×-replicated corpus, so the per-round bench records a scaling trend,
+    * not just the sf0.1 point.
+    *
+    * Replication is WORKLOAD-HONEST: each document replica gets a disjoint
+    * id space AND a disjoint token space (every token suffixed with the
+    * replica tag), so the corpus-wide duplicate structure is 10 independent
+    * copies of the base corpus's — near-dup pair counts scale ~linearly
+    * with the corpus, as real data does, instead of quadratically in the
+    * replica count (which identical-text replication would produce).
+    * Embedding replicas keep their vectors (ANN work is linear in rows and
+    * bounded-heap in k, so identical vectors do not inflate it).
+    */
+  private def benchTenX(spark: SparkSession, sfDir: String,
+      dropCachedBlocks: () => Unit): String =
+    try {
+      import org.apache.spark.sql.functions._
+      val rep = 10
+      val work = java.nio.file.Files.createTempDirectory("graft-bench-10x")
+      val docs = Tables.load(spark, sfDir, "documents")
+      val embs = Tables.load(spark, sfDir, "embeddings")
+      (0 until rep).map { r =>
+        val d = docs.withColumn("doc_id", col("doc_id") + lit(r * 10000000L))
+        // replica 0 keeps the original text; others shift the token space
+        if (r == 0) d
+        else d.withColumn("text", regexp_replace(col("text"), "(\\S+)", "$1x" + r))
+      }.reduce(_ unionByName _)
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$work/documents.parquet")
+      (0 until rep).map { r =>
+        embs.withColumn("vec_id", col("vec_id") + lit(r * 10000000L))
+      }.reduce(_ unionByName _)
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$work/embeddings.parquet")
+      val names = Seq("q_corpus_dedup", "q_minhash_pairs", "q_repeated_spans", "q_ivfpq_topk")
+      val timed = names.map { name =>
+        dropCachedBlocks()
+        val t0 = System.nanoTime()
+        val ok =
+          try { SparkEntry.queries(name)(spark, work.toString).count(); true }
+          catch { case e: Throwable =>
+            Console.err.println(s"[bench] 10x FAILED $name: ${e.getClass.getSimpleName}: ${e.getMessage}")
+            false
+          }
+        name -> (if (ok) r4((System.nanoTime() - t0) / 1e9) else -1.0)
+      }
+      org.apache.commons.io.FileUtils.deleteDirectory(work.toFile)
+      val qs = timed.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+      s"""{"replication":$rep,"base_sf":${jsonStr(sfDir)},"queries":$qs}"""
+    } catch { case e: Throwable =>
+      Console.err.println(s"[bench] 10x setup FAILED: ${e.getClass.getName}: ${e.getMessage}")
+      s"""{"error":${jsonStr(s"${e.getClass.getSimpleName}: ${e.getMessage}")}}"""
+    }
+
+  /** Standing cleaner row: verify+delete over a restructure tree written
+    * for the purpose (setup untimed). Files carry CLOSED offset ranges in
+    * two slices per partition, so slice 1 is delete-eligible (the ledger
+    * covers past its end) and slice 2 is kept (newest) — the realistic
+    * mixed outcome. The measured run is the full cleaner job: ledger load,
+    * eligibility, the distributed timestamp-containment verification
+    * (distinct-bin probe + anti-join), deletes, ledger flush.
+    */
+  private def benchCleaner(spark: SparkSession, sfDir: String,
+      dropCachedBlocks: () => Unit): String =
+    try {
+      import org.apache.spark.sql.functions._
+      val rows = Tables.load(spark, sfDir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), col("ts").cast("double").as("tsec"))
+        .collect()
+      val schemaJson =
+        """{"type":"record","name":"EventRecord","fields":[
+          |{"name":"key","type":{"type":"record","name":"K","fields":[
+          |  {"name":"projectId","type":["null","string"],"default":null},
+          |  {"name":"userId","type":"string"},{"name":"sourceId","type":"string"}]}},
+          |{"name":"value","type":{"type":"record","name":"V","fields":[
+          |  {"name":"time","type":"double"},{"name":"eventType","type":"string"},
+          |  {"name":"value","type":"double"}]}}]}""".stripMargin
+      val schema = new org.apache.avro.Schema.Parser().parse(schemaJson)
+      def writeClosedBatch(root: java.nio.file.Path, counters: Array[Long],
+          batch: Array[org.apache.spark.sql.Row]): Unit = {
+        // closed filenames need per-partition counts up front
+        val byPart = batch.groupBy(r => (r.getLong(1) % 16).toInt)
+        byPart.toSeq.sortBy(_._1).foreach { case (p, rs) =>
+          val dir = root.resolve(s"in/events/partition=$p")
+          java.nio.file.Files.createDirectories(dir)
+          val from = counters(p)
+          val to = from + rs.length - 1
+          val w = new org.apache.avro.file.DataFileWriter[org.apache.avro.generic.GenericRecord](
+            new org.apache.avro.generic.GenericDatumWriter[org.apache.avro.generic.GenericRecord](schema))
+          w.create(schema, dir.resolve(f"events+$p+$from%010d+$to%010d.avro").toFile)
+          rs.foreach { r =>
+            val k = new org.apache.avro.generic.GenericData.Record(schema.getField("key").schema)
+            k.put("projectId", "bench"); k.put("userId", s"u${r.getLong(1) % 64}"); k.put("sourceId", "s0")
+            val v = new org.apache.avro.generic.GenericData.Record(schema.getField("value").schema)
+            v.put("time", r.getDouble(4)); v.put("eventType", r.getString(2)); v.put("value", r.getDouble(3))
+            val rec = new org.apache.avro.generic.GenericData.Record(schema)
+            rec.put("key", k); rec.put("value", v)
+            w.append(rec)
+          }
+          w.close()
+          counters(p) = to + 1
+        }
+      }
+      val (rows1, rows2) = rows.splitAt((rows.length * 0.8).toInt)
+      def runOnce(): (Double, Int, Int, String) = {
+        val work = java.nio.file.Files.createTempDirectory("graft-bench-cln")
+        val counters = new Array[Long](16)
+        val cfg = graft.jobs.RestructureJobConfig(
+          inputRoot = work.resolve("in").toString,
+          outputRoot = work.resolve("out").toString,
+          dedup = true, timeBinFormat = "yyyyMMdd")
+        writeClosedBatch(work, counters, rows1)
+        writeClosedBatch(work, counters, rows2)
+        graft.jobs.Restructure.run(spark, cfg) // setup, untimed
+        dropCachedBlocks()
+        graft.util.Timer.reset()
+        graft.util.Timer.enabled = true
+        val t0 = System.nanoTime()
+        val result = graft.jobs.Cleaner.run(spark, cfg, ageMs = 0L)
+        val sec = (System.nanoTime() - t0) / 1e9
+        graft.util.Timer.enabled = false
+        val timerJson = graft.util.Timer.toJson
+        org.apache.commons.io.FileUtils.deleteDirectory(work.toFile)
+        (sec, result.deleted.size, result.rolledBack.size, timerJson)
+      }
+      // warm once (codegen/JIT for the verification plan), measure twice
+      runOnce()
+      val runs = Seq(runOnce(), runOnce())
+      val best = runs.minBy(_._1)
+      s"""{"records":${rows.length},"deleted_files":${best._2},""" +
+        s""""rolled_back":${best._3},"sec":${r4(best._1)},"timer":${best._4}}"""
+    } catch { case e: Throwable =>
+      Console.err.println(s"[bench] cleaner bench FAILED: ${e.getClass.getName}: ${e.getMessage}")
+      e.printStackTrace()
+      s"""{"error":${jsonStr(s"${e.getClass.getSimpleName}: ${e.getMessage}")}}"""
+    }
 
   /** End-to-end restructure throughput at the target SF: the events table is
     * written out as Kafka-connector-shaped Avro container files (16
