@@ -44,7 +44,8 @@ object StreamingNearDedup {
   def dedupBatch(batch: DataFrame, batchId: Long, historyDir: String,
       idCol: String = "doc_id", textCol: String = "text",
       shingleN: Int = 3, k: Int = 12, bands: Int = 6, rowsPerBand: Int = 2,
-      num: Int = 1, den: Int = 2, epoch: String = "b"): DataFrame = {
+      num: Int = 1, den: Int = 2, epoch: String = "b",
+      compactEvery: Int = 16, ttlBatches: Long = 0L): DataFrame = {
     val partitionKey = s"$epoch-$batchId"
     val spark = batch.sparkSession
     val rows = batch.select(col(idCol), col(textCol))
@@ -88,7 +89,14 @@ object StreamingNearDedup {
       survivors.write.mode("overwrite")
         .parquet(s"$historyDir/batch=$partitionKey")
       // materialize before releasing the caches the plan reads from
-      survivors.localCheckpoint(true)
+      val out = survivors.localCheckpoint(true)
+      // 5. periodic history compaction: without it the partition count (and
+      // with it every later batch's probe-scan file count) grows one dir +
+      // O(shuffle partitions) files PER BATCH, forever
+      if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+        compactHistory(spark, historyDir, epoch, upToBatchId = batchId - 2,
+          ttlBatches = ttlBatches)
+      out
     } finally {
       if (kept != null) kept.unpersist(false)
       rows.unpersist(false)
@@ -103,7 +111,8 @@ object StreamingNearDedup {
     */
   def dedupEmbeddingBatch(batch: DataFrame, batchId: Long, historyDir: String,
       threshold: Double = 0.95, idCol: String = "vec_id",
-      vecCol: String = "embedding", epoch: String = "b"): DataFrame = {
+      vecCol: String = "embedding", epoch: String = "b",
+      compactEvery: Int = 16, ttlBatches: Long = 0L): DataFrame = {
     import graft.operators.Similarity
     val partitionKey = s"$epoch-$batchId"
     val spark = batch.sparkSession
@@ -131,19 +140,86 @@ object StreamingNearDedup {
       survivors.write.mode("overwrite").parquet(s"$historyDir/batch=$partitionKey")
       val out = survivors.localCheckpoint(true)
       kept.unpersist(false)
+      if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+        compactHistory(spark, historyDir, epoch, upToBatchId = batchId - 2,
+          ttlBatches = ttlBatches)
       out
     } finally rows.unpersist(false)
+  }
+
+  /** Merge finalized history partitions of `epoch` into one consolidated
+    * `batch=<epoch>-c<watermark>` partition, bounding the partition-dir and
+    * file count the per-batch probe has to list and scan: steady state is
+    * one consolidated partition plus at most `compactEvery` fresh ones,
+    * instead of one per batch forever.
+    *
+    * Only batches with id ≤ `upToBatchId` are absorbed (callers pass
+    * `batchId - 2`, keeping the replayable tail of the stream out of the
+    * merge — a foreachBatch replay overwrites its OWN `batch=` partition,
+    * which therefore must not have been folded into a consolidated one).
+    * Earlier consolidated partitions are re-absorbed each time. Foreign
+    * epochs are left untouched (their replay status is unknowable here).
+    *
+    * Crash safety: the consolidated partition is written BEFORE the
+    * absorbed ones are deleted, so a crash in between leaves duplicate
+    * history rows — which only re-assert the same duplicate verdicts —
+    * never lost history. The rare crash-retry collision (target name
+    * already among the sources) materializes the merge first.
+    *
+    * `ttlBatches` > 0 additionally DROPS plain batch partitions older than
+    * `upToBatchId - ttlBatches` instead of merging them: history bytes stay
+    * bounded, at the documented cost that a duplicate of a dropped-era
+    * document re-enters the corpus. Consolidated partitions are exempt
+    * (they carry mixed ages); pair TTL with a fresh epoch per retention
+    * period when strict age bounds matter.
+    */
+  def compactHistory(spark: SparkSession, historyDir: String, epoch: String,
+      upToBatchId: Long, targetPartitions: Int = 0, ttlBatches: Long = 0L): Unit = {
+    val root = new org.apache.hadoop.fs.Path(historyDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return
+    val prefix = s"batch=$epoch-"
+    val parts = fs.listStatus(root).filter(_.isDirectory).map(_.getPath.getName)
+      .filter(_.startsWith(prefix))
+      .flatMap { n =>
+        val suffix = n.stripPrefix(prefix)
+        if (suffix.startsWith("c")) suffix.drop(1).toLongOption.map(id => (n, id, true))
+        else suffix.toLongOption.filter(_ <= upToBatchId).map(id => (n, id, false))
+      }
+    val (expired, live) =
+      if (ttlBatches <= 0) (Array.empty[(String, Long, Boolean)], parts)
+      else parts.partition { case (_, id, consolidated) =>
+        !consolidated && id < upToBatchId - ttlBatches
+      }
+    expired.foreach { case (n, _, _) =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$historyDir/$n"), true)
+    }
+    if (live.length < 2) return
+    val newDirName = s"batch=$epoch-c${live.map(_._2).max}"
+    val merged0 = spark.read.parquet(live.map(p => s"$historyDir/${p._1}"): _*)
+    val merged =
+      if (live.exists(_._1 == newDirName)) merged0.localCheckpoint(true) // self-overwrite guard
+      else merged0
+    val sized =
+      if (targetPartitions > 0) merged.coalesce(targetPartitions)
+      else merged.coalesce(math.max(1, spark.sparkContext.defaultParallelism))
+    sized.write.mode("overwrite").parquet(s"$historyDir/$newDirName")
+    live.filter(_._1 != newDirName).foreach { case (n, _, _) =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$historyDir/$n"), true)
+    }
   }
 
   /** Streaming driver for [[dedupEmbeddingBatch]]. */
   def runEmbedding(vecs: DataFrame, historyDir: String, checkpointDir: String,
       threshold: Double = 0.95, idCol: String = "vec_id",
-      vecCol: String = "embedding"): StreamingQuery = {
+      vecCol: String = "embedding",
+      compactEvery: Int = 16, ttlBatches: Long = 0L): StreamingQuery = {
     val epoch = f"ck${checkpointDir.hashCode & 0x7fffffff}%x"
     vecs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        dedupEmbeddingBatch(batch, batchId, historyDir, threshold, idCol, vecCol, epoch)
+        dedupEmbeddingBatch(batch, batchId, historyDir, threshold, idCol, vecCol, epoch,
+          compactEvery, ttlBatches)
         ()
       }
       .start()
@@ -169,7 +245,8 @@ object StreamingNearDedup {
   def run(docs: DataFrame, historyDir: String, checkpointDir: String,
       idCol: String = "doc_id", textCol: String = "text",
       shingleN: Int = 3, k: Int = 12, bands: Int = 6, rowsPerBand: Int = 2,
-      num: Int = 1, den: Int = 2): StreamingQuery = {
+      num: Int = 1, den: Int = 2,
+      compactEvery: Int = 16, ttlBatches: Long = 0L): StreamingQuery = {
     // stable per-checkpoint epoch: a restart FROM this checkpoint replays
     // into the same partitions (idempotent); a fresh checkpoint gets its
     // own namespace and cannot clobber earlier epochs' history
@@ -178,7 +255,8 @@ object StreamingNearDedup {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         dedupBatch(batch, batchId, historyDir, idCol, textCol,
-          shingleN, k, bands, rowsPerBand, num, den, epoch)
+          shingleN, k, bands, rowsPerBand, num, den, epoch,
+          compactEvery, ttlBatches)
         ()
       }
       .start()

@@ -1,0 +1,110 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Long-run soak of the cross-batch near-dedup history: 50 micro-batches
+  * through [[StreamingNearDedup.dedupBatch]] with periodic compaction,
+  * asserting the history partition/file count stays BOUNDED (without
+  * compaction it grows one dir + O(shuffle partitions) files per batch,
+  * forever), that deduplication against compacted history still works
+  * (survivors folded into a consolidated partition keep suppressing their
+  * duplicates), and that per-batch latency does not trend upward.
+  */
+class StreamingSoakSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def dataFiles(dir: java.nio.file.Path): Seq[java.io.File] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+      else if (f.getName.endsWith(".parquet")) Seq(f)
+      else Nil
+    walk(dir.toFile)
+  }
+
+  test("50-batch soak: bounded history partitions/files, dedup across compaction, stable latency") {
+    val work = Files.createTempDirectory("graft-soak")
+    val historyDir = work.resolve("history").toString
+    // disjoint token spaces per doc -> zero accidental similarity; dups are
+    // exact text copies of specific earlier docs
+    def text(b: Int, i: Int): String =
+      (0 until 12).map(j => s"t${b}_${i}_$j").mkString(" ")
+    val batches = 50
+    val docsPerBatch = 6
+    val wall = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var survivorTotal = 0L
+    (0 until batches).foreach { b =>
+      val fresh = (0 until docsPerBatch).map(i => (b * 100L + i, text(b, i)))
+      // from batch 2 on, one duplicate of a doc ~20 batches back (deep in
+      // consolidated history once compaction has run) and one of the
+      // previous batch (in a fresh partition)
+      val dups =
+        if (b < 2) Nil
+        else {
+          val deep = math.max(0, b - 20)
+          Seq((b * 100L + 90L, text(deep, 0)), (b * 100L + 91L, text(b - 1, 1)))
+        }
+      val df = (fresh ++ dups).toDF("doc_id", "text")
+      val t0 = System.nanoTime()
+      val survivors = StreamingNearDedup.dedupBatch(df, b.toLong, historyDir,
+        epoch = "soak", compactEvery = 8)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      wall += (System.nanoTime() - t0) / 1e6
+      // every duplicate (deep-history or recent) must be suppressed and
+      // every fresh doc kept
+      assert(survivors == fresh.map(_._1).toSet,
+        s"batch $b survivors diverged: $survivors")
+      survivorTotal += survivors.size
+    }
+    // bounded layout: last compaction ran at batch 48 (absorbed ids <= 46
+    // plus all earlier consolidations) -> consolidated + the replay tail
+    val partDirs = new java.io.File(historyDir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch=")).map(_.getName).toSeq
+    assert(partDirs.size <= 6, s"history partitions unbounded: $partDirs")
+    assert(partDirs.exists(_.startsWith("batch=soak-c")), s"no consolidated partition in $partDirs")
+    val files = dataFiles(java.nio.file.Paths.get(historyDir))
+    assert(files.size <= 40, s"history file count unbounded: ${files.size}")
+    // nothing lost: history holds every survivor ever emitted
+    val historyCount = StreamingNearDedup.readHistory(spark, historyDir).get.count()
+    assert(historyCount == survivorTotal, s"history $historyCount != survivors $survivorTotal")
+    // latency stays flat-ish: the probe scans bounded files, so late batches
+    // must not trend above early ones beyond host noise (generous bound)
+    def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+    val early = median(wall.slice(2, 12).toSeq)
+    val late = median(wall.takeRight(10).toSeq)
+    assert(late < early * 6 + 2000,
+      s"per-batch latency trending up: early median ${early}ms, late median ${late}ms")
+  }
+
+  test("compactHistory TTL drops expired plain partitions, merges the rest, spares foreign epochs") {
+    val work = Files.createTempDirectory("graft-ttl")
+    val historyDir = work.resolve("history").toString
+    def writePart(key: String, ids: Seq[Long]): Unit =
+      ids.map(i => (i, s"text $i")).toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$historyDir/batch=$key")
+    writePart("e-1", Seq(1L)); writePart("e-5", Seq(5L))
+    writePart("e-9", Seq(9L)); writePart("e-10", Seq(10L))
+    writePart("other-1", Seq(100L)) // foreign epoch: untouched
+    StreamingNearDedup.compactHistory(spark, historyDir, "e",
+      upToBatchId = 9L, targetPartitions = 1, ttlBatches = 6L)
+    val dirs = new java.io.File(historyDir).listFiles().map(_.getName)
+      .filter(_.startsWith("batch=")).toSet
+    // id 1 < 9-6 expired; 5 and 9 merged into c9; 10 beyond the watermark
+    assert(dirs == Set("batch=e-c9", "batch=e-10", "batch=other-1"), s"got $dirs")
+    val merged = spark.read.parquet(s"$historyDir/batch=e-c9")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(merged == Set(5L, 9L), s"merged ids: $merged")
+    // re-running at a later watermark re-absorbs the consolidated partition
+    StreamingNearDedup.compactHistory(spark, historyDir, "e",
+      upToBatchId = 11L, targetPartitions = 1)
+    val dirs2 = new java.io.File(historyDir).listFiles().map(_.getName)
+      .filter(_.startsWith("batch=")).toSet
+    assert(dirs2 == Set("batch=e-c10", "batch=other-1"), s"got $dirs2")
+    val merged2 = spark.read.parquet(s"$historyDir/batch=e-c10")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(merged2 == Set(5L, 9L, 10L), s"merged2 ids: $merged2")
+  }
+}
