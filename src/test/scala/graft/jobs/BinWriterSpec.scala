@@ -13,6 +13,29 @@ class BinWriterSpec extends AnyFunSuite {
   private def rows3(rs: (String, String)*): Iterator[(String, String, String)] =
     rs.iterator.map { case (p, l) => (p, "", l) }
 
+  test("writePartition: sidecar created once per directory, existing content kept, stale temps swept") {
+    val root = Files.createTempDirectory("graft-bw-sc")
+    // pre-existing sidecar in dir a: must NOT be overwritten
+    Files.createDirectories(root.resolve("a"))
+    Files.write(root.resolve("a/schema-t.json"), "old".getBytes)
+    // stale dot-temp from a crashed writer (>1 h old) and a fresh one
+    val stale = root.resolve("a/.x.csv.tmp-dead")
+    Files.write(stale, "x".getBytes)
+    stale.toFile.setLastModified(System.currentTimeMillis() - 2 * 3600 * 1000L)
+    val fresh = root.resolve("a/.y.csv.tmp-live")
+    Files.write(fresh, "y".getBytes)
+    BinWriter.writePartition(
+      rows3(("a/one.csv", "r1"), ("b/two.csv", "r2")), root.toString, Map.empty,
+      None, gzip = false, zip = false,
+      sidecar = Some(("schema-t.json", "new".getBytes))).toSeq
+    assert(new String(Files.readAllBytes(root.resolve("a/schema-t.json"))) == "old",
+      "existing sidecar overwritten")
+    assert(new String(Files.readAllBytes(root.resolve("b/schema-t.json"))) == "new",
+      "sidecar missing from fresh directory")
+    assert(!Files.exists(stale), "stale temp not swept")
+    assert(Files.exists(fresh), "fresh temp must survive the sweep")
+  }
+
   test("writePartition: one exactly-named file per path, header once, rows in order") {
     val root = Files.createTempDirectory("graft-bw").toString
     val rows = rows3(
