@@ -408,27 +408,70 @@ object TextDedup {
   def corpusClusters(
       df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, k: Int = 12, bands: Int = 6, rowsPerBand: Int = 2,
-      num: Int = 1, den: Int = 2): DataFrame = {
-    // ONE shingle pass feeds both the LSH candidate pipeline and both sides
-    // of the verification join (signatures over the distinct set are
-    // identical — min is duplicate-idempotent)
+      num: Int = 1, den: Int = 2, collapseThreshold: Int = 256): DataFrame = {
+    // HOT-BUCKET GUARD, adaptive. At web scale a boilerplate string
+    // repeated m times (empty pages, license text, error templates) puts m
+    // identical-signature rows into ONE band bucket and the self-join emits
+    // m²/2 pair rows inside one task — 10⁵ copies of one error page is
+    // 5·10⁹ pair rows. A cheap sizing probe (md5(text) group sizes — one
+    // scan plus a light (16-byte, id) shuffle) detects the regime: corpora
+    // whose largest exact-duplicate group is below `collapseThreshold`
+    // run the direct pipeline unchanged (the common case — the probe is
+    // the only overhead), mass-duplicate corpora first collapse each
+    // text-identical group to its min-id representative. The collapsed
+    // clusters are provably THE SAME: identical text ⇒ identical shingle
+    // set ⇒ Jaccard 1 ⇒ every member pairs with its representative under
+    // any threshold num ≤ den, the representative carries the group's min
+    // id, and copies share their representative's band buckets exactly, so
+    // cross-group candidate structure is unchanged.
+    if (num > den) // degenerate threshold > 1: exact dups must NOT pair
+      return corpusClustersDirect(df, idCol, textCol, shingleN, k, bands, rowsPerBand,
+        num, den)
+    val keyed = df.select(col(idCol), col(textCol))
+      .withColumn("__tkey", md5(col(textCol)))
+    // the probe is ONE job on the common path: map-side partial counts per
+    // text hash, a (16-byte, long) shuffle, one max
+    val maxGroup = keyed.groupBy(col("__tkey")).agg(count(lit(1)).as("__n"))
+      .agg(max(col("__n"))).head().getLong(0)
+    if (maxGroup < collapseThreshold.toLong)
+      corpusClustersDirect(df, idCol, textCol, shingleN, k, bands, rowsPerBand, num, den)
+    else {
+      val groups = keyed.groupBy(col("__tkey")).agg(min(col(idCol)).as("__rep"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val reps = keyed
+          .join(groups.select(col("__rep").as(idCol)), Seq(idCol), "left_semi")
+          .select(col(idCol), col(textCol))
+        val repClusters = corpusClustersDirect(reps, idCol, textCol,
+          shingleN, k, bands, rowsPerBand, num, den)
+        // expand back to every document via its text-group representative.
+        // The rep-level mapping is materialized inside CC; the doc→rep tail
+        // stays LAZY like CC's own vertices side (recomputes the cheap
+        // md5 grouping on consumption), so no cached RDDs are left behind
+        keyed.select(col(idCol).as("__did"), col("__tkey"))
+          .join(groups.select(col("__tkey"), col("__rep")), "__tkey")
+          .join(repClusters.withColumnRenamed(idCol, "__rep")
+            .withColumnRenamed("cluster", "__cl"), "__rep")
+          .select(col("__did").as(idCol), col("__cl").as("cluster"))
+      } finally groups.unpersist(false)
+    }
+  }
+
+  /** The direct (uncollapsed) formulation: band + verify + CC over every
+    * document. [[corpusClusters]] routes here when no mass exact-duplicate
+    * group is present (or the threshold is degenerate).
+    */
+  private[operators] def corpusClustersDirect(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, k: Int, bands: Int, rowsPerBand: Int,
+      num: Int, den: Int): DataFrame = {
     val sets = distinctShingleSets(df, idCol, textCol, shingleN)
       .withColumnRenamed(idCol, "__sid")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // the band table self-join CANNOT ride on AQE exchange reuse here: when
-    // the band pipeline reads a persisted frame (InMemoryTableScan leaf),
-    // the two self-join subtrees no longer canonicalize equal and AQE
-    // silently computes the whole shingle→minhash→band pipeline TWICE
-    // (PlanSpec-verified; the reuse DOES hold over plain file scans, which
-    // is why the direct materialize=false paths keep the lazy shape).
-    // Persisting the band table — tiny: bands·|docs| short rows — makes
-    // compute-once structural instead of canonicalization-dependent.
     val bandTable = bandTableOfSets(
         sets.withColumnRenamed("__sid", idCol), idCol, k, bands, rowsPerBand)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val verified = verifiedPairsFromSets(sets, bandTable, num, den)
-    // connectedComponents materializes its mapping internally (checkpointed),
-    // so the returned frame no longer depends on `sets` or the band cache
     try Similarity.connectedComponents(verified, df.select(col(idCol).as(idCol)),
         "doc_a", "doc_b", idCol)
     finally { bandTable.unpersist(false); sets.unpersist(false) }

@@ -162,6 +162,49 @@ class TextDedupSpec extends SparkSpec {
       s"dedupCorpus leaked cached RDDs: ${spark.sparkContext.getPersistentRDDs.keys}")
   }
 
+  test("corpusClusters: exact-group collapse ≡ uncollapsed clusters on a mixed corpus") {
+    // mix of exact-dup groups (identical text), near-dups (differ by a
+    // token) and singletons — the collapse must reproduce the uncollapsed
+    // cluster mapping EXACTLY
+    val base = "the quick brown fox jumps over the lazy dog and runs far away tonight"
+    val docs = (
+      (1L to 5L).map(i => (i, base)) ++                      // exact group -> rep 1
+      Seq((6L, base + " extra"), (7L, "totally different content about catalyst and codegen planning here")) ++
+      (8L to 9L).map(i => (i, "another exact pair of documents with its own words entirely")) ++
+      Seq((10L, "a singleton unlike anything else in this tiny corpus at all"))
+    ).toDF("doc_id", "text")
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // collapseThreshold=2 forces the collapsed branch on this small corpus
+    val collapsed = asMap(TextDedup.corpusClusters(docs, "doc_id", "text",
+      collapseThreshold = 2))
+    val reference = asMap(TextDedup.corpusClustersDirect(
+      docs, "doc_id", "text", 3, 12, 6, 2, 1, 2))
+    assert(collapsed == reference, s"collapse diverged: $collapsed vs $reference")
+    assert(collapsed(1L) == 1L && collapsed(5L) == 1L && collapsed(6L) == 1L)
+    assert(collapsed(8L) == 8L && collapsed(9L) == 8L && collapsed(10L) == 10L)
+  }
+
+  test("corpusClusters: a mass exact-duplicate group contributes ONE band-table row, not a quadratic bucket") {
+    // 2000 identical docs + handful distinct: uncollapsed banding would put
+    // 2000 identical-signature rows in one bucket (2M pair rows per band);
+    // collapsed, the group is one representative
+    val docs = ((1L to 2000L).map(i => (i, "boilerplate error page not found contact the administrator please")) ++
+      Seq((5000L, "unique document content one with several distinctive tokens inside it"),
+          (5001L, "unique document content two carrying its own vocabulary and shape")))
+      .toDF("doc_id", "text")
+    val t0 = System.nanoTime()
+    val clusters = TextDedup.corpusClusters(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(clusters.size == 2002)
+    assert((1L to 2000L).forall(clusters(_) == 1L), "mass group must collapse to rep 1")
+    assert(clusters(5000L) == 5000L && clusters(5001L) == 5001L)
+    // generous wall bound: the uncollapsed formulation grinds through
+    // ~12M bucket pair rows here; the collapsed path is corpus-linear
+    assert(sec < 60, s"mass-duplicate corpus took ${sec}s — hot-bucket guard regressed?")
+  }
+
   test("jaccardCounts: identical sets → inter == union") {
     val df = Seq(("a b c d e f", "a b c d e f"), ("a b c d e f", "q r s t u v"))
       .toDF("t1", "t2")
