@@ -457,9 +457,7 @@ object SparkEntry {
     */
   private def qClusterSizes(implicit s: SparkSession, d: String): DataFrame = {
     val emb = t("embeddings")
-    val assigned = Similarity.ivfAssign(emb, emb.filter(col("vec_id") < 16))
-    val pairs = Similarity.cosineNearDupPairs(assigned, 0.3)
-    Similarity.connectedComponents(pairs, emb.select(col("vec_id")))
+    Similarity.embeddingClusters(emb, emb.filter(col("vec_id") < 16), 0.3)
       .groupBy(col("cluster")).agg(count(lit(1)).as("__sz"))
       .groupBy(col("__sz")).agg(count(lit(1)).as("n_clusters"))
       .select(col("__sz").cast(LongType).as("cluster_size"), col("n_clusters"),

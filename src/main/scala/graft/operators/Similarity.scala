@@ -184,6 +184,53 @@ object Similarity {
       element_at(GraftExpressions.nearestCells(col(vecCol), ids, vecs, 1), 1).cast(idType))
   }
 
+  /** Embedding near-duplicate CLUSTER mapping: IVF-cell-blocked cosine
+    * pairs → connected components, with the same adaptive mass-duplicate
+    * guard as [[TextDedup.corpusClusters]]. The triangle split in
+    * [[cosineNearDupPairs]] bounds PER-TASK work for a hot cell, but m
+    * byte-identical vectors still emit m²/2 EDGE rows into the CC shuffle
+    * (1e5 copies of one zero-vector embedding is 5e9 edges). A one-job
+    * probe over `md5(cast(vec as string))` group sizes detects the regime;
+    * above `collapseThreshold` each identical-vector group collapses to
+    * its min-id representative before assignment/pairing (cos(v,v) = 1 >
+    * any threshold < 1, reps carry group-min ids, and identical vectors
+    * share cell assignment exactly, so the expanded clusters equal the
+    * direct computation's).
+    */
+  def embeddingClusters(
+      vectors: DataFrame, centroids: DataFrame, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxCellSize: Int = 4096, collapseThreshold: Int = 256): DataFrame = {
+    def direct(vs: DataFrame): DataFrame = {
+      val pairs = cosineNearDupPairs(ivfAssign(vs, centroids, idCol, vecCol),
+        threshold, idCol, vecCol, maxCellSize)
+      connectedComponents(pairs, vs.select(col(idCol)), "vec_a", "vec_b", idCol)
+    }
+    // threshold ≥ 1 would exclude even exact copies (float cosine of an
+    // identical pair is 1 ± ulp) — run direct, the collapse can't apply
+    if (threshold >= 0.999) return direct(vectors)
+    val keyed = vectors.select(col(idCol), col(vecCol))
+      .withColumn("__vkey", md5(col(vecCol).cast(org.apache.spark.sql.types.StringType)))
+    val maxGroup = keyed.groupBy(col("__vkey")).agg(count(lit(1)).as("__n"))
+      .agg(max(col("__n"))).head().getLong(0)
+    if (maxGroup < collapseThreshold.toLong) direct(vectors)
+    else {
+      val groups = keyed.groupBy(col("__vkey")).agg(min(col(idCol)).as("__rep"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val reps = keyed
+          .join(groups.select(col("__rep").as(idCol)), Seq(idCol), "left_semi")
+          .select(col(idCol), col(vecCol))
+        val repClusters = direct(reps)
+        keyed.select(col(idCol).as("__did"), col("__vkey"))
+          .join(groups.select(col("__vkey"), col("__rep")), "__vkey")
+          .join(repClusters.withColumnRenamed(idCol, "__rep")
+            .withColumnRenamed("cluster", "__cl"), "__rep")
+          .select(col("__did").as(idCol), col("__cl").as("cluster"))
+      } finally groups.unpersist(false)
+    }
+  }
+
   /** Embedding-cosine near-duplicate pairs: all pairs within the same IVF
     * cell whose cosine exceeds `threshold` — the embedding member of the
     * dedup family (cell restriction bounds the pair space to ~N²/cells;

@@ -203,6 +203,39 @@ class SimilaritySpec extends SparkSpec {
     assert(one.subsetOf(Set(1L, 2L, 3L, 4L)))
   }
 
+  test("embeddingClusters: collapse ≡ direct on a mixed corpus; mass-identical vectors collapse") {
+    // two identical-vector groups, one near-dup pair, singletons
+    val mixed = (
+      (1L to 4L).map(i => (i, Seq(1.0f, 0.0f, 0.0f))) ++       // exact group -> 1
+      Seq((5L, Seq(0.98f, 0.199f, 0.0f))) ++                    // near-dup of group 1
+      (6L to 7L).map(i => (i, Seq(0.0f, 1.0f, 0.0f))) ++       // exact pair -> 6
+      Seq((8L, Seq(0.0f, 0.0f, 1.0f)))                          // singleton
+    ).toDF("vec_id", "embedding")
+    val cents = mixed.filter(col("vec_id").isin(1L, 6L, 8L))
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val collapsed = asMap(Similarity.embeddingClusters(mixed, cents, 0.9,
+      collapseThreshold = 2))
+    val direct = asMap(Similarity.connectedComponents(
+      Similarity.cosineNearDupPairs(Similarity.ivfAssign(mixed, cents), 0.9),
+      mixed.select(col("vec_id"))))
+    assert(collapsed == direct, s"collapse diverged: $collapsed vs $direct")
+    assert(collapsed(4L) == 1L && collapsed(5L) == 1L && collapsed(7L) == 6L
+      && collapsed(8L) == 8L)
+
+    // 3000 byte-identical vectors + 2 distinct: the collapsed branch keeps
+    // the CC edge set at reps-scale instead of 4.5M identical-pair edges
+    val mass = ((1L to 3000L).map(i => (i, Seq(0.5f, 0.5f, 0.0f))) ++
+      Seq((9000L, Seq(0.0f, 0.0f, 1.0f)), (9001L, Seq(0.0f, 1.0f, 0.0f))))
+      .toDF("vec_id", "embedding")
+    val massCents = mass.filter(col("vec_id").isin(1L, 9000L, 9001L))
+    val clusters = Similarity.embeddingClusters(mass, massCents, 0.9)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters.size == 3002)
+    assert((1L to 3000L).forall(clusters(_) == 1L))
+    assert(clusters(9000L) == 9000L && clusters(9001L) == 9001L)
+  }
+
   test("ivfAssign: centroid members map to their own cell") {
     val assigned = Similarity.ivfAssign(vecs, vecs.filter(col("vec_id") < 2))
     val cells = assigned.collect().map(r =>
