@@ -183,16 +183,22 @@ object Bench {
         .repartition(32)
         .write.mode("overwrite").parquet(s"$work/embeddings.parquet")
       val names = Seq("q_corpus_dedup", "q_minhash_pairs", "q_repeated_spans", "q_ivfpq_topk")
-      val timed = names.map { name =>
+      // two interleaved passes, min per query — same noise rationale as the
+      // main sweeps (a single contended pass misreads as a scaling change)
+      def once(name: String): Double = {
         dropCachedBlocks()
         val t0 = System.nanoTime()
-        val ok =
-          try { SparkEntry.queries(name)(spark, work.toString).count(); true }
-          catch { case e: Throwable =>
-            Console.err.println(s"[bench] 10x FAILED $name: ${e.getClass.getSimpleName}: ${e.getMessage}")
-            false
-          }
-        name -> (if (ok) r4((System.nanoTime() - t0) / 1e9) else -1.0)
+        try { SparkEntry.queries(name)(spark, work.toString).count() }
+        catch { case e: Throwable =>
+          Console.err.println(s"[bench] 10x FAILED $name: ${e.getClass.getSimpleName}: ${e.getMessage}")
+          return -1.0
+        }
+        (System.nanoTime() - t0) / 1e9
+      }
+      val passes = Seq(names.map(once), names.map(once))
+      val timed = names.zipWithIndex.map { case (name, i) =>
+        val runs = passes.map(_(i))
+        name -> (if (runs.exists(_ < 0)) -1.0 else r4(runs.min))
       }
       org.apache.commons.io.FileUtils.deleteDirectory(work.toFile)
       val qs = timed.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")

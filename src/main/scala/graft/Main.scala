@@ -64,6 +64,9 @@ object Main {
         result.processedTopics.foreach { t =>
           println(s"[graft] ${t.topic}: ${t.files.size} files, ${t.records} records, ${t.paths.size} bins")
         }
+        result.failedTopics.foreach { case (topic, err) =>
+          Console.err.println(s"[graft] FAILED topic $topic: $err (will re-extract next run)")
+        }
       }
       if (loaded.cleanerEnabled) {
         val c = Cleaner.run(spark, job, cleanerAgeMs, loaded.cleanerMaxFilesPerTopic)

@@ -31,7 +31,8 @@ import graft.time.TimeExtract
 object Restructure {
 
   final case class TopicResult(topic: String, files: Seq[String], records: Long, paths: Seq[String])
-  final case class RunResult(processedTopics: Seq[TopicResult], ledger: OffsetRangeSet)
+  final case class RunResult(processedTopics: Seq[TopicResult], ledger: OffsetRangeSet,
+      failedTopics: Seq[(String, String)] = Nil)
 
   def run(spark: SparkSession, cfg: RestructureJobConfig,
       listing: Option[Map[String, Seq[org.apache.hadoop.fs.FileStatus]]] = None): RunResult = {
@@ -71,10 +72,21 @@ object Restructure {
       case None => cfg.lockDir.map(d => new LockManager(fs, d))
     }
 
+    // per-topic failure isolation (reference RadarKafkaRestructure.kt:100-103
+    // "Failed to map topic", warn + continue): one corrupt file or bad
+    // schema must not abort every other topic's extraction. The ledger only
+    // commits per successful topic, so the failed topic re-extracts next run.
+    val failedTopics = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
     def processOne(topic: String, files: Seq[org.apache.hadoop.fs.FileStatus]): Option[TopicResult] =
-      locks match {
+      try locks match {
         case Some(lm) => lm.withLock(topic)(processUnlocked(topic, files)).flatten
         case None => processUnlocked(topic, files)
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          Console.err.println(
+            s"[graft] failed to process topic $topic: ${e.getClass.getSimpleName}: ${e.getMessage}")
+          failedTopics.add(topic -> s"${e.getClass.getSimpleName}: ${e.getMessage}")
+          None
       }
 
     def processUnlocked(topic: String, files: Seq[org.apache.hadoop.fs.FileStatus]): Option[TopicResult] = {
@@ -133,7 +145,8 @@ object Restructure {
       }
     flushLedger()
     store.foreach(_.close())
-    RunResult(results, ledger)
+    import scala.jdk.CollectionConverters._
+    RunResult(results, ledger, failedTopics.asScala.toSeq)
   }
 
   private def processTopic(

@@ -250,13 +250,22 @@ class DynamicSchemaSpec extends SparkSpec {
     w.close()
 
     val out = work.resolve("out")
-    val e = intercept[IllegalArgumentException] {
-      Restructure.run(spark, RestructureJobConfig(
-        inputRoot = work.resolve("in").toString, outputRoot = out.toString,
-        maxSchemaFingerprints = 3))
+    // per-topic failure isolation: the cap error lands in failedTopics with
+    // the actionable message (the run itself continues, reference
+    // RadarKafkaRestructure.kt:100-103), and nothing commits for the topic
+    val result = Restructure.run(spark, RestructureJobConfig(
+      inputRoot = work.resolve("in").toString, outputRoot = out.toString,
+      maxSchemaFingerprints = 3))
+    assert(result.processedTopics.isEmpty)
+    val (topic, msg) = result.failedTopics match {
+      case Seq(one) => one
+      case other => fail(s"expected exactly one failed topic, got $other")
     }
-    assert(e.getMessage.contains("5 distinct") && e.getMessage.contains("cap 3") &&
-      e.getMessage.contains("maxSchemaFingerprints"),
-      s"expected an actionable cap error, got: ${e.getMessage}")
+    assert(topic == "map_topic")
+    assert(msg.contains("5 distinct") && msg.contains("cap 3") &&
+      msg.contains("maxSchemaFingerprints"),
+      s"expected an actionable cap error, got: $msg")
+    assert(!result.ledger.contains("map_topic", 0, 1, 5, java.time.Instant.EPOCH),
+      "failed topic must not commit to the ledger")
   }
 }

@@ -314,6 +314,28 @@ class FormatsSpec extends SparkSpec {
     assert(!Files.exists(out.resolve(s"bucket-CONNECTED/$binDir/20200128_1300.csv")))
   }
 
+  test("a corrupt topic fails alone: other topics extract, failure reported, re-extract next run") {
+    // reference RadarKafkaRestructure.kt:100-103 — per-topic isolation
+    val (in, out) = setup() // good topic: application_server_status
+    val badDir = in.resolve("broken_topic/partition=0")
+    Files.createDirectories(badDir)
+    Files.write(badDir.resolve("broken_topic+0+0000000000+0000000002.avro"),
+      "this is not an avro container".getBytes)
+    val cfg = RestructureJobConfig(inputRoot = in.toString, outputRoot = out.toString)
+    val result = Restructure.run(spark, cfg)
+    assert(result.processedTopics.map(_.topic) == Seq("application_server_status"),
+      "good topic must extract despite the corrupt one")
+    assert(result.failedTopics.map(_._1) == Seq("broken_topic"),
+      s"corrupt topic must be reported: ${result.failedTopics}")
+    assert(Files.exists(out.resolve(s"$binDir/20200128_1300.csv")))
+    // the failed topic committed nothing to the ledger -> a later run (with
+    // the file fixed) extracts it
+    assert(!result.ledger.contains("broken_topic", 0, 0, 2, java.time.Instant.EPOCH))
+    val result2 = Restructure.run(spark, cfg)
+    assert(result2.failedTopics.map(_._1) == Seq("broken_topic"), "still failing, still isolated")
+    assert(result2.processedTopics.isEmpty, "good topic already extracted (ledger)")
+  }
+
   test("non-matching disabled formats leave the formatted bucket intact; " +
       "partial matches do not disable (full-match semantics)") {
     val (in, out) = setup()
