@@ -71,6 +71,9 @@ object Main {
       if (loaded.cleanerEnabled) {
         val c = Cleaner.run(spark, job, cleanerAgeMs, loaded.cleanerMaxFilesPerTopic)
         println(s"[graft] cleaner: deleted ${c.deleted.size}, rolled back ${c.rolledBack.size}")
+        c.failedTopics.foreach { case (topic, err) =>
+          Console.err.println(s"[graft] cleaner FAILED topic $topic: $err")
+        }
       }
     }
     spark.stop()

@@ -26,7 +26,8 @@ import graft.time.TimeExtract
   */
 object Cleaner {
 
-  final case class CleanResult(deleted: Seq[String], rolledBack: Seq[String])
+  final case class CleanResult(deleted: Seq[String], rolledBack: Seq[String],
+      failedTopics: Seq[(String, String)] = Nil)
 
   def run(spark: SparkSession, cfg: RestructureJobConfig, ageMs: Long = 7L * 24 * 3600 * 1000,
       // cleaner.maxFilesPerTopic (SourceDataCleaner.kt:39-40): cap the
@@ -48,9 +49,14 @@ object Cleaner {
 
     val topics = TopicFiles.listTopicsAll(spark, cfg.inputRoot +: cfg.extraInputRoots)
     val fileLimit = maxFilesPerTopic.getOrElse(Int.MaxValue)
+    // per-topic failure isolation (reference SourceDataCleaner.kt:67-69
+    // warn-and-continue): one unreadable topic must not block deletion
+    // across the rest of the store. A failed topic's files stay put and
+    // re-verify next iteration.
+    val failedTopics = Seq.newBuilder[(String, String)]
     for ((topic, files) <- topics.toSeq.sortBy(_._1)) {
       val tCfg = cfg.topicConfig(topic)
-      if (!tCfg.exclude && !tCfg.excludeFromDelete) {
+      if (!tCfg.exclude && !tCfg.excludeFromDelete) try {
         val eligible = files
           .map(st => (st, TopicFiles.parseFilename(st.getPath.getName)))
           .collect { case (st, Some(r)) => (st, r) }
@@ -79,13 +85,18 @@ object Cleaner {
             }
           }
         }
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          Console.err.println(
+            s"[graft] cleaner failed on topic $topic: ${e.getClass.getSimpleName}: ${e.getMessage}")
+          failedTopics += topic -> s"${e.getClass.getSimpleName}: ${e.getMessage}"
       }
     }
     store match {
       case Some(s) => try s.set(cfg.ledger, ledger.toJson) finally s.close()
       case None => Restructure.saveLedger(fs, cfg.ledger, ledger)
     }
-    CleanResult(deleted.result(), rolledBack.result())
+    CleanResult(deleted.result(), rolledBack.result(), failedTopics.result())
   }
 
   /** Count of not-yet-extracted records per source file name (0 = safe to

@@ -49,6 +49,27 @@ class CleanerSpec extends SparkSpec {
     assert(next.deleted.size == 1 && !Files.exists(in.resolve(closedFile)))
   }
 
+  test("a topic whose source turned unreadable fails alone: others still delete") {
+    // reference SourceDataCleaner.kt:67-69 warn-and-continue semantics
+    val (in, _, cfg) = setup()
+    val badClosed = in.resolve("bad_topic/partition=1/bad_topic+1+0000000018+0000000020.avro")
+    val badOpen = in.resolve("bad_topic/partition=1/bad_topic+1+0000000021.avro")
+    Files.createDirectories(badClosed.getParent)
+    Files.copy(fixtures.resolve(closedFile), badClosed)
+    Files.copy(fixtures.resolve(openFile), badOpen)
+    Restructure.run(spark, cfg) // extracts both topics, ledger covers both
+    // source rot: the extracted file is later corrupted in place; mtime kept
+    // old so the ledger still considers it processed (eligible for deletion)
+    Files.write(badClosed, "no longer an avro container".getBytes)
+    badClosed.toFile.setLastModified(1000L)
+    val result = Cleaner.run(spark, cfg, ageMs = 0)
+    assert(result.deleted.map(p => Paths.get(p).getFileName.toString) ==
+      Seq("application_server_status+1+0000000018+0000000020.avro"),
+      s"good topic must still delete: ${result.deleted}")
+    assert(result.failedTopics.map(_._1) == Seq("bad_topic"), s"${result.failedTopics}")
+    assert(Files.exists(badClosed), "failed topic's files must stay put")
+  }
+
   test("cleaner verifies through zip bins (decompressed read)") {
     val (in, _, cfg0) = setup()
     val cfg = cfg0.copy(zip = true)
