@@ -91,7 +91,11 @@ object PathTemplate {
 
     val cols = tokenize(template).map {
       case Literal(s) => lit(s)
-      case Param(p) if params.contains(p) => params(p)
+      // null-proofing: one null parameter column would null the whole
+      // concat, silently voiding the row's bin path — fall back to the
+      // same unknown-* convention as every other resolution miss
+      case Param(p) if params.contains(p) =>
+        coalesce(params(p).cast(StringType), lit(s"unknown-$p"))
       case Param(p) if p.startsWith("time:") =>
         val fmt = p.stripPrefix("time:")
         timeEpochSec match {

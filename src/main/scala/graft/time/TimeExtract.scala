@@ -86,10 +86,20 @@ object TimeExtract {
     else coalesce(candidates: _*)
   }
 
-  /** UTC time-bin string from epoch-seconds; `unknown-time` when null
-    * (path/FixedPathFormatterPlugin.kt:26-35). Default bin = hourly.
+  /** UTC time-bin string from epoch-seconds; `unknown-time` when null —
+    * or non-finite / out of timestamp range (path/FixedPathFormatterPlugin
+    * .kt:26-35; the reference THROWS on NaN time — `BigDecimal(NaN)` in
+    * TimeUtil.toInstant — failing the whole topic, so the unknown-time
+    * fallback here is strictly more robust with no golden divergence).
+    * Default bin = hourly. The trailing coalesce catches any residual
+    * null from `date_format`, so a path built from this bin can never
+    * collapse to NULL.
     */
-  def timeBin(epochSec: Column, format: String = "yyyyMMdd_HH00"): Column =
-    when(epochSec.isNull, lit("unknown-time"))
-      .otherwise(date_format(timestamp_seconds(epochSec), format))
+  def timeBin(epochSec: Column, format: String = "yyyyMMdd_HH00"): Column = {
+    val invalid = epochSec.isNull || isnan(epochSec.cast(DoubleType)) ||
+      abs(epochSec.cast(DoubleType)) > lit(2.0e11) // ≈ year 8307, timestamp-safe
+    when(invalid, lit("unknown-time"))
+      .otherwise(coalesce(date_format(timestamp_seconds(epochSec), format),
+        lit("unknown-time")))
+  }
 }
