@@ -34,10 +34,17 @@ object TopicFiles {
     * `element_at(split(input_file_name(), "/"), -1)`).
     */
   def topicCol(fname: Column): Column = regexp_extract(fname, filenamePattern, 1)
-  def partitionCol(fname: Column): Column =
-    regexp_extract(fname, filenamePattern, 2).cast(IntegerType)
-  def fromOffsetCol(fname: Column): Column =
-    regexp_extract(fname, filenamePattern, 3).cast(LongType)
+  // no-match extraction yields "" — under ANSI mode a plain cast of ""
+  // THROWS, so one stray non-conforming file in a frame would kill the
+  // whole query; null is the no-match signal (as toOffsetCol always did)
+  def partitionCol(fname: Column): Column = {
+    val g = regexp_extract(fname, filenamePattern, 2)
+    when(g === "", lit(null).cast(IntegerType)).otherwise(g.cast(IntegerType))
+  }
+  def fromOffsetCol(fname: Column): Column = {
+    val g = regexp_extract(fname, filenamePattern, 3)
+    when(g === "", lit(null).cast(LongType)).otherwise(g.cast(LongType))
+  }
   def toOffsetCol(fname: Column): Column = {
     val g = regexp_extract(fname, filenamePattern, 4)
     when(g === "", lit(null).cast(LongType)).otherwise(g.cast(LongType))
