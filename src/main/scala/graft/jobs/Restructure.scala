@@ -686,7 +686,7 @@ object Restructure {
     * writer's: quote when delimiter/quote/CR/LF present, double embedded
     * quotes; null → empty) — the row render runs inside codegen.
     */
-  private def csvQuoteCol(c: Column): Column = {
+  private[jobs] def csvQuoteCol(c: Column): Column = {
     val s = coalesce(c, lit(""))
     when(s.rlike("[\",\n\r]"),
       concat(lit("\""), regexp_replace(s, "\"", "\"\""), lit("\"")))
