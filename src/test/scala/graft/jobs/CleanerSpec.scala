@@ -49,6 +49,72 @@ class CleanerSpec extends SparkSpec {
     assert(next.deleted.size == 1 && !Files.exists(in.resolve(closedFile)))
   }
 
+  test("verification round-trips EVERY time-field flavor of the extraction chain") {
+    // TimeExtract's chain and the cleaner's render-back converter chain are
+    // dual implementations — this sweep pins them per flavor: a drift in
+    // any converter would leave records "missing" and the file undeleted
+    import org.apache.avro.Schema
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    final case class Flavor(name: String, keyField: Option[(String, String)],
+        valueField: Option[(String, String)], put: (GenericData.Record, GenericData.Record, Int) => Unit)
+    val flavors = Seq(
+      Flavor("value.time", None, Some(("time", "double")),
+        (_, v, i) => v.put("time", 1.58021982e9 + i * 7200)),
+      Flavor("key.timeStart", Some(("timeStart", "double")), None,
+        (k, _, i) => k.put("timeStart", 1.58021982e9 + i * 7200)),
+      Flavor("key.start", Some(("start", "long")), None,
+        (k, _, i) => k.put("start", 1580219820000L + i * 7200000L)),
+      Flavor("value.dateTime", None, Some(("dateTime", "string")),
+        (_, v, i) => v.put("dateTime", f"2020-01-28T${10 + i}%02d:00:00Z")),
+      Flavor("value.date", None, Some(("date", "string")),
+        (_, v, i) => v.put("date", f"2020-01-${10 + i}%02d")),
+      Flavor("value.timeReceived", None, Some(("timeReceived", "double")),
+        (_, v, i) => v.put("timeReceived", 1.58021982e9 + i * 7200)),
+      Flavor("value.timeCompleted", None, Some(("timeCompleted", "double")),
+        (_, v, i) => v.put("timeCompleted", 1.58021982e9 + i * 7200)))
+    flavors.foreach { fl =>
+      val keyExtra = fl.keyField.fold("")(f => s""",{"name":"${f._1}","type":"${f._2}"}""")
+      val valExtra = fl.valueField.fold("")(f => s""",{"name":"${f._1}","type":"${f._2}"}""")
+      val schema = new Schema.Parser().parse(
+        s"""{"type":"record","name":"R","fields":[
+           |{"name":"key","type":{"type":"record","name":"K","fields":[
+           |  {"name":"userId","type":"string"}$keyExtra]}},
+           |{"name":"value","type":{"type":"record","name":"V","fields":[
+           |  {"name":"x","type":"string"}$valExtra]}}]}""".stripMargin)
+      val work = Files.createTempDirectory(s"graft-clnchain")
+      val dir = work.resolve("in/t/partition=0")
+      Files.createDirectories(dir)
+      def write(name: String, is: Range): Unit = {
+        val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
+        w.create(schema, dir.resolve(name).toFile)
+        is.foreach { i =>
+          val k = new GenericData.Record(schema.getField("key").schema)
+          k.put("userId", "u1")
+          val v = new GenericData.Record(schema.getField("value").schema)
+          v.put("x", s"r$i")
+          fl.put(k, v, i)
+          val r = new GenericData.Record(schema)
+          r.put("key", k); r.put("value", v)
+          w.append(r)
+        }
+        w.close()
+      }
+      write("t+0+0000000000+0000000002.avro", 0 until 3)
+      write("t+0+0000000003+0000000005.avro", 3 until 6)
+      val cfg = RestructureJobConfig(
+        inputRoot = work.resolve("in").toString, outputRoot = work.resolve("out").toString)
+      val run = Restructure.run(spark, cfg)
+      assert(run.failedTopics.isEmpty, s"[${fl.name}] ${run.failedTopics}")
+      val result = Cleaner.run(spark, cfg, ageMs = 0)
+      assert(result.failedTopics.isEmpty, s"[${fl.name}] ${result.failedTopics}")
+      assert(result.deleted.map(p => Paths.get(p).getFileName.toString) ==
+        Seq("t+0+0000000000+0000000002.avro"),
+        s"[${fl.name}] chain round-trip failed: deleted=${result.deleted} " +
+          s"rolledBack=${result.rolledBack}")
+    }
+  }
+
   test("a topic whose source turned unreadable fails alone: others still delete") {
     // reference SourceDataCleaner.kt:67-69 warn-and-continue semantics
     val (in, _, cfg) = setup()
