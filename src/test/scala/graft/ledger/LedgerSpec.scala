@@ -83,6 +83,33 @@ class LedgerSpec extends AnyFunSuite {
     }
   }
 
+  test("property: JSON round-trip preserves containment, removal and re-serialization exactly") {
+    val rnd = new scala.util.Random(814)
+    for (_ <- 1 to 100) {
+      val set = new OffsetRangeSet
+      val ops = List.fill(30) {
+        val topic = s"t${rnd.nextInt(3)}"
+        val part = rnd.nextInt(3)
+        val from = rnd.nextLong(200)
+        (topic, part, from, from + rnd.nextLong(20), if (rnd.nextBoolean()) t0 else t1)
+      }
+      ops.foreach { case (t, p, f, to, at) => set.add(t, p, f, to, at) }
+      val back = OffsetRangeSet.fromJson(set.toJson)
+      // identical serialization AND identical membership on probe points
+      assert(back.toJson == set.toJson)
+      for (_ <- 1 to 50) {
+        val t = s"t${rnd.nextInt(3)}"; val p = rnd.nextInt(3)
+        val f = rnd.nextLong(220); val to = f + rnd.nextLong(5)
+        assert(back.contains(t, p, f, to, t0) == set.contains(t, p, f, to, t0), s"($t,$p,$f,$to)")
+      }
+      // removal commutes with the round-trip
+      val (rt, rp, rf, rto, _) = ops(rnd.nextInt(ops.size))
+      set.remove(rt, rp, rf, rto)
+      back.remove(rt, rp, rf, rto)
+      assert(back.toJson == set.toJson, s"removal diverged after round-trip ($rt,$rp,$rf,$rto)")
+    }
+  }
+
   test("OffsetRangeSet JSON round-trip (Redis-compatible schema)") {
     val set = new OffsetRangeSet
     set.add("topicA", 0, 0, 100, t0)
