@@ -423,49 +423,41 @@ object Restructure {
     } catch { case _: Exception => false }
 
   /** §7.4-1 data-dependent CSV schemas: map keys and array indices become
-    * columns per record (CsvAvroDataConverter.kt:52-63); records whose
-    * flattened header differs (different key sets / arity) go to attempt
-    * files `bin_1.csv`, `bin_2.csv`, … (RestructureWorker.kt:163-183).
+    * columns per record, RECURSIVELY — `array<record>` flattens to
+    * `a.0.b, a.1.b…`, `map<string,record>` to `m.key.b…`, to any depth
+    * (CsvAvroDataConverter.kt:52-63 recurses through RECORD/MAP/ARRAY
+    * alike); records whose flattened header differs (different key sets /
+    * arity at any depth) go to attempt files `bin_1.csv`, `bin_2.csv`, …
+    * (RestructureWorker.kt:163-183).
     *
-    * Spark shape: one pass computes a per-record header fingerprint; attempt
-    * numbers are assigned by first appearance (file, pos) of each
+    * Spark shape: one pass computes a per-record canonical SHAPE string
+    * ([[graft.model.DynamicShape]]) whose md5 is the header fingerprint;
+    * attempt numbers are assigned by first appearance (file, pos) of each
     * fingerprint within the topic batch; each fingerprint group is written
-    * with ITS OWN flattened header (per-group dynamic key/arity expansion —
-    * one tiny aggregation per group, groups are few by construction).
+    * with ITS OWN recursively-expanded header, derived by parsing the
+    * group's (uniform) shape string back into a tree.
     */
   private[graft] def writeCsvBinsDynamic(
       spark: SparkSession, cfg: RestructureJobConfig, fs: FileSystem, topic: String,
       df: DataFrame, dataSchema: StructType, timeCol: Column, template: String,
       tCfg: TopicJobConfig, sidecar: Option[Array[Byte]] = None): Seq[String] = {
-    val dynLeaves = Flatten.leafPaths(dataSchema).collect {
-      case (n, _: MapType) => n -> true
-      case (n, _: ArrayType) => n -> false
-    }
-    // per-record flattened-header fingerprint: present map keys + array arity
-    val fpCol = md5(concat_ws("|",
-      dynLeaves.map { case (n, isMap) =>
-        val c = Flatten.leafColumn(n)
-        if (isMap) concat_ws(",", array_sort(map_keys(c)))
-        else coalesce(size(c), lit(-1)).cast(StringType)
-      }: _*).cast(BinaryType))
+    import graft.model.DynamicShape
     // persisted once: the fingerprint groups' headers come from ONE
     // aggregation over this frame, and each group's write re-reads it from
     // cache — job count and scan count stay independent of group count
     // (previously: one agg job + one full source re-scan PER group)
-    val withFp = df.withColumn("__fp", fpCol)
+    val withFp = df
+      .withColumn("__shape", DynamicShape.rootShapeCol(dataSchema))
+      .withColumn("__fp", md5(col("__shape").cast(BinaryType)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // one pass: per-fingerprint first appearance (attempt order — reference:
-    // arrival order) AND the group's concrete header shape (map keys / max
-    // array arity)
-    val dynAggs = dynLeaves.map { case (n, isMap) =>
-      val c = Flatten.leafColumn(n)
-      if (isMap) array_sort(array_distinct(flatten(collect_list(map_keys(c))))).as(s"k:$n")
-      else max(size(c)).as(s"l:$n")
-    }
+    // arrival order) AND the group's concrete shape (uniform within the
+    // group by construction — any row's value serves)
     val groupRows = withFp
       .groupBy(col("__fp"))
-      .agg(min(struct(col(AvroRead.FileCol), col(AvroRead.PosCol))).as("__first"), dynAggs: _*)
+      .agg(min(struct(col(AvroRead.FileCol), col(AvroRead.PosCol))).as("__first"),
+        first(col("__shape")).as("__gshape"))
       .orderBy(col("__first"))
       .collect()
     // enforced bound on the per-group pass: each header shape filters the
@@ -483,29 +475,15 @@ object Restructure {
 
     try groupRows.toSeq.flatMap { row =>
       val fp = row.getString(row.fieldIndex("__fp"))
-      val group = withFp.filter(col("__fp") === fp).drop("__fp")
+      val group = withFp.filter(col("__fp") === fp).drop("__fp", "__shape")
       val exclude = cfg.allExcludeFields(topic)
       // excludeFields match FLATTENED names, so map-key / array-index
       // expansions filter on their expanded form too (reference golden:
       // excludeFields {a, i.other} drops the i.other map column,
       // CsvAvroConverterTest.kt:69-84)
-      val outCols = Flatten.leafPaths(dataSchema)
-        .filterNot { case (n, _) => exclude(n) }
-        .flatMap {
-          case (n, _: MapType) =>
-            row.getSeq[String](row.fieldIndex(s"k:$n"))
-              .filterNot(k => exclude(s"$n.$k"))
-              .map(k =>
-                try_element_at(Flatten.leafColumn(n), lit(k)).cast(StringType).as(s"$n.$k"))
-          case (n, _: ArrayType) =>
-            val idx = row.fieldIndex(s"l:$n")
-            val len = if (row.isNullAt(idx)) 0 else math.max(0, row.getInt(idx))
-            (0 until len).filterNot(i => exclude(s"$n.$i")).map(i =>
-              get(Flatten.leafColumn(n), lit(i)).cast(StringType).as(s"$n.$i"))
-          case (n, BinaryType) =>
-            Seq(regexp_replace(base64(Flatten.leafColumn(n)), "=+$", "").as(n))
-          case (n, _) => Seq(Flatten.leafColumn(n).cast(StringType).as(n))
-        }
+      val shapes = DynamicShape.parseRoot(
+        row.getString(row.fieldIndex("__gshape")), dataSchema)
+      val outCols = DynamicShape.expandRoot(dataSchema, shapes, exclude)
       // attempt resolution consults EXISTING target headers (reference
       // semantics: arrival order against existing files,
       // RestructureWorker.kt:163-183): a bin whose file already holds this

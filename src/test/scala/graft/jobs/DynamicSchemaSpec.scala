@@ -237,6 +237,114 @@ class DynamicSchemaSpec extends SparkSpec {
       "per-shape passes are no longer served from the persisted frame")
   }
 
+  test("NESTED dynamics flatten recursively: array<record>, map<record>, array<array>") {
+    // reference CsvAvroDataConverter.kt:52-63 recurses through
+    // RECORD/MAP/ARRAY alike: arr.0.p, arr.0.q, m.key.z, nest.0.0, …
+    val schema = new Schema.Parser().parse(
+      """{"type":"record","name":"Rec","fields":[
+        |{"name":"key","type":{"type":"record","name":"K","fields":[
+        |  {"name":"userId","type":"string"}]}},
+        |{"name":"value","type":{"type":"record","name":"V","fields":[
+        |  {"name":"time","type":"double"},
+        |  {"name":"arr","type":{"type":"array","items":
+        |    {"type":"record","name":"E","fields":[
+        |      {"name":"p","type":"int"},{"name":"q","type":"string"}]}}},
+        |  {"name":"m","type":{"type":"map","values":
+        |    {"type":"record","name":"MV","fields":[
+        |      {"name":"z","type":"double"}]}}},
+        |  {"name":"nest","type":{"type":"array","items":
+        |    {"type":"array","items":"int"}}}]}}]}""".stripMargin)
+    val work = Files.createTempDirectory("graft-dynnest")
+    val dir = work.resolve("in/nest_topic/partition=0")
+    Files.createDirectories(dir)
+    val f = new File(dir.toFile, "nest_topic+0+0000000001+0000000002.avro")
+    val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
+    w.create(schema, f)
+    val t = 1.6095816E9
+    def mk(user: String, arr: Seq[(Int, String)], m: Map[String, Double],
+        nest: Seq[Seq[Int]]): GenericRecord = {
+      val k = new GenericData.Record(schema.getField("key").schema)
+      k.put("userId", user)
+      val v = new GenericData.Record(schema.getField("value").schema)
+      v.put("time", t)
+      val eSchema = schema.getField("value").schema.getField("arr").schema.getElementType
+      v.put("arr", arr.map { case (p, q) =>
+        val e = new GenericData.Record(eSchema); e.put("p", p); e.put("q", q); e
+      }.asJava)
+      val mvSchema = schema.getField("value").schema.getField("m").schema.getValueType
+      v.put("m", m.map { case (mk0, z) =>
+        val mv = new GenericData.Record(mvSchema); mv.put("z", z); mk0 -> mv
+      }.asJava)
+      v.put("nest", nest.map(_.map(Int.box).asJava).asJava)
+      val r = new GenericData.Record(schema)
+      r.put("key", k); r.put("value", v)
+      r
+    }
+    // both records share one shape -> ONE file, fully recursive header
+    w.append(mk("u1", Seq((1, "a"), (2, "b")), Map("k1" -> 0.5), Seq(Seq(7, 8), Seq(9))))
+    w.append(mk("u1", Seq((3, "c"), (4, "d")), Map("k1" -> 1.5), Seq(Seq(1, 2), Seq(3))))
+    w.close()
+    val out = work.resolve("out")
+    val run = Restructure.run(spark, RestructureJobConfig(
+      inputRoot = work.resolve("in").toString, outputRoot = out.toString))
+    assert(run.failedTopics.isEmpty, run.failedTopics.toString)
+    val bin = out.resolve("unknown-project/u1/nest_topic/20210102_1000.csv")
+    assert(Files.exists(bin), "bin missing")
+    val lines = Files.readAllLines(bin).asScala
+    assert(lines.head ==
+      "key.userId,value.time,value.arr.0.p,value.arr.0.q,value.arr.1.p,value.arr.1.q," +
+        "value.m.k1.z,value.nest.0.0,value.nest.0.1,value.nest.1.0",
+      s"recursive header diverged: ${lines.head}")
+    assert(lines.tail.toSet == Set(
+      "u1,1.6095816E9,1,a,2,b,0.5,7,8,9",
+      "u1,1.6095816E9,3,c,4,d,1.5,1,2,3"), lines.tail.toString)
+  }
+
+  test("nested-shape drift goes to an attempt file; inner arity is part of the header identity") {
+    val schema = new Schema.Parser().parse(
+      """{"type":"record","name":"Rec","fields":[
+        |{"name":"key","type":{"type":"record","name":"K","fields":[
+        |  {"name":"userId","type":"string"}]}},
+        |{"name":"value","type":{"type":"record","name":"V","fields":[
+        |  {"name":"time","type":"double"},
+        |  {"name":"nest","type":{"type":"array","items":
+        |    {"type":"array","items":"int"}}}]}}]}""".stripMargin)
+    val work = Files.createTempDirectory("graft-dyndrift")
+    val dir = work.resolve("in/drift_topic/partition=0")
+    Files.createDirectories(dir)
+    val f = new File(dir.toFile, "drift_topic+0+0000000001+0000000002.avro")
+    val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
+    w.create(schema, f)
+    val t = 1.6095816E9
+    def mk(nest: Seq[Seq[Int]]): GenericRecord = {
+      val k = new GenericData.Record(schema.getField("key").schema)
+      k.put("userId", "u1")
+      val v = new GenericData.Record(schema.getField("value").schema)
+      v.put("time", t)
+      v.put("nest", nest.map(_.map(Int.box).asJava).asJava)
+      val r = new GenericData.Record(schema)
+      r.put("key", k); r.put("value", v)
+      r
+    }
+    // same OUTER arity, different INNER arity -> different headers
+    w.append(mk(Seq(Seq(1, 2))))
+    w.append(mk(Seq(Seq(5))))
+    w.close()
+    val out = work.resolve("out")
+    Restructure.run(spark, RestructureJobConfig(
+      inputRoot = work.resolve("in").toString, outputRoot = out.toString))
+    val base = out.resolve("unknown-project/u1/drift_topic/20210102_1000.csv")
+    val attempt = out.resolve("unknown-project/u1/drift_topic/20210102_1000_1.csv")
+    assert(Files.exists(base) && Files.exists(attempt),
+      s"expected two attempt files, found: base=${Files.exists(base)} attempt=${Files.exists(attempt)}")
+    val baseLines = Files.readAllLines(base).asScala
+    val attemptLines = Files.readAllLines(attempt).asScala
+    val headers = Set(baseLines.head, attemptLines.head)
+    assert(headers == Set(
+      "key.userId,value.time,value.nest.0.0,value.nest.0.1",
+      "key.userId,value.time,value.nest.0.0"), headers.toString)
+  }
+
   test("header-shape count above the cap fails with an actionable error") {
     val schema = new Schema.Parser().parse(schemaJson)
     val work = Files.createTempDirectory("graft-dyncap")
