@@ -345,6 +345,35 @@ class DynamicSchemaSpec extends SparkSpec {
       "key.userId,value.time,value.nest.0.0"), headers.toString)
   }
 
+  test("map keys containing shape-grammar metacharacters round-trip (base64 escaping)") {
+    // keys with = ; } { [ ] ( ) , : | would break a naive shape grammar —
+    // the base64 key token must protect them end to end
+    val schema = new Schema.Parser().parse(schemaJson)
+    val work = Files.createTempDirectory("graft-dynmeta")
+    val dir = work.resolve("in/meta_topic/partition=0")
+    Files.createDirectories(dir)
+    val f = new File(dir.toFile, "meta_topic+0+0000000001+0000000001.avro")
+    val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
+    w.create(schema, f)
+    val t = 1.6095816E9
+    w.append(rec(schema, "u1", t,
+      Map("a=b" -> 1, "c;d" -> 2, "e}f{" -> 3, "g,h:i|j" -> 4, "ké中" -> 5), Seq("x")))
+    w.close()
+    val out = work.resolve("out")
+    val run = Restructure.run(spark, RestructureJobConfig(
+      inputRoot = work.resolve("in").toString, outputRoot = out.toString))
+    assert(run.failedTopics.isEmpty, run.failedTopics.toString)
+    val bin = out.resolve("unknown-project/u1/map_topic/20210102_1000.csv")
+    val binMeta = out.resolve("unknown-project/u1/meta_topic/20210102_1000.csv")
+    assert(Files.exists(binMeta), s"bin missing (map_topic leftover? ${Files.exists(bin)})")
+    val lines = Files.readAllLines(binMeta).asScala
+    // sorted keys; Spark's CSV-style quoting applies to header cells with commas
+    assert(lines.head == "key.userId,value.time,value.props.a=b,value.props.c;d," +
+      "value.props.e}f{,\"value.props.g,h:i|j\",value.props.ké中,value.arr.0",
+      s"metachar header diverged: ${lines.head}")
+    assert(lines(1) == "u1,1.6095816E9,1,2,3,4,5,x", lines(1))
+  }
+
   test("header-shape count above the cap fails with an actionable error") {
     val schema = new Schema.Parser().parse(schemaJson)
     val work = Files.createTempDirectory("graft-dyncap")
