@@ -74,10 +74,14 @@ private[jobs] object BinWriter {
       // touches an output directory: (filename, content). Create-if-absent
       // is idempotent across concurrently-writing tasks (every writer holds
       // the same bytes). The same first-touch hook sweeps stale dot-temps
-      // left by crashed writers (>1 h old — live writers' temps are younger
-      // by construction), so sidecar+sweep cost scales with executors
-      // instead of a driver thread pool over a collected bin list.
-      sidecar: Option[(String, Array[Byte])] = None): Iterator[String] = {
+      // left by crashed writers, so sidecar+sweep cost scales with
+      // executors instead of a driver thread pool over a collected bin
+      // list. Swept = older than 1 h AND not carrying this job's `runId`
+      // (temp names embed it) — a concurrently-running sibling task that
+      // opened its temp over an hour ago is never swept; only temps from
+      // DEAD runs are.
+      sidecar: Option[(String, Array[Byte])] = None,
+      runId: String = ""): Iterator[String] = {
     if (!it.hasNext) return Iterator.empty
     val conf = new Configuration()
     confEntries.foreach { case (k, v) => conf.set(k, v) }
@@ -134,12 +138,16 @@ private[jobs] object BinWriter {
           val staleBefore = System.currentTimeMillis() - 3600000L
           fs.listStatus(target.getParent).foreach { st =>
             val n = st.getPath.getName
-            if (n.startsWith(".") && n.contains(".tmp-") && st.getModificationTime < staleBefore)
+            if (n.startsWith(".") && n.contains(".tmp-") &&
+                st.getModificationTime < staleBefore &&
+                !(runId.nonEmpty && n.contains(runId)))
               try fs.delete(st.getPath, false) catch { case _: Exception => }
           }
         }
       }
-      tmp = new HPath(target.getParent, s".${target.getName}.tmp-${java.util.UUID.randomUUID()}")
+      val runTag = if (runId.isEmpty) "" else s"$runId-"
+      tmp = new HPath(target.getParent,
+        s".${target.getName}.tmp-$runTag${java.util.UUID.randomUUID()}")
       // local FS: plain FileOutputStream — skip the Hadoop stream wrapper
       // (same rationale as renameOver's nio move)
       val raw: java.io.OutputStream =

@@ -460,20 +460,22 @@ object Restructure {
         first(col("__shape")).as("__gshape"))
       .orderBy(col("__first"))
       .collect()
-    // enforced bound on the per-group pass: each header shape filters the
-    // CACHED frame once (the source is scanned once, into the persist
-    // above), so total work grows linearly with shape count — fine for the
-    // schema-drift topics this serves (a handful of shapes), pathological
-    // beyond it. Fail with a cure instead of grinding through thousands of
-    // cache passes.
-    require(groupRows.length <= cfg.maxSchemaFingerprints,
-      s"topic $topic has ${groupRows.length} distinct map-key/array-arity header shapes " +
-        s"in one batch (cap ${cfg.maxSchemaFingerprints}); each shape writes its own header " +
-        "in its own pass over the cached batch. Fix the producer schema drift, raise " +
-        "worker.maxSchemaFingerprints, or process in smaller batches " +
-        "(worker.maxFilesPerTopic) so fewer shapes land per run")
-
-    try groupRows.toSeq.flatMap { row =>
+    try {
+      // enforced bound on the per-group pass: each header shape filters the
+      // CACHED frame once (the source is scanned once, into the persist
+      // above), so total work grows linearly with shape count — fine for
+      // the schema-drift topics this serves (a handful of shapes),
+      // pathological beyond it. Fail with a cure instead of grinding
+      // through thousands of cache passes. INSIDE the try: per-topic
+      // failure isolation keeps the run alive after this throw, so the
+      // finally must still release the cached batch.
+      require(groupRows.length <= cfg.maxSchemaFingerprints,
+        s"topic $topic has ${groupRows.length} distinct map-key/array-arity header shapes " +
+          s"in one batch (cap ${cfg.maxSchemaFingerprints}); each shape writes its own header " +
+          "in its own pass over the cached batch. Fix the producer schema drift, raise " +
+          "worker.maxSchemaFingerprints, or process in smaller batches " +
+          "(worker.maxFilesPerTopic) so fewer shapes land per run")
+      groupRows.toSeq.flatMap { row =>
       val fp = row.getString(row.fieldIndex("__fp"))
       val group = withFp.filter(col("__fp") === fp).drop("__fp", "__shape")
       val exclude = cfg.allExcludeFields(topic)
@@ -528,6 +530,7 @@ object Restructure {
       try commitBins(spark, cfg, fs,
         mergeExistingBins(spark, cfg, fs, prepared, "csv", None, temps), "csv", topic, sidecar)
       finally temps.foreach(t => fs.delete(t, false))
+      }
     } finally withFp.unpersist(false)
   }
 
@@ -738,9 +741,12 @@ object Restructure {
     val uid = cfg.localUid
     val gid = cfg.localGid
     val sidecarEntry = sidecar.map(bytes => (s"schema-$topic.json", bytes))
+    // all tasks of this commit share the runId, so the stale-temp sweep can
+    // distinguish a sibling's live temp from a dead run's leftover
+    val runId = java.util.UUID.randomUUID().toString
     val written = Timer.time("write.convert")(prepared.mapPartitions { it =>
       BinWriter.writePartition(it, outputRoot, confEntries, header, gz, zip, dedupMode, uid, gid,
-        sidecarEntry)
+        sidecarEntry, runId)
     }.collect())
     written.toSeq.sorted
   }

@@ -54,11 +54,14 @@ object DynamicShape {
         else concat(lit("["), size(c).cast(StringType), lit("]"))
       when(c.isNull, lit("N")).otherwise(base)
     case MapType(_, vt, _) =>
+      // every key token carries a leading 'k' marker so an EMPTY key (b64
+      // "") still renders a non-empty entry — without it {""→v} and {}
+      // would share the shape "{}" and the empty-keyed column would vanish
       val entries =
         if (isDynamic(vt))
           transform(array_sort(map_keys(c)),
-            k => concat(b64Key(k), lit("="), shapeCol(element_at(c, k), vt)))
-        else transform(array_sort(map_keys(c)), k => b64Key(k))
+            k => concat(lit("k"), b64Key(k), lit("="), shapeCol(element_at(c, k), vt)))
+        else transform(array_sort(map_keys(c)), k => concat(lit("k"), b64Key(k)))
       when(c.isNull, lit("N"))
         .otherwise(concat(lit("{"), concat_ws(";", entries), lit("}")))
     case _ => lit("")
@@ -141,6 +144,8 @@ object DynamicShape {
         var pos = pos0 + 1
         val entries = Seq.newBuilder[(String, Shape)]
         while (s.charAt(pos) != '}') {
+          require(s.charAt(pos) == 'k', s"expected key marker at $pos in '$s'")
+          pos += 1
           val keyEnd = s.indexWhere(c => "=;}".contains(c), pos)
           val key = decodeKey(s.substring(pos, keyEnd))
           pos = keyEnd

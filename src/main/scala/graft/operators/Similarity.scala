@@ -209,10 +209,15 @@ object Similarity {
     // threshold ≥ 1 would exclude even exact copies (float cosine of an
     // identical pair is 1 ± ulp) — run direct, the collapse can't apply
     if (threshold >= 0.999) return direct(vectors)
+    // null vectors: per-doc sentinel key ("n!" is not hex — no md5
+    // collision) so each stays its own singleton group, matching the
+    // direct pipeline where null vectors never pair
     val keyed = vectors.select(col(idCol), col(vecCol))
-      .withColumn("__vkey", md5(col(vecCol).cast(org.apache.spark.sql.types.StringType)))
+      .withColumn("__vkey",
+        coalesce(md5(col(vecCol).cast(org.apache.spark.sql.types.StringType)),
+          concat(lit("n!"), col(idCol).cast(org.apache.spark.sql.types.StringType))))
     val maxGroup = keyed.groupBy(col("__vkey")).agg(count(lit(1)).as("__n"))
-      .agg(max(col("__n"))).head().getLong(0)
+      .agg(coalesce(max(col("__n")), lit(0L))).head().getLong(0)
     if (maxGroup < collapseThreshold.toLong) direct(vectors)
     else {
       val groups = keyed.groupBy(col("__vkey")).agg(min(col(idCol)).as("__rep"))

@@ -166,12 +166,17 @@ object StreamingNearDedup {
     * never lost history. The rare crash-retry collision (target name
     * already among the sources) materializes the merge first.
     *
-    * `ttlBatches` > 0 additionally DROPS plain batch partitions older than
-    * `upToBatchId - ttlBatches` instead of merging them: history bytes stay
-    * bounded, at the documented cost that a duplicate of a dropped-era
-    * document re-enters the corpus. Consolidated partitions are exempt
-    * (they carry mixed ages); pair TTL with a fresh epoch per retention
-    * period when strict age bounds matter.
+    * `ttlBatches` > 0 switches to RETENTION mode: partitions older than
+    * `upToBatchId - ttlBatches` are DROPPED and the remainder stays
+    * UN-consolidated — merging would fold young partitions into an
+    * age-less consolidated blob that can never expire, so with any ttl ≥
+    * compactEvery nothing would ever be dropped. In retention mode the
+    * partition count is bounded by the TTL window itself (≤ ttl + the
+    * replayable tail), which is the bound the knob promises; history bytes
+    * stay bounded at the documented cost that a duplicate of a dropped-era
+    * document re-enters the corpus. Pre-existing consolidated partitions
+    * (from before TTL was enabled) are left untouched: their ages are
+    * unknowable, so dropping them would silently lose in-window history.
     */
   def compactHistory(spark: SparkSession, historyDir: String, epoch: String,
       upToBatchId: Long, targetPartitions: Int = 0, ttlBatches: Long = 0L): Unit = {
@@ -186,14 +191,15 @@ object StreamingNearDedup {
         if (suffix.startsWith("c")) suffix.drop(1).toLongOption.map(id => (n, id, true))
         else suffix.toLongOption.filter(_ <= upToBatchId).map(id => (n, id, false))
       }
-    val (expired, live) =
-      if (ttlBatches <= 0) (Array.empty[(String, Long, Boolean)], parts)
-      else parts.partition { case (_, id, consolidated) =>
-        !consolidated && id < upToBatchId - ttlBatches
+    if (ttlBatches > 0) {
+      // retention mode: expire, never consolidate (see scaladoc)
+      parts.foreach { case (n, id, consolidated) =>
+        if (!consolidated && id < upToBatchId - ttlBatches)
+          fs.delete(new org.apache.hadoop.fs.Path(s"$historyDir/$n"), true)
       }
-    expired.foreach { case (n, _, _) =>
-      fs.delete(new org.apache.hadoop.fs.Path(s"$historyDir/$n"), true)
+      return
     }
+    val live = parts
     if (live.length < 2) return
     val newDirName = s"batch=$epoch-c${live.map(_._2).max}"
     val merged0 = spark.read.parquet(live.map(p => s"$historyDir/${p._1}"): _*)

@@ -36,6 +36,26 @@ class BinWriterSpec extends AnyFunSuite {
     assert(Files.exists(fresh), "fresh temp must survive the sweep")
   }
 
+  test("writePartition: sweep spares a stale temp carrying the current runId (live sibling)") {
+    val root = Files.createTempDirectory("graft-bw-rid")
+    Files.createDirectories(root.resolve("a"))
+    // a sibling task of THIS run opened its temp >1h ago and is still
+    // writing (mtime set at create on HDFS) — must NOT be swept; a temp
+    // from a dead run (different id) of the same age must be
+    val live = root.resolve("a/.big.csv.tmp-run42-x")
+    val dead = root.resolve("a/.old.csv.tmp-run77-y")
+    Seq(live, dead).foreach { p =>
+      Files.write(p, "x".getBytes)
+      p.toFile.setLastModified(System.currentTimeMillis() - 2 * 3600 * 1000L)
+    }
+    BinWriter.writePartition(
+      rows3(("a/one.csv", "r1")), root.toString, Map.empty,
+      None, gzip = false, zip = false,
+      sidecar = Some(("schema-t.json", "s".getBytes)), runId = "run42").toSeq
+    assert(Files.exists(live), "live sibling's temp swept by runId-blind sweep")
+    assert(!Files.exists(dead), "dead run's stale temp must still be swept")
+  }
+
   test("writePartition: one exactly-named file per path, header once, rows in order") {
     val root = Files.createTempDirectory("graft-bw").toString
     val rows = rows3(

@@ -374,6 +374,28 @@ class DynamicSchemaSpec extends SparkSpec {
     assert(lines(1) == "u1,1.6095816E9,1,2,3,4,5,x", lines(1))
   }
 
+  test("an empty-string map key still produces its column (shape key-marker)") {
+    // {"" -> v} must not share a shape with {} — the empty-keyed column
+    // and its value would silently vanish
+    val schema = new Schema.Parser().parse(schemaJson)
+    val work = Files.createTempDirectory("graft-dynemptykey")
+    val dir = work.resolve("in/ek_topic/partition=0")
+    Files.createDirectories(dir)
+    val f = new File(dir.toFile, "ek_topic+0+0000000001+0000000001.avro")
+    val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
+    w.create(schema, f)
+    w.append(rec(schema, "u1", 1.6095816E9, Map("" -> 7), Seq("x")))
+    w.close()
+    val out = work.resolve("out")
+    val run = Restructure.run(spark, RestructureJobConfig(
+      inputRoot = work.resolve("in").toString, outputRoot = out.toString))
+    assert(run.failedTopics.isEmpty, run.failedTopics.toString)
+    val lines = Files.readAllLines(
+      out.resolve("unknown-project/u1/ek_topic/20210102_1000.csv")).asScala
+    assert(lines.head == "key.userId,value.time,value.props.,value.arr.0", lines.head)
+    assert(lines(1) == "u1,1.6095816E9,7,x", lines(1))
+  }
+
   test("header-shape count above the cap fails with an actionable error") {
     val schema = new Schema.Parser().parse(schemaJson)
     val work = Files.createTempDirectory("graft-dyncap")
@@ -404,5 +426,9 @@ class DynamicSchemaSpec extends SparkSpec {
       s"expected an actionable cap error, got: $msg")
     assert(!result.ledger.contains("map_topic", 0, 1, 5, java.time.Instant.EPOCH),
       "failed topic must not commit to the ledger")
+    // the cap throw must not leak the topic's cached batch into the
+    // surviving run (the require sits inside the unpersist try/finally)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      s"cap failure leaked cached RDDs: ${spark.sparkContext.getPersistentRDDs.keySet}")
   }
 }

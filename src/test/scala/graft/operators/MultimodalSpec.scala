@@ -43,6 +43,26 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.parseWav(wav.take(20)) == None)
   }
 
+  test("parseWav: crafted/corrupt chunk sizes neither hang nor throw") {
+    def wavWithChunkSize(size: Long): Array[Byte] = {
+      val b = new Array[Byte](24)
+      "RIFF".getBytes.copyToArray(b, 0)
+      "WAVE".getBytes.copyToArray(b, 8)
+      "junk".getBytes.copyToArray(b, 12)
+      (0 until 4).foreach(j => b(16 + j) = ((size >> (8 * j)) & 0xff).toByte)
+      b
+    }
+    // 0xFFFFFFF8 reads as -8 in Int space: a naive walk would add 0 and
+    // spin forever; 0x7FFFFFF0 would overflow the index negative and throw
+    assert(Multimodal.parseWav(wavWithChunkSize(0xFFFFFFF8L)) == None)
+    assert(Multimodal.parseWav(wavWithChunkSize(0x7FFFFFF0L)) == None)
+    assert(Multimodal.parseWav(wavWithChunkSize(0L)) == None) // zero-size chunk still advances
+    // and the batch contract holds end-to-end
+    val meta = Multimodal.decodeMeta(Multimodal.MediaRecord(9L, "audio/wav",
+      wavWithChunkSize(0xFFFFFFF8L)))
+    assert(meta.media_kind == "unknown")
+  }
+
   test("builders round-trip through decodeMeta with exact values") {
     val body = "hello media".getBytes("UTF-8")
     val png = Multimodal.decodeMeta(Multimodal.MediaRecord(1L, "image/png",

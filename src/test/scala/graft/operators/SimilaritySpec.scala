@@ -236,6 +236,21 @@ class SimilaritySpec extends SparkSpec {
     assert(clusters(9000L) == 9000L && clusters(9001L) == 9001L)
   }
 
+  test("embeddingClusters: null vectors stay singletons through the collapse; empty input is empty") {
+    val mixed = (
+      (1L to 5L).map(i => (i, Seq(1.0f, 0.0f, 0.0f))) ++
+      Seq((50L, null.asInstanceOf[Seq[Float]]), (51L, null.asInstanceOf[Seq[Float]]))
+    ).toDF("vec_id", "embedding")
+    val cents = mixed.filter(col("vec_id") === 1L)
+    val clusters = Similarity.embeddingClusters(mixed, cents, 0.9, collapseThreshold = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters.size == 7, s"rows dropped: $clusters")
+    assert((1L to 5L).forall(clusters(_) == 1L))
+    assert(clusters(50L) == 50L && clusters(51L) == 51L)
+    val empty = mixed.filter(col("vec_id") < 0)
+    assert(Similarity.embeddingClusters(empty, cents, 0.9).count() == 0L)
+  }
+
   test("ivfAssign: centroid members map to their own cell") {
     val assigned = Similarity.ivfAssign(vecs, vecs.filter(col("vec_id") < 2))
     val cells = assigned.collect().map(r =>

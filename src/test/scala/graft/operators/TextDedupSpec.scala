@@ -205,6 +205,27 @@ class TextDedupSpec extends SparkSpec {
     assert(sec < 60, s"mass-duplicate corpus took ${sec}s — hot-bucket guard regressed?")
   }
 
+  test("corpusClusters collapse branch: null-text docs survive as singletons; empty corpus is empty") {
+    // null texts never pair in the direct pipeline (null band hashes don't
+    // equi-join) — the collapse must keep them as their own singleton
+    // groups, not drop them (null keys vanish from equi-joins) nor lump
+    // them into one shared cluster
+    val docs = (
+      (1L to 6L).map(i => (i, "mass duplicate boilerplate page body repeated again and again")) ++
+      Seq((100L, null.asInstanceOf[String]), (101L, null.asInstanceOf[String]),
+          (102L, "a perfectly ordinary unique document about something else entirely"))
+    ).toDF("doc_id", "text")
+    val clusters = TextDedup.corpusClusters(docs, "doc_id", "text", collapseThreshold = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters.size == 9, s"rows dropped: $clusters")
+    assert((1L to 6L).forall(clusters(_) == 1L))
+    assert(clusters(100L) == 100L && clusters(101L) == 101L, "null-text docs must stay singletons")
+    assert(clusters(102L) == 102L)
+    // empty corpus: no NPE from the sizing probe, empty mapping out
+    val empty = docs.filter(col("doc_id") < 0)
+    assert(TextDedup.corpusClusters(empty, "doc_id", "text").count() == 0L)
+  }
+
   test("jaccardCounts: identical sets → inter == union") {
     val df = Seq(("a b c d e f", "a b c d e f"), ("a b c d e f", "q r s t u v"))
       .toDF("t1", "t2")

@@ -92,12 +92,11 @@ class StreamingSoakSpec extends SparkSpec {
       upToBatchId = 9L, targetPartitions = 1, ttlBatches = 6L)
     val dirs = new java.io.File(historyDir).listFiles().map(_.getName)
       .filter(_.startsWith("batch=")).toSet
-    // id 1 < 9-6 expired; 5 and 9 merged into c9; 10 beyond the watermark
-    assert(dirs == Set("batch=e-c9", "batch=e-10", "batch=other-1"), s"got $dirs")
-    val merged = spark.read.parquet(s"$historyDir/batch=e-c9")
-      .select("doc_id").collect().map(_.getLong(0)).toSet
-    assert(merged == Set(5L, 9L), s"merged ids: $merged")
-    // re-running at a later watermark re-absorbs the consolidated partition
+    // retention mode: id 1 < 9-6 expired; the in-window partitions stay
+    // UN-consolidated (merging would make them unexpirable), foreign epoch
+    // untouched
+    assert(dirs == Set("batch=e-5", "batch=e-9", "batch=e-10", "batch=other-1"), s"got $dirs")
+    // without TTL the same call consolidates up to the watermark
     StreamingNearDedup.compactHistory(spark, historyDir, "e",
       upToBatchId = 11L, targetPartitions = 1)
     val dirs2 = new java.io.File(historyDir).listFiles().map(_.getName)
