@@ -1,0 +1,99 @@
+package graft.model
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalacheck.rng.Seed
+
+import graft.SparkSpec
+
+/** Generative cross-check of the whole dynamic-shape machinery: for random
+  * nested DATA (map keys including grammar metacharacters and the empty
+  * key, arities 0-3, nulls at every level) the codegen'd shape string must
+  * parse back and expand to EXACTLY the flattened columns an independent
+  * driver-side reference walker derives from the same data.
+  */
+class DynamicShapeFuzzSpec extends SparkSpec {
+
+  // deep dynamic schema: map-of-struct-with-array, array-of-struct-with-map
+  private val schema = StructType(Seq(
+    StructField("m", MapType(StringType, StructType(Seq(
+      StructField("a", IntegerType),
+      StructField("arr2", ArrayType(IntegerType)))))),
+    StructField("arr", ArrayType(StructType(Seq(
+      StructField("p", IntegerType),
+      StructField("m2", MapType(StringType, IntegerType))))))))
+
+  private val keyGen: Gen[String] = Gen.oneOf("", "k1", "a=b", "c;d", "e}f", "é中", "x,y:z")
+  private val arr2Gen: Gen[Seq[Integer]] = Gen.oneOf(
+    Gen.const(null.asInstanceOf[Seq[Integer]]),
+    Gen.chooseNum(0, 3).flatMap(n => Gen.listOfN(n, Gen.chooseNum(0, 9).map(Int.box))))
+  private val mGen: Gen[Map[String, Row]] = Gen.oneOf(
+    Gen.const(null.asInstanceOf[Map[String, Row]]),
+    Gen.chooseNum(0, 3).flatMap(n => Gen.listOfN(n, for {
+      k <- keyGen; a <- Gen.chooseNum(0, 9); a2 <- arr2Gen
+    } yield k -> Row(Int.box(a), a2)).map(_.toMap)))
+  private val m2Gen: Gen[Map[String, Integer]] = Gen.oneOf(
+    Gen.const(null.asInstanceOf[Map[String, Integer]]),
+    Gen.chooseNum(0, 2).flatMap(n =>
+      Gen.listOfN(n, keyGen.flatMap(k => Gen.chooseNum(0, 9).map(v => k -> Int.box(v))))
+        .map(_.toMap)))
+  private val arrGen: Gen[Seq[Row]] = Gen.oneOf(
+    Gen.const(null.asInstanceOf[Seq[Row]]),
+    Gen.chooseNum(0, 3).flatMap(n => Gen.listOfN(n, for {
+      p <- Gen.chooseNum(0, 9); m2 <- m2Gen
+    } yield Row(Int.box(p), m2))))
+  private val rowGen: Gen[Row] = for { m <- mGen; a <- arrGen } yield Row(m, a)
+
+  /** Independent reference walker: flattened (name, value-string) pairs in
+    * reference order (schema order, sorted map keys, index order).
+    */
+  private def reference(value: Any, name: String, dt: DataType): Seq[(String, String)] =
+    (value, dt) match {
+      case (null, _: MapType) | (null, _: ArrayType) => Nil
+      case (v, st: StructType) =>
+        st.fields.toSeq.zipWithIndex.flatMap { case (f, i) =>
+          val fv = if (v == null) null else v.asInstanceOf[Row].get(i)
+          reference(fv, s"$name.${f.name}", f.dataType)
+        }
+      case (v, ArrayType(et, _)) =>
+        v.asInstanceOf[Seq[Any]].zipWithIndex.flatMap { case (e, i) =>
+          reference(e, s"$name.$i", et)
+        }
+      case (v, MapType(_, vt, _)) =>
+        v.asInstanceOf[Map[String, Any]].toSeq.sortBy(_._1).flatMap { case (k, e) =>
+          reference(e, s"$name.$k", vt)
+        }
+      case (null, _) => Seq(name -> null)
+      case (v, _) => Seq(name -> v.toString)
+    }
+
+  test("property: shape → parse → expand ≡ reference walk on random nested data") {
+    val prop = Prop.forAll(rowGen) { row =>
+      val df = spark.createDataFrame(
+        java.util.Arrays.asList(row), schema)
+      val shape = df.select(DynamicShape.rootShapeCol(schema).as("s"))
+        .collect()(0).getString(0)
+      val shapes = DynamicShape.parseRoot(shape, schema)
+      val cols = DynamicShape.expandRoot(schema, shapes, _ => false)
+      val expected = schema.fields.toSeq.zipWithIndex.flatMap { case (f, i) =>
+        reference(row.get(i), f.name, f.dataType) }
+      val gotNames = cols.map(c => {
+        val s = c.toString; val i = s.lastIndexOf(" AS "); s.substring(i + 4) })
+      val expNames = expected.map(_._1)
+      val gotVals =
+        if (cols.isEmpty) Seq.empty[String]
+        else df.select(cols: _*).collect()(0).toSeq.map(v => if (v == null) null else v.toString)
+      val ok = gotNames == expNames && gotVals == expected.map(_._2)
+      if (!ok)
+        Console.err.println(s"[shapefuzz] row=$row shape='$shape'\n names $gotNames vs $expNames" +
+          s"\n vals $gotVals vs ${expected.map(_._2)}")
+      ok
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(40).withInitialSeed(Seed(2026L)),
+      prop)
+    assert(res.passed, s"dynamic shape fuzz failed: ${res.status}")
+  }
+}
