@@ -81,30 +81,26 @@ object Multimodal {
     if (b.length < 12 || !ascii(b, 0, "RIFF") || !ascii(b, 8, "WAVE")) return None
     var channels = 0L; var rate = 0L; var byteRate = 0L
     var dataLen = -1L
+    // the walk is in LONG space: an LE size is 0..0xFFFFFFFF, so the index
+    // strictly advances by ≥ 8 each step and an oversize/truncated chunk
+    // simply runs the index past the buffer and ends the loop — metadata
+    // from chunks parsed so far is KEPT (a WAV truncated in storage still
+    // reports its declared duration, like any header-only parser). The
+    // naive Int walk spun forever on 0xFFFFFFF8 (-8 as Int).
     var i = 12L
-    var corrupt = false
-    // walk in Long space with a bounds guard: a crafted/corrupt LE size
-    // (e.g. 0xFFFFFFF8 → -8 as Int) must neither spin the loop forever nor
-    // drive the index negative ("malformed never fails the batch" — it
-    // just stops parsing). Sizes are non-negative as Long, so the index
-    // strictly advances by ≥ 8 each step.
-    while (!corrupt && i + 8 <= b.length) {
+    while (i + 8 <= b.length) {
       val at = i.toInt
       val size = le32(b, at + 4) // 0..0xFFFFFFFF as Long
-      if (size > b.length.toLong) corrupt = true
-      else {
-        if (ascii(b, at, "fmt ") && at + 24 <= b.length) {
-          channels = le16(b, at + 10).toLong
-          rate = le32(b, at + 12)
-          byteRate = le32(b, at + 16)
-        } else if (ascii(b, at, "data")) {
-          dataLen = size
-        }
-        // chunks are word-aligned: odd sizes carry one pad byte
-        i += 8L + size + (size & 1L)
+      if (ascii(b, at, "fmt ") && at + 24 <= b.length) {
+        channels = le16(b, at + 10).toLong
+        rate = le32(b, at + 12)
+        byteRate = le32(b, at + 16)
+      } else if (ascii(b, at, "data")) {
+        dataLen = size
       }
+      // chunks are word-aligned: odd sizes carry one pad byte
+      i += 8L + size + (size & 1L)
     }
-    if (corrupt) return None
     if (rate == 0 || byteRate == 0 || dataLen < 0) None
     else Some((channels, rate, dataLen * 1000L / byteRate))
   }

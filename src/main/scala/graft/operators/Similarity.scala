@@ -197,6 +197,24 @@ object Similarity {
     * share cell assignment exactly, so the expanded clusters equal the
     * direct computation's).
     */
+  /** Shared mass-duplicate collapse probe ([[embeddingClusters]] and
+    * [[TextDedup.corpusClusters]]): key each row by `rawKey`, with a
+    * PER-ROW sentinel for null keys ("n!" is not hex, so it can never
+    * collide with an md5 — null-keyed rows stay their own singleton
+    * groups, matching the direct pipelines where nulls never pair).
+    * Returns the keyed frame and the largest group size (0 when empty;
+    * one cheap job: map-side partial counts, 16-byte-key shuffle, max).
+    */
+  private[operators] def collapseProbe(df: DataFrame, rawKey: Column,
+      idCol: String, keyName: String): (DataFrame, Long) = {
+    val keyed = df.withColumn(keyName,
+      coalesce(rawKey,
+        concat(lit("n!"), col(idCol).cast(org.apache.spark.sql.types.StringType))))
+    val maxGroup = keyed.groupBy(col(keyName)).agg(count(lit(1)).as("__n"))
+      .agg(coalesce(max(col("__n")), lit(0L))).head().getLong(0)
+    (keyed, maxGroup)
+  }
+
   def embeddingClusters(
       vectors: DataFrame, centroids: DataFrame, threshold: Double,
       idCol: String = "vec_id", vecCol: String = "embedding",
@@ -209,15 +227,9 @@ object Similarity {
     // threshold ≥ 1 would exclude even exact copies (float cosine of an
     // identical pair is 1 ± ulp) — run direct, the collapse can't apply
     if (threshold >= 0.999) return direct(vectors)
-    // null vectors: per-doc sentinel key ("n!" is not hex — no md5
-    // collision) so each stays its own singleton group, matching the
-    // direct pipeline where null vectors never pair
-    val keyed = vectors.select(col(idCol), col(vecCol))
-      .withColumn("__vkey",
-        coalesce(md5(col(vecCol).cast(org.apache.spark.sql.types.StringType)),
-          concat(lit("n!"), col(idCol).cast(org.apache.spark.sql.types.StringType))))
-    val maxGroup = keyed.groupBy(col("__vkey")).agg(count(lit(1)).as("__n"))
-      .agg(coalesce(max(col("__n")), lit(0L))).head().getLong(0)
+    val (keyed, maxGroup) = collapseProbe(
+      vectors.select(col(idCol), col(vecCol)),
+      md5(col(vecCol).cast(org.apache.spark.sql.types.StringType)), idCol, "__vkey")
     if (maxGroup < collapseThreshold.toLong) direct(vectors)
     else {
       val groups = keyed.groupBy(col("__vkey")).agg(min(col(idCol)).as("__rep"))

@@ -308,18 +308,12 @@ object TextDedup {
     // (Similarity.requireProbeBatch): "an eval suite, not a second corpus"
     // is a contract, and the fingerprint set broadcasts whole — an
     // unbounded one must fail fast with a cure, not an opaque executor
-    // OOM mid-join. The guard uses the TOTAL WINDOW COUNT (one cheap agg
-    // scan, an upper bound on distinct fingerprints) so the expensive
-    // explode+distinct pipeline runs exactly ONCE, inside the join —
-    // guarding on the fingerprint frame itself would compute it twice.
-    val windowCount = evalDf
-      .agg(coalesce(sum(greatest(lit(0), size(toks) - w + 1)), lit(0L)))
-      .head().getLong(0)
-    require(windowCount <= MaxSpanFingerprintRows,
-      s"eval window fingerprint set has up to $windowCount rows " +
-        s"(cap $MaxSpanFingerprintRows): " +
-        "decontaminate against a bounded eval suite (or chunk it); a " +
-        "corpus-sized frame does not belong on the broadcast side of the masking join")
+    // OOM mid-join. TWO-STAGE guard: the total window count (one cheap agg
+    // scan, an upper bound on distinct fingerprints) clears the common
+    // case without computing the explode+distinct pipeline twice; only a
+    // suite over the bound pays one extra pipeline pass to check the
+    // EXACT distinct count (heavy window duplication can put the bound far
+    // above the real broadcast size, which must not reject a valid suite).
     val evalFps = evalDf.select(
         explode(when(size(toks) >= w,
           transform(sequence(lit(1), size(toks) - w + 1),
@@ -327,6 +321,14 @@ object TextDedup {
               .cast(org.apache.spark.sql.types.BinaryType))))
           .otherwise(array().cast("array<string>"))).as("fp"))
       .distinct()
+    val windowCount = evalDf
+      .agg(coalesce(sum(greatest(lit(0), size(toks) - w + 1)), lit(0L)))
+      .head().getLong(0)
+    if (windowCount > MaxSpanFingerprintRows)
+      Similarity.requireProbeBatch(evalFps, MaxSpanFingerprintRows,
+        "eval window fingerprint set",
+        "decontaminate against a bounded eval suite (or chunk it); a " +
+          "corpus-sized frame does not belong on the broadcast side of the masking join")
     maskSpansByFingerprints(train, idCol, textCol, evalFps, w)
   }
 
@@ -434,20 +436,8 @@ object TextDedup {
     if (num > den) // degenerate threshold > 1: exact dups must NOT pair
       return corpusClustersDirect(df, idCol, textCol, shingleN, k, bands, rowsPerBand,
         num, den)
-    // null-text rows key to a PER-DOC sentinel ("n!" is not hex, so it can
-    // never collide with an md5), i.e. each is its own singleton group and
-    // flows through the rep pipeline unchanged — in the direct pipeline
-    // null texts never pair (null band hashes don't equi-join), so lumping
-    // them into one shared group would wrongly cluster them together
-    val keyed = df.select(col(idCol), col(textCol))
-      .withColumn("__tkey",
-        coalesce(md5(col(textCol)),
-          concat(lit("n!"), col(idCol).cast(org.apache.spark.sql.types.StringType))))
-    // the probe is ONE job on the common path: map-side partial counts per
-    // text hash, a (16-byte, long) shuffle, one max (coalesced: an empty
-    // frame must yield 0, not a null that NPEs)
-    val maxGroup = keyed.groupBy(col("__tkey")).agg(count(lit(1)).as("__n"))
-      .agg(coalesce(max(col("__n")), lit(0L))).head().getLong(0)
+    val (keyed, maxGroup) = Similarity.collapseProbe(
+      df.select(col(idCol), col(textCol)), md5(col(textCol)), idCol, "__tkey")
     if (maxGroup < collapseThreshold.toLong)
       corpusClustersDirect(df, idCol, textCol, shingleN, k, bands, rowsPerBand, num, den)
     else {

@@ -85,8 +85,13 @@ object StreamingNearDedup {
       }
 
       // 4. idempotent append: replays of a micro-batch overwrite their own
-      // partition instead of double-appending
-      survivors.write.mode("overwrite")
+      // partition instead of double-appending. Coalesced: a micro-batch's
+      // survivors are small, and at default shuffle width each batch would
+      // otherwise add O(partitions) tiny files that every later probe must
+      // list and open (retention mode never merges, so files-per-batch is
+      // the bound there)
+      survivors.coalesce(math.max(1, spark.sparkContext.defaultParallelism / 8))
+        .write.mode("overwrite")
         .parquet(s"$historyDir/batch=$partitionKey")
       // materialize before releasing the caches the plan reads from
       val out = survivors.localCheckpoint(true)
@@ -137,7 +142,8 @@ object StreamingNearDedup {
             .select(col("batch_id").as(idCol)).distinct()
           kept.join(dupIds, Seq(idCol), "left_anti")
       }
-      survivors.write.mode("overwrite").parquet(s"$historyDir/batch=$partitionKey")
+      survivors.coalesce(math.max(1, spark.sparkContext.defaultParallelism / 8))
+        .write.mode("overwrite").parquet(s"$historyDir/batch=$partitionKey")
       val out = survivors.localCheckpoint(true)
       kept.unpersist(false)
       if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
@@ -172,11 +178,13 @@ object StreamingNearDedup {
     * age-less consolidated blob that can never expire, so with any ttl ≥
     * compactEvery nothing would ever be dropped. In retention mode the
     * partition count is bounded by the TTL window itself (≤ ttl + the
-    * replayable tail), which is the bound the knob promises; history bytes
-    * stay bounded at the documented cost that a duplicate of a dropped-era
-    * document re-enters the corpus. Pre-existing consolidated partitions
-    * (from before TTL was enabled) are left untouched: their ages are
-    * unknowable, so dropping them would silently lose in-window history.
+    * replayable tail) and `targetPartitions` is unused (nothing merges);
+    * files-per-partition is bounded at WRITE time by the per-batch
+    * coalesce in the dedup steps. History bytes stay bounded at the
+    * documented cost that a duplicate of a dropped-era document re-enters
+    * the corpus. Pre-existing consolidated partitions (from before TTL was
+    * enabled) are left untouched: their ages are unknowable, so dropping
+    * them would silently lose in-window history.
     */
   def compactHistory(spark: SparkSession, historyDir: String, epoch: String,
       upToBatchId: Long, targetPartitions: Int = 0, ttlBatches: Long = 0L): Unit = {

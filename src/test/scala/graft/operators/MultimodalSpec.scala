@@ -57,6 +57,10 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.parseWav(wavWithChunkSize(0xFFFFFFF8L)) == None)
     assert(Multimodal.parseWav(wavWithChunkSize(0x7FFFFFF0L)) == None)
     assert(Multimodal.parseWav(wavWithChunkSize(0L)) == None) // zero-size chunk still advances
+    // a WAV truncated in storage keeps its parsed header metadata — the
+    // declared data size still yields the declared duration
+    val truncated = Multimodal.buildWav(44100, 2, 16, new Array[Byte](88200)).take(50)
+    assert(Multimodal.parseWav(truncated) == Some((2L, 44100L, 500L)))
     // and the batch contract holds end-to-end
     val meta = Multimodal.decodeMeta(Multimodal.MediaRecord(9L, "audio/wav",
       wavWithChunkSize(0xFFFFFFF8L)))

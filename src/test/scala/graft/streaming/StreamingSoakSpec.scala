@@ -79,7 +79,7 @@ class StreamingSoakSpec extends SparkSpec {
       s"per-batch latency trending up: early median ${early}ms, late median ${late}ms")
   }
 
-  test("compactHistory TTL drops expired plain partitions, merges the rest, spares foreign epochs") {
+  test("compactHistory TTL retention mode: expires old partitions without merging, spares foreign epochs") {
     val work = Files.createTempDirectory("graft-ttl")
     val historyDir = work.resolve("history").toString
     def writePart(key: String, ids: Seq[Long]): Unit =
