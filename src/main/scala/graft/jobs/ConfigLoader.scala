@@ -39,10 +39,23 @@ object ConfigLoader {
       indexEmptyDirSyncMs: Long = 900000L,
       // cleaner.maxFilesPerTopic (SourceDataCleaner.kt:39-40)
       cleanerMaxFilesPerTopic: Option[Int] = None) {
-    /** Reference RestructureConfig.validate():33. */
+    /** Reference RestructureConfig.validate():33 + PathFormatter init
+      * checks (unknown parameters / minimal distinction) for the main,
+      * bucket and per-topic templates — a config typo fails the
+      * deployment with the legal parameter set named, instead of silently
+      * routing every record to an `unknown-*` path component.
+      */
     def validate(): Loaded = {
       require(workerEnabled || cleanerEnabled,
         "Either restructuring or cleaning needs to be enabled.")
+      def check(template: String, where: String, requireDistinction: Boolean = true): Unit =
+        graft.paths.PathTemplate.validate(template, pathPluginNames, requireDistinction)
+          .left.foreach(msg => throw new IllegalArgumentException(s"$where: $msg"))
+      check(job.pathTemplate, "paths.path.format")
+      job.bucketTemplate.foreach(check(_, "paths.bucket.format", requireDistinction = false))
+      job.topics.foreach { case (t, tc) =>
+        tc.pathTemplate.foreach(check(_, s"topics.$t.pathProperties.format"))
+      }
       this
     }
   }

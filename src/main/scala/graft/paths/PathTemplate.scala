@@ -50,12 +50,34 @@ object PathTemplate {
     out.result()
   }
 
-  /** Validation rule of the reference: template must reference `topic` and
-    * `filename` (or `attempt` + `extension`) (path/PathFormatter.kt:52-60).
+  private val fixedParamNames =
+    Set("projectId", "userId", "sourceId", "topic", "filename", "attempt", "extension", "time")
+
+  /** Validation rules of the reference, applied at CONFIG time:
+    *  - unknown parameter names are rejected with the legal set named
+    *    (path/PathFormatter.kt:47-51 `Cannot use path format …: unknown
+    *    parameters …`) — a typo'd `${userd}` must fail the deployment, not
+    *    silently route to `unknown-userd` forever;
+    *  - the template must reference `topic` and `filename` (or `attempt` +
+    *    `extension`) (path/PathFormatter.kt:52-60) unless
+    *    `requireDistinction = false` (bucket templates,
+    *    FormattedPathFactory.kt `checkMinimalDistinction = false`).
+    * The COMPILED column stays permissive (unknown-* fallbacks) as defense
+    * in depth for templates built programmatically.
     */
-  def validate(template: String): Either[String, Unit] = {
+  def validate(template: String, pluginNames: Seq[String] = Nil,
+      requireDistinction: Boolean = true): Either[String, Unit] = {
     val params = tokenize(template).collect { case Param(n) => n }.toSet
-    if (!params.contains("topic")) Left("template must contain ${topic}")
+    val prefixes = Seq("time:", "key:", "value:") ++ pluginNames.map(_ + ":")
+    val unknown = params.filterNot(p =>
+      fixedParamNames(p) || prefixes.exists(p.startsWith))
+    if (unknown.nonEmpty)
+      Left(s"Cannot use path format $template: unknown parameters " +
+        s"${unknown.toSeq.sorted.mkString(", ")}. Legal parameter names are " +
+        s"${fixedParamNames.toSeq.sorted.mkString(", ")} and " +
+        s"${prefixes.map(_ + "…").mkString(", ")} prefixes")
+    else if (!requireDistinction) Right(())
+    else if (!params.contains("topic")) Left("template must contain ${topic}")
     else if (!params.contains("filename") &&
              !(params.contains("attempt") && params.contains("extension")))
       Left("template must contain ${filename} or ${attempt}+${extension}")

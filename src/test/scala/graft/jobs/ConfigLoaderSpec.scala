@@ -71,6 +71,36 @@ class ConfigLoaderSpec extends AnyFunSuite {
     assert(l.cleanerEnabled && l.cleanerAgeDays == 7)
   }
 
+  test("validate rejects unknown template parameters with the legal set named") {
+    // reference PathFormatter.kt:47-51 — a typo fails the deployment,
+    // never silently routes to unknown-* forever
+    val base = ConfigLoader.load(yml)
+    val typo = base.copy(job = base.job.copy(
+      pathTemplate = "${projectId}/${userd}/${topic}/${filename}"))
+    val e = intercept[IllegalArgumentException](typo.validate())
+    assert(e.getMessage.contains("userd") && e.getMessage.contains("Legal parameter names")
+      && e.getMessage.contains("paths.path.format"), e.getMessage)
+    // per-topic templates validate too
+    val topicTypo = base.copy(job = base.job.copy(topics = base.job.topics +
+      ("topic_z" -> TopicJobConfig(pathTemplate = Some("${topik}/${filename}")))))
+    val e2 = intercept[IllegalArgumentException](topicTypo.validate())
+    assert(e2.getMessage.contains("topics.topic_z") && e2.getMessage.contains("topik"), e2.getMessage)
+    // prefixed lookups and known params pass; bucket templates skip the
+    // topic/filename distinction requirement (checkMinimalDistinction=false)
+    base.copy(job = base.job.copy(
+      pathTemplate = "${projectId}/${key:a.b}/${value:x}/${time:yyyyMM}/${topic}/${filename}",
+      bucketTemplate = Some("bucket-${value:serverStatus}"))).validate()
+    // a plugin-prefixed param is legal iff the plugin is configured
+    val withMp = base.copy(
+      job = base.job.copy(pathTemplate = "${mp:organization}/${topic}/${filename}"),
+      pathPluginNames = Seq("fixed", "time", "mp"))
+    withMp.validate()
+    val noMp = base.copy(
+      job = base.job.copy(pathTemplate = "${mp:organization}/${topic}/${filename}"))
+    val e3 = intercept[IllegalArgumentException](noMp.validate())
+    assert(e3.getMessage.contains("mp:organization"), e3.getMessage)
+  }
+
   test("paths.path.plugins + paths.properties round-trip (mp: plugin wiring)") {
     val l = ConfigLoader.load(
       """paths:

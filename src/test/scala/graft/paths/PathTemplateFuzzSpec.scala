@@ -65,8 +65,9 @@ class PathTemplateFuzzSpec extends SparkSpec {
     assert(res.passed, s"template fuzz failed: ${res.status}")
   }
 
-  test("templates that pass validate but reference unknown params still route rows") {
-    // a deployment typo like ${userd} must fall back, not throw or drop
+  test("compile stays permissive for unknown params (defense in depth below validate)") {
+    // validate rejects ${bogus} at config time; a programmatically-built
+    // template that skips validate must still fall back, not throw or drop
     val params = PathTemplate.fixedParams(schema, col("value.time"), lit("t"), ".csv")
     val c = PathTemplate.compile("${bogus}/${topic}/${key:nothere}/${filename}",
       params, Some(col("value.time")), Some(schema))
