@@ -130,18 +130,36 @@ private[jobs] object BinWriter {
         chown(target.getParent)
         sidecar.foreach { case (name, bytes) =>
           val sc = new HPath(target.getParent, name)
-          if (!fs.exists(sc)) {
+          val createdSidecar = !fs.exists(sc)
+          if (createdSidecar) {
             val o = fs.create(sc, true)
             try o.write(bytes) finally o.close()
             chown(sc)
           }
-          val staleBefore = System.currentTimeMillis() - 3600000L
-          fs.listStatus(target.getParent).foreach { st =>
-            val n = st.getPath.getName
-            if (n.startsWith(".") && n.contains(".tmp-") &&
-                st.getModificationTime < staleBefore &&
-                !(runId.nonEmpty && n.contains(runId)))
-              try fs.delete(st.getPath, false) catch { case _: Exception => }
+          // Stale dot-temp sweep, cost-gated: an ungated sweep listStatus'es
+          // each shared directory up to T times per commit (T tasks × D
+          // dirs of object-store LIST latency). Election: the sidecar
+          // CREATOR always sweeps (fresh directories start clean,
+          // deterministically), and otherwise only ~1/16 of runs sweep
+          // (runId-keyed, so a run sweeps all-or-none of its directories) —
+          // crash leftovers are rare, so eventual reclamation every ~16
+          // runs suffices and the amortized listing cost drops 16×. An
+          // empty runId (direct invocation) always sweeps. Cross-run
+          // assumption: concurrent jobs writing the SAME directories hold
+          // locks (LockManager) or use topic-scoped templates; the runId
+          // guard below spares THIS run's live siblings, not another live
+          // run's.
+          val sweepElected = createdSidecar || runId.isEmpty ||
+            java.lang.Math.floorMod(runId.hashCode, 16) == 0
+          if (sweepElected) {
+            val staleBefore = System.currentTimeMillis() - 3600000L
+            fs.listStatus(target.getParent).foreach { st =>
+              val n = st.getPath.getName
+              if (n.startsWith(".") && n.contains(".tmp-") &&
+                  st.getModificationTime < staleBefore &&
+                  !(runId.nonEmpty && n.contains(runId)))
+                try fs.delete(st.getPath, false) catch { case _: Exception => }
+            }
           }
         }
       }

@@ -507,16 +507,23 @@ object Restructure {
       val withBase = group.select(outCols ++ Seq(
         basePathCol.as("__base"), col(AvroRead.FileCol), col(AvroRead.PosCol)): _*)
       // attempt slots resolve EXECUTOR-side (one exists/header probe chain
-      // per distinct base path, distributed like the merge planning above);
-      // the mapping never materializes on the driver — it broadcasts
-      // straight into the join. Groups still commit sequentially, so
-      // earlier groups' files are visible to later groups' probes.
+      // per distinct base path, distributed like the merge planning above).
+      // Groups still commit sequentially, so earlier groups' files are
+      // visible to later groups' probes.
       val confEntries = AvroRead.fsConfEntries(spark)
       val outputRoot = cfg.outputRoot
       val ext = cfg.extension
       val hdr = header
       import spark.implicits._
-      val mapDf = withBase.select(col("__base")).distinct().as[String].mapPartitions { it =>
+      // the probing itself is distributed, but the RESULT is materialized
+      // exactly once: mapDf is FS-state-dependent (exists/header probes),
+      // and its two consumers (mergeExistingBins' planning job and the
+      // commit join) must see one FS snapshot — a lazy plan re-evaluated
+      // per action could assign diverging attempt slots if quarantine
+      // renames happen in between, routing rows to a bin never probed for
+      // merging. The mapping is one row per bin this group touches, the
+      // same cardinality the broadcast join holds on the driver anyway.
+      val attemptPairs = withBase.select(col("__base")).distinct().as[String].mapPartitions { it =>
         if (it.isEmpty) Iterator.empty
         else {
           val conf = new org.apache.hadoop.conf.Configuration()
@@ -524,7 +531,8 @@ object Restructure {
           val pfs = new HPath(outputRoot).getFileSystem(conf)
           it.map(bp => (bp, resolveAttemptPath(pfs, outputRoot, ext, bp, hdr)))
         }
-      }.toDF("__base", "__path")
+      }.collect()
+      val mapDf = spark.createDataset(attemptPairs.toSeq).toDF("__base", "__path")
       val prepared = withBase.join(broadcast(mapDf), "__base").drop("__base")
       val temps = scala.collection.mutable.ArrayBuffer.empty[HPath]
       try commitBins(spark, cfg, fs,

@@ -225,8 +225,13 @@ object Similarity {
       connectedComponents(pairs, vs.select(col(idCol)), "vec_a", "vec_b", idCol)
     }
     // threshold ≥ 1 would exclude even exact copies (float cosine of an
-    // identical pair is 1 ± ulp) — run direct, the collapse can't apply
-    if (threshold >= 0.999) return direct(vectors)
+    // identical pair is 1 ± ulp) — run direct, the collapse can't apply.
+    // Below 1 the collapse stays exact: an identical pair's cosine is
+    // d/(√d·√d), within ~1e-15 of 1, so even near-exact thresholds like
+    // 0.999 keep identical vectors in one cluster — precisely the regime
+    // where m identical vectors would otherwise blow an IVF cell up to
+    // m²/2 edges, so the guard must stay armed there.
+    if (threshold >= 1.0) return direct(vectors)
     val (keyed, maxGroup) = collapseProbe(
       vectors.select(col(idCol), col(vecCol)),
       md5(col(vecCol).cast(org.apache.spark.sql.types.StringType)), idCol, "__vkey")

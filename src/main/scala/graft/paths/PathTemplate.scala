@@ -50,8 +50,13 @@ object PathTemplate {
     out.result()
   }
 
+  // Mirrors the reference's FixedPathFormatterPlugin.allowedParamNames
+  // (FixedPathFormatterPlugin.kt:44-52): bare `${time}` is NOT legal — time
+  // is only reachable through the `time:<fmt>` prefix plugin, so a template
+  // using `${time}` fails validation instead of silently rendering the
+  // "unknown-time" fallback into every path.
   private val fixedParamNames =
-    Set("projectId", "userId", "sourceId", "topic", "filename", "attempt", "extension", "time")
+    Set("projectId", "userId", "sourceId", "topic", "filename", "attempt", "extension")
 
   /** Validation rules of the reference, applied at CONFIG time:
     *  - unknown parameter names are rejected with the legal set named
@@ -164,6 +169,10 @@ object PathTemplate {
       "userId"    -> keyField("userId", "unknown-user"),
       "sourceId"  -> keyField("sourceId", "unknown-source"),
       "topic"     -> topic,
+      // attempt 0 renders as "" (reference toAttemptSuffix); static-schema
+      // topics never write attempt>0, the dynamic path overrides this slot
+      // executor-side (Restructure.resolveAttemptPath)
+      "attempt"   -> lit(""),
       "extension" -> lit(extension),
       "filename"  -> concat(TimeExtract.timeBin(timeEpochSec, timeBinFormat), lit(extension)))
   }

@@ -35,9 +35,11 @@ class PathTemplateFuzzSpec extends SparkSpec {
   // metacharacters, unterminated braces
   private val fragment: Gen[String] = Gen.oneOf(
     Gen.oneOf("${topic}", "${filename}", "${attempt}", "${extension}",
-      "${projectId}", "${userId}", "${sourceId}", "${time}"),
+      "${projectId}", "${userId}", "${sourceId}"),
+    // bare ${time} is illegal like ${bogus} (reference allows only the
+    // time:<fmt> prefix form) — generated here to assert it REJECTS
     Gen.oneOf("${key:userId}", "${key:nope}", "${value:status}", "${value:missing}",
-      "${time:yyyyMM}", "${time:HH-mm}", "${bogus}", "${}"),
+      "${time:yyyyMM}", "${time:HH-mm}", "${bogus}", "${}", "${time}"),
     Gen.oneOf("lit", "a-b_c", "x.y", "[", "(", "*", "$", "{", "}", "${unterminated",
       "emojié", " "),
     Gen.const("/"))

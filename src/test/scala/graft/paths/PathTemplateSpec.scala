@@ -21,6 +21,23 @@ class PathTemplateSpec extends SparkSpec {
     assert(PathTemplate.validate("${topic}/x").isLeft)
   }
 
+  test("validate rejects bare ${time} — only time:<fmt> is legal (FixedPathFormatterPlugin.kt:44-52)") {
+    val got = PathTemplate.validate("${topic}/${time}/${filename}")
+    assert(got.isLeft)
+    assert(got.swap.toOption.get.contains("time"), s"message should name the offender: $got")
+    assert(PathTemplate.validate("${topic}/${time:yyyyMM}/${filename}").isRight)
+  }
+
+  test("fixedParams renders attempt 0 as empty suffix for static topics (toAttemptSuffix)") {
+    val df = Seq(("u", 1.6095816e9)).toDF("uid", "t")
+      .select(struct(col("uid").as("userId")).as("key"), col("t"))
+    val params = PathTemplate.fixedParams(
+      df.schema.asInstanceOf[StructType], col("t"), lit("topicX"), ".csv")
+    val c = PathTemplate.compile("${topic}/${time:yyyyMMdd}${attempt}${extension}",
+      params, timeEpochSec = Some(col("t")))
+    assert(df.select(c.as("p")).collect()(0).getString(0) == "topicX/20210102.csv")
+  }
+
   test("sanitizeId removes junk and falls back to default") {
     val df = Seq("a b/c!", "###", "ok_-1").toDF("s")
     val got = df.select(PathTemplate.sanitizeId(col("s"), "unknown-user").as("c"))
