@@ -126,6 +126,20 @@ object Bench {
     loadSamples += loadAvg
     val cleanerJson = benchCleaner(spark, sfDir, dropCachedBlocks _)
     loadSamples += loadAvg
+    // Spark-vs-oracle pairing inside the SAME artifact: run the identical
+    // 80 oracle SQLs in DuckDB at this sfDir and record total + per-query
+    // seconds, so every bench snapshot carries both sides of the ratio at
+    // one commit. The harness is the DRIVER-side python+duckdb (shelled
+    // out, never a library dependency); a host without it degrades to
+    // "oracle": null rather than failing the bench.
+    val oracleJson = benchOracle(sfDir)
+    loadSamples += loadAvg
+    // jobs at 10×: the sf1x10 section scales the QUERY side; this scales
+    // the two JOBS — cleaner verification over a 10×-replicated event
+    // store, and a dynamic-schema (map-keyed CSV headers) topic exercising
+    // the fingerprint-cache write path at volume
+    val jobs10xJson = benchJobs10x(spark, sfDir, dropCachedBlocks _)
+    loadSamples += loadAvg
 
     val failedJson = if (failed.isEmpty) "" else s""","failed":[${failed.mkString(",")}]"""
     val loadJson = s"""{"start":${r4(loadSamples.head)},"end":${r4(loadSamples.last)},""" +
@@ -133,7 +147,8 @@ object Bench {
     val line = s"""{"metric":"total","value":$total,"unit":"sec","total_median":$totalMedian,""" +
       s""""queries":$qs,"queries_median":$qsMedian$failedJson,"load":$loadJson,""" +
       s""""sf":"$sfDir","restructure":$restructureJson,""" +
-      s""""sf1x10":$tenXJson,"cleaner":$cleanerJson}"""
+      s""""sf1x10":$tenXJson,"cleaner":$cleanerJson,"jobs1x10":$jobs10xJson,""" +
+      s""""oracle":$oracleJson}"""
     // file copy survives even if the stdout tail truncates the line
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -141,6 +156,37 @@ object Bench {
     println(line)
     spark.stop()
   }
+
+  /** DuckDB-oracle sweep over `SparkEntry.oracleSql` at the same sfDir,
+    * via `tools/oracle_bench.py` (the driver-side python+duckdb — a
+    * subprocess, NOT a dependency of the library). Returns the script's
+    * one-line JSON ({"total":…,"threads":…,"queries":{…}}) or "null" when
+    * python/duckdb/the script are unavailable or the sweep exceeds its
+    * 20-minute budget.
+    */
+  private def benchOracle(sfDir: String): String =
+    try {
+      val entries = SparkEntry.oracleSql.toSeq.sortBy(_._1)
+        .map { case (k, v) => jsonStr(k) + ":" + jsonStr(v) }
+        .mkString("{", ",", "}")
+      val tmp = java.nio.file.Files.createTempFile("graft-oracle-sql", ".json")
+      java.nio.file.Files.write(tmp, entries.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val script = java.nio.file.Paths.get("tools/oracle_bench.py")
+      if (!java.nio.file.Files.exists(script)) "null"
+      else {
+        val pb = new ProcessBuilder("python3", script.toString, sfDir, tmp.toString)
+        val proc = pb.start()
+        proc.getOutputStream.close()
+        if (!proc.waitFor(20, java.util.concurrent.TimeUnit.MINUTES)) {
+          proc.destroyForcibly(); "null"
+        } else {
+          val out = new String(proc.getInputStream.readAllBytes(),
+            java.nio.charset.StandardCharsets.UTF_8).trim
+          if (proc.exitValue() == 0 && out.startsWith("{") && out.endsWith("}")) out
+          else "null"
+        }
+      }
+    } catch { case _: Throwable => "null" }
 
   private def jsonStr(s: String): String =
     "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
@@ -441,5 +487,149 @@ object Bench {
       Console.err.println(s"[bench] restructure setup FAILED: ${e.getClass.getName}: ${e.getMessage}")
       e.printStackTrace()
       new RestructureBench(() => sys.error("restructure setup failed"), Some(e))
+    }
+
+  /** Jobs at 10× (companion to the query-side `sf1x10` section): the
+    * cleaner verifies+deletes over a 10×-replicated event store (disjoint
+    * user space per replica, so bins scale with the data), and a
+    * dynamic-schema topic (map-keyed CSV headers, 3 shapes) runs the
+    * fingerprint-grouped write path at 10× volume. One measured run each —
+    * these are scaling-trend rows, not the noise-controlled headline.
+    */
+  private def benchJobs10x(spark: SparkSession, sfDir: String,
+      dropCachedBlocks: () => Unit): String =
+    try {
+      import org.apache.spark.sql.functions._
+      val rep = 10
+      val rows = Tables.load(spark, sfDir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), col("ts").cast("double").as("tsec"))
+        .collect()
+
+      // ---- cleaner at 10×: closed-range slices per replica; slice 2
+      // protects slice 1 (ledger covers past its end), so ~half the files
+      // are delete-eligible — the realistic mixed outcome at volume
+      val eventSchema = new org.apache.avro.Schema.Parser().parse(
+        """{"type":"record","name":"EventRecord","fields":[
+          |{"name":"key","type":{"type":"record","name":"K","fields":[
+          |  {"name":"projectId","type":["null","string"],"default":null},
+          |  {"name":"userId","type":"string"},{"name":"sourceId","type":"string"}]}},
+          |{"name":"value","type":{"type":"record","name":"V","fields":[
+          |  {"name":"time","type":"double"},{"name":"eventType","type":"string"},
+          |  {"name":"value","type":"double"}]}}]}""".stripMargin)
+      def writeClosed(root: java.nio.file.Path, counters: Array[Long],
+          batch: Array[org.apache.spark.sql.Row], userOffset: Int): Unit = {
+        val byPart = batch.groupBy(r => (r.getLong(1) % 16).toInt)
+        byPart.toSeq.sortBy(_._1).foreach { case (p, rs) =>
+          val dir = root.resolve(s"in/events/partition=$p")
+          java.nio.file.Files.createDirectories(dir)
+          val from = counters(p); val to = from + rs.length - 1
+          val w = new org.apache.avro.file.DataFileWriter[org.apache.avro.generic.GenericRecord](
+            new org.apache.avro.generic.GenericDatumWriter[org.apache.avro.generic.GenericRecord](eventSchema))
+          w.create(eventSchema, dir.resolve(f"events+$p+$from%010d+$to%010d.avro").toFile)
+          rs.foreach { r =>
+            val k = new org.apache.avro.generic.GenericData.Record(eventSchema.getField("key").schema)
+            k.put("projectId", "bench")
+            k.put("userId", s"u${r.getLong(1) % 64 + userOffset}")
+            k.put("sourceId", "s0")
+            val v = new org.apache.avro.generic.GenericData.Record(eventSchema.getField("value").schema)
+            v.put("time", r.getDouble(4)); v.put("eventType", r.getString(2)); v.put("value", r.getDouble(3))
+            val rec = new org.apache.avro.generic.GenericData.Record(eventSchema)
+            rec.put("key", k); rec.put("value", v)
+            w.append(rec)
+          }
+          w.close()
+          counters(p) = to + 1
+        }
+      }
+      val (rows1, rows2) = rows.splitAt((rows.length * 0.8).toInt)
+      val cwork = java.nio.file.Files.createTempDirectory("graft-bench-cln10x")
+      val ccounters = new Array[Long](16)
+      (0 until rep).foreach { r => writeClosed(cwork, ccounters, rows1, r * 64) }
+      (0 until rep).foreach { r => writeClosed(cwork, ccounters, rows2, r * 64) }
+      val ccfg = graft.jobs.RestructureJobConfig(
+        inputRoot = cwork.resolve("in").toString,
+        outputRoot = cwork.resolve("out").toString,
+        dedup = true, timeBinFormat = "yyyyMMdd")
+      graft.jobs.Restructure.run(spark, ccfg) // setup, untimed
+      dropCachedBlocks()
+      graft.util.Timer.reset(); graft.util.Timer.enabled = true
+      val ct0 = System.nanoTime()
+      val cres = graft.jobs.Cleaner.run(spark, ccfg, ageMs = 0L)
+      val csec = (System.nanoTime() - ct0) / 1e9
+      graft.util.Timer.enabled = false
+      val ctimer = graft.util.Timer.toJson
+      org.apache.commons.io.FileUtils.deleteDirectory(cwork.toFile)
+      val cleaner10x = s"""{"records":${rows.length.toLong * rep},""" +
+        s""""deleted_files":${cres.deleted.size},"rolled_back":${cres.rolledBack.size},""" +
+        s""""sec":${r4(csec)},"timer":$ctimer}"""
+
+      // ---- dynamic-schema topic at 10×: a map-valued field whose key set
+      // cycles through 3 shapes — the batch groups into 3 header
+      // fingerprints, each writing from the ONE cached scan
+      val dynSchema = new org.apache.avro.Schema.Parser().parse(
+        """{"type":"record","name":"DynRecord","fields":[
+          |{"name":"key","type":{"type":"record","name":"K","fields":[
+          |  {"name":"userId","type":"string"}]}},
+          |{"name":"value","type":{"type":"record","name":"V","fields":[
+          |  {"name":"time","type":"double"},
+          |  {"name":"m","type":{"type":"map","values":"double"}}]}}]}""".stripMargin)
+      def writeDyn(root: java.nio.file.Path, counters: Array[Long],
+          batch: Array[org.apache.spark.sql.Row], userOffset: Int): Long = {
+        val writers = (0 until 16).map { p =>
+          val dir = root.resolve(s"in/dyn/partition=$p")
+          java.nio.file.Files.createDirectories(dir)
+          val w = new org.apache.avro.file.DataFileWriter[org.apache.avro.generic.GenericRecord](
+            new org.apache.avro.generic.GenericDatumWriter[org.apache.avro.generic.GenericRecord](dynSchema))
+          w.create(dynSchema, dir.resolve(f"dyn+$p+${counters(p)}%010d.avro").toFile)
+          w
+        }
+        var i = 0L
+        batch.foreach { r =>
+          val p = (r.getLong(1) % 16).toInt
+          val k = new org.apache.avro.generic.GenericData.Record(dynSchema.getField("key").schema)
+          k.put("userId", s"u${r.getLong(1) % 64 + userOffset}")
+          val m = new java.util.LinkedHashMap[String, java.lang.Double]()
+          val nKeys = 1 + (i % 3).toInt
+          (0 until nKeys).foreach(j => m.put(s"k$j", r.getDouble(3)))
+          val v = new org.apache.avro.generic.GenericData.Record(dynSchema.getField("value").schema)
+          v.put("time", r.getDouble(4)); v.put("m", m)
+          val rec = new org.apache.avro.generic.GenericData.Record(dynSchema)
+          rec.put("key", k); rec.put("value", v)
+          writers(p).append(rec)
+          counters(p) += 1
+          i += 1
+        }
+        writers.foreach(_.close())
+        i
+      }
+      // warm the dynamic plan shapes on a small slice (throwaway dir)
+      val dwarm = java.nio.file.Files.createTempDirectory("graft-bench-dyn-warm")
+      writeDyn(dwarm, new Array[Long](16), rows.take(2000), 0)
+      graft.jobs.Restructure.run(spark, graft.jobs.RestructureJobConfig(
+        inputRoot = dwarm.resolve("in").toString,
+        outputRoot = dwarm.resolve("out").toString, timeBinFormat = "yyyyMMdd"))
+      org.apache.commons.io.FileUtils.deleteDirectory(dwarm.toFile)
+      val dwork = java.nio.file.Files.createTempDirectory("graft-bench-dyn10x")
+      val dcounters = new Array[Long](16)
+      var dynRecords = 0L
+      (0 until rep).foreach { r => dynRecords += writeDyn(dwork, dcounters, rows, r * 64) }
+      dropCachedBlocks()
+      val dt0 = System.nanoTime()
+      val dres = graft.jobs.Restructure.run(spark, graft.jobs.RestructureJobConfig(
+        inputRoot = dwork.resolve("in").toString,
+        outputRoot = dwork.resolve("out").toString, timeBinFormat = "yyyyMMdd"))
+      val dsec = (System.nanoTime() - dt0) / 1e9
+      val dn = dres.processedTopics.map(_.records).sum
+      val dbins = dres.processedTopics.map(_.paths.size).sum
+      org.apache.commons.io.FileUtils.deleteDirectory(dwork.toFile)
+      val dyn10x = s"""{"records":$dn,"bins":$dbins,"shapes":3,"sec":${r4(dsec)},""" +
+        s""""records_per_sec":${r4(dn / dsec)}}"""
+
+      s"""{"replication":$rep,"cleaner":$cleaner10x,"restructure_dynamic":$dyn10x}"""
+    } catch { case e: Throwable =>
+      Console.err.println(s"[bench] jobs10x FAILED: ${e.getClass.getName}: ${e.getMessage}")
+      e.printStackTrace()
+      s"""{"error":${jsonStr(s"${e.getClass.getSimpleName}: ${e.getMessage}")}}"""
     }
 }

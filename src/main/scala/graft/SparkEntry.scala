@@ -1798,23 +1798,30 @@ object SparkEntry {
         s"""SELECT doc_id, ${byteFold("(h, b) -> (h * 257 + b) % 1000000007")} AS rhash
            |FROM documents ORDER BY doc_id""".stripMargin,
       // mirrors Multimodal.syntheticMediaFrame's arithmetic exactly: the
-      // Spark side PARSES these values back out of real PNG/GIF/WAV header
-      // bytes; the oracle recomputes them from doc_id + body length
+      // Spark side PARSES these values back out of real PNG/GIF/WAV/JPEG/
+      // MP3 header bytes; the oracle recomputes them from doc_id + body
+      // length (header sizes: png 33, gif 13, wav 44, jpeg 15, mp3 4)
       "q_media_features" ->
         """WITH m AS (SELECT doc_id, octet_length(encode(text)) AS flen,
-          |  doc_id % 3 AS kind,
+          |  doc_id % 5 AS kind,
           |  1 + doc_id % 512 AS w, 1 + (doc_id // 7) % 512 AS h,
-          |  1 + doc_id % 2 AS ch, 8000 * (1 + (doc_id // 3) % 3) AS rate
+          |  1 + doc_id % 2 AS ch, 8000 * (1 + (doc_id // 3) % 3) AS wrate,
+          |  CASE (doc_id // 5) % 3 WHEN 0 THEN 128 WHEN 1 THEN 192 ELSE 320 END AS kbps,
+          |  CASE (doc_id // 7) % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END AS mrate
           |  FROM documents)
           |SELECT doc_id,
-          |  CASE kind WHEN 0 THEN 'png' WHEN 1 THEN 'gif' ELSE 'wav' END AS media_kind,
-          |  CAST(CASE kind WHEN 0 THEN 33 WHEN 1 THEN 13 ELSE 44 END + flen AS BIGINT) AS byte_len,
-          |  CAST(CASE WHEN kind = 2 THEN 0 ELSE w END AS BIGINT) AS width,
-          |  CAST(CASE WHEN kind = 2 THEN 0 ELSE h END AS BIGINT) AS height,
-          |  CAST(CASE WHEN kind = 2 THEN 0 ELSE 8 END AS BIGINT) AS bit_depth,
-          |  CAST(CASE WHEN kind = 2 THEN ch ELSE 0 END AS BIGINT) AS channels,
-          |  CAST(CASE WHEN kind = 2 THEN rate ELSE 0 END AS BIGINT) AS sample_rate,
-          |  CAST(CASE WHEN kind = 2 THEN flen * 1000 // (rate * ch * 2) ELSE 0 END AS BIGINT) AS duration_ms
+          |  CASE kind WHEN 0 THEN 'png' WHEN 1 THEN 'gif' WHEN 2 THEN 'wav'
+          |            WHEN 3 THEN 'jpeg' ELSE 'mp3' END AS media_kind,
+          |  CAST(CASE kind WHEN 0 THEN 33 WHEN 1 THEN 13 WHEN 2 THEN 44
+          |                 WHEN 3 THEN 15 ELSE 4 END + flen AS BIGINT) AS byte_len,
+          |  CAST(CASE WHEN kind IN (2, 4) THEN 0 ELSE w END AS BIGINT) AS width,
+          |  CAST(CASE WHEN kind IN (2, 4) THEN 0 ELSE h END AS BIGINT) AS height,
+          |  CAST(CASE WHEN kind IN (2, 4) THEN 0 ELSE 8 END AS BIGINT) AS bit_depth,
+          |  CAST(CASE WHEN kind IN (2, 4) THEN ch ELSE 0 END AS BIGINT) AS channels,
+          |  CAST(CASE kind WHEN 2 THEN wrate WHEN 4 THEN mrate ELSE 0 END AS BIGINT) AS sample_rate,
+          |  CAST(CASE kind WHEN 2 THEN flen * 1000 // (wrate * ch * 2)
+          |                 WHEN 4 THEN (4 + flen) * 8000 // (kbps * 1000)
+          |                 ELSE 0 END AS BIGINT) AS duration_ms
           |FROM m ORDER BY doc_id""".stripMargin,
       "q_kmeans_step" ->
         s"""WITH ${Frag.embCte},

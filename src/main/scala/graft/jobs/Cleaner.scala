@@ -141,40 +141,41 @@ object Cleaner {
     val outFs = new HPath(cfg.outputRoot).getFileSystem(spark.sparkContext.hadoopConfiguration)
     // cleaner.cache = target-side metadata work (reference: TimestampFileCache
     // loading, cleaner/TimestampFileCache.kt:39-68). The probe is
-    // DISTRIBUTED, mirroring Restructure.mergeExistingBins: existence +
+    // DISTRIBUTED, mirroring Restructure.mergeCommitBins: existence +
     // header reads run as one Spark job over the distinct bin paths, and
-    // only existing bins (with their header when CSV grouping needs it)
-    // come back — the driver never holds the full distinct-path set.
+    // its result is consumed in chunks of cfg.mergeChunkBins — a
+    // verification sweep over 10^7 existing bins never holds the full
+    // path list on the driver. Missing-record counts are ADDITIVE across
+    // chunks because chunks partition the bin space and every record
+    // belongs to exactly one bin path.
     val confEntries = graft.sources.AvroRead.fsConfEntries(spark)
     val outputRoot = cfg.outputRoot
     val needHeader = !cfg.zip && cfg.format != "json"
-    val probed: Seq[(String, String)] = graft.util.Timer.time("cleaner.cache")(
-      source.select(col("__path")).distinct().as[String].mapPartitions { it =>
-        if (it.isEmpty) Iterator.empty
-        else {
-          val conf = new org.apache.hadoop.conf.Configuration()
-          confEntries.foreach { case (k, v) => conf.set(k, v) }
-          val pfs = new HPath(outputRoot).getFileSystem(conf)
-          it.flatMap { p =>
-            val full = new HPath(s"$outputRoot/$p")
-            if (!pfs.exists(full)) None
-            else if (!needHeader) Some((p, ""))
-            else Restructure.readHeaderLine(pfs, full).map(h => (p, h))
-            // unreadable target: dropped — its records count as missing, so
-            // the source file is kept (same outcome as the old None branch)
-          }
-        }
-      }.collect().toSeq)
-    val existing = probed.map(_._1)
-    // scale path mirrors Restructure.mergeExistingBins: ONE distributed
-    // scan per distinct CSV header (attempt files order columns
-    // differently) / one overall for JSON, __path re-derived from
-    // input_file_name; zip bins (read via temp files) fold per-bin.
-    val targetTimes: Seq[org.apache.spark.sql.DataFrame] =
-      if (existing.isEmpty || timeField.isEmpty) Seq.empty
+    val probed = source.select(col("__path")).distinct().as[String].mapPartitions { it =>
+      if (it.isEmpty) Iterator.empty
       else {
-        val (name, conv) = timeField.get
-        if (cfg.zip) existing.map { p =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        confEntries.foreach { case (k, v) => conf.set(k, v) }
+        val pfs = new HPath(outputRoot).getFileSystem(conf)
+        it.flatMap { p =>
+          val full = new HPath(s"$outputRoot/$p")
+          if (!pfs.exists(full)) None
+          else if (!needHeader) Some((p, ""))
+          else Restructure.readHeaderLine(pfs, full).map(h => (p, h))
+          // unreadable target: dropped — its records count as missing, so
+          // the source file is kept (same outcome as the old None branch)
+        }
+      }
+    }
+
+    // One chunk's stored (__path, __time) frame: ONE distributed scan per
+    // distinct CSV header (attempt files order columns differently) / one
+    // overall for JSON, __path re-derived from input_file_name; zip bins
+    // (read via temp files) fold per-bin.
+    def targetTimesFor(chunk: Seq[(String, String)]): org.apache.spark.sql.DataFrame = {
+      val (name, conv) = timeField.get
+      val frames: Seq[org.apache.spark.sql.DataFrame] =
+        if (cfg.zip) chunk.map(_._1).map { p =>
           val readPath = Restructure.readableBinPath(outFs, s"${cfg.outputRoot}/$p", cfg, cleanupTemps)
           val stored =
             if (cfg.format == "json")
@@ -192,8 +193,8 @@ object Cleaner {
             regexp_replace(input_file_name(), schemeRe, "/"),
             "^" + java.util.regex.Pattern.quote(rootNorm), "")
           val groups =
-            if (cfg.format == "json") Seq(existing)
-            else probed.map { case (p, h) => (h, p) }
+            if (cfg.format == "json") Seq(chunk.map(_._1))
+            else chunk.map { case (p, h) => (h, p) }
               .groupBy(_._1).values.map(_.map(_._2)).toSeq
           groups.map { members =>
             val full = members.map(p => s"${cfg.outputRoot}/$p")
@@ -207,28 +208,58 @@ object Cleaner {
             stored.select(conv(c0).as("__time"), col("__path"))
           }
         }
-      }
+      frames.reduce(_ unionByName _).distinct()
+    }
 
     val withTime = source.filter(col("__time").isNotNull)
-    val missing =
-      if (targetTimes.isEmpty) withTime
-      else withTime.join(
-        targetTimes.reduce(_ unionByName _).distinct(),
-        Seq("__path", "__time"), "left_anti")
-    val counts =
+    def countMissing(missing: org.apache.spark.sql.DataFrame,
+        into: scala.collection.mutable.Map[String, Long]): Unit = {
+      // chunked fetch of the per-source-file verdicts (tiny agg rows)
+      val it = missing.groupBy(col("__src")).count().toLocalIterator()
+      while (it.hasNext) {
+        val r = it.next()
+        val k = r.getString(0)
+        into.update(k, into.getOrElse(k, 0L) + r.getLong(1))
+      }
+    }
+
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    try {
+      val probedDf = probed.toDF("__p", "__header")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        // chunked fetch of the per-source-file verdicts (tiny agg rows)
-        val it = missing.groupBy(col("__src")).count().toLocalIterator()
-        val b = Map.newBuilder[String, Long]
-        while (it.hasNext) { val r = it.next(); b += r.getString(0) -> r.getLong(1) }
-        b.result()
-      }
-      finally {
-        source.unpersist(false)
-        cleanupTemps.foreach(t =>
-          new HPath(cfg.outputRoot).getFileSystem(spark.sparkContext.hadoopConfiguration)
-            .delete(t, false))
-      }
+        val nExisting = graft.util.Timer.time("cleaner.cache")(probedDf.count())
+        val chunkSize = math.max(1, cfg.mergeChunkBins)
+        if (nExisting == 0L || timeField.isEmpty)
+          countMissing(withTime, counts)
+        else if (nExisting <= chunkSize || cfg.zip) {
+          // single pass covering every existing bin (zip keeps the
+          // per-bin-fold single pass: temp-file readers don't chunk)
+          val chunk = probedDf.as[(String, String)].collect().toSeq
+          countMissing(withTime.join(targetTimesFor(chunk),
+            Seq("__path", "__time"), "left_anti"), counts)
+        } else {
+          import scala.jdk.CollectionConverters._
+          val nParts = math.max(1, math.ceil(nExisting.toDouble / chunkSize).toInt)
+          val chunks = probedDf.repartition(nParts, col("__p"))
+            .as[(String, String)].toLocalIterator().asScala.grouped(chunkSize)
+          for (chunk <- chunks) {
+            val chunkPaths = spark.createDataset(chunk.map(_._1)).toDF("__path")
+            val withTimeChunk = withTime.join(broadcast(chunkPaths), Seq("__path"), "left_semi")
+            countMissing(withTimeChunk.join(targetTimesFor(chunk),
+              Seq("__path", "__time"), "left_anti"), counts)
+          }
+          // records whose bin has no existing target at all: all missing
+          countMissing(withTime.join(
+            probedDf.select(col("__p").as("__path")), Seq("__path"), "left_anti"), counts)
+        }
+      } finally probedDf.unpersist(false)
+    } finally {
+      source.unpersist(false)
+      cleanupTemps.foreach(t =>
+        new HPath(cfg.outputRoot).getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(t, false))
+    }
     files.map(f => new HPath(f).getName).map(n => n -> counts.getOrElse(n, 0L)).toMap
   }
 }

@@ -277,11 +277,7 @@ object Restructure {
     val outCols = csvColumns(dataSchema, cfg.allExcludeFields(topic))
     val prepared = df.select(outCols ++ Seq(
       pathCol.as("__path"), col(AvroRead.FileCol), col(AvroRead.PosCol)): _*)
-
-    val temps = scala.collection.mutable.ArrayBuffer.empty[HPath]
-    val withExisting = mergeExistingBins(spark, cfg, fs, prepared, "csv", None, temps)
-    try commitBins(spark, cfg, fs, withExisting, "csv", topic, sidecar)
-    finally temps.foreach(t => fs.delete(t, false))
+    mergeCommitBins(spark, cfg, fs, prepared, "csv", None, topic, sidecar)
   }
 
   /** K2 append-to-existing: union the current contents of every bin this
@@ -290,21 +286,29 @@ object Restructure {
     * gzip/zip) is quarantined as `<name>.corrupted[-i]` and the bin starts
     * fresh (FileCache.kt:205-235).
     *
-    * Merge PLANNING is distributed: existence + readability + header
-    * probing runs as one Spark job over the distinct bin paths (one FS
-    * metadata call per bin rides the executors, not a driver thread pool),
-    * and only bins that EXIST come back to the driver — a cold run collects
-    * nothing, a re-run O(bins with targets). The driver-held residue is the
-    * existing-path list itself, which the DataFrameReader API needs anyway
-    * to enumerate its per-header path groups.
+    * Merge PLANNING is distributed AND its consumption CHUNKED: existence +
+    * readability + header probing runs as one Spark job over the distinct
+    * bin paths (one FS metadata call per bin rides the executors, not a
+    * driver thread pool), and the probe result is consumed on the driver in
+    * chunks of at most `cfg.mergeChunkBins` paths — each chunk's
+    * header-group readers are planned and COMMITTED before the next chunk
+    * is fetched, so a re-run touching 10^7 pre-existing bins never holds
+    * more than one chunk of path strings (plus one probe shuffle
+    * partition) on the driver. A cold run short-circuits on the probe
+    * count and fetches nothing. Per-chunk commits are safe because chunks
+    * PARTITION the bin space: every bin's rows (existing + new) land
+    * wholly in exactly one commit, the writer's dedup is per bin, and the
+    * ledger marks source files only after the whole topic batch succeeds —
+    * a crash mid-chunks re-runs the batch idempotently under the
+    * reference's append contract (existing rows participate in dedup).
     *
     * `jsonSchema` is Some(nested schema) for JSON bins (read typed, no
     * inference); None for CSV bins (read as strings by each file's header).
     */
-  private def mergeExistingBins(
+  private[jobs] def mergeCommitBins(
       spark: SparkSession, cfg: RestructureJobConfig, fs: FileSystem,
       prepared: DataFrame, format: String, jsonSchema: Option[StructType],
-      temps: scala.collection.mutable.Buffer[HPath]): DataFrame = {
+      topic: String, sidecar: Option[Array[Byte]]): Seq[String] = {
     import spark.implicits._
     val confEntries = AvroRead.fsConfEntries(spark)
     val outputRoot = cfg.outputRoot
@@ -312,98 +316,154 @@ object Restructure {
     // with header, 2 = exists but unreadable/corrupt
     val wantHeader = !cfg.zip
     val fmt = format
-    val probed: Seq[(String, Int, String)] = Timer.time("write.open")(
-      prepared.select(col("__path")).distinct().as[String].mapPartitions { it =>
-        if (it.isEmpty) Iterator.empty
-        else {
-          val conf = new org.apache.hadoop.conf.Configuration()
-          confEntries.foreach { case (k, v) => conf.set(k, v) }
-          val pfs = new HPath(outputRoot).getFileSystem(conf)
-          it.flatMap { p =>
-            val full = new HPath(s"$outputRoot/$p")
-            if (!pfs.exists(full)) None
-            else if (!wantHeader) Some((p, 0, ""))
-            else if (!sniffReadable(pfs, full.toString)) Some((p, 2, ""))
-            else if (fmt == "json") Some((p, 1, ""))
-            else readHeaderLine(pfs, full) match {
-              case Some(h) => Some((p, 1, h))
-              case None => Some((p, 2, ""))
-            }
+    val probed = prepared.select(col("__path")).distinct().as[String].mapPartitions { it =>
+      if (it.isEmpty) Iterator.empty
+      else {
+        val conf = new org.apache.hadoop.conf.Configuration()
+        confEntries.foreach { case (k, v) => conf.set(k, v) }
+        val pfs = new HPath(outputRoot).getFileSystem(conf)
+        it.flatMap { p =>
+          val full = new HPath(s"$outputRoot/$p")
+          if (!pfs.exists(full)) None
+          else if (!wantHeader) Some((p, 0, ""))
+          else if (!sniffReadable(pfs, full.toString)) Some((p, 2, ""))
+          else if (fmt == "json") Some((p, 1, ""))
+          else readHeaderLine(pfs, full) match {
+            case Some(h) => Some((p, 1, h))
+            case None => Some((p, 2, ""))
           }
         }
-      }.collect().toSeq)
-    val existing = probed.map(_._1)
-    if (existing.isEmpty) prepared
-    else if (cfg.zip) mergeExistingBinsFold(spark, cfg, fs, prepared, existing, format, jsonSchema, temps)
-    else {
-      // scale path: ONE reader per distinct header (CSV) / one overall
-      // (JSON) instead of a union per bin — a re-run touching 100k bins is
-      // O(attempt-schemas) plan nodes, not O(bins). The bin path is
-      // re-derived from input_file_name, so all bins of a group load in a
-      // single distributed scan.
-      val headered = probed.map {
-        case (p, 2, _) => (p, None)
-        case (p, _, h) => (p, Some(h))
-      }
-      headered.collect { case (p, None) => p }
-        .foreach(p => quarantine(fs, new HPath(s"${cfg.outputRoot}/$p")))
-      val rootNorm = fs.makeQualified(new HPath(cfg.outputRoot)).toUri.getPath
-        .stripSuffix("/") + "/"
-      val schemeRe = "^[a-zA-Z0-9+.\\-]+:/+"
-      val groups = headered.collect { case (p, Some(h)) => (h, p) }
-        .groupBy(_._1).values.map(_.map(_._2)).toSeq
-      groups.foldLeft(prepared) { (acc, members) =>
-        val paths = members.map(p => s"${cfg.outputRoot}/$p")
-        val reader = spark.read
-        val base =
-          if (format == "json") jsonSchema.fold(reader)(reader.schema).json(paths: _*)
-          else reader.option("header", "true").option("inferSchema", "false").option("multiLine", "true")
-            .option("escape", "\"").csv(paths: _*)
-        val old = base
-          .withColumn("__path",
-            regexp_replace(
-              regexp_replace(input_file_name(), schemeRe, "/"),
-              "^" + java.util.regex.Pattern.quote(rootNorm), ""))
-          .withColumn(AvroRead.FileCol, lit("")) // sorts before any real file
-          .withColumn(AvroRead.PosCol, monotonically_increasing_id())
-        acc.unionByName(old, allowMissingColumns = true)
       }
     }
+    val probedDf = probed.toDF("__p", "__state", "__header")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nExisting = Timer.time("write.open")(probedDf.count())
+      val chunkSize = math.max(1, cfg.mergeChunkBins)
+      if (nExisting == 0L)
+        commitBins(spark, cfg, fs, prepared, format, topic, sidecar)
+      else if (nExisting <= chunkSize) {
+        // common append case: one chunk covering every existing bin —
+        // the exact single-commit plan shape of a non-chunked merge
+        val chunk = probedDf.as[(String, Int, String)].collect().toSeq
+        val temps = scala.collection.mutable.ArrayBuffer.empty[HPath]
+        try commitBins(spark, cfg, fs,
+          mergeChunk(spark, cfg, fs, prepared, chunk, fmt, jsonSchema, temps),
+          format, topic, sidecar)
+        finally temps.foreach(t => fs.delete(t, true))
+      } else {
+        // giant re-run: fetch ≤chunkSize probe rows at a time (cached
+        // partitions sized ~chunkSize, so toLocalIterator holds one);
+        // each chunk re-scans the persisted batch for its bins' rows —
+        // N-chunk re-runs trade N cached scans for O(chunk) driver heap
+        import scala.jdk.CollectionConverters._
+        val nParts = math.max(1, math.ceil(nExisting.toDouble / chunkSize).toInt)
+        val written = Seq.newBuilder[String]
+        val chunks = probedDf.repartition(nParts, col("__p"))
+          .as[(String, Int, String)].toLocalIterator().asScala.grouped(chunkSize)
+        for (chunk <- chunks) {
+          val chunkPaths = spark.createDataset(chunk.map(_._1)).toDF("__path")
+          val preparedChunk =
+            prepared.join(broadcast(chunkPaths), Seq("__path"), "left_semi")
+          val temps = scala.collection.mutable.ArrayBuffer.empty[HPath]
+          try written ++= commitBins(spark, cfg, fs,
+            mergeChunk(spark, cfg, fs, preparedChunk, chunk, fmt, jsonSchema, temps),
+            format, topic, sidecar)
+          finally temps.foreach(t => fs.delete(t, true))
+        }
+        // bins with no existing target: one final new-only commit
+        val newOnly = prepared.join(
+          probedDf.select(col("__p").as("__path")), Seq("__path"), "left_anti")
+        written ++= commitBins(spark, cfg, fs, newOnly, format, topic, sidecar)
+        written.result()
+      }
+    } finally probedDf.unpersist(false)
   }
 
-  /** Per-bin union fallback for zip targets (read through per-bin temp
-    * files, so paths cannot be re-derived from input_file_name).
+  /** One chunk's merge plan: quarantine corrupt targets, then union the
+    * chunk's new rows with ONE reader per distinct header (CSV) / one
+    * overall (JSON) — O(attempt-schemas) plan nodes per chunk, not
+    * O(bins); the bin path re-derives from input_file_name so all bins of
+    * a group load in a single distributed scan.
+    *
+    * Zip bins (which Spark's readers cannot decompress) are streamed into
+    * ONE temp directory on the output filesystem, mirroring their relative
+    * paths with an `.unz` suffix — the same per-header single scans then
+    * apply, with `__path` re-derived by stripping the temp prefix/suffix.
+    * Plan node count is O(headers) for zip too (previously one union
+    * branch PER zip bin). A zip that fails to stream (corrupt/empty) is
+    * quarantined and its bin starts fresh. `temps` receives the temp
+    * directory for post-commit recursive cleanup.
     */
-  private def mergeExistingBinsFold(
+  private[jobs] def mergeChunk(
       spark: SparkSession, cfg: RestructureJobConfig, fs: FileSystem,
-      prepared: DataFrame, existing: Seq[String], format: String,
-      jsonSchema: Option[StructType],
-      temps: scala.collection.mutable.Buffer[HPath]): DataFrame =
-    existing.foldLeft(prepared) { (acc, p) =>
-      val srcPath = s"${cfg.outputRoot}/$p"
-      if (!sniffReadable(fs, srcPath)) {
-        quarantine(fs, new HPath(srcPath))
-        acc
+      preparedChunk: DataFrame, chunk: Seq[(String, Int, String)],
+      format: String, jsonSchema: Option[StructType],
+      temps: scala.collection.mutable.Buffer[HPath]): DataFrame = {
+    chunk.collect { case (p, 2, _) => p }
+      .foreach(p => quarantine(fs, new HPath(s"${cfg.outputRoot}/$p")))
+    val schemeRe = "^[a-zA-Z0-9+.\\-]+:/+"
+    val (scanRoot, pathExpr, headered) =
+      if (!cfg.zip) {
+        val rootNorm = fs.makeQualified(new HPath(cfg.outputRoot)).toUri.getPath
+          .stripSuffix("/") + "/"
+        val expr = regexp_replace(
+          regexp_replace(input_file_name(), schemeRe, "/"),
+          "^" + java.util.regex.Pattern.quote(rootNorm), "")
+        (cfg.outputRoot, expr, chunk.collect { case (p, s, h) if s != 2 => (h, p) })
       } else {
-        try {
-          val readPath = readableBinPath(fs, srcPath, cfg, temps)
-          val reader = spark.read
-          val base =
-            if (format == "json") jsonSchema.fold(reader)(reader.schema).json(readPath)
-            else reader.option("header", "true").option("inferSchema", "false").option("multiLine", "true")
-              .option("escape", "\"").csv(readPath)
-          val old = base
-            .withColumn("__path", lit(p))
-            .withColumn(AvroRead.FileCol, lit("")) // sorts before any real file
-            .withColumn(AvroRead.PosCol, monotonically_increasing_id())
-          acc.unionByName(old, allowMissingColumns = true)
-        } catch {
-          case _: Exception =>
-            quarantine(fs, new HPath(srcPath))
-            acc
+        // unzip this chunk's bins under one dot-prefixed temp root (the
+        // dot keeps Spark's readers blind to it); the header is read off
+        // the unzipped file so attempt files group exactly like plain CSV
+        val tempRoot = s"${cfg.outputRoot}/.graft-unzip-${java.util.UUID.randomUUID()}"
+        temps += new HPath(tempRoot)
+        val pairs = chunk.flatMap { case (p, _, _) =>
+          val src = s"${cfg.outputRoot}/$p"
+          try {
+            val tmp = new HPath(s"$tempRoot/$p.unz")
+            val zin = new java.util.zip.ZipInputStream(fs.open(new HPath(src)))
+            val out = fs.create(tmp, true)
+            try {
+              require(zin.getNextEntry != null, s"empty zip: $p")
+              val buf = new Array[Byte](65536)
+              var n = zin.read(buf)
+              while (n >= 0) { out.write(buf, 0, n); n = zin.read(buf) }
+            } finally { zin.close(); out.close() }
+            val h = if (format == "json") Some("")
+                    else readHeaderLine(fs, tmp)
+            h match {
+              case Some(hdr) => Some((hdr, p))
+              case None => quarantine(fs, new HPath(src)); None
+            }
+          } catch {
+            case _: Exception => quarantine(fs, new HPath(src)); None
+          }
         }
+        val rootNorm = fs.makeQualified(new HPath(tempRoot)).toUri.getPath
+          .stripSuffix("/") + "/"
+        val expr = regexp_replace(
+          regexp_replace(
+            regexp_replace(input_file_name(), schemeRe, "/"),
+            "^" + java.util.regex.Pattern.quote(rootNorm), ""),
+          "\\.unz$", "")
+        (tempRoot, expr, pairs)
       }
+    val groups = headered.groupBy(_._1).values.map(_.map(_._2)).toSeq
+    groups.foldLeft(preparedChunk) { (acc, members) =>
+      val paths = members.map(p =>
+        if (cfg.zip) s"$scanRoot/$p.unz" else s"$scanRoot/$p")
+      val reader = spark.read
+      val base =
+        if (format == "json") jsonSchema.fold(reader)(reader.schema).json(paths: _*)
+        else reader.option("header", "true").option("inferSchema", "false").option("multiLine", "true")
+          .option("escape", "\"").csv(paths: _*)
+      val old = base
+        .withColumn("__path", pathExpr)
+        .withColumn(AvroRead.FileCol, lit("")) // sorts before any real file
+        .withColumn(AvroRead.PosCol, monotonically_increasing_id())
+      acc.unionByName(old, allowMissingColumns = true)
     }
+  }
 
   /** Driver-side readability probe: stream the first bytes through the
     * matching decompressor. Catches truncated/corrupt gzip and zip targets
@@ -517,7 +577,7 @@ object Restructure {
       import spark.implicits._
       // the probing itself is distributed, but the RESULT is materialized
       // exactly once: mapDf is FS-state-dependent (exists/header probes),
-      // and its two consumers (mergeExistingBins' planning job and the
+      // and its two consumers (mergeCommitBins' planning job and the
       // commit join) must see one FS snapshot — a lazy plan re-evaluated
       // per action could assign diverging attempt slots if quarantine
       // renames happen in between, routing rows to a bin never probed for
@@ -534,10 +594,7 @@ object Restructure {
       }.collect()
       val mapDf = spark.createDataset(attemptPairs.toSeq).toDF("__base", "__path")
       val prepared = withBase.join(broadcast(mapDf), "__base").drop("__base")
-      val temps = scala.collection.mutable.ArrayBuffer.empty[HPath]
-      try commitBins(spark, cfg, fs,
-        mergeExistingBins(spark, cfg, fs, prepared, "csv", None, temps), "csv", topic, sidecar)
-      finally temps.foreach(t => fs.delete(t, false))
+      mergeCommitBins(spark, cfg, fs, prepared, "csv", None, topic, sidecar)
       }
     } finally withFp.unpersist(false)
   }
@@ -663,12 +720,9 @@ object Restructure {
       pathCol.as("__path"), col(AvroRead.FileCol), col(AvroRead.PosCol)): _*)
     val dataOnly = StructType(prepared.schema.fields.filterNot(f =>
       Seq("__path", AvroRead.FileCol, AvroRead.PosCol).contains(f.name)))
-    val temps = scala.collection.mutable.ArrayBuffer.empty[HPath]
-    val withExisting = mergeExistingBins(spark, cfg, fs, prepared, "json", Some(dataOnly), temps)
     // A2 whole-record keep-first dedup happens inside the writer (commitBins
     // keys each rendered record)
-    try commitBins(spark, cfg, fs, withExisting, "json", topic, sidecar)
-    finally temps.foreach(t => fs.delete(t, false))
+    mergeCommitBins(spark, cfg, fs, prepared, "json", Some(dataOnly), topic, sidecar)
   }
 
   /** RFC4180 minimal quoting as a Column (identical rule to the CSV

@@ -49,6 +49,13 @@ final case class RestructureJobConfig(
     // frame (linear in shapes), so a runaway producer fails fast with a
     // cure instead of grinding through thousands of passes
     maxSchemaFingerprints: Int = 256,
+    // driver-heap ceiling for merge planning: a re-run whose batch touches
+    // more than this many PRE-EXISTING bins is planned and committed in
+    // chunks of this size (Restructure.mergeCommitBins), so the driver
+    // never holds the full existing-path list; the default bounds the
+    // residue at ~10 MB of path strings while keeping normal appends on
+    // the single-commit fast path
+    mergeChunkBins: Int = 100000,
     minimumFileAgeMs: Long = 0L,
     timeBinFormat: String = "yyyyMMdd_HH00",
     // G6: enrichment-backed path-template plugins (e.g. `mp:`), applied to

@@ -24,7 +24,8 @@ object Multimodal {
   /** Parsed container metadata. Fields that do not apply to a format are 0
     * (not null) so cross-engine hashing of the frame stays trivial:
     * images have width/height/bit_depth, audio has channels/sample_rate/
-    * duration_ms. `media_kind` is "png" | "gif" | "wav" | "unknown".
+    * duration_ms. `media_kind` is
+    * "png" | "gif" | "jpeg" | "wav" | "mp3" | "unknown".
     */
   final case class MediaMeta(
       doc_id: Long, media_kind: String, byte_len: Long,
@@ -105,6 +106,66 @@ object Multimodal {
     else Some((channels, rate, dataLen * 1000L / byteRate))
   }
 
+  /** JPEG: SOI (FFD8) then a marker walk — each segment is FF, a type
+    * byte, and (for non-standalone markers) a big-endian u16 length that
+    * INCLUDES the length field. The frame header is any SOF marker
+    * (C0-CF except C4 DHT / C8 JPG-extension / CC DAC): precision byte,
+    * height u16 BE, width u16 BE. Returns (width, height, precision).
+    * The walk advances by ≥ 2 bytes per step (a declared length < 2 is
+    * malformed and aborts), so it terminates on any input.
+    */
+  def parseJpeg(b: Array[Byte]): Option[(Long, Long, Long)] = {
+    if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return None
+    var i = 2
+    while (i + 4 <= b.length) {
+      if ((b(i) & 0xff) != 0xff) return None // desynced: not a marker
+      // fill bytes: FF may repeat before the marker type
+      var j = i + 1
+      while (j < b.length && (b(j) & 0xff) == 0xff) j += 1
+      if (j + 1 >= b.length) return None
+      val m = b(j) & 0xff
+      if (m >= 0xd0 && m <= 0xd9) { i = j + 1 } // RSTn/SOI/EOI: standalone
+      else {
+        val len = be16(b, j + 1)
+        if (len < 2) return None
+        val isSof = m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc
+        if (isSof) {
+          return if (j + 8 > b.length) None
+          else Some((be16(b, j + 6).toLong, be16(b, j + 4).toLong, (b(j + 3) & 0xff).toLong))
+        }
+        i = j + 1 + len
+      }
+    }
+    None
+  }
+
+  // MPEG-1 Layer III bitrate (kbps) and sample-rate tables, indexed by the
+  // frame-header fields (public ISO/IEC 11172-3 tables; 0 = invalid/free)
+  private val mp3Bitrates =
+    Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 0)
+  private val mp3Rates = Array(44100, 48000, 32000, 0)
+
+  /** MP3 (MPEG-1 Layer III frame header at offset 0): 11-bit sync, then
+    * version/layer/bitrate/sample-rate/channel-mode fields. Returns
+    * (channels, sampleRate, durationMs) with duration computed CBR-style
+    * from the total byte length and the frame bitrate — exactly what a
+    * header-only scanner can know without walking every frame.
+    */
+  def parseMp3(b: Array[Byte]): Option[(Long, Long, Long)] = {
+    if (b.length < 4) return None
+    val b1 = b(1) & 0xff
+    if ((b(0) & 0xff) != 0xff || (b1 & 0xe0) != 0xe0) return None
+    val version = (b1 >> 3) & 3 // 3 = MPEG-1
+    val layer = (b1 >> 1) & 3   // 1 = Layer III
+    if (version != 3 || layer != 1) return None
+    val b2 = b(2) & 0xff
+    val kbps = mp3Bitrates((b2 >> 4) & 0xf)
+    val rate = mp3Rates((b2 >> 2) & 3)
+    if (kbps == 0 || rate == 0) return None
+    val channels = if (((b(3) & 0xff) >> 6) == 3) 1L else 2L // 3 = mono
+    Some((channels, rate.toLong, b.length.toLong * 8000L / (kbps.toLong * 1000L)))
+  }
+
   /** Real row-local decode: sniff the container by magic bytes and parse
     * its header. Unknown/truncated payloads degrade to kind "unknown" with
     * zeroed fields — a malformed blob must never fail the batch.
@@ -116,8 +177,12 @@ object Multimodal {
       MediaMeta(r.doc_id, "png", blen, w, h, d, 0L, 0L, 0L)
     }.orElse(parseGif(b).map { case (w, h, d) =>
       MediaMeta(r.doc_id, "gif", blen, w, h, d, 0L, 0L, 0L)
+    }).orElse(parseJpeg(b).map { case (w, h, d) =>
+      MediaMeta(r.doc_id, "jpeg", blen, w, h, d, 0L, 0L, 0L)
     }).orElse(parseWav(b).map { case (c, sr, ms) =>
       MediaMeta(r.doc_id, "wav", blen, 0L, 0L, 0L, c, sr, ms)
+    }).orElse(parseMp3(b).map { case (c, sr, ms) =>
+      MediaMeta(r.doc_id, "mp3", blen, 0L, 0L, 0L, c, sr, ms)
     }).getOrElse(MediaMeta(r.doc_id, "unknown", blen, 0L, 0L, 0L, 0L, 0L, 0L))
   }
 
@@ -172,6 +237,44 @@ object Multimodal {
     out
   }
 
+  /** Minimal REAL JPEG: SOI + a single-component SOF0 frame header
+    * (FF C0, length 11, precision byte, BE height, BE width, 1 component
+    * of 3 descriptor bytes) + filler as opaque trailing bytes. 15-byte
+    * header; [[parseJpeg]] reads it exactly as a JPEG of these dimensions.
+    */
+  def buildJpeg(width: Int, height: Int, precision: Int, filler: Array[Byte]): Array[Byte] = {
+    val out = new Array[Byte](15 + filler.length)
+    out(0) = 0xff.toByte; out(1) = 0xd8.toByte // SOI
+    out(2) = 0xff.toByte; out(3) = 0xc0.toByte // SOF0
+    out(4) = 0; out(5) = 11                    // segment length (incl. itself)
+    out(6) = precision.toByte
+    out(7) = ((height >> 8) & 0xff).toByte; out(8) = (height & 0xff).toByte
+    out(9) = ((width >> 8) & 0xff).toByte; out(10) = (width & 0xff).toByte
+    out(11) = 1                                // 1 component
+    out(12) = 1; out(13) = 0x11; out(14) = 0   // id, 1x1 sampling, quant 0
+    filler.copyToArray(out, 15)
+    out
+  }
+
+  /** 4-byte MPEG-1 Layer III frame header (no CRC) + filler: sync, version
+    * 3 / layer 1, the bitrate and sample-rate table indices, and channel
+    * mode (3 = mono). [[parseMp3]] reads bitrate/rate/channels back and
+    * derives the CBR duration from the total length.
+    */
+  def buildMp3(bitrateKbps: Int, sampleRate: Int, channels: Int,
+      filler: Array[Byte]): Array[Byte] = {
+    val bi = mp3Bitrates.indexOf(bitrateKbps)
+    val ri = mp3Rates.indexOf(sampleRate)
+    require(bi > 0 && ri >= 0 && ri < 3, s"not a table entry: $bitrateKbps kbps / $sampleRate Hz")
+    val out = new Array[Byte](4 + filler.length)
+    out(0) = 0xff.toByte
+    out(1) = 0xfb.toByte // sync + MPEG-1 (3) + Layer III (1) + no CRC
+    out(2) = ((bi << 4) | (ri << 2)).toByte
+    out(3) = (if (channels == 1) 0xc0 else 0x00).toByte // mode: mono | stereo
+    filler.copyToArray(out, 4)
+    out
+  }
+
   /** Canonical 44-byte RIFF/WAVE header (PCM fmt chunk) with the filler as
     * the data chunk.
     */
@@ -205,11 +308,11 @@ object Multimodal {
   }
 
   /** Deterministic media corpus over the documents table: each doc becomes
-    * a REAL container blob (doc_id mod 3 → png | gif | wav) whose header
-    * fields derive arithmetically from doc_id and whose body is the
-    * document's UTF-8 bytes — so an oracle can recompute every parsed
-    * field without a decoder, while the Spark side round-trips actual
-    * bytes through the binary column and [[decodeMeta]].
+    * a REAL container blob (doc_id mod 5 → png | gif | wav | jpeg | mp3)
+    * whose header fields derive arithmetically from doc_id and whose body
+    * is the document's UTF-8 bytes — so an oracle can recompute every
+    * parsed field without a decoder, while the Spark side round-trips
+    * actual bytes through the binary column and [[decodeMeta]].
     */
   def syntheticMediaFrame(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text")(implicit spark: SparkSession): Dataset[MediaRecord] = {
@@ -221,13 +324,18 @@ object Multimodal {
         val filler = if (body == null) Array.emptyByteArray else body
         val w = 1 + (id % 512).toInt
         val h = 1 + ((id / 7) % 512).toInt
-        (id % 3) match {
+        val ch = 1 + (id % 2).toInt
+        (id % 5) match {
           case 0 => MediaRecord(id, "image/png", buildPng(w, h, 8, filler))
           case 1 => MediaRecord(id, "image/gif", buildGif(w, h, filler))
-          case _ =>
+          case 2 =>
             val rate = 8000 * (1 + ((id / 3) % 3).toInt)
-            val ch = 1 + (id % 2).toInt
             MediaRecord(id, "audio/wav", buildWav(rate, ch, 16, filler))
+          case 3 => MediaRecord(id, "image/jpeg", buildJpeg(w, h, 8, filler))
+          case _ =>
+            val kbps = Array(128, 192, 320)(((id / 5) % 3).toInt)
+            val rate = Array(44100, 48000, 32000)(((id / 7) % 3).toInt)
+            MediaRecord(id, "audio/mpeg", buildMp3(kbps, rate, ch, filler))
         }
       })
   }

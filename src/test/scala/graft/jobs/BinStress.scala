@@ -53,28 +53,45 @@ object BinStress {
       lit("/b"), col("bin"), lit(".csv"))
     val sidecar = Some("""{"type":"record","name":"stress"}""".getBytes("UTF-8"))
 
+    // each phase keeps only the written-path COUNT across the heap
+    // measurement — retaining the 1e5-string stat list (which real runs
+    // hand to accounting and drop) would bury the merge-planning signal
+    // under ~15 MB of measurement artifact
     val h0 = gcUsedMb()
     var t = System.nanoTime()
-    val coldPaths = Restructure.writeCsvBins(spark, cfg, fs, "stress", frame(),
-      dataSchema, pathCol, TopicJobConfig(), sidecar)
+    val coldCount = Restructure.writeCsvBins(spark, cfg, fs, "stress", frame(),
+      dataSchema, pathCol, TopicJobConfig(), sidecar).size
     val coldSec = (System.nanoTime() - t) / 1e9
     val h1 = gcUsedMb()
-    require(coldPaths.size == bins, s"expected $bins bins, wrote ${coldPaths.size}")
+    require(coldCount == bins, s"expected $bins bins, wrote $coldCount")
     require(fs.exists(new HPath(s"$out/stress/d0/schema-stress.json")), "sidecar missing")
 
     // append pass: every one of the 1e5 bins now EXISTS, so the probe
     // returns the full existing set and the merge re-reads + rewrites
     t = System.nanoTime()
-    val appendPaths = Restructure.writeCsvBins(spark, cfg, fs, "stress", frame(),
-      dataSchema, pathCol, TopicJobConfig(), sidecar)
+    val appendCount = Restructure.writeCsvBins(spark, cfg, fs, "stress", frame(),
+      dataSchema, pathCol, TopicJobConfig(), sidecar).size
     val appendSec = (System.nanoTime() - t) / 1e9
     val h2 = gcUsedMb()
-    require(appendPaths.size == bins, s"append expected $bins bins, got ${appendPaths.size}")
+    require(appendCount == bins, s"append expected $bins bins, got $appendCount")
+
+    // chunked-append pass: force the giant-re-run path (8 chunks + a
+    // remainder commit) over the same 1e5 EXISTING bins — the driver holds
+    // at most bins/8 path strings at a time; heap must stay flat
+    t = System.nanoTime()
+    val chunkCfg = cfg.copy(mergeChunkBins = math.max(1, bins / 8))
+    val chunkCount = Restructure.writeCsvBins(spark, chunkCfg, fs, "stress", frame(),
+      dataSchema, pathCol, TopicJobConfig(), sidecar).size
+    val chunkSec = (System.nanoTime() - t) / 1e9
+    val h3 = gcUsedMb()
+    require(chunkCount == bins, s"chunked append expected $bins bins, got $chunkCount")
 
     println(s"""{"bins":$bins,"rows":${bins.toLong * rowsPerBin},""" +
       s""""cold_sec":${math.round(coldSec * 10) / 10.0},""" +
       s""""append_sec":${math.round(appendSec * 10) / 10.0},""" +
-      s""""heap_mb_baseline":$h0,"heap_mb_after_cold":$h1,"heap_mb_after_append":$h2}""")
+      s""""chunked_append_sec":${math.round(chunkSec * 10) / 10.0},"chunks":8,""" +
+      s""""heap_mb_baseline":$h0,"heap_mb_after_cold":$h1,"heap_mb_after_append":$h2,""" +
+      s""""heap_mb_after_chunked":$h3}""")
     // best-effort cleanup of ~1e5 temp files
     try fs.delete(new HPath(out), true) catch { case _: Exception => () }
     spark.stop()

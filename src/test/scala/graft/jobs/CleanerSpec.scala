@@ -38,6 +38,31 @@ class CleanerSpec extends SparkSpec {
     assert(Files.exists(in.resolve(openFile)))
   }
 
+  test("chunked target verification (mergeChunkBins=1) reaches the same delete/rollback verdicts") {
+    // the fixture's records span several serverStatus bins, so chunk size 1
+    // forces multiple per-chunk anti-join passes plus the no-target
+    // remainder pass; verdicts must match the single-pass plan exactly
+    val (in, _, cfg0) = setup()
+    val cfg = cfg0.copy(mergeChunkBins = 1)
+    Restructure.run(spark, cfg)
+    val result = Cleaner.run(spark, cfg, ageMs = 0)
+    assert(result.deleted.map(p => Paths.get(p).getFileName.toString) ==
+      Seq("application_server_status+1+0000000018+0000000020.avro"))
+    assert(result.rolledBack.isEmpty)
+    assert(!Files.exists(in.resolve(closedFile)))
+    assert(Files.exists(in.resolve(openFile)))
+    // and a bin deleted out from under the cleaner rolls back, chunked too
+    val (in2, out2, cfg2a) = setup()
+    val cfg2 = cfg2a.copy(mergeChunkBins = 1)
+    Restructure.run(spark, cfg2)
+    import scala.jdk.CollectionConverters._
+    Files.walk(out2).iterator().asScala
+      .filter(p => p.toString.endsWith(".csv")).foreach(Files.delete)
+    val r2 = Cleaner.run(spark, cfg2, ageMs = 0)
+    assert(r2.deleted.isEmpty && r2.rolledBack.nonEmpty)
+    assert(Files.exists(in2.resolve(closedFile)))
+  }
+
   test("cleaner.maxFilesPerTopic caps deletions per iteration; next run takes the rest") {
     val (in, _, cfg) = setup()
     Restructure.run(spark, cfg)

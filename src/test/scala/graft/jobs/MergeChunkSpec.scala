@@ -1,0 +1,183 @@
+package graft.jobs
+
+import java.nio.file.Files
+
+import org.apache.avro.Schema
+import org.apache.avro.file.DataFileWriter
+import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+
+import graft.SparkSpec
+
+/** Chunked merge-planning equivalence (the 10^7-pre-existing-bins driver
+  * ceiling): when a batch touches more existing bins than
+  * `mergeChunkBins`, the merge plans and COMMITS per chunk via
+  * toLocalIterator instead of collecting the full existing-path list.
+  * These tests force multi-chunk consumption at toy scale (chunk size 2
+  * against 6-8 existing bins) and assert byte-value equivalence with the
+  * single-collect plan an unchunked config produces — same bins, same
+  * merged rows, same dedup survivors.
+  */
+class MergeChunkSpec extends SparkSpec {
+
+  private val schemaJson =
+    """{"type":"record","name":"R","fields":[
+      |{"name":"key","type":{"type":"record","name":"K","fields":[
+      |  {"name":"userId","type":"string"}]}},
+      |{"name":"value","type":{"type":"record","name":"V","fields":[
+      |  {"name":"time","type":"double"},
+      |  {"name":"v","type":"string"}]}}]}""".stripMargin
+
+  private def writeAvro(dir: java.nio.file.Path, name: String,
+      rows: Seq[(String, String)], baseTime: Double): Unit = {
+    val schema = new Schema.Parser().parse(schemaJson)
+    val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
+    w.create(schema, dir.resolve(name).toFile)
+    rows.foreach { case (u, v) =>
+      val k = new GenericData.Record(schema.getField("key").schema)
+      k.put("userId", u)
+      val value = new GenericData.Record(schema.getField("value").schema)
+      value.put("time", baseTime); value.put("v", v)
+      val r = new GenericData.Record(schema)
+      r.put("key", k); r.put("value", value)
+      w.append(r)
+    }
+    w.close()
+  }
+
+  /** (binRelativePath -> sorted data lines) for every csv/json bin under out. */
+  private def binContents(out: java.nio.file.Path, ext: String): Map[String, Seq[String]] = {
+    import scala.jdk.CollectionConverters._
+    Files.walk(out).iterator().asScala
+      .filter(p => Files.isRegularFile(p) && p.toString.endsWith(ext) &&
+        !p.getFileName.toString.startsWith(".") &&
+        !p.getFileName.toString.startsWith("schema-") &&
+        !p.getFileName.toString.startsWith("_"))
+      .map { p =>
+        val lines = Files.readAllLines(p).asScala.toSeq
+        out.relativize(p).toString -> (if (ext == ".csv") lines.drop(1).sorted else lines.sorted)
+      }.toMap
+  }
+
+  private def runBoth(format: String, dedup: Boolean): Unit = {
+    val users1 = (0 until 6).map(i => s"u$i")
+    val users2 = (0 until 8).map(i => s"u$i") // u6,u7 are NEW bins on append
+    def mkWork(): (java.nio.file.Path, java.nio.file.Path) = {
+      val work = Files.createTempDirectory("graft-chunk")
+      val dir = work.resolve("in/topicA/partition=0")
+      Files.createDirectories(dir)
+      writeAvro(dir, "topicA+0+0000000000+0000000011.avro",
+        users1.flatMap(u => Seq(u -> s"$u-a", u -> s"$u-b")), 1.6095816e9)
+      (work, dir)
+    }
+    def append(dir: java.nio.file.Path): Unit =
+      writeAvro(dir, "topicA+0+0000000012+0000000027.avro",
+        users2.flatMap(u => Seq(u -> s"$u-b", u -> s"$u-c")), 1.6095816e9)
+
+    def go(chunk: Int): Map[String, Seq[String]] = {
+      val (work, dir) = mkWork()
+      val cfg = RestructureJobConfig(
+        inputRoot = work.resolve("in").toString, outputRoot = work.resolve("out").toString,
+        format = format, dedup = dedup, mergeChunkBins = chunk)
+      Restructure.run(spark, cfg)
+      append(dir)
+      Restructure.run(spark, cfg)
+      binContents(work.resolve("out"), if (format == "json") ".json" else ".csv")
+    }
+
+    // chunk=2 forces ceil(6/2)=3 chunks + a new-bins remainder commit;
+    // the default config collects once — outputs must be identical
+    val chunked = go(2)
+    val single = go(1000000)
+    assert(chunked.keySet == single.keySet,
+      s"bin sets diverge: ${chunked.keySet.diff(single.keySet)} vs ${single.keySet.diff(chunked.keySet)}")
+    assert(chunked.keySet.size == 8, s"expected 8 bins, got ${chunked.keySet.size}")
+    for ((bin, lines) <- chunked)
+      assert(lines == single(bin), s"bin $bin diverges under chunked merge:\n$lines\nvs\n${single(bin)}")
+  }
+
+  test("chunked csv append-merge ≡ single-collect plan (existing + new bins, no dedup)") {
+    runBoth("csv", dedup = false)
+  }
+
+  test("chunked csv append-merge ≡ single-collect plan with keep-last dedup") {
+    // the duplicated value per user (u-b appears in both batches) must
+    // dedup identically whether its bin committed in chunk 1 or chunk 3
+    runBoth("csv", dedup = true)
+  }
+
+  test("chunked json append-merge ≡ single-collect plan") {
+    runBoth("json", dedup = true)
+  }
+
+  test("chunked zip append-merge ≡ single-collect plan (single-scan unzip path)") {
+    def go(chunk: Int): Map[String, Seq[String]] = {
+      val work = Files.createTempDirectory("graft-chunk-zip")
+      val dir = work.resolve("in/topicA/partition=0")
+      Files.createDirectories(dir)
+      val users1 = (0 until 6).map(i => s"u$i")
+      val users2 = (0 until 8).map(i => s"u$i")
+      writeAvro(dir, "topicA+0+0000000000+0000000011.avro",
+        users1.flatMap(u => Seq(u -> s"$u-a", u -> s"$u-b")), 1.6095816e9)
+      val cfg = RestructureJobConfig(
+        inputRoot = work.resolve("in").toString, outputRoot = work.resolve("out").toString,
+        zip = true, mergeChunkBins = chunk)
+      Restructure.run(spark, cfg)
+      writeAvro(dir, "topicA+0+0000000012+0000000027.avro",
+        users2.flatMap(u => Seq(u -> s"$u-b", u -> s"$u-c")), 1.6095816e9)
+      Restructure.run(spark, cfg)
+      import scala.jdk.CollectionConverters._
+      Files.walk(work.resolve("out")).iterator().asScala
+        .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".csv.zip"))
+        .map { p =>
+          val zin = new java.util.zip.ZipInputStream(Files.newInputStream(p))
+          assert(zin.getNextEntry != null)
+          val lines = new String(zin.readAllBytes(), "UTF-8").linesIterator.toSeq
+          zin.close()
+          work.resolve("out").relativize(p).toString -> lines.drop(1).sorted
+        }.toMap
+    }
+    val chunked = go(2)
+    val single = go(1000000)
+    assert(chunked.keySet == single.keySet && chunked.keySet.size == 8)
+    for ((bin, lines) <- chunked)
+      assert(lines == single(bin), s"zip bin $bin diverges:\n$lines\nvs\n${single(bin)}")
+    // no unzip temp residue survives the commits
+    assert(!chunked.keySet.exists(_.contains("graft-unzip")))
+  }
+
+  test("zip merge plans ONE scan per header group, not one per bin") {
+    val work = Files.createTempDirectory("graft-chunk-plan")
+    val dir = work.resolve("in/topicA/partition=0")
+    Files.createDirectories(dir)
+    val users = (0 until 8).map(i => s"u$i")
+    writeAvro(dir, "topicA+0+0000000000+0000000007.avro",
+      users.map(u => u -> s"$u-a"), 1.6095816e9)
+    val cfg = RestructureJobConfig(
+      inputRoot = work.resolve("in").toString, outputRoot = work.resolve("out").toString,
+      zip = true)
+    Restructure.run(spark, cfg)
+    import scala.jdk.CollectionConverters._
+    val bins = Files.walk(work.resolve("out")).iterator().asScala
+      .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".csv.zip"))
+      .map(p => work.resolve("out").relativize(p).toString).toSeq
+    assert(bins.size == 8)
+    import spark.implicits._
+    val prepared = Seq.empty[(String, String, String, String, Long)]
+      .toDF("key.userId", "value.time", "value.v", "__path", "__pos")
+      .withColumn("__file", org.apache.spark.sql.functions.lit(""))
+    val fs = new org.apache.hadoop.fs.Path(cfg.outputRoot)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val temps = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.Path]
+    try {
+      val merged = Restructure.mergeChunk(spark, cfg, fs, prepared,
+        bins.map(p => (p, 0, "")), "csv", None, temps)
+      // all 8 bins share one header -> exactly ONE file-source relation in
+      // the plan (plus the in-memory prepared leaf); a per-bin fold would
+      // show 8
+      val scans = merged.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
+      }
+      assert(scans.size == 1, s"expected one scan, got ${scans.size}")
+    } finally temps.foreach(t => fs.delete(t, true))
+  }
+}
