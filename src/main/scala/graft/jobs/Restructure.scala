@@ -304,6 +304,15 @@ object Restructure {
     *
     * `jsonSchema` is Some(nested schema) for JSON bins (read typed, no
     * inference); None for CSV bins (read as strings by each file's header).
+    *
+    * Column-union nuance: a commit renders every bin with the UNION of its
+    * frame's columns (new schema + all merged headers in that commit).
+    * Headers are uniform in the static path (one schema per topic batch;
+    * the dynamic path isolates differing headers into attempt files
+    * upstream), so chunked and single commits agree. If existing bins
+    * carry DRIFTED extra columns, a chunked run unions per chunk rather
+    * than across the whole batch — each bin still keeps its own columns
+    * plus the batch schema, which is the semantically meaningful set.
     */
   private[jobs] def mergeCommitBins(
       spark: SparkSession, cfg: RestructureJobConfig, fs: FileSystem,

@@ -86,12 +86,35 @@ object BinStress {
     val h3 = gcUsedMb()
     require(chunkCount == bins, s"chunked append expected $bins bins, got $chunkCount")
 
+    // hot-bin skew phase: 50% of all rows land in ONE bin (the
+    // all-null-time → unknown-time producer-failure regime); one bin =
+    // one exactly-named file = one writer task streaming it, so this
+    // measures the serialization floor the filename contract imposes
+    val skewOut = java.nio.file.Files.createTempDirectory("graft-binstress-skew").toString
+    val skewFs = new HPath(skewOut).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    skewFs.setWriteChecksum(false); skewFs.setVerifyChecksum(false)
+    val skewCfg = RestructureJobConfig(inputRoot = skewOut, outputRoot = skewOut)
+    val skewRows = bins.toLong * rowsPerBin
+    def skewFrame() = spark.range(skewRows).select(
+      when(col("id") % 2 === 0, lit(0L)).otherwise(col("id") % bins).as("bin"),
+      concat(lit("v"), col("id")).as("a"),
+      (col("id") * 2).cast(StringType).as("b"),
+      lit("f0").as(AvroRead.FileCol), col("id").as(AvroRead.PosCol))
+    t = System.nanoTime()
+    val skewCount = Restructure.writeCsvBins(spark, skewCfg, skewFs, "skew", skewFrame(),
+      dataSchema, pathCol, TopicJobConfig(), sidecar).size
+    val skewSec = (System.nanoTime() - t) / 1e9
+    val h4 = gcUsedMb()
+    try skewFs.delete(new HPath(skewOut), true) catch { case _: Exception => () }
+
     println(s"""{"bins":$bins,"rows":${bins.toLong * rowsPerBin},""" +
       s""""cold_sec":${math.round(coldSec * 10) / 10.0},""" +
       s""""append_sec":${math.round(appendSec * 10) / 10.0},""" +
       s""""chunked_append_sec":${math.round(chunkSec * 10) / 10.0},"chunks":8,""" +
+      s""""skew_sec":${math.round(skewSec * 10) / 10.0},"skew_bins":$skewCount,""" +
+      s""""skew_hot_rows":${skewRows / 2},""" +
       s""""heap_mb_baseline":$h0,"heap_mb_after_cold":$h1,"heap_mb_after_append":$h2,""" +
-      s""""heap_mb_after_chunked":$h3}""")
+      s""""heap_mb_after_chunked":$h3,"heap_mb_after_skew":$h4}""")
     // best-effort cleanup of ~1e5 temp files
     try fs.delete(new HPath(out), true) catch { case _: Exception => () }
     spark.stop()

@@ -73,6 +73,36 @@ class BinWriterSpec extends AnyFunSuite {
     assert(stray.isEmpty, s"stray temps: $stray")
   }
 
+  test("writePartition: hot bin — 200k rows stream through ONE file without buffering (dedup off/keep-first)") {
+    // the filename contract serializes each bin through one writer task
+    // (one bin = one exactly-named file); a producer flooding null-time
+    // records concentrates half a batch in `unknown-time`. With dedup off
+    // or keep-first the writer STREAMS: memory is O(keys-seen) hashes for
+    // keep-first and O(1) for off, never the rendered lines. (Keep-last is
+    // the documented exception: it buffers one bin's SURVIVING lines —
+    // the reference's own per-file memory shape, FileCache holds the file
+    // content too. PLANS.md "Hot-bin serialization bound".)
+    val root = Files.createTempDirectory("graft-bw-hot").toString
+    val n = 200000
+    val rows = (0 until n).iterator.map(i => ("hot/one.csv", s"k${i % 1000}", s"row$i"))
+    val written = BinWriter.writePartition(
+      rows, root, Map.empty, Some("h"), gzip = false, zip = false,
+      dedup = BinWriter.DedupKeepFirst).toSeq
+    assert(written == Seq("hot/one.csv"))
+    val lines = Files.readAllLines(java.nio.file.Paths.get(root, "hot/one.csv")).asScala
+    // keep-first over 1000 distinct keys: exactly the first occurrence each
+    assert(lines.size == 1 + 1000)
+    assert(lines(1) == "row0" && lines(1000) == "row999")
+    // and keep-last on the same stream buffers only the 1000 survivors
+    val root2 = Files.createTempDirectory("graft-bw-hot2").toString
+    val rows2 = (0 until n).iterator.map(i => ("hot/one.csv", s"k${i % 1000}", s"row$i"))
+    BinWriter.writePartition(rows2, root2, Map.empty, Some("h"), gzip = false, zip = false,
+      dedup = BinWriter.DedupKeepLast).toSeq
+    val lines2 = Files.readAllLines(java.nio.file.Paths.get(root2, "hot/one.csv")).asScala
+    assert(lines2.size == 1 + 1000)
+    assert(lines2.last == s"row${n - 1}")
+  }
+
   test("writePartition: local uid/gid applied to committed files and created dirs") {
     val root = Files.createTempDirectory("graft-bw-own")
     // setting the CURRENT uid/gid needs no privilege; asserts the attribute

@@ -79,6 +79,57 @@ class StreamingSoakSpec extends SparkSpec {
       s"per-batch latency trending up: early median ${early}ms, late median ${late}ms")
   }
 
+  test("50-batch EMBEDDING soak: bounded history, dedup across compaction, stable latency") {
+    // mirrors the text soak through dedupEmbeddingBatch — the embedding
+    // path shares compactHistory but probes with cosineNearDupAgainst;
+    // one-hot vectors give exact cosine semantics (distinct docs 0.0,
+    // duplicates 1.0) with zero accidental similarity
+    val work = Files.createTempDirectory("graft-soak-emb")
+    val historyDir = work.resolve("history").toString
+    val batches = 50
+    val docsPerBatch = 6
+    val dim = batches * docsPerBatch + 1
+    def vec(b: Int, i: Int): Array[Float] = {
+      val v = new Array[Float](dim)
+      v(b * docsPerBatch + i) = 1f
+      v
+    }
+    val wall = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var survivorTotal = 0L
+    (0 until batches).foreach { b =>
+      val fresh = (0 until docsPerBatch).map(i => (b * 100L + i, vec(b, i).toSeq))
+      val dups =
+        if (b < 2) Nil
+        else {
+          val deep = math.max(0, b - 20)
+          Seq((b * 100L + 90L, vec(deep, 0).toSeq), (b * 100L + 91L, vec(b - 1, 1).toSeq))
+        }
+      val df = (fresh ++ dups).toDF("vec_id", "embedding")
+        .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+      val t0 = System.nanoTime()
+      val survivors = StreamingNearDedup.dedupEmbeddingBatch(df, b.toLong, historyDir,
+        threshold = 0.95, epoch = "soake", compactEvery = 8)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      wall += (System.nanoTime() - t0) / 1e6
+      assert(survivors == fresh.map(_._1).toSet,
+        s"batch $b embedding survivors diverged: $survivors")
+      survivorTotal += survivors.size
+    }
+    val partDirs = new java.io.File(historyDir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch=")).map(_.getName).toSeq
+    assert(partDirs.size <= 6, s"embedding history partitions unbounded: $partDirs")
+    assert(partDirs.exists(_.startsWith("batch=soake-c")), s"no consolidated partition in $partDirs")
+    val files = dataFiles(java.nio.file.Paths.get(historyDir))
+    assert(files.size <= 40, s"embedding history file count unbounded: ${files.size}")
+    val historyCount = StreamingNearDedup.readHistory(spark, historyDir).get.count()
+    assert(historyCount == survivorTotal, s"history $historyCount != survivors $survivorTotal")
+    def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+    val early = median(wall.slice(2, 12).toSeq)
+    val late = median(wall.takeRight(10).toSeq)
+    assert(late < early * 6 + 2000,
+      s"embedding per-batch latency trending up: early ${early}ms, late ${late}ms")
+  }
+
   test("compactHistory TTL retention mode: expires old partitions without merging, spares foreign epochs") {
     val work = Files.createTempDirectory("graft-ttl")
     val historyDir = work.resolve("history").toString
