@@ -170,45 +170,50 @@ object Cleaner {
 
     // One chunk's stored (__path, __time) frame: ONE distributed scan per
     // distinct CSV header (attempt files order columns differently) / one
-    // overall for JSON, __path re-derived from input_file_name; zip bins
-    // (read via temp files) fold per-bin.
-    def targetTimesFor(chunk: Seq[(String, String)]): org.apache.spark.sql.DataFrame = {
+    // overall for JSON, __path re-derived from input_file_name. Zip bins
+    // stream into one temp directory first (Restructure.unzipBins) and
+    // then ride the SAME per-header single scans — plan nodes per header,
+    // not per bin. None = no readable target in this chunk (e.g. every
+    // zip corrupt): the caller counts all of the chunk's records missing.
+    def targetTimesFor(chunk: Seq[(String, String)]): Option[org.apache.spark.sql.DataFrame] = {
       val (name, conv) = timeField.get
-      val frames: Seq[org.apache.spark.sql.DataFrame] =
-        if (cfg.zip) chunk.map(_._1).map { p =>
-          val readPath = Restructure.readableBinPath(outFs, s"${cfg.outputRoot}/$p", cfg, cleanupTemps)
-          val stored =
-            if (cfg.format == "json")
-              spark.read.json(readPath).select(graft.model.Flatten.leafColumn(name))
-            else
-              spark.read.option("header", "true").option("multiLine", "true").option("escape", "\"")
-                .csv(readPath).select(col(s"`$name`"))
-          val c0 = col("`" + stored.columns.head.replace("`", "``") + "`")
-          stored.select(conv(c0).as("__time")).withColumn("__path", lit(p))
-        } else {
-          val rootNorm = outFs.makeQualified(new HPath(cfg.outputRoot)).toUri.getPath
-            .stripSuffix("/") + "/"
-          val schemeRe = "^[a-zA-Z0-9+.\\-]+:/+"
-          val pathFromFile = regexp_replace(
-            regexp_replace(input_file_name(), schemeRe, "/"),
-            "^" + java.util.regex.Pattern.quote(rootNorm), "")
-          val groups =
-            if (cfg.format == "json") Seq(chunk.map(_._1))
-            else chunk.map { case (p, h) => (h, p) }
-              .groupBy(_._1).values.map(_.map(_._2)).toSeq
-          groups.map { members =>
-            val full = members.map(p => s"${cfg.outputRoot}/$p")
-            val stored =
-              if (cfg.format == "json")
-                spark.read.json(full: _*).select(graft.model.Flatten.leafColumn(name), pathFromFile.as("__path"))
-              else
-                spark.read.option("header", "true").option("multiLine", "true").option("escape", "\"")
-                  .csv(full: _*).select(col(s"`$name`"), pathFromFile.as("__path"))
-            val c0 = col("`" + stored.columns.head.replace("`", "``") + "`")
-            stored.select(conv(c0).as("__time"), col("__path"))
-          }
+      val schemeRe = "^[a-zA-Z0-9+.\\-]+:/+"
+      val (scanRoot, suffix, headered) =
+        if (!cfg.zip) (cfg.outputRoot, "", chunk)
+        else {
+          val tempRoot = s"${cfg.outputRoot}/.graft-unzip-${java.util.UUID.randomUUID()}"
+          cleanupTemps += new HPath(tempRoot)
+          val unz = Restructure.unzipBins(outFs, cfg.outputRoot, tempRoot,
+            chunk.map(_._1), wantHeader = cfg.format != "json")
+          // a zip that fails to stream is dropped — its records count as
+          // missing, so the source file is kept
+          (tempRoot, ".unz", unz.collect { case (p, Some(h)) => (p, h) })
         }
-      frames.reduce(_ unionByName _).distinct()
+      if (headered.isEmpty) return None
+      val rootNorm = outFs.makeQualified(new HPath(scanRoot)).toUri.getPath
+        .stripSuffix("/") + "/"
+      val pathFromFile = {
+        val base = regexp_replace(
+          regexp_replace(input_file_name(), schemeRe, "/"),
+          "^" + java.util.regex.Pattern.quote(rootNorm), "")
+        if (suffix.isEmpty) base else regexp_replace(base, "\\.unz$", "")
+      }
+      val groups =
+        if (cfg.format == "json") Seq(headered.map(_._1))
+        else headered.map { case (p, h) => (h, p) }
+          .groupBy(_._1).values.map(_.map(_._2)).toSeq
+      val frames = groups.map { members =>
+        val full = members.map(p => s"$scanRoot/$p$suffix")
+        val stored =
+          if (cfg.format == "json")
+            spark.read.json(full: _*).select(graft.model.Flatten.leafColumn(name), pathFromFile.as("__path"))
+          else
+            spark.read.option("header", "true").option("multiLine", "true").option("escape", "\"")
+              .csv(full: _*).select(col(s"`$name`"), pathFromFile.as("__path"))
+        val c0 = col("`" + stored.columns.head.replace("`", "``") + "`")
+        stored.select(conv(c0).as("__time"), col("__path"))
+      }
+      Some(frames.reduce(_ unionByName _).distinct())
     }
 
     val withTime = source.filter(col("__time").isNotNull)
@@ -232,12 +237,14 @@ object Cleaner {
         val chunkSize = math.max(1, cfg.mergeChunkBins)
         if (nExisting == 0L || timeField.isEmpty)
           countMissing(withTime, counts)
-        else if (nExisting <= chunkSize || cfg.zip) {
-          // single pass covering every existing bin (zip keeps the
-          // per-bin-fold single pass: temp-file readers don't chunk)
+        else if (nExisting <= chunkSize) {
+          // single pass covering every existing bin
           val chunk = probedDf.as[(String, String)].collect().toSeq
-          countMissing(withTime.join(targetTimesFor(chunk),
-            Seq("__path", "__time"), "left_anti"), counts)
+          targetTimesFor(chunk) match {
+            case Some(t) => countMissing(withTime.join(t,
+              Seq("__path", "__time"), "left_anti"), counts)
+            case None => countMissing(withTime, counts)
+          }
         } else {
           import scala.jdk.CollectionConverters._
           val nParts = math.max(1, math.ceil(nExisting.toDouble / chunkSize).toInt)
@@ -246,8 +253,11 @@ object Cleaner {
           for (chunk <- chunks) {
             val chunkPaths = spark.createDataset(chunk.map(_._1)).toDF("__path")
             val withTimeChunk = withTime.join(broadcast(chunkPaths), Seq("__path"), "left_semi")
-            countMissing(withTimeChunk.join(targetTimesFor(chunk),
-              Seq("__path", "__time"), "left_anti"), counts)
+            targetTimesFor(chunk) match {
+              case Some(t) => countMissing(withTimeChunk.join(t,
+                Seq("__path", "__time"), "left_anti"), counts)
+              case None => countMissing(withTimeChunk, counts)
+            }
           }
           // records whose bin has no existing target at all: all missing
           countMissing(withTime.join(
@@ -256,9 +266,10 @@ object Cleaner {
       } finally probedDf.unpersist(false)
     } finally {
       source.unpersist(false)
+      // recursive: zip temps are whole unzip DIRECTORIES since round 11
       cleanupTemps.foreach(t =>
         new HPath(cfg.outputRoot).getFileSystem(spark.sparkContext.hadoopConfiguration)
-          .delete(t, false))
+          .delete(t, true))
     }
     files.map(f => new HPath(f).getName).map(n => n -> counts.getOrElse(n, 0L)).toMap
   }

@@ -426,27 +426,11 @@ object Restructure {
         // the unzipped file so attempt files group exactly like plain CSV
         val tempRoot = s"${cfg.outputRoot}/.graft-unzip-${java.util.UUID.randomUUID()}"
         temps += new HPath(tempRoot)
-        val pairs = chunk.flatMap { case (p, _, _) =>
-          val src = s"${cfg.outputRoot}/$p"
-          try {
-            val tmp = new HPath(s"$tempRoot/$p.unz")
-            val zin = new java.util.zip.ZipInputStream(fs.open(new HPath(src)))
-            val out = fs.create(tmp, true)
-            try {
-              require(zin.getNextEntry != null, s"empty zip: $p")
-              val buf = new Array[Byte](65536)
-              var n = zin.read(buf)
-              while (n >= 0) { out.write(buf, 0, n); n = zin.read(buf) }
-            } finally { zin.close(); out.close() }
-            val h = if (format == "json") Some("")
-                    else readHeaderLine(fs, tmp)
-            h match {
-              case Some(hdr) => Some((hdr, p))
-              case None => quarantine(fs, new HPath(src)); None
-            }
-          } catch {
-            case _: Exception => quarantine(fs, new HPath(src)); None
-          }
+        val unz = unzipBins(fs, cfg.outputRoot, tempRoot, chunk.map(_._1),
+          wantHeader = format != "json")
+        val pairs = unz.flatMap {
+          case (p, Some(hdr)) => Some((hdr, p))
+          case (p, None) => quarantine(fs, new HPath(s"${cfg.outputRoot}/$p")); None
         }
         val rootNorm = fs.makeQualified(new HPath(tempRoot)).toUri.getPath
           .stripSuffix("/") + "/"
@@ -473,6 +457,32 @@ object Restructure {
       acc.unionByName(old, allowMissingColumns = true)
     }
   }
+
+  /** Stream a set of existing zip bins into `tempRoot`, mirroring their
+    * relative paths with an `.unz` suffix so `input_file_name` maps back
+    * by prefix/suffix strip. Returns one entry per input: `Some(header)`
+    * (the first line when `wantHeader`, else "") on success, `None` when
+    * the zip fails to stream or its header is unreadable — the CALLER
+    * decides what a failure means (restructure quarantines, the cleaner
+    * keeps the source file). Shared by [[mergeChunk]] and
+    * [[Cleaner.verifyTopic]].
+    */
+  private[jobs] def unzipBins(fs: FileSystem, outputRoot: String, tempRoot: String,
+      rels: Seq[String], wantHeader: Boolean): Seq[(String, Option[String])] =
+    rels.map { p =>
+      try {
+        val tmp = new HPath(s"$tempRoot/$p.unz")
+        val zin = new java.util.zip.ZipInputStream(fs.open(new HPath(s"$outputRoot/$p")))
+        val out = fs.create(tmp, true)
+        try {
+          require(zin.getNextEntry != null, s"empty zip: $p")
+          val buf = new Array[Byte](65536)
+          var n = zin.read(buf)
+          while (n >= 0) { out.write(buf, 0, n); n = zin.read(buf) }
+        } finally { zin.close(); out.close() }
+        (p, if (wantHeader) readHeaderLine(fs, tmp) else Some(""))
+      } catch { case _: Exception => (p, None) }
+    }
 
   /** Driver-side readability probe: stream the first bytes through the
     * matching decompressor. Catches truncated/corrupt gzip and zip targets
@@ -607,28 +617,6 @@ object Restructure {
       }
     } finally withFp.unpersist(false)
   }
-
-  /** A Spark-readable path for an existing bin: zip bins (which Spark's
-    * readers cannot decompress) are unpacked to a temp file ON THE OUTPUT
-    * FILESYSTEM (executor-visible on a real cluster); gzip and plain bins
-    * are readable in place. Created temps are appended to `temps` for
-    * cleanup after the consuming job completes.
-    */
-  private[jobs] def readableBinPath(fs: FileSystem, path: String, cfg: RestructureJobConfig,
-      temps: scala.collection.mutable.Buffer[HPath]): String =
-    if (cfg.zip && path.endsWith(".zip")) {
-      val tmp = new HPath(s"${cfg.outputRoot}/graft-unzip-${java.util.UUID.randomUUID()}.tmp.csv")
-      val zin = new java.util.zip.ZipInputStream(fs.open(new HPath(path)))
-      val out = fs.create(tmp, true)
-      try {
-        require(zin.getNextEntry != null, s"empty zip: $path")
-        val buf = new Array[Byte](65536)
-        var n = zin.read(buf)
-        while (n >= 0) { out.write(buf, 0, n); n = zin.read(buf) }
-      } finally { zin.close(); out.close() }
-      temps += tmp
-      tmp.toString
-    } else path
 
   /** RFC4180 quoting as Spark's CSV writer applies it: quote only when the
     * field contains delimiter/quote/CR/LF; embedded quotes double.

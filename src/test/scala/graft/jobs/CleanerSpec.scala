@@ -169,6 +169,25 @@ class CleanerSpec extends SparkSpec {
     assert(result.rolledBack.isEmpty, "zip bins must be readable during verification")
     assert(result.deleted.nonEmpty)
     assert(!Files.exists(in.resolve(closedFile)))
+    // no unzip temp directories left behind on the output tree
+    import scala.jdk.CollectionConverters._
+    val outDir = java.nio.file.Paths.get(cfg.outputRoot)
+    val leftovers = java.nio.file.Files.walk(outDir).iterator().asScala
+      .filter(_.getFileName.toString.contains("graft-unzip")).toSeq
+    assert(leftovers.isEmpty, s"unzip temps leaked: $leftovers")
+  }
+
+  test("cleaner verifies zip bins CHUNKED (mergeChunkBins=1): same verdicts, no temp leaks") {
+    val (in, _, cfg0) = setup()
+    val cfg = cfg0.copy(zip = true, mergeChunkBins = 1)
+    Restructure.run(spark, cfg)
+    val result = Cleaner.run(spark, cfg, ageMs = 0)
+    assert(result.rolledBack.isEmpty && result.deleted.nonEmpty)
+    assert(!Files.exists(in.resolve(closedFile)))
+    import scala.jdk.CollectionConverters._
+    val leftovers = java.nio.file.Files.walk(java.nio.file.Paths.get(cfg.outputRoot))
+      .iterator().asScala.filter(_.getFileName.toString.contains("graft-unzip")).toSeq
+    assert(leftovers.isEmpty, s"unzip temps leaked: $leftovers")
   }
 
   test("verification converts key.start millis to seconds (priority chain parity)") {
