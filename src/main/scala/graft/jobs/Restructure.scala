@@ -673,7 +673,15 @@ object Restructure {
     withAttempt(i)
   }
 
-  /** First line of a (possibly gzip/zip) CSV bin, or None if unreadable. */
+  /** First header RECORD of a (possibly gzip/zip) CSV bin, or None if
+    * unreadable. Two traps a naive first-line read falls into, both real
+    * for dynamic map-key headers: (1) bytes must decode as UTF-8 (reading
+    * byte-as-char mojibakes a `é`/`中` column name, so the attempt-reuse
+    * comparison against the rendered header never matches and every
+    * append leaks a new `_N` attempt file); (2) a quoted column name may
+    * contain an embedded newline, so the record ends at the first UNQUOTED
+    * `\n` — RFC4180 quote-toggle scan, doubled quotes toggle out and back.
+    */
   private[jobs] def readHeaderLine(fs: FileSystem, path: HPath): Option[String] =
     try {
       val raw = fs.open(path)
@@ -685,10 +693,15 @@ object Restructure {
           z
         } else raw
       try {
-        val sb = new StringBuilder
+        val buf = new java.io.ByteArrayOutputStream(256)
+        var inQuotes = false
         var b = in.read()
-        while (b >= 0 && b != '\n') { sb.append(b.toChar); b = in.read() }
-        Some(sb.toString)
+        while (b >= 0 && !(b == '\n' && !inQuotes)) {
+          if (b == '"') inQuotes = !inQuotes
+          buf.write(b)
+          b = in.read()
+        }
+        Some(new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8))
       } finally in.close()
     } catch { case _: Exception => None }
 

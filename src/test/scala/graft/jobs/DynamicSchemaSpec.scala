@@ -37,6 +37,45 @@ class DynamicSchemaSpec extends SparkSpec {
     r
   }
 
+  test("non-ASCII and newline-bearing map keys: append REUSES the attempt slot (UTF-8 + quote-aware header read)") {
+    // a header column `value.props.é中` must round-trip through the
+    // written file's header byte-for-byte, and one containing a quoted
+    // newline must not truncate the read at the embedded \n — either bug
+    // makes the attempt-reuse comparison fail, leaking `_1`, `_2`, …
+    // attempt files on every append of an identical-schema batch
+    val schema = new Schema.Parser().parse(schemaJson)
+    val work = Files.createTempDirectory("graft-dyn-utf8")
+    val dir = work.resolve("in/map_topic/partition=0")
+    Files.createDirectories(dir)
+    val t = 1.6095816e9
+    def slice(name: String, vals: Map[String, Int]): Unit = {
+      val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
+      w.create(schema, new File(dir.toFile, name))
+      w.append(rec(schema, "u1", t, vals, Seq("x")))
+      w.close()
+    }
+    val keys = Map("é中" -> 1, "has\nnewline" -> 2, "com,ma" -> 3)
+    slice("map_topic+0+0000000001+0000000001.avro", keys.map { case (k, _) => k -> 1 })
+    val out = work.resolve("out")
+    val cfg = RestructureJobConfig(
+      inputRoot = work.resolve("in").toString, outputRoot = out.toString)
+    Restructure.run(spark, cfg)
+    // append an identical-shape slice: must merge into the SAME file
+    slice("map_topic+0+0000000002+0000000002.avro", keys.map { case (k, _) => k -> 2 })
+    Restructure.run(spark, cfg)
+    val binDir = out.resolve("unknown-project/u1/map_topic")
+    val files = Files.list(binDir).iterator().asScala
+      .map(_.getFileName.toString).filterNot(_.startsWith("schema-")).toSeq.sorted
+    assert(files == Seq("20210102_1000.csv"),
+      s"identical-header append leaked attempt files: $files")
+    // both rows present, all three exotic columns intact
+    val got = spark.read.option("header", "true").option("multiLine", "true")
+      .option("escape", "\"").csv(binDir.resolve("20210102_1000.csv").toString)
+    assert(got.count() == 2)
+    assert(got.columns.toSet.exists(_.contains("é中")), s"mojibaked: ${got.columns.toSeq}")
+    assert(got.columns.exists(_.contains("has\nnewline")))
+  }
+
   test("map keys/array indices become columns; header mismatch goes to attempt file") {
     val schema = new Schema.Parser().parse(schemaJson)
     val work = Files.createTempDirectory("graft-dyn")
