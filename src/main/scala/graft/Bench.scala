@@ -170,23 +170,38 @@ object Bench {
         .map { case (k, v) => jsonStr(k) + ":" + jsonStr(v) }
         .mkString("{", ",", "}")
       val tmp = java.nio.file.Files.createTempFile("graft-oracle-sql", ".json")
-      java.nio.file.Files.write(tmp, entries.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      val script = java.nio.file.Paths.get("tools/oracle_bench.py")
-      if (!java.nio.file.Files.exists(script)) "null"
-      else {
-        val pb = new ProcessBuilder("python3", script.toString, sfDir, tmp.toString)
-        val proc = pb.start()
-        proc.getOutputStream.close()
-        if (!proc.waitFor(20, java.util.concurrent.TimeUnit.MINUTES)) {
-          proc.destroyForcibly(); "null"
-        } else {
-          val out = new String(proc.getInputStream.readAllBytes(),
-            java.nio.charset.StandardCharsets.UTF_8).trim
-          if (proc.exitValue() == 0 && out.startsWith("{") && out.endsWith("}")) out
-          else "null"
+      try {
+        java.nio.file.Files.write(tmp, entries.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val script = java.nio.file.Paths.get("tools/oracle_bench.py")
+        if (!java.nio.file.Files.exists(script)) "null"
+        else {
+          val pb = new ProcessBuilder("python3", script.toString, sfDir, tmp.toString)
+          pb.redirectErrorStream(false)
+          val proc = pb.start()
+          proc.getOutputStream.close()
+          if (!proc.waitFor(20, java.util.concurrent.TimeUnit.MINUTES)) {
+            proc.destroyForcibly()
+            Console.err.println("[bench] oracle sweep timed out after 20 min")
+            "null"
+          } else {
+            val out = new String(proc.getInputStream.readAllBytes(),
+              java.nio.charset.StandardCharsets.UTF_8).trim
+            if (proc.exitValue() == 0 && out.startsWith("{") && out.endsWith("}")) out
+            else {
+              // surface WHY "oracle": null (missing duckdb? SQL error?)
+              val err = new String(proc.getErrorStream.readAllBytes(),
+                java.nio.charset.StandardCharsets.UTF_8)
+              Console.err.println(s"[bench] oracle sweep failed (rc=${proc.exitValue()}): " +
+                err.linesIterator.take(5).mkString(" | "))
+              "null"
+            }
+          }
         }
-      }
-    } catch { case _: Throwable => "null" }
+      } finally java.nio.file.Files.deleteIfExists(tmp)
+    } catch { case e: Throwable =>
+      Console.err.println(s"[bench] oracle sweep FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+      "null"
+    }
 
   private def jsonStr(s: String): String =
     "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
@@ -501,6 +516,11 @@ object Bench {
     try {
       import org.apache.spark.sql.functions._
       val rep = 10
+      // driver collect is a BENCH-HARNESS bound, not an engine one: the
+      // Avro fixture writer needs the rows driver-side (same pattern as
+      // prepareRestructure/benchCleaner), and at the bench's target SFs
+      // (sf0.1 = 100k events ≈ tens of MB) this is far below driver heap.
+      // The jobs under measurement never collect data rows.
       val rows = Tables.load(spark, sfDir, "events")
         .select(col("event_id"), col("user_id"), col("event_type"),
           col("value"), col("ts").cast("double").as("tsec"))

@@ -120,7 +120,6 @@ object Cleaner {
       pathCol.as("__path"), timeCol.as("__time"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val cleanupTemps = scala.collection.mutable.ArrayBuffer.empty[HPath]
     import spark.implicits._
     // The stored time field and its render-back-to-epoch-seconds converter,
     // in the SAME priority order as TimeExtract's chain — so the value
@@ -168,52 +167,27 @@ object Cleaner {
       }
     }
 
-    // One chunk's stored (__path, __time) frame: ONE distributed scan per
-    // distinct CSV header (attempt files order columns differently) / one
-    // overall for JSON, __path re-derived from input_file_name. Zip bins
-    // stream into one temp directory first (Restructure.unzipBins) and
-    // then ride the SAME per-header single scans — plan nodes per header,
-    // not per bin. None = no readable target in this chunk (e.g. every
-    // zip corrupt): the caller counts all of the chunk's records missing.
-    def targetTimesFor(chunk: Seq[(String, String)]): Option[org.apache.spark.sql.DataFrame] = {
+    // One chunk's stored (__path, __time) frame: the scan construction
+    // (per-header single scans, input_file_name → bin path, zip unzip to
+    // one temp dir) is Restructure.existingBinFrames — ONE definition for
+    // both the merge and this verification. A zip bin that fails to
+    // stream is simply absent: its records count as missing, so the
+    // source file is kept. None = no readable target in this chunk.
+    // `temps` receives the chunk's unzip directory; the caller deletes it
+    // as soon as the chunk's count is drained (holding every chunk's
+    // uncompressed bytes to the end would defeat the chunking).
+    def targetTimesFor(chunk: Seq[(String, String)],
+        temps: scala.collection.mutable.Buffer[HPath]): Option[org.apache.spark.sql.DataFrame] = {
       val (name, conv) = timeField.get
-      val schemeRe = "^[a-zA-Z0-9+.\\-]+:/+"
-      val (scanRoot, suffix, headered) =
-        if (!cfg.zip) (cfg.outputRoot, "", chunk)
-        else {
-          val tempRoot = s"${cfg.outputRoot}/.graft-unzip-${java.util.UUID.randomUUID()}"
-          cleanupTemps += new HPath(tempRoot)
-          val unz = Restructure.unzipBins(outFs, cfg.outputRoot, tempRoot,
-            chunk.map(_._1), wantHeader = cfg.format != "json")
-          // a zip that fails to stream is dropped — its records count as
-          // missing, so the source file is kept
-          (tempRoot, ".unz", unz.collect { case (p, Some(h)) => (p, h) })
-        }
-      if (headered.isEmpty) return None
-      val rootNorm = outFs.makeQualified(new HPath(scanRoot)).toUri.getPath
-        .stripSuffix("/") + "/"
-      val pathFromFile = {
-        val base = regexp_replace(
-          regexp_replace(input_file_name(), schemeRe, "/"),
-          "^" + java.util.regex.Pattern.quote(rootNorm), "")
-        if (suffix.isEmpty) base else regexp_replace(base, "\\.unz$", "")
-      }
-      val groups =
-        if (cfg.format == "json") Seq(headered.map(_._1))
-        else headered.map { case (p, h) => (h, p) }
-          .groupBy(_._1).values.map(_.map(_._2)).toSeq
-      val frames = groups.map { members =>
-        val full = members.map(p => s"$scanRoot/$p$suffix")
-        val stored =
-          if (cfg.format == "json")
-            spark.read.json(full: _*).select(graft.model.Flatten.leafColumn(name), pathFromFile.as("__path"))
-          else
-            spark.read.option("header", "true").option("multiLine", "true").option("escape", "\"")
-              .csv(full: _*).select(col(s"`$name`"), pathFromFile.as("__path"))
-        val c0 = col("`" + stored.columns.head.replace("`", "``") + "`")
-        stored.select(conv(c0).as("__time"), col("__path"))
-      }
-      Some(frames.reduce(_ unionByName _).distinct())
+      val (frames, _) = Restructure.existingBinFrames(spark, outFs, cfg.outputRoot,
+        chunk, cfg.format, None, cfg.zip, temps)
+      if (frames.isEmpty) None
+      else Some(frames.map { stored =>
+        val c =
+          if (cfg.format == "json") graft.model.Flatten.leafColumn(name)
+          else col("`" + name.replace("`", "``") + "`")
+        stored.select(conv(c).as("__time"), col("__path"))
+      }.reduce(_ unionByName _).distinct())
     }
 
     val withTime = source.filter(col("__time").isNotNull)
@@ -240,11 +214,12 @@ object Cleaner {
         else if (nExisting <= chunkSize) {
           // single pass covering every existing bin
           val chunk = probedDf.as[(String, String)].collect().toSeq
-          targetTimesFor(chunk) match {
+          val temps = scala.collection.mutable.ArrayBuffer.empty[HPath]
+          try targetTimesFor(chunk, temps) match {
             case Some(t) => countMissing(withTime.join(t,
               Seq("__path", "__time"), "left_anti"), counts)
             case None => countMissing(withTime, counts)
-          }
+          } finally temps.foreach(t => outFs.delete(t, true))
         } else {
           import scala.jdk.CollectionConverters._
           val nParts = math.max(1, math.ceil(nExisting.toDouble / chunkSize).toInt)
@@ -253,24 +228,22 @@ object Cleaner {
           for (chunk <- chunks) {
             val chunkPaths = spark.createDataset(chunk.map(_._1)).toDF("__path")
             val withTimeChunk = withTime.join(broadcast(chunkPaths), Seq("__path"), "left_semi")
-            targetTimesFor(chunk) match {
+            // per-chunk temp cleanup: the chunk's count is fully drained
+            // before the delete, and holding every chunk's uncompressed
+            // zip bytes to the end would peak at the whole store's size
+            val temps = scala.collection.mutable.ArrayBuffer.empty[HPath]
+            try targetTimesFor(chunk, temps) match {
               case Some(t) => countMissing(withTimeChunk.join(t,
                 Seq("__path", "__time"), "left_anti"), counts)
               case None => countMissing(withTimeChunk, counts)
-            }
+            } finally temps.foreach(t => outFs.delete(t, true))
           }
           // records whose bin has no existing target at all: all missing
           countMissing(withTime.join(
             probedDf.select(col("__p").as("__path")), Seq("__path"), "left_anti"), counts)
         }
       } finally probedDf.unpersist(false)
-    } finally {
-      source.unpersist(false)
-      // recursive: zip temps are whole unzip DIRECTORIES since round 11
-      cleanupTemps.foreach(t =>
-        new HPath(cfg.outputRoot).getFileSystem(spark.sparkContext.hadoopConfiguration)
-          .delete(t, true))
-    }
+    } finally source.unpersist(false)
     files.map(f => new HPath(f).getName).map(n => n -> counts.getOrElse(n, 0L)).toMap
   }
 }

@@ -411,51 +411,68 @@ object Restructure {
       temps: scala.collection.mutable.Buffer[HPath]): DataFrame = {
     chunk.collect { case (p, 2, _) => p }
       .foreach(p => quarantine(fs, new HPath(s"${cfg.outputRoot}/$p")))
-    val schemeRe = "^[a-zA-Z0-9+.\\-]+:/+"
-    val (scanRoot, pathExpr, headered) =
-      if (!cfg.zip) {
-        val rootNorm = fs.makeQualified(new HPath(cfg.outputRoot)).toUri.getPath
-          .stripSuffix("/") + "/"
-        val expr = regexp_replace(
-          regexp_replace(input_file_name(), schemeRe, "/"),
-          "^" + java.util.regex.Pattern.quote(rootNorm), "")
-        (cfg.outputRoot, expr, chunk.collect { case (p, s, h) if s != 2 => (h, p) })
-      } else {
-        // unzip this chunk's bins under one dot-prefixed temp root (the
-        // dot keeps Spark's readers blind to it); the header is read off
-        // the unzipped file so attempt files group exactly like plain CSV
-        val tempRoot = s"${cfg.outputRoot}/.graft-unzip-${java.util.UUID.randomUUID()}"
-        temps += new HPath(tempRoot)
-        val unz = unzipBins(fs, cfg.outputRoot, tempRoot, chunk.map(_._1),
-          wantHeader = format != "json")
-        val pairs = unz.flatMap {
-          case (p, Some(hdr)) => Some((hdr, p))
-          case (p, None) => quarantine(fs, new HPath(s"${cfg.outputRoot}/$p")); None
-        }
-        val rootNorm = fs.makeQualified(new HPath(tempRoot)).toUri.getPath
-          .stripSuffix("/") + "/"
-        val expr = regexp_replace(
-          regexp_replace(
-            regexp_replace(input_file_name(), schemeRe, "/"),
-            "^" + java.util.regex.Pattern.quote(rootNorm), ""),
-          "\\.unz$", "")
-        (tempRoot, expr, pairs)
-      }
-    val groups = headered.groupBy(_._1).values.map(_.map(_._2)).toSeq
-    groups.foldLeft(preparedChunk) { (acc, members) =>
-      val paths = members.map(p =>
-        if (cfg.zip) s"$scanRoot/$p.unz" else s"$scanRoot/$p")
-      val reader = spark.read
-      val base =
-        if (format == "json") jsonSchema.fold(reader)(reader.schema).json(paths: _*)
-        else reader.option("header", "true").option("inferSchema", "false").option("multiLine", "true")
-          .option("escape", "\"").csv(paths: _*)
-      val old = base
-        .withColumn("__path", pathExpr)
+    val headered = chunk.collect { case (p, s, h) if s != 2 => (p, h) }
+    val (frames, failed) = existingBinFrames(spark, fs, cfg.outputRoot,
+      headered, format, jsonSchema, cfg.zip, temps)
+    failed.foreach(p => quarantine(fs, new HPath(s"${cfg.outputRoot}/$p")))
+    frames.foldLeft(preparedChunk) { (acc, stored) =>
+      val old = stored
         .withColumn(AvroRead.FileCol, lit("")) // sorts before any real file
         .withColumn(AvroRead.PosCol, monotonically_increasing_id())
       acc.unionByName(old, allowMissingColumns = true)
     }
+  }
+
+  /** Readers over a chunk's EXISTING bins — the ONE place the scanned-row
+    * → bin-path mapping is defined (shared by [[mergeChunk]] and
+    * [[Cleaner.verifyTopic]], which previously each built it): one
+    * DataFrame per distinct CSV header (one overall for JSON), each
+    * carrying a `__path` column re-derived from `input_file_name`. Zip
+    * bins stream into one dot-prefixed temp directory first (appended to
+    * `temps` for recursive post-use cleanup), with each bin's real header
+    * read off the unzipped file. Returns (frames, failed): `failed` = zip
+    * bins that would not stream or had no readable header — the caller
+    * decides what that means (restructure quarantines, the cleaner keeps
+    * the source file). `headered` must already exclude corrupt probe
+    * entries.
+    */
+  private[jobs] def existingBinFrames(
+      spark: SparkSession, fs: FileSystem, outputRoot: String,
+      headered: Seq[(String, String)], format: String,
+      jsonSchema: Option[StructType], zip: Boolean,
+      temps: scala.collection.mutable.Buffer[HPath])
+      : (Seq[DataFrame], Seq[String]) = {
+    val schemeRe = "^[a-zA-Z0-9+.\\-]+:/+"
+    val (scanRoot, suffix, avail, failed) =
+      if (!zip) (outputRoot, "", headered, Nil)
+      else {
+        val tempRoot = s"$outputRoot/.graft-unzip-${java.util.UUID.randomUUID()}"
+        temps += new HPath(tempRoot)
+        val unz = unzipBins(fs, outputRoot, tempRoot, headered.map(_._1),
+          wantHeader = format != "json")
+        (tempRoot, ".unz",
+          unz.collect { case (p, Some(h)) => (p, h) },
+          unz.collect { case (p, None) => p })
+      }
+    val rootNorm = fs.makeQualified(new HPath(scanRoot)).toUri.getPath
+      .stripSuffix("/") + "/"
+    val stripped = regexp_replace(
+      regexp_replace(input_file_name(), schemeRe, "/"),
+      "^" + java.util.regex.Pattern.quote(rootNorm), "")
+    val pathExpr = if (zip) regexp_replace(stripped, "\\.unz$", "") else stripped
+    val groups =
+      if (format == "json") Seq(avail.map(_._1)).filter(_.nonEmpty)
+      else avail.groupBy(_._2).values.map(_.map(_._1)).toSeq
+    val frames = groups.map { members =>
+      val paths = members.map(p => s"$scanRoot/$p$suffix")
+      val reader = spark.read
+      val base =
+        if (format == "json") jsonSchema.fold(reader)(reader.schema).json(paths: _*)
+        else reader.option("header", "true").option("inferSchema", "false")
+          .option("multiLine", "true").option("escape", "\"").csv(paths: _*)
+      base.withColumn("__path", pathExpr)
+    }
+    (frames, failed)
   }
 
   /** Stream a set of existing zip bins into `tempRoot`, mirroring their
@@ -575,7 +592,7 @@ object Restructure {
       // these) — apply the same quoting before comparing
       val header = outCols.map(c => csvQuote(dataColName(c))).mkString(",")
       val params = PathTemplate.fixedParams(dataSchema, timeCol, lit(topic),
-        cfg.extension, cfg.timeBinFormat) ++ Map("attempt" -> lit(""))
+        cfg.extension, cfg.timeBinFormat)
       val plainPathCol = PathTemplate.compile(template, params, Some(timeCol), Some(dataSchema),
         cfg.pathPlugins)
       // G8 bucket routing applies to dynamic topics exactly as to static ones
@@ -693,15 +710,21 @@ object Restructure {
           z
         } else raw
       try {
+        // 4 MB cap: unlucky quote parity in a corrupt/binary file would
+        // otherwise buffer the WHOLE file here (the probe runs this on
+        // every existing target) — past the cap the file is not a CSV
+        // header we could ever match, so treat it as unreadable
+        val cap = 4 * 1024 * 1024
         val buf = new java.io.ByteArrayOutputStream(256)
         var inQuotes = false
         var b = in.read()
-        while (b >= 0 && !(b == '\n' && !inQuotes)) {
+        while (b >= 0 && !(b == '\n' && !inQuotes) && buf.size < cap) {
           if (b == '"') inQuotes = !inQuotes
           buf.write(b)
           b = in.read()
         }
-        Some(new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8))
+        if (buf.size >= cap) None
+        else Some(new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8))
       } finally in.close()
     } catch { case _: Exception => None }
 

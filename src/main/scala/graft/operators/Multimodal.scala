@@ -122,10 +122,14 @@ object Multimodal {
       // fill bytes: FF may repeat before the marker type
       var j = i + 1
       while (j < b.length && (b(j) & 0xff) == 0xff) j += 1
-      if (j + 1 >= b.length) return None
+      if (j >= b.length) return None
       val m = b(j) & 0xff
       if (m >= 0xd0 && m <= 0xd9) { i = j + 1 } // RSTn/SOI/EOI: standalone
       else {
+        // the 2-byte length needs b(j+1) AND b(j+2): fill-byte runs can
+        // push j to the last byte, where the old j+1 bound still let
+        // be16 read one past the end
+        if (j + 2 >= b.length) return None
         val len = be16(b, j + 1)
         if (len < 2) return None
         val isSof = m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc

@@ -85,6 +85,11 @@ class MultimodalSpec extends SparkSpec {
     // a declared segment length < 2 is malformed: abort, don't loop
     val bad = jpeg.clone(); bad(4) = 0; bad(5) = 0
     assert(Multimodal.parseJpeg(bad) == None)
+    // fill-byte run ending at the buffer tail: the marker's length field
+    // would sit past the end — must return None, not read out of bounds
+    val tailFill = Array(0xff, 0xd8, 0xff, 0xff, 0xe0, 0x41).map(_.toByte)
+    assert(Multimodal.parseJpeg(tailFill) == None)
+    assert(Multimodal.parseJpeg(Array(0xff, 0xd8, 0xff, 0xff, 0xff, 0xff).map(_.toByte)) == None)
   }
 
   test("parseMp3: hand-written MPEG-1 Layer III header (128kbps/44.1kHz stereo)") {
@@ -180,14 +185,18 @@ class MultimodalSpec extends SparkSpec {
     } yield blob
     val mangled: Gen[Array[Byte]] = for {
       blob <- wellFormed
-      mode <- Gen.chooseNum(0, 2)
+      mode <- Gen.chooseNum(0, 3)
       at <- Gen.chooseNum(0, math.max(0, blob.length - 1))
       bit <- Gen.chooseNum(0, 7)
       keep <- Gen.chooseNum(0, blob.length)
+      ffRun <- Gen.chooseNum(1, 6)
     } yield mode match {
       case 0 => blob.take(keep)                                     // truncate
       case 1 => val c = blob.clone(); c(at) = (c(at) ^ (1 << bit)).toByte; c // bit-flip
-      case _ => blob.reverse                                        // garbage
+      case 2 => blob.reverse                                        // garbage
+      // FF fill-byte run spliced mid-blob then truncated: the JPEG marker
+      // walk's length field can land exactly at the buffer tail
+      case _ => (blob.take(at) ++ Array.fill(ffRun)(0xff.toByte)).take(math.max(2, keep))
     }
     val anyBytes = Gen.oneOf(body, wellFormed, mangled)
     val prop = Prop.forAll(anyBytes) { bytes =>
