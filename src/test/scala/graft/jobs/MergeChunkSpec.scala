@@ -145,6 +145,79 @@ class MergeChunkSpec extends SparkSpec {
     assert(!chunked.keySet.exists(_.contains("graft-unzip")))
   }
 
+  test("property: chunked ≡ single-collect across random corpus shapes and chunk sizes") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.scalacheck.rng.Seed
+    val gen = for {
+      nUsers1 <- Gen.chooseNum(2, 7)
+      extra <- Gen.chooseNum(0, 4)      // users appearing only in batch 2
+      chunkSize <- Gen.chooseNum(1, 4)  // vs nUsers1 existing bins
+      dedup <- Gen.oneOf(true, false)
+      hours <- Gen.chooseNum(1, 2)      // 1-2 time bins per user
+    } yield (nUsers1, extra, chunkSize, dedup, hours)
+    val prop = Prop.forAll(gen) { case (nUsers1, extra, chunkSize, dedup, hours) =>
+      def go(chunk: Int): Map[String, Seq[String]] = {
+        val work = Files.createTempDirectory("graft-chunk-prop")
+        val dir = work.resolve("in/topicA/partition=0")
+        Files.createDirectories(dir)
+        def rows(users: Seq[String], tag: String) = users.flatMap { u =>
+          (0 until hours).map(h => (u, s"$u-$tag-h$h"))
+        }
+        val users1 = (0 until nUsers1).map(i => s"u$i")
+        val users2 = (0 until nUsers1 + extra).map(i => s"u$i")
+        val b1 = rows(users1, "a") ++ rows(users1, "b") // "b" rows duplicate keys later
+        val b2 = rows(users2, "b") ++ rows(users2, "c")
+        writeAvro(dir, f"topicA+0+${0}%010d+${b1.size - 1}%010d.avro", b1, 1.6095816e9)
+        val cfg = RestructureJobConfig(
+          inputRoot = work.resolve("in").toString, outputRoot = work.resolve("out").toString,
+          dedup = dedup, mergeChunkBins = chunk)
+        Restructure.run(spark, cfg)
+        writeAvro(dir, f"topicA+0+${b1.size}%010d+${b1.size + b2.size - 1}%010d.avro",
+          b2, 1.6095816e9)
+        Restructure.run(spark, cfg)
+        binContents(work.resolve("out"), ".csv")
+      }
+      val chunked = go(chunkSize)
+      val single = go(1000000)
+      val ok = chunked == single
+      if (!ok) Console.err.println(
+        s"[chunkprop] users=$nUsers1+$extra chunk=$chunkSize dedup=$dedup hours=$hours:\n$chunked\nvs\n$single")
+      ok
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(6).withInitialSeed(Seed(1111L)), prop)
+    assert(res.passed, s"chunk-equivalence property failed: ${res.status}")
+  }
+
+  test("crash-between-chunks recovery: re-running the batch after a lost ledger is idempotent") {
+    // the chunked-commit safety argument rests on this: a crash after
+    // some chunks committed but BEFORE the ledger flush re-runs the WHOLE
+    // batch, and the append contract (existing rows join the merge and
+    // dedup keeps one copy) must converge to the same bins — simulated
+    // here by deleting the ledger after a chunked append and re-running
+    val work = Files.createTempDirectory("graft-chunk-crash")
+    val dir = work.resolve("in/topicA/partition=0")
+    Files.createDirectories(dir)
+    val users = (0 until 8).map(i => s"u$i")
+    writeAvro(dir, "topicA+0+0000000000+0000000015.avro",
+      users.flatMap(u => Seq(u -> s"$u-a", u -> s"$u-b")), 1.6095816e9)
+    val cfg = RestructureJobConfig(
+      inputRoot = work.resolve("in").toString, outputRoot = work.resolve("out").toString,
+      dedup = true, mergeChunkBins = 2)
+    Restructure.run(spark, cfg)
+    writeAvro(dir, "topicA+0+0000000016+0000000031.avro",
+      users.flatMap(u => Seq(u -> s"$u-b", u -> s"$u-c")), 1.6095816e9)
+    Restructure.run(spark, cfg) // chunked append (4 chunks)
+    val afterAppend = binContents(work.resolve("out"), ".csv")
+    // "crash": the ledger flush never happened — wipe it and re-run the
+    // same input state; every file re-extracts into the existing bins
+    Files.delete(work.resolve("out/_ledger.json"))
+    Restructure.run(spark, cfg)
+    val afterReplay = binContents(work.resolve("out"), ".csv")
+    assert(afterReplay == afterAppend,
+      s"replay diverged:\n$afterReplay\nvs\n$afterAppend")
+  }
+
   test("zip merge plans ONE scan per header group, not one per bin") {
     val work = Files.createTempDirectory("graft-chunk-plan")
     val dir = work.resolve("in/topicA/partition=0")
