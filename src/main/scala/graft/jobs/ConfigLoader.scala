@@ -258,6 +258,14 @@ object ConfigLoader {
           .filter(n => n.isNumber).map(_.asInt()))(v => Some(v).filter(_ >= 1)),
       minimumFileAgeMs = opt(root, "worker", "minimumFileAge")
         .filter(_.isNumber).map(_.asLong() * 1000).getOrElse(60000L),
+      // engine tuning knobs beyond the reference surface (documented in
+      // their case-class comments): the dynamic-schema shape cap and the
+      // merge-planning chunk size — the failure cure for the former names
+      // `worker.maxSchemaFingerprints`, so the YAML path must exist
+      maxSchemaFingerprints = opt(root, "worker", "maxSchemaFingerprints")
+        .filter(_.isNumber).map(_.asInt()).getOrElse(256),
+      mergeChunkBins = opt(root, "worker", "mergeChunkBins")
+        .filter(_.isNumber).map(_.asInt()).getOrElse(100000),
       // S9: close open-ended ranges from object tags (S3) / blob metadata
       // (Azure) — reference S3Config.endOffsetFromTags,
       // AzureConfig.endOffsetFromMetadata

@@ -28,6 +28,8 @@ class ConfigLoaderSpec extends AnyFunSuite {
       |worker:
       |  maxFilesPerTopic: 7
       |  minimumFileAge: 60
+      |  maxSchemaFingerprints: 32
+      |  mergeChunkBins: 5000
       |cleaner:
       |  enable: true
       |  age: 7
@@ -60,6 +62,8 @@ class ConfigLoaderSpec extends AnyFunSuite {
     assert(l.job.excludeFields == Set("key.projectId"))
     assert(l.job.maxFilesPerTopic.contains(7))
     assert(l.job.minimumFileAgeMs == 60000L)
+    assert(l.job.maxSchemaFingerprints == 32)
+    assert(l.job.mergeChunkBins == 5000)
     assert(l.job.pathTemplate == "${projectId}/${userId}/${topic}/${filename}")
     assert(!l.job.dedupEnabled("topic_a")) // per-topic override
     assert(l.job.dedupEnabled("topic_x"))  // global default
