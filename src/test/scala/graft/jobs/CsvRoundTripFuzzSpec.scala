@@ -60,13 +60,17 @@ class CsvRoundTripFuzzSpec extends SparkSpec {
       n2 <- Gen.chooseNum(1, 6)
       b1 <- Gen.listOfN(n1, field)
       b2 <- Gen.listOfN(n2, field)
-    } yield (b1, b2)
-    val prop = Prop.forAll(gen) { case (batch1, batch2) =>
+      chunked <- Gen.oneOf(true, false)
+    } yield (b1, b2, chunked)
+    val prop = Prop.forAll(gen) { case (batch1, batch2, chunked) =>
       val work = Files.createTempDirectory("graft-csvfuzz")
       val dir = work.resolve("in/notes/partition=0")
       Files.createDirectories(dir)
+      // half the cases force the chunked merge path (chunk size 1), so
+      // adversarial content also round-trips through the per-chunk readers
       val cfg = RestructureJobConfig(
-        inputRoot = work.resolve("in").toString, outputRoot = work.resolve("out").toString)
+        inputRoot = work.resolve("in").toString, outputRoot = work.resolve("out").toString,
+        mergeChunkBins = if (chunked) 1 else 100000)
       writeAvro(dir, f"notes+0+${0}%010d+${batch1.size - 1}%010d.avro", batch1, 0)
       Restructure.run(spark, cfg)
       def readBack(): Seq[String] = {
