@@ -175,26 +175,37 @@ object Bench {
         val script = java.nio.file.Paths.get("tools/oracle_bench.py")
         if (!java.nio.file.Files.exists(script)) "null"
         else {
-          val pb = new ProcessBuilder("python3", script.toString, sfDir, tmp.toString)
-          pb.redirectErrorStream(false)
-          val proc = pb.start()
-          proc.getOutputStream.close()
-          if (!proc.waitFor(20, java.util.concurrent.TimeUnit.MINUTES)) {
-            proc.destroyForcibly()
-            Console.err.println("[bench] oracle sweep timed out after 20 min")
-            "null"
-          } else {
-            val out = new String(proc.getInputStream.readAllBytes(),
-              java.nio.charset.StandardCharsets.UTF_8).trim
-            if (proc.exitValue() == 0 && out.startsWith("{") && out.endsWith("}")) out
-            else {
-              // surface WHY "oracle": null (missing duckdb? SQL error?)
-              val err = new String(proc.getErrorStream.readAllBytes(),
-                java.nio.charset.StandardCharsets.UTF_8)
-              Console.err.println(s"[bench] oracle sweep failed (rc=${proc.exitValue()}): " +
-                err.linesIterator.take(5).mkString(" | "))
+          // child output goes to FILES, not pipes: a chatty duckdb filling
+          // a 64KB pipe while we sit in waitFor would deadlock the child
+          // and misread as a 20-minute timeout
+          val outFile = java.nio.file.Files.createTempFile("graft-oracle-out", ".txt")
+          val errFile = java.nio.file.Files.createTempFile("graft-oracle-err", ".txt")
+          try {
+            val pb = new ProcessBuilder("python3", script.toString, sfDir, tmp.toString)
+            pb.redirectOutput(outFile.toFile)
+            pb.redirectError(errFile.toFile)
+            val proc = pb.start()
+            proc.getOutputStream.close()
+            if (!proc.waitFor(20, java.util.concurrent.TimeUnit.MINUTES)) {
+              proc.destroyForcibly()
+              Console.err.println("[bench] oracle sweep timed out after 20 min")
               "null"
+            } else {
+              val out = new String(java.nio.file.Files.readAllBytes(outFile),
+                java.nio.charset.StandardCharsets.UTF_8).trim
+              if (proc.exitValue() == 0 && out.startsWith("{") && out.endsWith("}")) out
+              else {
+                // surface WHY "oracle": null (missing duckdb? SQL error?)
+                val err = new String(java.nio.file.Files.readAllBytes(errFile),
+                  java.nio.charset.StandardCharsets.UTF_8)
+                Console.err.println(s"[bench] oracle sweep failed (rc=${proc.exitValue()}): " +
+                  err.linesIterator.take(5).mkString(" | "))
+                "null"
+              }
             }
+          } finally {
+            java.nio.file.Files.deleteIfExists(outFile)
+            java.nio.file.Files.deleteIfExists(errFile)
           }
         }
       } finally java.nio.file.Files.deleteIfExists(tmp)

@@ -221,6 +221,11 @@ object Cleaner {
             case None => countMissing(withTime, counts)
           } finally temps.foreach(t => outFs.delete(t, true))
         } else {
+          // chunk-consumption loop mirrors Restructure.mergeCommitBins
+          // (same repartition→toLocalIterator→grouped discipline; only the
+          // probe arity and the per-chunk action differ) — change both in
+          // lockstep; the scanned-row→path mapping itself is shared
+          // (existingBinFrames)
           import scala.jdk.CollectionConverters._
           val nParts = math.max(1, math.ceil(nExisting.toDouble / chunkSize).toInt)
           val chunks = probedDf.repartition(nParts, col("__p"))

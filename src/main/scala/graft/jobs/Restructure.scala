@@ -364,7 +364,8 @@ object Restructure {
         // giant re-run: fetch ≤chunkSize probe rows at a time (cached
         // partitions sized ~chunkSize, so toLocalIterator holds one);
         // each chunk re-scans the persisted batch for its bins' rows —
-        // N-chunk re-runs trade N cached scans for O(chunk) driver heap
+        // N-chunk re-runs trade N cached scans for O(chunk) driver heap.
+        // Cleaner.verifyTopic mirrors this loop — change both in lockstep.
         import scala.jdk.CollectionConverters._
         val nParts = math.max(1, math.ceil(nExisting.toDouble / chunkSize).toInt)
         val written = Seq.newBuilder[String]
@@ -442,7 +443,6 @@ object Restructure {
       jsonSchema: Option[StructType], zip: Boolean,
       temps: scala.collection.mutable.Buffer[HPath])
       : (Seq[DataFrame], Seq[String]) = {
-    val schemeRe = "^[a-zA-Z0-9+.\\-]+:/+"
     val (scanRoot, suffix, avail, failed) =
       if (!zip) (outputRoot, "", headered, Nil)
       else {
@@ -456,8 +456,19 @@ object Restructure {
       }
     val rootNorm = fs.makeQualified(new HPath(scanRoot)).toUri.getPath
       .stripSuffix("/") + "/"
-    val stripped = regexp_replace(
-      regexp_replace(input_file_name(), schemeRe, "/"),
+    // input_file_name returns a percent-ENCODED URI (space → %20, literal
+    // % → %25; '+' stays raw — PathCharsSpec pins this) — decode through
+    // URI.getPath, which percent-decodes WITHOUT form semantics (Spark's
+    // url_decode would corrupt '+' to space), before stripping the
+    // unencoded root prefix. Without the decode, any bin path carrying a
+    // URI-escapable character (a `value:` template param with a space, a
+    // plugin attribute with '%') re-bins its EXISTING rows under the
+    // encoded name on every append — silent duplication — and the
+    // cleaner counts those rows missing forever.
+    val decodeUri = udf((u: String) =>
+      if (u == null) null
+      else try new java.net.URI(u).getPath catch { case _: Exception => u })
+    val stripped = regexp_replace(decodeUri(input_file_name()),
       "^" + java.util.regex.Pattern.quote(rootNorm), "")
     val pathExpr = if (zip) regexp_replace(stripped, "\\.unz$", "") else stripped
     val groups =
@@ -710,11 +721,15 @@ object Restructure {
           z
         } else raw
       try {
-        // 4 MB cap: unlucky quote parity in a corrupt/binary file would
+        // 64 MB cap: unlucky quote parity in a corrupt/binary file would
         // otherwise buffer the WHOLE file here (the probe runs this on
-        // every existing target) — past the cap the file is not a CSV
-        // header we could ever match, so treat it as unreadable
-        val cap = 4 * 1024 * 1024
+        // every existing target). Past the cap the file reads as
+        // unreadable → quarantined — the deliberate trade: a LEGITIMATE
+        // >64 MB single header row (millions of map-key columns; far past
+        // anything the dynamic-shape pipeline produces under its caps)
+        // would re-quarantine each run, while an uncapped read lets one
+        // corrupt multi-GB object OOM every probe task that touches it.
+        val cap = 64 * 1024 * 1024
         val buf = new java.io.ByteArrayOutputStream(256)
         var inQuotes = false
         var b = in.read()

@@ -224,14 +224,16 @@ object Similarity {
         threshold, idCol, vecCol, maxCellSize)
       connectedComponents(pairs, vs.select(col(idCol)), "vec_a", "vec_b", idCol)
     }
-    // threshold ≥ 1 would exclude even exact copies (float cosine of an
-    // identical pair is 1 ± ulp) — run direct, the collapse can't apply.
-    // Below 1 the collapse stays exact: an identical pair's cosine is
-    // d/(√d·√d), within ~1e-15 of 1, so even near-exact thresholds like
-    // 0.999 keep identical vectors in one cluster — precisely the regime
-    // where m identical vectors would otherwise blow an IVF cell up to
-    // m²/2 edges, so the guard must stay armed there.
-    if (threshold >= 1.0) return direct(vectors)
+    // threshold within 1e-12 of 1 (or above) runs direct: an identical
+    // pair's computed cosine is d/(√d·√d) = 1 ± ~1e-15 of float error, so
+    // inside that band the strict `> threshold` filter may or may not
+    // keep the pair and the collapse (which merges identical vectors
+    // unconditionally) could diverge from the direct computation. Below
+    // the band the collapse is exact, and it must stay ARMED there —
+    // near-exact thresholds like 0.999 are precisely the regime where m
+    // identical vectors would otherwise blow an IVF cell up to m²/2
+    // edges.
+    if (threshold >= 1.0 - 1e-12) return direct(vectors)
     val (keyed, maxGroup) = collapseProbe(
       vectors.select(col(idCol), col(vecCol)),
       md5(col(vecCol).cast(org.apache.spark.sql.types.StringType)), idCol, "__vkey")
