@@ -161,6 +161,33 @@ class CleanerSpec extends SparkSpec {
     assert(Files.exists(badClosed), "failed topic's files must stay put")
   }
 
+  test("cleaner verifies JSON-format output (typed leaf lookup, inference read)") {
+    // the JSON verification branch resolves the stored time field as a
+    // nested leaf over inferred JSON — previously untested; chunked too
+    for (chunk <- Seq(1000000, 1)) {
+      val (in, out, cfg0) = setup()
+      val cfg = cfg0.copy(format = "json", mergeChunkBins = chunk)
+      Restructure.run(spark, cfg)
+      val result = Cleaner.run(spark, cfg, ageMs = 0)
+      assert(result.rolledBack.isEmpty, s"chunk=$chunk: json bins unreadable during verification")
+      assert(result.deleted.map(p => Paths.get(p).getFileName.toString) ==
+        Seq("application_server_status+1+0000000018+0000000020.avro"), s"chunk=$chunk")
+      assert(!Files.exists(in.resolve(closedFile)) && Files.exists(in.resolve(openFile)))
+      // and a json bin deleted out from under the cleaner rolls back
+      import scala.jdk.CollectionConverters._
+      val (in2, out2, cfg2a) = setup()
+      val cfg2 = cfg2a.copy(format = "json", mergeChunkBins = chunk)
+      Restructure.run(spark, cfg2)
+      Files.walk(out2).iterator().asScala
+        .filter(p => p.toString.endsWith(".json") &&
+          !p.getFileName.toString.startsWith("schema-") &&
+          !p.getFileName.toString.startsWith("_")).foreach(Files.delete)
+      val r2 = Cleaner.run(spark, cfg2, ageMs = 0)
+      assert(r2.deleted.isEmpty && r2.rolledBack.nonEmpty, s"chunk=$chunk: $r2")
+      assert(Files.exists(in2.resolve(closedFile)))
+    }
+  }
+
   test("cleaner verifies through zip bins (decompressed read)") {
     val (in, _, cfg0) = setup()
     val cfg = cfg0.copy(zip = true)
