@@ -161,6 +161,15 @@ class CleanerSpec extends SparkSpec {
     assert(Files.exists(badClosed), "failed topic's files must stay put")
   }
 
+  test("cleaner verifies gzip-compressed bins (header read through the decompressor)") {
+    val (in, _, cfg0) = setup()
+    val cfg = cfg0.copy(gzip = true)
+    Restructure.run(spark, cfg)
+    val result = Cleaner.run(spark, cfg, ageMs = 0)
+    assert(result.rolledBack.isEmpty && result.deleted.nonEmpty)
+    assert(!Files.exists(in.resolve(closedFile)))
+  }
+
   test("cleaner verifies JSON-format output (typed leaf lookup, inference read)") {
     // the JSON verification branch resolves the stored time field as a
     // nested leaf over inferred JSON — previously untested; chunked too

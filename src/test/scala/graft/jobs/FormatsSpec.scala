@@ -210,6 +210,35 @@ class FormatsSpec extends SparkSpec {
     assert(Files.readAllLines(bin).get(0).startsWith("{\"key\":"))
   }
 
+  test("JSON + zip: single-entry .json.zip bins, append merges through the unzip path") {
+    val (in, out) = setup()
+    val cfg = RestructureJobConfig(inputRoot = in.toString, outputRoot = out.toString,
+      format = "json", zip = true)
+    Restructure.run(spark, cfg)
+    val bin = out.resolve(s"$binDir/20200128_1400.json.zip")
+    assert(Files.exists(bin))
+    def readLines(): Seq[String] = {
+      val zin = new java.util.zip.ZipInputStream(Files.newInputStream(bin))
+      val entry = zin.getNextEntry
+      assert(entry.getName == "20200128_1400.json")
+      val content = new String(zin.readAllBytes(), "UTF-8")
+      assert(zin.getNextEntry == null)
+      zin.close()
+      content.linesIterator.toSeq
+    }
+    val before = readLines()
+    assert(before.nonEmpty && before.head.startsWith("{\"key\":"))
+    val in2 = Files.createTempDirectory("graft-fmt-jsonzip2")
+    val f2 = "application_server_status/partition=1/application_server_status+1+0000000021.avro"
+    Files.createDirectories(in2.resolve(f2).getParent)
+    Files.copy(fixtures.resolve(f2), in2.resolve(f2))
+    Restructure.run(spark, cfg.copy(inputRoot = in2.toString,
+      ledgerPath = Some(out.resolve("_ledger2.json").toString)))
+    val after = readLines()
+    assert(after.size > before.size, s"json+zip merge lost rows: ${before.size} -> ${after.size}")
+    assert(after.forall(_.startsWith("{")))
+  }
+
   test("JSON + path plugin: enrichment columns route the path but never reach records") {
     import org.apache.spark.sql.functions.col
     import graft.paths.{MpDimensionSource, MpPathFormatterPlugin}
