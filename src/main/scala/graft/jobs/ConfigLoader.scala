@@ -157,7 +157,7 @@ object ConfigLoader {
       env.get(envKey).filter(_.nonEmpty).orElse(str(root, path: _*).filter(_.nonEmpty))
 
     def resourceRoot(section: String, innerPath: String): (String, Map[String, String]) = {
-      val prefix = section.toUpperCase + "_" // SOURCE_ / TARGET_
+      val prefix = section.toUpperCase(java.util.Locale.ROOT) + "_" // SOURCE_ / TARGET_
       str(root, section, "type").getOrElse("local") match {
         case "s3" =>
           val bucket = envOrYaml(s"${prefix}S3_BUCKET", section, "s3", "bucket").getOrElse("")
@@ -189,9 +189,9 @@ object ConfigLoader {
 
     // --- format / compression / dedup --------------------------------
     val format = cli.format.orElse(str(root, "format", "type"))
-      .map(_.toLowerCase).getOrElse("csv")
+      .map(_.toLowerCase(java.util.Locale.ROOT)).getOrElse("csv")
     val compressionType = cli.compression
-      .orElse(str(root, "compression", "type")).map(_.toLowerCase)
+      .orElse(str(root, "compression", "type")).map(_.toLowerCase(java.util.Locale.ROOT))
     val gzip = compressionType.contains("gzip")
     val zip = compressionType.contains("zip")
     val dedup = cli.deduplicate.getOrElse(

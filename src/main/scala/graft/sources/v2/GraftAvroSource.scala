@@ -70,7 +70,7 @@ private[graft] object GraftAvroSource {
   val UnionModeOption = "unionmode"
 
   def typedUnions(options: CaseInsensitiveStringMap): Boolean =
-    Option(options.get(UnionModeOption)).map(_.toLowerCase) match {
+    Option(options.get(UnionModeOption)).map(_.toLowerCase(java.util.Locale.ROOT)) match {
       case None | Some("string") => false
       case Some("typed") => true
       case Some(other) =>
