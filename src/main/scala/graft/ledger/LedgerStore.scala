@@ -21,10 +21,19 @@ trait LedgerStore extends AutoCloseable {
   override def close(): Unit = ()
 }
 
+/** A RESP `-ERR ...` reply: the CONNECTION is healthy, the server refused
+  * the command (READONLY during failover, OOM, wrong type). Distinct from
+  * IOException so the client's reconnect-and-resend path never re-issues a
+  * command the server actively rejected.
+  */
+final class RespErrorException(msg: String) extends RuntimeException(msg)
+
 /** Minimal RESP2 client on a JDK socket (GET / SET [NX PX] / DEL are the
   * only commands the ledger and lock schemas need — no client dependency).
   * One connection, synchronized commands, one transparent reconnect per
-  * command on a broken socket.
+  * command on a broken socket — except `SET NX` (see [[setNxPx]]): the
+  * non-idempotent acquire resolves a lost reply by reading the key back
+  * instead of blindly resending.
   */
 final class RespLedgerStore(host: String, port: Int) extends LedgerStore {
 
@@ -67,7 +76,7 @@ final class RespLedgerStore(host: String, port: Int) extends LedgerStore {
     val line = readLine()
     line.charAt(0) match {
       case '+' => Right(Some(line.substring(1)))
-      case '-' => throw new IOException(s"RESP error reply: ${line.substring(1)}")
+      case '-' => throw new RespErrorException(s"RESP error reply: ${line.substring(1)}")
       case ':' => Left(line.substring(1).toLong)
       case '$' =>
         val n = line.substring(1).toInt
@@ -101,9 +110,30 @@ final class RespLedgerStore(host: String, port: Int) extends LedgerStore {
   override def set(key: String, value: String): Unit =
     command("SET", key, value)
 
-  override def setNxPx(key: String, value: String, ttlMs: Long): Boolean =
-    // nil reply = not set (already held); +OK = acquired
-    command("SET", key, value, "NX", "PX", ttlMs.toString).exists(_.isDefined)
+  override def setNxPx(key: String, value: String, ttlMs: Long): Boolean = synchronized {
+    // nil reply = not set (already held); +OK = acquired. NOT routed
+    // through command(): SET NX is non-idempotent — if the reply is lost
+    // (socket timeout after the server applied the SET), blindly resending
+    // returns nil for OUR OWN lock and the caller walks away from a key it
+    // holds until the 24 h TTL expires. Resolve a connection failure by
+    // reading the key back: our value ⇒ the first SET landed.
+    def attempt(): Boolean = {
+      sendCommand(Seq("SET", key, value, "NX", "PX", ttlMs.toString))
+      readReply().exists(_.isDefined)
+    }
+    if (socket == null || socket.isClosed) connect()
+    try attempt()
+    catch {
+      case _: IOException =>
+        try socket.close() catch { case _: Exception => }
+        connect()
+        sendCommand(Seq("GET", key))
+        readReply() match {
+          case Right(Some(v)) => v == value // ours ⇒ acquired by the lost reply
+          case _ => attempt() // key absent: the first SET never applied
+        }
+    }
+  }
 
   override def del(key: String): Unit =
     command("DEL", key)

@@ -29,6 +29,13 @@ object SchemaMerge {
     else (a.getType, b.getType) match {
       case (Schema.Type.RECORD, Schema.Type.RECORD) => mergeRecords(a, b)
       case (Schema.Type.UNION, _) | (_, Schema.Type.UNION) => mergeUnions(a, b)
+      case (Schema.Type.ENUM, Schema.Type.ENUM) if a.getFullName == b.getFullName =>
+        // evolved symbol sets union (a's order first): a reader enum
+        // missing a writer's symbol fails Avro resolution, so the merged
+        // reader must carry every producer's symbols
+        val symbols = (a.getEnumSymbols.asScala ++ b.getEnumSymbols.asScala).distinct
+        if (symbols.size == a.getEnumSymbols.size) a
+        else Schema.createEnum(a.getName, a.getDoc, a.getNamespace, symbols.asJava)
       case (Schema.Type.MAP, Schema.Type.MAP) =>
         Schema.createMap(merge(a.getValueType, b.getValueType))
       case (Schema.Type.ARRAY, Schema.Type.ARRAY) =>
@@ -39,11 +46,20 @@ object SchemaMerge {
   private def branches(s: Schema): Seq[Schema] =
     if (s.getType == Schema.Type.UNION) s.getTypes.asScala.toSeq else Seq(s)
 
+  // Avro permits SEVERAL named branches of one kind in a union
+  // (union[enum A, enum B] is legal) distinguished by full name, so NAMED
+  // types (record/enum/fixed) must match on full name — matching enum by
+  // type alone would collapse `enum Size` into `enum Color`, drop Size
+  // from the merged reader union, and fail schema resolution for every
+  // file of the Size-writing producer
+  private val namedTypes: Set[Schema.Type] =
+    Set(Schema.Type.RECORD, Schema.Type.ENUM, Schema.Type.FIXED)
+
   private def mergeUnions(a: Schema, b: Schema): Schema = {
     val merged = scala.collection.mutable.ArrayBuffer.from(branches(a))
     branches(b).foreach { bb =>
       val i = merged.indexWhere(ab => ab.getType == bb.getType &&
-        (ab.getType != Schema.Type.RECORD || ab.getFullName == bb.getFullName))
+        (!namedTypes(ab.getType) || ab.getFullName == bb.getFullName))
       if (i < 0) merged += bb
       else merged(i) = merge(merged(i), bb)
     }

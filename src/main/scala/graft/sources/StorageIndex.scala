@@ -65,6 +65,20 @@ final class StorageIndex(
   /** Marker-based incremental updates performed. */
   def incrementalSyncs: Long = synchronized(incrementalSyncCount)
 
+  /** Ordering key for the startAfter-marker discipline. Raw lexicographic
+    * names break on UNPADDED offsets ("t+0+1000.avro" < "t+0+999.avro"),
+    * so every file added after a digit-length rollover would be invisible
+    * to incremental sync until the next full re-list; order by the PARSED
+    * (topic, partition, fromOffset) with the name as the final tiebreak,
+    * and sort unparseable names after all parseable ones.
+    */
+  private def fileKey(name: String): (Int, String, Int, Long, String) =
+    TopicFiles.parseFilename(name) match {
+      case Some(r) => (0, r.topic, r.partition, r.from, name)
+      case None => (1, name, 0, 0L, name)
+    }
+  private val keyOrd = Ordering.Tuple5[Int, String, Int, Long, String]
+
   private def fullSync(now: Long): Unit = {
     val rootPath = new Path(root)
     val buf = scala.collection.mutable.ArrayBuffer.empty[FileStatus]
@@ -76,7 +90,7 @@ final class StorageIndex(
       }
     }
     dirs = buf.toVector.groupBy(_.getPath.getParent)
-      .map { case (d, fss) => d -> fss.sortBy(_.getPath.getName) }
+      .map { case (d, fss) => d -> fss.sortBy(st => fileKey(st.getPath.getName))(keyOrd) }
     lastFullSync = now
     lastEmptySync = now
     fullSyncCount += 1
@@ -87,11 +101,13 @@ final class StorageIndex(
     // known non-empty leaf dirs: merge entries past the startAfter marker
     dirs = dirs.map {
       case (dir, files) if files.nonEmpty =>
-        val marker = files.last.getPath.getName
+        val marker = fileKey(files.last.getPath.getName)
         val fresh =
-          try fs.listStatus(dir).toVector.filter(st => isAvro(st) && st.getPath.getName > marker)
+          try fs.listStatus(dir).toVector.filter(st =>
+            isAvro(st) && keyOrd.gt(fileKey(st.getPath.getName), marker))
           catch { case _: java.io.FileNotFoundException => Vector.empty }
-        dir -> (if (fresh.isEmpty) files else files ++ fresh.sortBy(_.getPath.getName))
+        dir -> (if (fresh.isEmpty) files
+                else files ++ fresh.sortBy(st => fileKey(st.getPath.getName))(keyOrd))
       case kv => kv
     }
     if (rescanEmpty) {
@@ -113,7 +129,7 @@ final class StorageIndex(
           if (!known) {
             val avro = entries.filter(isAvro)
             if (avro.nonEmpty || dirs.contains(d) || entries.exists(!_.isDirectory))
-              found += d -> avro.sortBy(_.getPath.getName)
+              found += d -> avro.sortBy(st => fileKey(st.getPath.getName))(keyOrd)
           }
         }
         dirs = dirs ++ found

@@ -212,6 +212,76 @@ private[v2] class GraftAvroScan(required: StructType, options: CaseInsensitiveSt
   }
 }
 
+/** Decode-side pruning: restrict the reader schema to the REQUIRED
+  * Catalyst shape so Avro's resolving decoder SKIPS the bytes of
+  * unrequested writer fields instead of materializing them — a scan
+  * selecting (key.userId, value.time) from records with large payload
+  * arrays never allocates the payloads. Conservative by construction:
+  *
+  *  - prunes records (through nullable `[null, X]` unions, arrays, maps)
+  *    only where the Catalyst type is the matching shape; multi-branch
+  *    unions and stringified branches keep their full schema;
+  *  - bails out to the FULL reader schema when any named type (record/
+  *    enum/fixed) appears more than once in the tree — two prune sites
+  *    could then emit conflicting definitions of one name — or when the
+  *    tree is recursive, or when shapes fail to align.
+  */
+private[sources] object AvroPrune {
+  import scala.jdk.CollectionConverters._
+
+  private def namesUnique(root: Schema): Boolean = {
+    val counts = scala.collection.mutable.Map.empty[String, Int]
+    val visiting = scala.collection.mutable.Set.empty[String]
+    var recursive = false
+    def walk(s: Schema): Unit = s.getType match {
+      case Schema.Type.RECORD =>
+        counts(s.getFullName) = counts.getOrElse(s.getFullName, 0) + 1
+        if (!visiting.add(s.getFullName)) { recursive = true }
+        else {
+          s.getFields.asScala.foreach(f => walk(f.schema))
+          visiting.remove(s.getFullName)
+        }
+      case Schema.Type.UNION => s.getTypes.asScala.foreach(walk)
+      case Schema.Type.ARRAY => walk(s.getElementType)
+      case Schema.Type.MAP => walk(s.getValueType)
+      case Schema.Type.ENUM | Schema.Type.FIXED =>
+        counts(s.getFullName) = counts.getOrElse(s.getFullName, 0) + 1
+      case _ => ()
+    }
+    walk(root)
+    !recursive && counts.values.forall(_ <= 1)
+  }
+
+  def prune(avro: Schema, dt: StructType): Schema = {
+    if (!namesUnique(avro)) return avro
+    def go(a: Schema, d: DataType): Schema = (a.getType, d) match {
+      case (Schema.Type.RECORD, st: StructType) =>
+        val kept = st.fields.toSeq.map { f =>
+          val af = a.getField(f.name)
+          if (af == null) throw new IllegalStateException(s"field ${f.name} not in ${a.getFullName}")
+          new Schema.Field(af.name, go(af.schema, f.dataType), af.doc, af.defaultVal())
+        }
+        Schema.createRecord(a.getName, a.getDoc, a.getNamespace, a.isError, kept.asJava)
+      case (Schema.Type.UNION, _) =>
+        val bs = a.getTypes.asScala.toSeq
+        if (bs.size == 2 && bs.exists(_.getType == Schema.Type.NULL)) {
+          val nn = bs.find(_.getType != Schema.Type.NULL).get
+          val p = go(nn, d)
+          if (p eq nn) a
+          else Schema.createUnion(Seq(Schema.create(Schema.Type.NULL), p).asJava)
+        } else a // multi-branch: decoded/stringified whole, keep all branches
+      case (Schema.Type.ARRAY, at: ArrayType) =>
+        val p = go(a.getElementType, at.elementType)
+        if (p eq a.getElementType) a else Schema.createArray(p)
+      case (Schema.Type.MAP, mt: MapType) =>
+        val p = go(a.getValueType, mt.valueType)
+        if (p eq a.getValueType) a else Schema.createMap(p)
+      case _ => a
+    }
+    try go(avro, dt) catch { case _: Exception => avro }
+  }
+}
+
 /** One byte range of one container file: blocks whose sync boundary falls
   * in `[start, end)` belong to this slice (the standard Hadoop split
   * contract — every block to exactly one slice). `(0, Long.MaxValue)` is
@@ -259,13 +329,19 @@ private[v2] class GraftAvroPartitionReader(
 
   private val wantFile = required.fieldNames.contains(AvroRead.FileCol)
   private val wantPos = required.fieldNames.contains(AvroRead.PosCol)
-  // data fields in required order, resolved to reader-schema positions;
+  // decode against the PRUNED reader schema (AvroPrune): Avro's resolving
+  // decoder then SKIPS unrequested writer fields' bytes instead of
+  // materializing them — column pruning reaches the decode itself
+  private val decodeSchema: Schema = AvroPrune.prune(readerSchema,
+    StructType(required.fields.filterNot(f =>
+      f.name == AvroRead.FileCol || f.name == AvroRead.PosCol)))
+  // data fields in required order, resolved to DECODE-schema positions;
   // the required DataType travels with each field so NESTED pruning prunes
-  // the decode too (a required struct may carry fewer fields than avro has)
+  // the conversion too (a required struct may carry fewer fields than avro has)
   private val dataFields: Array[(Int, Schema, DataType, Int)] = {
     required.fields.zipWithIndex.collect {
       case (f, out) if f.name != AvroRead.FileCol && f.name != AvroRead.PosCol =>
-        val avroField = readerSchema.getField(f.name)
+        val avroField = decodeSchema.getField(f.name)
         require(avroField != null, s"field ${f.name} missing from reader schema")
         (avroField.pos(), avroField.schema(), f.dataType, out)
     }
@@ -297,7 +373,7 @@ private[v2] class GraftAvroPartitionReader(
     val slice = slices(sliceIdx)
     val in = new org.apache.avro.mapred.FsInput(new org.apache.hadoop.fs.Path(slice.path), conf)
     reader = DataFileReader.openReader(in,
-      new GenericDatumReader[GenericRecord](null, readerSchema))
+      new GenericDatumReader[GenericRecord](null, decodeSchema))
       .asInstanceOf[DataFileReader[GenericRecord]]
     val base = new org.apache.hadoop.fs.Path(slice.path).getName
     fname = UTF8String.fromString(base)

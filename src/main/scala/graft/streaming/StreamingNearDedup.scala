@@ -84,17 +84,19 @@ object StreamingNearDedup {
           kept.join(dupIds, Seq(idCol), "left_anti")
       }
 
-      // 4. idempotent append: replays of a micro-batch overwrite their own
-      // partition instead of double-appending. Coalesced: a micro-batch's
-      // survivors are small, and at default shuffle width each batch would
-      // otherwise add O(partitions) tiny files that every later probe must
-      // list and open (retention mode never merges, so files-per-batch is
-      // the bound there)
-      survivors.coalesce(math.max(1, spark.sparkContext.defaultParallelism / 8))
+      // 4. materialize ONCE (eager local checkpoint), then write the
+      // checkpointed rows — write-then-checkpoint would execute the whole
+      // history-probe plan twice, doubling the dominant per-batch cost.
+      // The append stays idempotent: replays of a micro-batch overwrite
+      // their own partition instead of double-appending. Coalesced: a
+      // micro-batch's survivors are small, and at default shuffle width
+      // each batch would otherwise add O(partitions) tiny files that every
+      // later probe must list and open (retention mode never merges, so
+      // files-per-batch is the bound there)
+      val out = survivors.localCheckpoint(true)
+      out.coalesce(math.max(1, spark.sparkContext.defaultParallelism / 8))
         .write.mode("overwrite")
         .parquet(s"$historyDir/batch=$partitionKey")
-      // materialize before releasing the caches the plan reads from
-      val out = survivors.localCheckpoint(true)
       // 5. periodic history compaction: without it the partition count (and
       // with it every later batch's probe-scan file count) grows one dir +
       // O(shuffle partitions) files PER BATCH, forever
@@ -123,6 +125,7 @@ object StreamingNearDedup {
     val spark = batch.sparkSession
     val rows = batch.select(col(idCol), col(vecCol))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var kept: DataFrame = null
     try {
       // in-batch: exact pairwise over the (small, broadcastable) batch;
       // min id per duplicate cluster survives, transitively
@@ -130,7 +133,7 @@ object StreamingNearDedup {
         .filter(col("history_id") < col("batch_id"))
       val clusters = Similarity.connectedComponents(
         inPairs, rows.select(col(idCol)), "history_id", "batch_id", idCol)
-      val kept = rows.join(
+      kept = rows.join(
         clusters.filter(col(idCol) === col("cluster")).select(col(idCol)),
         Seq(idCol), "left_semi")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -142,15 +145,21 @@ object StreamingNearDedup {
             .select(col("batch_id").as(idCol)).distinct()
           kept.join(dupIds, Seq(idCol), "left_anti")
       }
-      survivors.coalesce(math.max(1, spark.sparkContext.defaultParallelism / 8))
-        .write.mode("overwrite").parquet(s"$historyDir/batch=$partitionKey")
+      // checkpoint-then-write: one execution of the probe plan (see the
+      // text path's comment)
       val out = survivors.localCheckpoint(true)
-      kept.unpersist(false)
+      out.coalesce(math.max(1, spark.sparkContext.defaultParallelism / 8))
+        .write.mode("overwrite").parquet(s"$historyDir/batch=$partitionKey")
       if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
         compactHistory(spark, historyDir, epoch, upToBatchId = batchId - 2,
           ttlBatches = ttlBatches)
       out
-    } finally rows.unpersist(false)
+    } finally {
+      // a failed probe/write must release the cache too: streaming retries
+      // the batch and would otherwise stack a fresh copy per attempt
+      if (kept != null) kept.unpersist(false)
+      rows.unpersist(false)
+    }
   }
 
   /** Merge finalized history partitions of `epoch` into one consolidated

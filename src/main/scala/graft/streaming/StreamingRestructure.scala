@@ -19,8 +19,14 @@ import graft.sources.AvroRead
   *    one-shot mode);
   *  - NO watermark on the restructure path — late records are never
   *    dropped, they land in their (old) time bin, `unknown-time` if absent;
-  *  - exactly-once from the checkpoint's file-source log (the offset-ledger
-  *    analog); bins are merge-rewritten idempotently.
+  *  - idempotent replay from a committed-batch marker: foreachBatch is
+  *    at-least-once (a crash replays the last batch), and the bin writer
+  *    APPENDS — without the marker every replayed record would land
+  *    twice whenever dedup is off. The marker (last committed batchId,
+  *    stored next to the checkpoint) makes replays of already-committed
+  *    batches no-ops; the residual window is a crash BETWEEN the bin
+  *    commit and the marker write, closed fully by `deduplication.enable`
+  *    (replayed rows then dedup against the bin's existing copies).
   */
 object StreamingRestructure {
 
@@ -38,30 +44,62 @@ object StreamingRestructure {
       .outputMode("append")
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        processBatch(spark, cfg, topic, batch, dataSchema, pathCol, batchId)
+        processBatch(spark, cfg, topic, batch, dataSchema, pathCol, batchId,
+          Some(checkpoint))
         ()
       }
       .start()
   }
 
+  // committed-batch marker, scoped to the QUERY (the checkpoint location
+  // defines batchId numbering); written via temp + atomic rename
+  private def markerPath(checkpoint: String): HPath =
+    new HPath(s"$checkpoint/graft-committed-batch")
+
+  private[graft] def lastCommitted(spark: SparkSession, checkpoint: String): Long = {
+    val p = markerPath(checkpoint)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) -1L
+    else try {
+      val in = fs.open(p)
+      try new String(in.readAllBytes(), "UTF-8").trim.toLong finally in.close()
+    } catch { case _: Exception => -1L }
+  }
+
+  private def writeMarker(spark: SparkSession, checkpoint: String, batchId: Long): Unit = {
+    val p = markerPath(checkpoint)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new HPath(p.getParent, s".${p.getName}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    fs.rename(tmp, p)
+  }
+
   /** One micro-batch: stamp provenance (batch id ↔ source file, row pos),
     * then reuse the batch bin writer (merge-with-existing, dedup, one file
-    * per bin, sidecar-free).
+    * per bin, sidecar-free). A batchId at or below the committed marker is
+    * a foreachBatch replay of work already on disk — skipped.
     */
   private[graft] def processBatch(
       spark: SparkSession, cfg: RestructureJobConfig, topic: String,
-      batch: DataFrame, dataSchema: StructType, pathCol: Column, batchId: Long): Seq[String] = {
+      batch: DataFrame, dataSchema: StructType, pathCol: Column, batchId: Long,
+      checkpoint: Option[String] = None): Seq[String] = {
+    if (checkpoint.exists(c => batchId <= lastCommitted(spark, c))) return Seq.empty
     val fs = new HPath(cfg.outputRoot).getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.setWriteChecksum(false)
     fs.setVerifyChecksum(false)
     val stamped = batch
       .withColumn(AvroRead.FileCol, lit(f"batch-$batchId%012d"))
       .withColumn(AvroRead.PosCol, monotonically_increasing_id())
-    if (cfg.format == "json")
-      Restructure.writeJsonBins(spark, cfg, fs, topic, stamped, dataSchema, pathCol,
-        cfg.topicConfig(topic))
-    else
-      Restructure.writeCsvBins(spark, cfg, fs, topic, stamped, dataSchema, pathCol,
-        cfg.topicConfig(topic))
+    val written =
+      if (cfg.format == "json")
+        Restructure.writeJsonBins(spark, cfg, fs, topic, stamped, dataSchema, pathCol,
+          cfg.topicConfig(topic))
+      else
+        Restructure.writeCsvBins(spark, cfg, fs, topic, stamped, dataSchema, pathCol,
+          cfg.topicConfig(topic))
+    checkpoint.foreach(writeMarker(spark, _, batchId))
+    written
   }
 }

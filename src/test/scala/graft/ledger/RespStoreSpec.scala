@@ -18,6 +18,7 @@ final class RespStub {
   private val server = new ServerSocket(0, 16, java.net.InetAddress.getLoopbackAddress)
   val port: Int = server.getLocalPort
   @volatile private var running = true
+  @volatile var dropNextSetReply = false
 
   def get(key: String): Option[String] = Option(data.get(key)).collect {
     case (v, exp) if exp == 0L || exp > System.currentTimeMillis() => v
@@ -73,7 +74,13 @@ final class RespStub {
               val pxAt = args.indexWhere(_.equalsIgnoreCase("PX"))
               val expires = if (pxAt >= 0) System.currentTimeMillis() + args(pxAt + 1).toLong else 0L
               if (nx && get(args(1)).isDefined) reply("$-1\r\n")
-              else { data.put(args(1), (args(2), expires)); reply("+OK\r\n") }
+              else {
+                data.put(args(1), (args(2), expires))
+                // lost-reply injection: the server APPLIED the write but
+                // the client never hears back (network fault mid-reply)
+                if (dropNextSetReply) { dropNextSetReply = false; open = false }
+                else reply("+OK\r\n")
+              }
             case "DEL" =>
               val had = if (data.remove(args(1)) != null) 1 else 0
               reply(s":$had\r\n")
@@ -113,6 +120,26 @@ class RespStoreSpec extends SparkSpec {
       assert(store.setNxPx("k", "mine", 50), "NX on absent key must set")
       Thread.sleep(120)
       assert(store.get("k").isEmpty, "PX expiry ignored")
+    } finally { store.close(); stub.stop() }
+  }
+
+  test("setNxPx lost reply: acquire is recognized via read-back, not orphaned until TTL") {
+    // the server applies SET NX but the reply is lost (connection drops):
+    // a blind resend would see nil for OUR OWN key and the caller would
+    // walk away from a lock it holds for the full 24 h TTL
+    val stub = new RespStub
+    val store = new RespLedgerStore("127.0.0.1", stub.port)
+    try {
+      stub.dropNextSetReply = true
+      assert(store.setNxPx("lock1", "me", 60000),
+        "lost-reply acquire must resolve to TRUE via read-back")
+      assert(stub.get("lock1").contains("me"))
+      // a rival still loses
+      val rival = new RespLedgerStore("127.0.0.1", stub.port)
+      try assert(!rival.setNxPx("lock1", "them", 60000)) finally rival.close()
+      // and a lost reply on a key someone ELSE holds resolves to FALSE
+      stub.dropNextSetReply = true
+      assert(!store.setNxPx("lock1", "me2", 60000))
     } finally { store.close(); stub.stop() }
   }
 

@@ -225,6 +225,30 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("SchemaMerge: distinctly-NAMED enum/fixed union branches both survive; same-name enums union symbols") {
+    import scala.jdk.CollectionConverters._
+    // legal Avro: a union may hold several named enums — merging by type
+    // alone would drop one and fail resolution for its producer's files
+    val a = new Schema.Parser().parse(
+      """{"type":"record","name":"R","fields":[
+        |{"name":"x","type":["null",{"type":"enum","name":"Color","symbols":["RED"]}]}]}""".stripMargin)
+    val b = new Schema.Parser().parse(
+      """{"type":"record","name":"R","fields":[
+        |{"name":"x","type":["null",{"type":"enum","name":"Size","symbols":["BIG"]}]}]}""".stripMargin)
+    val m = SchemaMerge.merge(a, b)
+    val branchNames = m.getField("x").schema.getTypes.asScala
+      .filter(_.getType == Schema.Type.ENUM).map(_.getName).toSet
+    assert(branchNames == Set("Color", "Size"), s"named branch dropped: $branchNames")
+    // same-name enum with evolved symbols: merged reader carries the union
+    val c = new Schema.Parser().parse(
+      """{"type":"record","name":"R","fields":[
+        |{"name":"x","type":["null",{"type":"enum","name":"Color","symbols":["RED","BLUE"]}]}]}""".stripMargin)
+    val m2 = SchemaMerge.merge(a, c)
+    val colors = m2.getField("x").schema.getTypes.asScala
+      .find(_.getType == Schema.Type.ENUM).get.getEnumSymbols.asScala.toSeq
+    assert(colors == Seq("RED", "BLUE"), s"evolved symbols lost: $colors")
+  }
+
   test("StorageIndex: marker-based incremental sync; new dirs on the empty cadence; full sync reflects deletes") {
     val root = Files.createTempDirectory("graft-idx")
     val dir = root.resolve("topicA/partition=0")
@@ -255,5 +279,93 @@ class SourcesSpec extends SparkSpec {
     idx.invalidate()
     idx.topics(t0 + 1000002L)
     assert(idx.syncs == 3)
+  }
+
+  test("AvroPrune: decode schema drops unrequested fields, bails on shared/recursive names") {
+    import graft.sources.v2.AvroPrune
+    import org.apache.spark.sql.types._
+    val schema = new Schema.Parser().parse(
+      """{"type":"record","name":"R","fields":[
+        |{"name":"key","type":{"type":"record","name":"K","fields":[
+        |  {"name":"userId","type":"string"},{"name":"sourceId","type":"string"}]}},
+        |{"name":"value","type":{"type":"record","name":"V","fields":[
+        |  {"name":"time","type":"double"},
+        |  {"name":"payload","type":{"type":"array","items":"double"}}]}}]}""".stripMargin)
+    val want = StructType(Seq(
+      StructField("key", StructType(Seq(StructField("userId", StringType)))),
+      StructField("value", StructType(Seq(StructField("time", DoubleType))))))
+    val pruned = AvroPrune.prune(schema, want)
+    assert(pruned.getField("key").schema.getField("sourceId") == null, "sourceId not pruned")
+    assert(pruned.getField("value").schema.getField("payload") == null, "payload not pruned")
+    assert(pruned.getField("value").schema.getField("time") != null)
+    // shared named type (K used twice): pruning could emit two conflicting
+    // definitions of one name — must bail to the full schema
+    val shared = new Schema.Parser().parse(
+      """{"type":"record","name":"R2","fields":[
+        |{"name":"a","type":{"type":"record","name":"K","fields":[
+        |  {"name":"x","type":"string"},{"name":"y","type":"string"}]}},
+        |{"name":"b","type":"K"}]}""".stripMargin)
+    val wantShared = StructType(Seq(
+      StructField("a", StructType(Seq(StructField("x", StringType))))))
+    assert(AvroPrune.prune(shared, wantShared) eq shared, "shared-name tree must not prune")
+  }
+
+  test("decode-side pruning returns identical values to the full read (large unread payload)") {
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    val schema = new Schema.Parser().parse(
+      """{"type":"record","name":"R","fields":[
+        |{"name":"key","type":{"type":"record","name":"K","fields":[
+        |  {"name":"userId","type":"string"}]}},
+        |{"name":"value","type":{"type":"record","name":"V","fields":[
+        |  {"name":"time","type":"double"},
+        |  {"name":"payload","type":{"type":"array","items":"double"}}]}}]}""".stripMargin)
+    val dir = Files.createTempDirectory("graft-prune").resolve("t/partition=0")
+    Files.createDirectories(dir)
+    val f = dir.resolve("t+0+0000000000+0000000009.avro").toFile
+    val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
+    w.create(schema, f)
+    (0 until 10).foreach { i =>
+      val k = new GenericData.Record(schema.getField("key").schema)
+      k.put("userId", s"u$i")
+      val v = new GenericData.Record(schema.getField("value").schema)
+      v.put("time", 1.6e9 + i)
+      v.put("payload", java.util.Arrays.asList((0 until 256).map(d => Double.box(d * 0.5 + i)): _*))
+      val r = new GenericData.Record(schema)
+      r.put("key", k); r.put("value", v)
+      w.append(r)
+    }
+    w.close()
+    val full = AvroRead.read(spark, Seq(f.toString))
+      .select("key.userId", "value.time").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).sortBy(_._1)
+    // narrow projection: the payload array must be SKIPPED in the decode,
+    // and values must match the full read exactly
+    val pruned = AvroRead.read(spark, Seq(f.toString))
+      .select(org.apache.spark.sql.functions.col("key.userId"),
+        org.apache.spark.sql.functions.col("value.time"))
+    val prunedRows = pruned.collect().map(r => (r.getString(0), r.getDouble(1))).sortBy(_._1)
+    assert(prunedRows.toSeq == full.toSeq)
+    assert(prunedRows.length == 10)
+  }
+
+  test("StorageIndex: UNPADDED offset digit rollover stays visible to incremental sync") {
+    // lexicographically "t+0+1000.avro" < "t+0+999.avro", so a raw-name
+    // startAfter marker would hide every post-rollover file until the next
+    // full re-list (an hour of invisible data on the default cadence)
+    val root = Files.createTempDirectory("graft-idx-pad")
+    val dir = root.resolve("topicA/partition=0")
+    Files.createDirectories(dir)
+    Files.write(dir.resolve("topicA+0+999.avro"), Array[Byte](1))
+    val idx = new StorageIndex(fs, root.toString,
+      fullSyncIntervalMs = 1000000L, emptyDirSyncIntervalMs = 1000000L)
+    val t0 = 1000000L
+    assert(idx.topics(t0).apply("topicA").size == 1)
+    Files.write(dir.resolve("topicA+0+1000.avro"), Array[Byte](1))
+    val names = idx.topics(t0 + 10).apply("topicA")
+      .map(_.getPath.getName).toSet
+    assert(idx.syncs == 1, "must be the marker merge, not a full re-list")
+    assert(names == Set("topicA+0+999.avro", "topicA+0+1000.avro"),
+      s"rollover file invisible to incremental sync: $names")
   }
 }

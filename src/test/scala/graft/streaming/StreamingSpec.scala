@@ -211,4 +211,33 @@ class StreamingSpec extends SparkSpec {
     }.sum
     assert(totalRows == graft.Tables.load(spark, sf, "events").count())
   }
+
+  test("foreachBatch REPLAY of a committed batch is a no-op (marker), even with dedup off") {
+    // foreachBatch is at-least-once: after a crash the last batch replays.
+    // The bin writer appends, so without the committed-batch marker every
+    // replayed record would double in the output whenever dedup is off.
+    val out = Files.createTempDirectory("graft-stream-replay")
+    val ckpt = Files.createTempDirectory("graft-ckpt-replay")
+    val cfg = RestructureJobConfig(inputRoot = "/unused", outputRoot = out.toString)
+    val batch = Seq((1L, 1.6095816e9, "a"), (2L, 1.6095816e9, "b"))
+      .toDF("user_id", "ts", "v")
+    val pathCol = concat(lit("proj/u"), col("user_id").cast(StringType),
+      lit("/events/20210102_1000.csv"))
+    val schema = batch.schema
+    val first = StreamingRestructure.processBatch(
+      spark, cfg, "events", batch, schema, pathCol, batchId = 7L, Some(ckpt.toString))
+    assert(first.size == 2)
+    val bin = out.resolve("proj/u1/events/20210102_1000.csv")
+    val afterFirst = Files.readAllLines(bin)
+    // replay of the SAME batchId: skipped via the marker
+    val replay = StreamingRestructure.processBatch(
+      spark, cfg, "events", batch, schema, pathCol, batchId = 7L, Some(ckpt.toString))
+    assert(replay.isEmpty, "replayed committed batch must be a no-op")
+    assert(Files.readAllLines(bin) == afterFirst, "replay doubled the bin's rows")
+    // the NEXT batch still processes and appends
+    val next = StreamingRestructure.processBatch(
+      spark, cfg, "events", batch, schema, pathCol, batchId = 8L, Some(ckpt.toString))
+    assert(next.size == 2)
+    assert(Files.readAllLines(bin).size == afterFirst.size + 1) // +1 data row per user bin
+  }
 }
