@@ -60,6 +60,14 @@ object TopicFiles {
     * paths.inputs is a list — each root holds the same topic/partition
     * layout, e.g. per-cluster or per-era trees; files for a topic present
     * in several roots concatenate, sorted per root).
+    *
+    * Contract for SAME-NAMED files across roots: a file's name encodes
+    * its identity (`topic+partition+from[+to]`), so two roots holding
+    * `events+0+100.avro` are REPLICAS of the same Kafka offsets — the
+    * ledger marks the range once and provenance/skip state keys on the
+    * name, exactly as the reference's offset accounting treats them.
+    * Distinct CONTENT under one name across roots is a producer-contract
+    * violation neither engine can detect.
     */
   def listTopicsAll(spark: org.apache.spark.sql.SparkSession, roots: Seq[String])
       : Map[String, Seq[org.apache.hadoop.fs.FileStatus]] =
