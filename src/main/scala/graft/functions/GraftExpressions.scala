@@ -315,9 +315,13 @@ object GraftExpressions {
       if (a == null || b == null) return null
       val aa = a.asInstanceOf[ArrayData]
       val bb = b.asInstanceOf[ArrayData]
+      // dimension mismatch = corrupted/foreign vector: folding the shared
+      // prefix would return a plausible but WRONG similarity that can
+      // silently enter top-k results; null excludes the pair instead
+      if (aa.numElements() != bb.numElements()) return null
       val at = left.dataType.asInstanceOf[ArrayType].elementType
       val bt = right.dataType.asInstanceOf[ArrayType].elementType
-      val n = math.min(aa.numElements(), bb.numElements())
+      val n = aa.numElements()
       var acc = 0.0
       var i = 0
       while (i < n) {
@@ -351,9 +355,10 @@ object GraftExpressions {
           ${b.code}
           boolean ${ev.isNull} = true;
           double ${ev.value} = 0.0;
-          if (!${a.isNull} && !${b.isNull}) {
+          if (!${a.isNull} && !${b.isNull} &&
+              ${a.value}.numElements() == ${b.value}.numElements()) {
             ${ev.isNull} = false;
-            int $n = java.lang.Math.min(${a.value}.numElements(), ${b.value}.numElements());
+            int $n = ${a.value}.numElements();
             double $acc = 0.0;
             for (int $i = 0; $i < $n; $i++) {
               $acc += ${combineJava(numJava(a.value, i, at), numJava(b.value, i, bt))};
@@ -448,27 +453,34 @@ object GraftExpressions {
         case t => throw new IllegalArgumentException(s"unsupported element type $t")
       }
       val kk = math.min(nprobe, centIds.length)
+      // kk = 0 (empty codebook or nprobe 0): nothing to assign — the old
+      // code indexed bestD(-1) here
+      if (kk <= 0) return new GenericArrayData(Array.emptyLongArray)
       val bestD = new Array[Double](kk)
       val bestId = new Array[Long](kk)
       var sz = 0
       var c = 0
       while (c < centVecs.length) {
         val cv = centVecs(c)
-        val len = math.min(m, cv.length)
-        var acc = 0.0
-        var j = 0
-        while (j < len) { val d = x(j) - cv(j); acc += d * d; j += 1 }
-        // insertion position: first slot with STRICTLY greater distance —
-        // equal distances keep the earlier (smaller) centroid id first
-        if (sz < kk || acc < bestD(sz - 1)) {
-          var p = sz
-          while (p > 0 && bestD(p - 1) > acc) p -= 1
-          val end = math.min(sz, kk - 1)
-          var q = end
-          while (q > p) { bestD(q) = bestD(q - 1); bestId(q) = bestId(q - 1); q -= 1 }
-          bestD(p) = acc
-          bestId(p) = centIds(c)
-          if (sz < kk) sz += 1
+        // a centroid of a different dimension is not comparable — a
+        // shared-prefix distance would assign the row to a wrong cell
+        // silently; skip it (a fully mismatched codebook assigns nothing)
+        if (cv.length == m) {
+          var acc = 0.0
+          var j = 0
+          while (j < m) { val d = x(j) - cv(j); acc += d * d; j += 1 }
+          // insertion position: first slot with STRICTLY greater distance —
+          // equal distances keep the earlier (smaller) centroid id first
+          if (sz < kk || acc < bestD(sz - 1)) {
+            var p = sz
+            while (p > 0 && bestD(p - 1) > acc) p -= 1
+            val end = math.min(sz, kk - 1)
+            var q = end
+            while (q > p) { bestD(q) = bestD(q - 1); bestId(q) = bestId(q - 1); q -= 1 }
+            bestD(p) = acc
+            bestId(p) = centIds(c)
+            if (sz < kk) sz += 1
+          }
         }
         c += 1
       }
@@ -527,6 +539,7 @@ object GraftExpressions {
       private val pq = new java.util.PriorityQueue[(Double, Long)](math.max(1, k), worstFirst)
       def add(s: Double, id: Long): Unit =
         if (pq.size < k) pq.offer((s, id))
+        else if (k <= 0) () // top-0 keeps nothing (peek() would NPE below)
         else {
           val w = pq.peek()
           // Double.compare, not primitive >: admission must use the same
@@ -741,6 +754,7 @@ object GraftExpressions {
       private val pq = new java.util.PriorityQueue[(Double, Any, Any)](math.max(1, k), worstFirst)
       def add(s: Double, t: Any, p: Any): Unit =
         if (pq.size < k) pq.offer((s, t, p))
+        else if (k <= 0) () // top-0 keeps nothing (peek() would NPE below)
         else {
           val w = pq.peek()
           val c = java.lang.Double.compare(s, w._1)
@@ -759,39 +773,56 @@ object GraftExpressions {
     }
   }
 
+  /** (name, usage, builder) for EVERY graft SQL function — the one list
+    * both [[register]] (session registry) and
+    * [[GraftSparkExtensions]] (extension injection) feed from, so the two
+    * registration paths cannot drift apart. Includes Spark's internal
+    * (non-SQL-registered) Bloom filter expressions, exposed for the
+    * Bloom-guarded incremental dedup (Dedup.bloomDedupAgainst): the
+    * aggregate folds XxHash64'd keys into a sketch with map-side partial
+    * merges; the probe is row-local and codegen'd. Both take the raw key;
+    * hashing happens here so callers cannot mismatch seeds between build
+    * and probe.
+    */
+  private[functions] val sqlFunctions
+      : Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("graft_rolling_hash", "polynomial rolling hash over UTF-8 bytes",
+      es => RollingHash(es.head)),
+    ("graft_simhash64", "64-bit SimHash over an array of token strings",
+      es => SimHash64(es.head)),
+    ("graft_adjacent_pairs", "adjacent pairs of an array's elements",
+      es => AdjacentPairs(es.head)),
+    ("graft_ngrams", "n-grams of an array of tokens",
+      es => NGrams(es(0), es(1))),
+    ("graft_ws_tokens", "whitespace tokenization (RE2-parity byte scan)",
+      es => WhitespaceTokens(es.head)),
+    ("graft_cdc_bounds", "content-defined chunk boundaries over UTF-8 bytes",
+      es => CdcBoundaries(es.head)),
+    ("graft_dot", "strict sequential dot product of two numeric arrays",
+      es => DotProduct(es(0), es(1))),
+    ("graft_l2sq", "strict sequential squared L2 distance of two numeric arrays",
+      es => L2Squared(es(0), es(1))),
+    ("graft_nearest_cells", "nprobe nearest centroid ids of a vector",
+      es => NearestCells(es(0), es(1), es(2), es(3))),
+    ("graft_topk", "bounded top-k (score desc, id asc) aggregate",
+      es => TopKIds(es(0), es(1), es(2))),
+    ("graft_vec_sum_long", "element-wise sum aggregate of long arrays",
+      es => VectorSumLong(es.head)),
+    ("graft_topk_payload", "bounded top-k aggregate carrying a payload",
+      es => TopKPayload(es(0), es(1), es(2), es(3))),
+    ("graft_bloom_agg", "Bloom filter sketch aggregate over XxHash64'd keys",
+      es => new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(es(0))), es(1), es(2))),
+    ("graft_bloom_might_contain", "Bloom filter membership probe (XxHash64'd key)",
+      es => org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(es(0),
+        new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(es(1))))))
+
   /** Register all graft scalar functions on a session (idempotent). */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("graft_rolling_hash", es => RollingHash(es.head), "built-in")
-    reg.createOrReplaceTempFunction("graft_simhash64", es => SimHash64(es.head), "built-in")
-    reg.createOrReplaceTempFunction("graft_adjacent_pairs", es => AdjacentPairs(es.head), "built-in")
-    reg.createOrReplaceTempFunction("graft_ngrams", es => NGrams(es(0), es(1)), "built-in")
-    reg.createOrReplaceTempFunction("graft_ws_tokens", es => WhitespaceTokens(es.head), "built-in")
-    reg.createOrReplaceTempFunction("graft_cdc_bounds", es => CdcBoundaries(es.head), "built-in")
-    reg.createOrReplaceTempFunction("graft_dot", es => DotProduct(es(0), es(1)), "built-in")
-    reg.createOrReplaceTempFunction("graft_l2sq", es => L2Squared(es(0), es(1)), "built-in")
-    reg.createOrReplaceTempFunction("graft_nearest_cells",
-      es => NearestCells(es(0), es(1), es(2), es(3)), "built-in")
-    reg.createOrReplaceTempFunction("graft_topk",
-      es => TopKIds(es(0), es(1), es(2)), "built-in")
-    reg.createOrReplaceTempFunction("graft_vec_sum_long",
-      es => VectorSumLong(es.head), "built-in")
-    reg.createOrReplaceTempFunction("graft_topk_payload",
-      es => TopKPayload(es(0), es(1), es(2), es(3)), "built-in")
-    // Spark's internal (non-SQL-registered) Bloom filter expressions,
-    // exposed for the Bloom-guarded incremental dedup (Dedup
-    // .bloomDedupAgainst): the aggregate folds XxHash64'd keys into a
-    // sketch with map-side partial merges; the probe is row-local and
-    // codegen'd. Both take the raw key; hashing happens here so callers
-    // cannot mismatch seeds between build and probe.
-    reg.createOrReplaceTempFunction("graft_bloom_agg",
-      es => new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
-        new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(es(0))), es(1), es(2)),
-      "built-in")
-    reg.createOrReplaceTempFunction("graft_bloom_might_contain",
-      es => org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(es(0),
-        new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(es(1)))),
-      "built-in")
+    sqlFunctions.foreach { case (name, _, builder) =>
+      reg.createOrReplaceTempFunction(name, builder, "built-in")
+    }
   }
 
   // builders self-register on the active session (idempotent) so a bare

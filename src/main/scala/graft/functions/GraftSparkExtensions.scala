@@ -20,17 +20,10 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     def info(name: String, usage: String) =
       new ExpressionInfo(classOf[GraftExpressions.type].getName, name, usage, "", "")
-    ext.injectFunction((FunctionIdentifier("graft_rolling_hash"),
-      info("graft_rolling_hash", "polynomial rolling hash over UTF-8 bytes"),
-      es => GraftExpressions.RollingHash(es.head)))
-    ext.injectFunction((FunctionIdentifier("graft_simhash64"),
-      info("graft_simhash64", "64-bit SimHash over an array of token strings"),
-      es => GraftExpressions.SimHash64(es.head)))
-    ext.injectFunction((FunctionIdentifier("graft_dot"),
-      info("graft_dot", "strict sequential dot product of two numeric arrays"),
-      es => GraftExpressions.DotProduct(es(0), es(1))))
-    ext.injectFunction((FunctionIdentifier("graft_l2sq"),
-      info("graft_l2sq", "strict sequential squared L2 distance of two numeric arrays"),
-      es => GraftExpressions.L2Squared(es(0), es(1))))
+    // the COMPLETE function list, shared with GraftExpressions.register so
+    // the spark-sql/JDBC path can never lag the driver-side registry
+    GraftExpressions.sqlFunctions.foreach { case (name, usage, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info(name, usage), builder))
+    }
   }
 }

@@ -20,11 +20,17 @@ object TextFunctions {
 
   def tokenCount(c: Column): Column = size(words(c))
 
+  // Java-regex `\s` includes vertical tab \x0B; RE2's (the DuckDB
+  // oracle's) does not — spell the RE2 set out so both engines class
+  // \x0B as punctuation (the same divergence GraftExpressions.isAsciiWs
+  // already fixed for tokenization)
+  private val asciiWs = " \\t\\n\\f\\r"
+
   /** BPE-ish pre-tokenization: letter runs, digit runs, single punctuation.
     * (The classic GPT-2 pre-tokenizer regex family, ASCII simplification.)
     */
   def bpeTokens(c: Column): Column =
-    regexp_extract_all(c, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0))
+    regexp_extract_all(c, lit(s"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9$asciiWs]"), lit(0))
 
   def bpeTokenCount(c: Column): Column = size(bpeTokens(c))
 
@@ -32,7 +38,7 @@ object TextFunctions {
 
   /** Count of non-alphanumeric, non-whitespace characters. */
   def punctCount(c: Column): Column =
-    length(c) - length(regexp_replace(c, "[^a-zA-Z0-9\\s]", ""))
+    length(c) - length(regexp_replace(c, s"[^a-zA-Z0-9$asciiWs]", ""))
 
   val defaultStopwords: Seq[String] =
     Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")

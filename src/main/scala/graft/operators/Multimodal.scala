@@ -326,19 +326,24 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, body) =>
         val filler = if (body == null) Array.emptyByteArray else body
-        val w = 1 + (id % 512).toInt
-        val h = 1 + ((id / 7) % 512).toInt
-        val ch = 1 + (id % 2).toInt
-        (id % 5) match {
+        // floorMod: Scala % preserves sign, so a negative doc_id would
+        // index Array(...)(-1) (task crash) or build negative-width
+        // headers; the oracle arithmetic only ever sees the table's
+        // non-negative ids, so parity is unaffected
+        def m(x: Long, n: Int): Int = java.lang.Math.floorMod(x, n.toLong).toInt
+        val w = 1 + m(id, 512)
+        val h = 1 + m(id / 7, 512)
+        val ch = 1 + m(id, 2)
+        m(id, 5) match {
           case 0 => MediaRecord(id, "image/png", buildPng(w, h, 8, filler))
           case 1 => MediaRecord(id, "image/gif", buildGif(w, h, filler))
           case 2 =>
-            val rate = 8000 * (1 + ((id / 3) % 3).toInt)
+            val rate = 8000 * (1 + m(id / 3, 3))
             MediaRecord(id, "audio/wav", buildWav(rate, ch, 16, filler))
           case 3 => MediaRecord(id, "image/jpeg", buildJpeg(w, h, 8, filler))
           case _ =>
-            val kbps = Array(128, 192, 320)(((id / 5) % 3).toInt)
-            val rate = Array(44100, 48000, 32000)(((id / 7) % 3).toInt)
+            val kbps = Array(128, 192, 320)(m(id / 5, 3))
+            val rate = Array(44100, 48000, 32000)(m(id / 7, 3))
             MediaRecord(id, "audio/mpeg", buildMp3(kbps, rate, ch, filler))
         }
       })

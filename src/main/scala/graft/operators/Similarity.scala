@@ -30,8 +30,14 @@ object Similarity {
     */
   def dot(a: Column, b: Column): Column = GraftExpressions.dotProduct(a, b)
 
+  /** try_divide, not `/`: a zero-norm vector (failed-embedding artifact)
+    * makes the denominator 0, which under ANSI mode (the Spark 4 default)
+    * THROWS and kills the whole job; null = "similarity undefined" is the
+    * correct verdict, and every consumer (threshold filters, the top-k
+    * aggregate) already excludes null.
+    */
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+    try_divide(dot(a, b), sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
   def l2sq(a: Column, b: Column): Column = GraftExpressions.l2Squared(a, b)
 
@@ -87,7 +93,14 @@ object Similarity {
     // fast instead (map string ids to a surrogate long first, e.g. xxhash64
     // or monotonically_increasing_id)
     requireIntegralId(idType, "top-k id")
-    scored.groupBy(col("query_id"))
+    // undefined similarity = not a candidate: a zero-norm vector's cosine
+    // is null (try_divide; the bare `/` THROWS under ANSI), and a vector
+    // carrying NaN elements folds to a NaN score, which the heap's total
+    // order would rank above every real score — the #1 neighbor of EVERY
+    // query. The filter drops both (null comparisons are null → dropped);
+    // the threshold paths reject them for free (`NaN > t` is false).
+    scored.filter(!isnan(col("__sim")))
+      .groupBy(col("query_id"))
       .agg(GraftExpressions.topKIds(col("__sim"), col("neighbor_id").cast(LongType), k).as("__top"))
       .select(col("query_id"), posexplode(col("__top")).as(Seq("__pos", "__nid")))
       .select(col("query_id"), (col("__pos") + 1).cast(IntegerType).as("rank"),
@@ -109,7 +122,7 @@ object Similarity {
     val c = Scale.widen(corpus).select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
       sqrt(dot(col(vecCol), col(vecCol))).as("__cn"))
     val scored = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
-      .withColumn("__sim", dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
+      .withColumn("__sim", try_divide(dot(col("__qv"), col("__cv")), col("__qn") * col("__cn")))
     topKSelect(scored, k, idType)
   }
 
@@ -296,7 +309,7 @@ object Similarity {
       // same-chunk bucket holds both orientations → keep one; cross-chunk
       // buckets hold each pair once in arbitrary id order → keep all
       .filter(col("__i") =!= col("__j") || col("vec_a") < col("vec_b"))
-      .withColumn("__sim", dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
+      .withColumn("__sim", try_divide(dot(col("__va"), col("__vb")), col("__na") * col("__nb")))
       .filter(col("__sim") > threshold)
       .select(least(col("vec_a"), col("vec_b")).as("vec_a"),
         greatest(col("vec_a"), col("vec_b")).as("vec_b"))
@@ -324,7 +337,7 @@ object Similarity {
     val b = batch.select(col(idCol).as("batch_id"), col(vecCol).as("__bv"),
       sqrt(dot(col(vecCol), col(vecCol))).as("__bn"))
     h.join(broadcast(b), lit(true))
-      .withColumn("__sim", dot(col("__hv"), col("__bv")) / (col("__hn") * col("__bn")))
+      .withColumn("__sim", try_divide(dot(col("__hv"), col("__bv")), col("__hn") * col("__bn")))
       .filter(col("__sim") > threshold)
       .select(col("history_id"), col("batch_id"))
   }
@@ -378,10 +391,9 @@ object Similarity {
       parts = math.max(1, parts / 8)
       val next = contractPartitions(stars.repartition(parts))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      next.count()
+      cnt = next.count() // one materializing job per level, not two
       stars.unpersist()
       stars = next
-      cnt = stars.count()
     }
     val mapping: DataFrame =
       if (cnt <= 100000L) {
@@ -526,6 +538,15 @@ object Similarity {
       iter += 1
     }
     edges.unpersist()
+    // a silently-returned NON-fixpoint would split true components apart
+    // (some vertices still carry non-minimal reps) and read as a valid
+    // clustering; with pointer jumping the rounds needed are
+    // O(log diameter), so hitting the cap means the cap is wrong for this
+    // graph — fail with the cure, not with wrong clusters
+    require(!changed,
+      s"connected-components min-fixpoint did not converge in $maxIterations " +
+        "iterations; raise maxIterations (rounds grow ~log of the component " +
+        "diameter, so the default 20 covers diameters up to ~2^20)")
     reps.select(col("__id").as(idCol), col("__rep").as("cluster"))
   }
 
@@ -710,7 +731,7 @@ object Similarity {
       sqrt(dot(col(vecCol), col(vecCol))).as("__cn"))
     val scored = corpus.join(broadcast(probes), Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("__sim", dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
+      .withColumn("__sim", try_divide(dot(col("__qv"), col("__cv")), col("__qn") * col("__cn")))
     topKSelect(scored, k, vectors.schema(idCol).dataType)
   }
 
@@ -728,7 +749,7 @@ object Similarity {
       sqrt(dot(col(vecCol), col(vecCol))).as("__cn"))
     val scored = c.join(broadcast(q), Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("__sim", dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
+      .withColumn("__sim", try_divide(dot(col("__qv"), col("__cv")), col("__qn") * col("__cn")))
     topKSelect(scored, k, assigned.schema(idCol).dataType)
   }
 }

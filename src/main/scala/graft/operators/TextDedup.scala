@@ -258,11 +258,7 @@ object TextDedup {
     val toks = TextFunctions.words(col(textCol))
     val w = windowTokens
     val fps = Scale.widen(df).select(col(idCol),
-      explode(when(size(toks) >= w,
-          transform(sequence(lit(1), size(toks) - w + 1),
-            i => md5(concat_ws(" ", slice(toks, i, lit(w)))
-              .cast(org.apache.spark.sql.types.BinaryType))))
-        .otherwise(array().cast("array<string>"))).as("fp"))
+      explode(windowFingerprints(toks, w)).as("fp"))
     fps.distinct()
       .groupBy(col("fp"))
       .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("min_doc_id"))
@@ -315,11 +311,7 @@ object TextDedup {
     // EXACT distinct count (heavy window duplication can put the bound far
     // above the real broadcast size, which must not reject a valid suite).
     val evalFps = evalDf.select(
-        explode(when(size(toks) >= w,
-          transform(sequence(lit(1), size(toks) - w + 1),
-            i => md5(concat_ws(" ", slice(toks, i, lit(w)))
-              .cast(org.apache.spark.sql.types.BinaryType))))
-          .otherwise(array().cast("array<string>"))).as("fp"))
+        explode(windowFingerprints(toks, w)).as("fp"))
       .distinct()
     val windowCount = evalDf
       .agg(coalesce(sum(greatest(lit(0), size(toks) - w + 1)), lit(0L)))
@@ -345,17 +337,29 @@ object TextDedup {
     */
   val MaxSpanFingerprintRows: Int = 1 << 20
 
+  /** MD5 fingerprints of every `w`-token window (empty when the text has
+    * fewer than `w` tokens, or is null) — the ONE definition shared by the
+    * repeated-span index, the decontamination eval side, and the masking
+    * probe: the two sides of the decontamination join compare these
+    * strings bit-for-bit, so a drifted copy would silently match nothing.
+    */
+  private def windowFingerprints(toks: Column, w: Int): Column =
+    when(size(toks) >= w,
+      transform(sequence(lit(1), size(toks) - w + 1),
+        i => md5(concat_ws(" ", slice(toks, i, lit(w)))
+          .cast(org.apache.spark.sql.types.BinaryType))))
+      .otherwise(array().cast("array<string>"))
+
   private def maskSpansByFingerprints(df: DataFrame, idCol: String, textCol: String,
       spanFps: DataFrame, windowTokens: Int): DataFrame = {
     import graft.functions.TextFunctions
     val w = windowTokens
     val spans = spanFps
-    val toks = TextFunctions.words(col(textCol))
-    val winFps = when(size(toks) >= w,
-        transform(sequence(lit(1), size(toks) - w + 1),
-          i => md5(concat_ws(" ", slice(toks, i, lit(w)))
-            .cast(org.apache.spark.sql.types.BinaryType))))
-      .otherwise(array().cast("array<string>"))
+    // null text: no tokens, nothing masked (legacy sizeOfNull would
+    // otherwise emit n_masked_tokens = -1, corrupting downstream sums)
+    val toks = coalesce(TextFunctions.words(col(textCol)),
+      array().cast("array<string>"))
+    val winFps = windowFingerprints(toks, w)
     // (doc, window-start) rows whose fingerprint is globally repeated
     val hits = Scale.widen(df)
       .select(col(idCol), posexplode(winFps).as(Seq("__i0", "fp")))
@@ -372,7 +376,10 @@ object TextDedup {
       .otherwise(array().cast("array<int>"))
     df.join(hits, Seq(idCol), "left")
       .select(col(idCol),
-        concat_ws(" ", transform(keptIdx, i => element_at(toks, i))).as("masked_text"),
+        // null-in-null-out: a null document stays null, not a fake ""
+        when(col(textCol).isNull, lit(null).cast("string"))
+          .otherwise(concat_ws(" ", transform(keptIdx, i => element_at(toks, i))))
+          .as("masked_text"),
         (size(toks) - size(keptIdx)).cast(org.apache.spark.sql.types.LongType)
           .as("n_masked_tokens"))
   }

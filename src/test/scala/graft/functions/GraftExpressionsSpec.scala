@@ -53,6 +53,21 @@ class GraftExpressionsSpec extends SparkSpec {
         str.getBytes("UTF-8").foldLeft(0L)((h, b) => (h * 257 + (b & 0xff)) % 1000000007L)
       assert(r.getLong(0) == ref("abc"))
       assert(r.getDouble(1) == 11.0)
+      // EVERY registered function resolves through the extension (the two
+      // registration paths share one list; a spark-sql/JDBC deployment
+      // must not lag the driver-side registry)
+      val viaRegister = {
+        GraftExpressions.register(spark)
+        Seq("graft_rolling_hash", "graft_simhash64", "graft_adjacent_pairs", "graft_ngrams",
+          "graft_ws_tokens", "graft_cdc_bounds", "graft_dot", "graft_l2sq",
+          "graft_nearest_cells", "graft_topk", "graft_vec_sum_long", "graft_topk_payload",
+          "graft_bloom_agg", "graft_bloom_might_contain")
+      }
+      viaRegister.foreach { fn =>
+        assert(s2.sessionState.functionRegistry.functionExists(
+          org.apache.spark.sql.catalyst.FunctionIdentifier(fn)),
+          s"$fn missing from the extension-injected session")
+      }
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()

@@ -23,6 +23,15 @@ class TextFunctionsSpec extends SparkSpec {
     assert(one[Int](TextFunctions.punctCount(col("text")), "a,b.c!") == 3)
   }
 
+  test("vertical tab \\x0B is punctuation, matching RE2's \\s (DuckDB oracle parity)") {
+    // Java-regex \s includes \x0B, RE2's does not: the Spark side must
+    // use the RE2 whitespace set or n_punct/n_bpe_tokens diverge
+    assert(one[Int](TextFunctions.punctCount(col("text")), "ab") == 1)
+    assert(one[Int](TextFunctions.bpeTokenCount(col("text")), "ab") == 3)
+    // the real whitespace set still doesn't count
+    assert(one[Int](TextFunctions.punctCount(col("text")), "a b\tc\nd\fe\rf") == 0)
+  }
+
   test("stopwordCount counts occurrences (not distinct)") {
     assert(one[Int](TextFunctions.stopwordCount(col("text")), "the cat the dog") == 2)
   }

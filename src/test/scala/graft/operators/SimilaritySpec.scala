@@ -27,6 +27,23 @@ class SimilaritySpec extends SparkSpec {
     assert(top.map(_.getLong(2)).toSeq == Seq(1L, 2L)) // 1 closest, never itself
   }
 
+  test("zero-norm vector (NaN cosine) never ranks as a neighbor; dim mismatch is null") {
+    // a failed-embedding artifact: 0/0 = NaN, which the heap's total
+    // order would rank above EVERY real score — it must be excluded
+    val withZero = vecs.union(Seq((9L, Seq(0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding"))
+    val top = Similarity.bruteForceTopK(withZero, withZero.filter(col("vec_id") === 0), 3)
+      .collect().map(_.getLong(2)).toSet
+    assert(!top.contains(9L), s"zero vector ranked as a neighbor: $top")
+    // and the zero vector as a QUERY returns no neighbors (all sims NaN)
+    val qZero = Similarity.bruteForceTopK(withZero, withZero.filter(col("vec_id") === 9), 3)
+    assert(qZero.count() == 0)
+    // a corrupted row with the wrong dimension folds to NULL, not a
+    // plausible shared-prefix score
+    val d = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(1.0f, 2.0f))).toDF("a", "b")
+    val r = d.select(graft.functions.GraftExpressions.dotProduct(col("a"), col("b")).as("d")).collect()(0)
+    assert(r.isNullAt(0), "dimension mismatch must yield null")
+  }
+
   test("connectedComponents: chains spanning partitions collapse to min id; isolated vertices self-map") {
     // chain 10-11-12-13-14 deliberately spread across partitions, plus a
     // 2-cycle {20,21} and isolated vertex 30
