@@ -185,7 +185,7 @@ object Cleaner {
       else Some(frames.map { stored =>
         val c =
           if (cfg.format == "json") graft.model.Flatten.leafColumn(name)
-          else col("`" + name.replace("`", "``") + "`")
+          else col(graft.model.Flatten.quote(name))
         stored.select(conv(c).as("__time"), col("__path"))
       }.reduce(_ unionByName _).distinct())
     }

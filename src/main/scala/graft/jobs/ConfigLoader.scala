@@ -48,8 +48,12 @@ object ConfigLoader {
     def validate(): Loaded = {
       require(workerEnabled || cleanerEnabled,
         "Either restructuring or cleaning needs to be enabled.")
+      // validate against the EFFECTIVE prefix names (a class-loaded
+      // plugin's template prefix is its instance .name, not the class
+      // name the config spells)
+      val prefixNames = graft.paths.PathFormatterPlugin.prefixNames(pathPluginNames)
       def check(template: String, where: String, requireDistinction: Boolean = true): Unit =
-        graft.paths.PathTemplate.validate(template, pathPluginNames, requireDistinction)
+        graft.paths.PathTemplate.validate(template, prefixNames, requireDistinction)
           .left.foreach(msg => throw new IllegalArgumentException(s"$where: $msg"))
       check(job.pathTemplate, "paths.path.format")
       job.bucketTemplate.foreach(check(_, "paths.bucket.format", requireDistinction = false))

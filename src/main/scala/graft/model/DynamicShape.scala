@@ -72,7 +72,7 @@ object DynamicShape {
     val dyn = schema.fields.filter(f => isDynamic(f.dataType)).toSeq
     if (dyn.isEmpty) lit("")
     else concat(dyn.flatMap(f =>
-      Seq(shapeCol(col("`" + f.name.replace("`", "``") + "`"), f.dataType), lit("|"))): _*)
+      Seq(shapeCol(col(Flatten.quote(f.name)), f.dataType), lit("|"))): _*)
   }
 
   sealed trait Shape
@@ -213,7 +213,7 @@ object DynamicShape {
   def expandRoot(schema: StructType, shapes: Map[String, Shape],
       exclude: String => Boolean): Seq[Column] =
     schema.fields.toSeq.flatMap { f =>
-      expand(col("`" + f.name.replace("`", "``") + "`"), f.name, f.dataType,
+      expand(col(Flatten.quote(f.name)), f.name, f.dataType,
         shapes.getOrElse(f.name, Static), exclude)
     }
 }

@@ -15,7 +15,10 @@ import org.apache.spark.sql.types._
   */
 object Flatten {
 
-  private def quote(name: String): String = "`" + name.replace("`", "``") + "`"
+  /** Backtick-quote one column-name component (shared: `DynamicShape` and
+    * the jobs build the same escaping — one definition, not copies).
+    */
+  private[graft] def quote(name: String): String = "`" + name.replace("`", "``") + "`"
 
   /** Dotted leaf names with their types, depth-first schema order. */
   def leafPaths(schema: StructType, sep: String = "."): Seq[(String, DataType)] = {
@@ -30,9 +33,12 @@ object Flatten {
     walk(schema, Nil)
   }
 
-  /** Column expression for one dotted leaf path (components quoted). */
+  /** Column expression for one dotted leaf path (components quoted).
+    * Splits on the FULL separator string — `split(sep.head)` would mangle
+    * any multi-character separator into per-char splits.
+    */
   def leafColumn(dotted: String, sep: String = "."): Column =
-    col(dotted.split(if (sep == ".") '.' else sep.head).map(quote).mkString("."))
+    col(dotted.split(java.util.regex.Pattern.quote(sep)).map(quote).mkString("."))
 
   /** Leaf columns of `schema` in depth-first schema order; structs recurse,
     * everything else (incl. map/array) is a leaf.
@@ -73,51 +79,60 @@ object Flatten {
 
   /** Data-dependent flatten of map/array columns into positional columns —
     * maps become `prefix.key` per distinct key observed, arrays become
-    * `prefix.0 … prefix.(maxLen-1)` (reference:
-    * format/CsvAvroDataConverter.kt:52-63). Requires one aggregation pass
-    * over `df` to learn the key/arity universe (single job, map-side
-    * combined), then a pure projection.
+    * `prefix.0 … prefix.(maxLen-1)`, RECURSIVELY until only scalars remain
+    * (`array<struct<b>>` → `a.0.b`, like the reference's depth-first
+    * converter, format/CsvAvroDataConverter.kt:52-63).
+    *
+    * Key discovery dedups BEFORE collection (explode → distinct per map
+    * field): a `collect_list` of every row's key array would concatenate
+    * O(rows × keys-per-row) elements into one aggregation buffer before
+    * deduping — an OOM at corpus scale. Array arities stay one scalar
+    * aggregation. (The production dynamic-topic WRITE path does not go
+    * through here — `DynamicShape` fingerprints shapes per row — this is
+    * the standalone analysis utility.)
     */
   def flattenDynamic(df: DataFrame, sep: String = "."): DataFrame = {
-    val mapFields = df.schema.fields.collect {
+    // structs first: dotted leaves, with maps/arrays surfacing as leaves
+    val flat = flatten(df, sep)
+    val mapFields = flat.schema.fields.collect {
       case StructField(n, MapType(StringType, _, _), _, _) => n
     }
-    val arrFields = df.schema.fields.collect {
+    val arrFields = flat.schema.fields.collect {
       case StructField(n, ArrayType(_, _), _, _) => n
     }
-    if (mapFields.isEmpty && arrFields.isEmpty) return flatten(df, sep)
+    if (mapFields.isEmpty && arrFields.isEmpty) return flat
 
-    val aggs: Seq[Column] =
-      mapFields.toSeq.map(n =>
-        array_sort(array_distinct(flatten_outer(collect_list(map_keys(col(n))))))
-          .as(s"__keys_$n")) ++
-      arrFields.toSeq.map(n => max(size(col(n))).as(s"__len_$n"))
-    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
-
-    val mapKeys: Map[String, Seq[String]] =
-      mapFields.toSeq.map(n => n -> row.getSeq[String](row.fieldIndex(s"__keys_$n"))).toMap
+    val mapKeys: Map[String, Seq[String]] = mapFields.toSeq.map { n =>
+      n -> flat.select(explode(map_keys(col(quote(n)))).as("__k"))
+        .distinct().collect().map(_.getString(0)).toSeq.sorted
+    }.toMap
     val arrLens: Map[String, Int] =
-      arrFields.toSeq.map { n =>
-        val i = row.fieldIndex(s"__len_$n")
-        // max(size(...)) is null when the array is null in every row
-        n -> (if (row.isNullAt(i)) 0 else math.max(0, row.getInt(i)))
-      }.toMap
+      if (arrFields.isEmpty) Map.empty
+      else {
+        val aggs = arrFields.toSeq.map(n => max(size(col(quote(n)))).as(s"__len_$n"))
+        val row = flat.agg(aggs.head, aggs.tail: _*).collect()(0)
+        arrFields.toSeq.map { n =>
+          val i = row.fieldIndex(s"__len_$n")
+          // max(size(...)) is null when the array is null in every row
+          n -> (if (row.isNullAt(i)) 0 else math.max(0, row.getInt(i)))
+        }.toMap
+      }
 
-    val cols = df.schema.fields.toSeq.flatMap { f =>
+    val cols = flat.schema.fields.toSeq.flatMap { f =>
+      val q = col(quote(f.name))
       f.dataType match {
         case MapType(StringType, _, _) =>
           // try_element_at → NULL on absent key (ANSI-safe)
-          mapKeys(f.name).map(k => try_element_at(col(f.name), lit(k)).as(s"${f.name}$sep$k"))
+          mapKeys(f.name).map(k => try_element_at(q, lit(k)).as(s"${f.name}$sep$k"))
         case ArrayType(_, _) =>
           // get() is 0-based and NULL-tolerant beyond the array length
-          (0 until arrLens(f.name)).map(i => get(col(f.name), lit(i)).as(s"${f.name}$sep$i"))
-        case _: StructType => leafColumns(StructType(Seq(f)), sep)
-        case _ => Seq(col(Flatten.quote(f.name)))
+          (0 until arrLens(f.name)).map(i => get(q, lit(i)).as(s"${f.name}$sep$i"))
+        case _ => Seq(q)
       }
     }
-    df.select(cols: _*)
+    // expanded elements may themselves be structs/maps/arrays
+    // (array<struct> → struct-typed `a.0` columns): recurse to scalars —
+    // depth strictly decreases each pass, so this terminates
+    flattenDynamic(flat.select(cols: _*), sep)
   }
-
-  // flatten(array<array<T>>) that tolerates nulls
-  private def flatten_outer(c: Column): Column = org.apache.spark.sql.functions.flatten(c)
 }

@@ -22,11 +22,11 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   private def argBy(df: DataFrame, keys: Seq[Column], pos: Column, last: Boolean): DataFrame = {
-    val rowStruct = struct(df.columns.toSeq.map(n => col("`" + n.replace("`", "``") + "`")): _*)
+    val rowStruct = struct(df.columns.toSeq.map(n => col(graft.model.Flatten.quote(n))): _*)
     val pick = if (last) max_by(rowStruct, pos) else min_by(rowStruct, pos)
     val agged = df.groupBy(keys: _*).agg(pick.as("__row"))
     agged.select(df.columns.toSeq.map(n =>
-      col("`__row`.`" + n.replace("`", "``") + "`").as(n)): _*)
+      col("`__row`." + graft.model.Flatten.quote(n)).as(n)): _*)
   }
 
   /** Keep the row with the greatest `pos` per key; ties broken arbitrarily
@@ -97,6 +97,6 @@ object Dedup {
       if (distinctFields.nonEmpty && distinctFields.subsetOf(names.toSet)) names.filter(distinctFields)
       else if (ignoreFields.nonEmpty) names.filterNot(ignoreFields)
       else names
-    keys.map(n => col("`" + n.replace("`", "``") + "`"))
+    keys.map(n => col(graft.model.Flatten.quote(n)))
   }
 }

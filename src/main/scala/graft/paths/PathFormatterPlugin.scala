@@ -257,6 +257,11 @@ final class MpPathFormatterPlugin(source: MpDimensionSource) extends PathFormatt
     }
   }
 
+  // Always Some: the reference's MP lookup has the same catch-all (any
+  // unrecognized contents is a subject-ATTRIBUTE lookup,
+  // MPPathFormatterPlugin.kt:101-118 `else -> subjectProperty
+  // attributes[contents]`), so "${mp:<typo>}" rendering
+  // `unknown-<typo>` is reference parity, not a missed decline.
   override def param(contents: String): Option[Column] = Some(contents match {
     case "organization" =>
       PathTemplate.sanitizeId(col("__mp_project.organization"), "unknown-organization")
@@ -284,6 +289,27 @@ object PathFormatterPlugin {
     * enrichment-backed plugins are constructed here; unknown names resolve
     * by class name like the reference's `Class.forName` branch.
     */
+  /** The template-prefix names `names` will provide once constructed —
+    * for CONFIG-TIME validation, where plugins may not be constructible
+    * yet (a class-loaded plugin's runtime config can be absent). A class
+    * name resolves to its instance's `.name` when a no-arg construction
+    * succeeds, else falls back to the raw class name (the deployment
+    * still fails fast in [[fromNames]] with the clear error); without
+    * this mapping a template spelled with the plugin's REAL prefix would
+    * be rejected at validation while the class-name spelling validated
+    * but could never resolve at compile time.
+    */
+  def prefixNames(names: Seq[String]): Seq[String] =
+    names.flatMap {
+      case "fixed" | "" => None // bare params only, no prefix form
+      case n @ ("time" | "key" | "value" | "mp") => Some(n)
+      case cls =>
+        try Class.forName(cls).getConstructor().newInstance() match {
+          case p: PathFormatterPlugin => Some(p.name)
+          case _ => Some(cls)
+        } catch { case _: Exception => Some(cls) }
+    }
+
   def fromNames(
       names: Seq[String], properties: Map[String, String]): Seq[PathFormatterPlugin] =
     names.flatMap {

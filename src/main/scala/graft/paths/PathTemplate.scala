@@ -73,7 +73,13 @@ object PathTemplate {
   def validate(template: String, pluginNames: Seq[String] = Nil,
       requireDistinction: Boolean = true): Either[String, Unit] = {
     val params = tokenize(template).collect { case Param(n) => n }.toSet
-    val prefixes = Seq("time:", "key:", "value:") ++ pluginNames.map(_ + ":")
+    // `fixed` provides only the BARE params above — it has no prefix form
+    // (reference FixedPathFormatterPlugin declares no prefix), so a raw
+    // config name list must not make "${fixed:x}" validate (compile could
+    // never resolve it). Callers should pass EFFECTIVE prefix names
+    // (PathFormatterPlugin.prefixNames); the filter is defense in depth.
+    val prefixes = (Seq("time", "key", "value") ++ pluginNames)
+      .distinct.filterNot(n => n == "fixed" || n.isEmpty).map(_ + ":")
     val unknown = params.filterNot(p =>
       fixedParamNames(p) || prefixes.exists(p.startsWith))
     if (unknown.nonEmpty)
@@ -104,16 +110,26 @@ object PathTemplate {
       plugins: Seq[PathFormatterPlugin] = Nil): Column = {
 
     def lookup(root: String, path: String, default: String): Column = {
+      // resolve to the ACTUAL field spellings (the existence walk is
+      // case-insensitive, so the Column must be built from the schema's
+      // names, not the template's — under spark.sql.caseSensitive=true a
+      // case-mismatched template would otherwise fail analysis instead of
+      // resolving), and backtick-quote each component so metacharacter
+      // field names cannot break col() parsing
       val full = root +: path.split('.').toSeq
-      val ok = recordSchema.exists { st =>
-        full.foldLeft(Option(st: DataType)) {
-          case (Some(s: StructType), n) =>
-            s.fields.find(_.name.equalsIgnoreCase(n)).map(_.dataType)
+      val resolved: Option[Seq[String]] = recordSchema.flatMap { st =>
+        full.foldLeft(Option((st: DataType, List.empty[String]))) {
+          case (Some((s: StructType, acc)), n) =>
+            s.fields.find(_.name.equalsIgnoreCase(n)).map(f => (f.dataType, f.name :: acc))
           case _ => None
-        }.isDefined
+        }.map(_._2.reverse)
       }
-      if (!ok) lit(default)
-      else sanitizeId(col(full.mkString(".")).cast(StringType), default)
+      resolved match {
+        case None => lit(default)
+        case Some(names) =>
+          val quoted = names.map(graft.model.Flatten.quote).mkString(".")
+          sanitizeId(col(quoted).cast(StringType), default)
+      }
     }
 
     val cols = tokenize(template).map {
@@ -127,8 +143,14 @@ object PathTemplate {
         val fmt = p.stripPrefix("time:")
         timeEpochSec match {
           case Some(t) =>
-            when(t.isNull, lit("unknown-time"))
-              .otherwise(sanitizeId(date_format(timestamp_seconds(t), fmt), "unknown-time"))
+            // TimeExtract.timeBin carries the NaN/±2e11 range guard —
+            // timestamp_seconds on a garbage epoch (1e15) overflows,
+            // which ANSI mode turns into a job-killing error; out-of-range
+            // times fall back to unknown-time exactly like the filename
+            // bin. The formatted value is then sanitized like the
+            // reference's TimePathFormatterPlugin (sanitizeId over the
+            // DateTimeFormatter output).
+            sanitizeId(graft.time.TimeExtract.timeBin(t, fmt), "unknown-time")
           case None => lit("unknown-time")
         }
       case Param(p) if p.startsWith("key:")   => lookup("key", p.stripPrefix("key:"), "unknown-key")

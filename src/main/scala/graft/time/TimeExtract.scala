@@ -73,7 +73,7 @@ object TimeExtract {
   }
 
   private def quoted(path: Seq[String]): Column =
-    col(path.map(n => "`" + n.replace("`", "``") + "`").mkString("."))
+    col(path.map(graft.model.Flatten.quote).mkString("."))
 
   /** Epoch-seconds Double column for a record schema, or null literal when no
     * candidate field exists.

@@ -32,7 +32,10 @@ object Timer {
   def snapshot: Seq[(String, Double, Long)] = {
     import scala.jdk.CollectionConverters._
     nanos.asScala.toSeq.map { case (k, v) =>
-      (k, v.sum / 1e9, counts.get(k).sum)
+      // nanos/counts update non-atomically: a snapshot between the two
+      // writes of a brand-new stage sees the nanos entry only — report
+      // count 0 rather than NPE the metrics emission
+      (k, v.sum / 1e9, Option(counts.get(k)).fold(0L)(_.sum))
     }.sortBy(_._1)
   }
 

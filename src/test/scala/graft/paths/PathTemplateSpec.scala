@@ -38,6 +38,47 @@ class PathTemplateSpec extends SparkSpec {
     assert(df.select(c.as("p")).collect()(0).getString(0) == "topicX/20210102.csv")
   }
 
+  test("validate rejects ${fixed:x}; class-named plugins validate under their REAL prefix") {
+    // `fixed` provides only bare params (reference FixedPathFormatterPlugin
+    // has no prefix) — a raw config name list must not legalize ${fixed:x},
+    // which compile can never resolve
+    assert(PathTemplate.validate("${topic}/${fixed:x}/${filename}",
+      Seq("fixed", "time", "key", "value")).isLeft)
+    // a class-named plugin's template prefix is its instance .name
+    val names = PathFormatterPlugin.prefixNames(
+      Seq("fixed", "time", "mp", "graft.paths.TestNamedPlugin"))
+    assert(names == Seq("time", "mp", "tn"), names.toString)
+    assert(PathTemplate.validate("${topic}/${tn:x}/${filename}", names).isRight)
+    assert(PathTemplate.validate("${topic}/${graft.paths.TestNamedPlugin:x}/${filename}",
+      names).isLeft)
+  }
+
+  test("${time:fmt} on a garbage epoch falls back to unknown-time, never overflows") {
+    // timestamp_seconds(1e15) overflows, which ANSI mode (the Spark 4
+    // default) turns into a job-killing error; the range guard must route
+    // it to unknown-time like the filename bin does
+    val df = Seq(1.0e15, Double.NaN, 1.6095816e9).toDF("t")
+    val c = PathTemplate.compile("${topic}/${time:yyyyMM}/${filename}",
+      Map("topic" -> lit("t"), "filename" -> lit("f.csv")),
+      timeEpochSec = Some(col("t")))
+    val got = df.select(c.as("p")).collect().map(_.getString(0)).toSeq
+    assert(got == Seq("t/unknown-time/f.csv", "t/unknown-time/f.csv", "t/202101/f.csv"), got)
+  }
+
+  test("key:/value: lookups resolve case-insensitively to the ACTUAL field spelling") {
+    val df = Seq(("CONNECTED", "u1")).toDF("serverStatus", "uid")
+      .select(struct(col("uid").as("userId")).as("key"),
+        struct(col("serverStatus")).as("value"))
+    val c = PathTemplate.compile("${value:serverstatus}/${topic}/${filename}",
+      Map("topic" -> lit("t"), "filename" -> lit("f.csv")),
+      recordSchema = Some(df.schema))
+    // under caseSensitive=true the unresolved template spelling would fail
+    // analysis; resolving to the schema's name must keep working
+    spark.conf.set("spark.sql.caseSensitive", "true")
+    try assert(df.select(c.as("p")).collect()(0).getString(0) == "CONNECTED/t/f.csv")
+    finally spark.conf.set("spark.sql.caseSensitive", "false")
+  }
+
   test("sanitizeId removes junk and falls back to default") {
     val df = Seq("a b/c!", "###", "ok_-1").toDF("s")
     val got = df.select(PathTemplate.sanitizeId(col("s"), "unknown-user").as("c"))
