@@ -153,7 +153,37 @@ object Bench {
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case _: Throwable => }
-    println(line)
+    // The driver captures a bounded stdout TAIL (2000 chars in rounds 10-11)
+    // and the full line above overflows it — two rounds of "parsed": null in
+    // BENCH_r*.json. The full artifact lives in BENCH_LOCAL.json and on
+    // stderr; stdout carries ONLY a budget-aware compact line as the
+    // absolute last print: per-query at 2 decimals, trimmed to the
+    // slowest-N (with an explicit queries_omitted count) if the line would
+    // still overflow the capture window.
+    Console.err.println(line)
+    val oracleTotalNum = """"total"\s*:\s*(-?[0-9.eE+]+)""".r
+      .findFirstMatchIn(oracleJson).map(_.group(1)).getOrElse("null")
+    def r2(x: Double): Double = math.rint(x * 100) / 100
+    def compact(budget: Int): String = {
+      val bySlowest = results.sortBy { case (_, v, _, ok) => if (ok) -v else 1.0 }
+      def build(n: Int): String = {
+        val qj = bySlowest.take(n).map { case (k, v, _, ok) =>
+          "\"" + k + "\":" + (if (ok) r2(v) else -1)
+        }.mkString("{", ",", "}")
+        val omitted = results.size - n
+        val omittedJson = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
+        s"""{"metric":"total","value":${r2(total)},"unit":"sec",""" +
+          s""""total_median":${r2(totalMedian)},"oracle_total":$oracleTotalNum,""" +
+          s""""sf":${jsonStr(sfDir)},"queries":$qj$omittedJson$failedJson}"""
+      }
+      var n = results.size
+      var s = build(n)
+      while (s.length > budget && n > 0) { n = math.max(0, n - 8); s = build(n) }
+      s
+    }
+    // 1800 = 2000-char capture window minus sbt's trailing "[success] …" line
+    // and headroom for future query additions
+    println(compact(1800))
     spark.stop()
   }
 
@@ -165,8 +195,11 @@ object Bench {
     * 20-minute budget.
     */
   private def benchOracle(sfDir: String): String =
+    runOracleSweep(sfDir, SparkEntry.oracleSql)
+
+  private def runOracleSweep(sfDir: String, sql: Map[String, String]): String =
     try {
-      val entries = SparkEntry.oracleSql.toSeq.sortBy(_._1)
+      val entries = sql.toSeq.sortBy(_._1)
         .map { case (k, v) => jsonStr(k) + ":" + jsonStr(v) }
         .mkString("{", ",", "}")
       val tmp = java.nio.file.Files.createTempFile("graft-oracle-sql", ".json")
@@ -267,14 +300,22 @@ object Bench {
         }
         (System.nanoTime() - t0) / 1e9
       }
-      val passes = Seq(names.map(once), names.map(once))
+      // three interleaved passes (was two): round 11 saw q_repeated_spans
+      // move +33% at 10× on a single-shot while its sf0.1 time improved —
+      // min-of-3 gives the 10× rows the same noise floor as the main sweeps
+      val passes = Seq(names.map(once), names.map(once), names.map(once))
       val timed = names.zipWithIndex.map { case (name, i) =>
         val runs = passes.map(_(i))
         name -> (if (runs.exists(_ < 0)) -1.0 else r4(runs.min))
       }
+      // oracle pairing on the SAME 10×-replicated corpus: the "Spark's
+      // per-job overhead amortizes at scale" argument needs both sides of
+      // the ratio measured at 10×, not just Spark's
+      val oracle10 = runOracleSweep(work.toString,
+        SparkEntry.oracleSql.view.filterKeys(names.contains).toMap)
       org.apache.commons.io.FileUtils.deleteDirectory(work.toFile)
       val qs = timed.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-      s"""{"replication":$rep,"base_sf":${jsonStr(sfDir)},"queries":$qs}"""
+      s"""{"replication":$rep,"base_sf":${jsonStr(sfDir)},"queries":$qs,"oracle":$oracle10}"""
     } catch { case e: Throwable =>
       Console.err.println(s"[bench] 10x setup FAILED: ${e.getClass.getName}: ${e.getMessage}")
       s"""{"error":${jsonStr(s"${e.getClass.getSimpleName}: ${e.getMessage}")}}"""

@@ -140,17 +140,23 @@ private[jobs] object BinWriter {
           // each shared directory up to T times per commit (T tasks × D
           // dirs of object-store LIST latency). Election: the sidecar
           // CREATOR always sweeps (fresh directories start clean,
-          // deterministically), and otherwise only ~1/16 of runs sweep
-          // (runId-keyed, so a run sweeps all-or-none of its directories) —
-          // crash leftovers are rare, so eventual reclamation every ~16
-          // runs suffices and the amortized listing cost drops 16×. An
-          // empty runId (direct invocation) always sweeps. Cross-run
-          // assumption: concurrent jobs writing the SAME directories hold
-          // locks (LockManager) or use topic-scoped templates; the runId
-          // guard below spares THIS run's live siblings, not another live
-          // run's.
+          // deterministically); otherwise election derives from
+          // hash(directory, UTC day) % 16 — STABLE within a day, so every
+          // directory is guaranteed sweep coverage within a bounded ~16-day
+          // window no matter how rarely it is written. (A per-commit-UUID
+          // key was memoryless: a rarely-written directory's leftovers
+          // could survive far past the expected 16 commits in the tail,
+          // and chunked merges issuing several commits per batch skewed
+          // the amortization.) Amortized listing cost is unchanged: each
+          // directory sweeps on ~1/16 of days. An empty runId (direct
+          // invocation) always sweeps. Cross-run assumption: concurrent
+          // jobs writing the SAME directories hold locks (LockManager) or
+          // use topic-scoped templates; the runId guard below spares THIS
+          // run's live siblings, not another live run's.
+          val utcDay = System.currentTimeMillis() / 86400000L
           val sweepElected = createdSidecar || runId.isEmpty ||
-            java.lang.Math.floorMod(runId.hashCode, 16) == 0
+            java.lang.Math.floorMod(
+              target.getParent.toString.hashCode * 31L + utcDay, 16L) == 0L
           if (sweepElected) {
             val staleBefore = System.currentTimeMillis() - 3600000L
             fs.listStatus(target.getParent).foreach { st =>

@@ -416,6 +416,21 @@ object Restructure {
     val (frames, failed) = existingBinFrames(spark, fs, cfg.outputRoot,
       headered, format, jsonSchema, cfg.zip, temps)
     failed.foreach(p => quarantine(fs, new HPath(s"${cfg.outputRoot}/$p")))
+    // Drifted-column visibility: a bin is rewritten with the column UNION
+    // of its chunk's frame, so when existing bins carry columns the batch
+    // schema lacks, the rewritten header depends on hash-based chunk
+    // assignment — the same store can get different headers run to run.
+    // Surface it instead of staying silent (the doc comment on
+    // mergeCommitBins explains why the per-chunk union is still the
+    // semantically meaningful set).
+    val driftedCols = frames.iterator.flatMap(_.columns).toSet -
+      "__path" -- preparedChunk.columns
+    if (driftedCols.nonEmpty)
+      Console.err.println(
+        s"[graft] existing bins carry ${driftedCols.size} column(s) absent from the " +
+          s"batch schema (${driftedCols.toSeq.sorted.take(8).mkString(", ")}" +
+          s"${if (driftedCols.size > 8) ", …" else ""}); rewritten headers will union " +
+          "per merge chunk, so header column sets may vary run to run on this store")
     frames.foldLeft(preparedChunk) { (acc, stored) =>
       val old = stored
         .withColumn(AvroRead.FileCol, lit("")) // sorts before any real file
@@ -561,11 +576,19 @@ object Restructure {
     // one pass: per-fingerprint first appearance (attempt order — reference:
     // arrival order) AND the group's concrete shape (uniform within the
     // group by construction — any row's value serves)
+    // limit(cap+1) BEFORE the collect: the cap check below must fire from a
+    // bounded driver materialization. A pathological batch (per-row-unique
+    // map keys → millions of distinct shapes, each carrying its full shape
+    // string) would otherwise materialize the whole group table on the
+    // driver just to throw the capped error — OOM instead of the designed
+    // fail-with-cure. orderBy before limit keeps attempt order intact for
+    // the ≤cap case that proceeds.
     val groupRows = withFp
       .groupBy(col("__fp"))
       .agg(min(struct(col(AvroRead.FileCol), col(AvroRead.PosCol))).as("__first"),
         first(col("__shape")).as("__gshape"))
       .orderBy(col("__first"))
+      .limit(cfg.maxSchemaFingerprints + 1)
       .collect()
     try {
       // enforced bound on the per-group pass: each header shape filters the
@@ -577,8 +600,8 @@ object Restructure {
       // failure isolation keeps the run alive after this throw, so the
       // finally must still release the cached batch.
       require(groupRows.length <= cfg.maxSchemaFingerprints,
-        s"topic $topic has ${groupRows.length} distinct map-key/array-arity header shapes " +
-          s"in one batch (cap ${cfg.maxSchemaFingerprints}); each shape writes its own header " +
+        s"topic $topic has more than ${cfg.maxSchemaFingerprints} distinct map-key/array-arity " +
+          s"header shapes in one batch (cap ${cfg.maxSchemaFingerprints}); each shape writes its own header " +
           "in its own pass over the cached batch. Fix the producer schema drift, raise " +
           "worker.maxSchemaFingerprints, or process in smaller batches " +
           "(worker.maxFilesPerTopic) so fewer shapes land per run")

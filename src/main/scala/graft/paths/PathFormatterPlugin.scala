@@ -299,15 +299,26 @@ object PathFormatterPlugin {
     * be rejected at validation while the class-name spelling validated
     * but could never resolve at compile time.
     */
+  // Hand-off cache: config-time validation (prefixNames) constructs a
+  // class-loaded plugin only to read its `.name`; the instance is parked
+  // here and CONSUMED by the next fromNames for the same class, so a
+  // plugin with a side-effectful constructor (connections, threads) runs
+  // ONCE per startup, not once for validation plus once for real.
+  private val prevalidated =
+    new java.util.concurrent.ConcurrentHashMap[String, PathFormatterPlugin]()
+
   def prefixNames(names: Seq[String]): Seq[String] =
     names.flatMap {
       case "fixed" | "" => None // bare params only, no prefix form
       case n @ ("time" | "key" | "value" | "mp") => Some(n)
       case cls =>
-        try Class.forName(cls).getConstructor().newInstance() match {
-          case p: PathFormatterPlugin => Some(p.name)
-          case _ => Some(cls)
-        } catch { case _: Exception => Some(cls) }
+        Option(prevalidated.get(cls)).map(p => p.name).orElse {
+          try Class.forName(cls).getConstructor().newInstance() match {
+            case p: PathFormatterPlugin =>
+              prevalidated.put(cls, p); Some(p.name)
+            case _ => Some(cls)
+          } catch { case _: Exception => Some(cls) }
+        }
     }
 
   def fromNames(
@@ -315,6 +326,10 @@ object PathFormatterPlugin {
     names.flatMap {
       case "fixed" | "time" | "key" | "value" | "" => None // built-in
       case "mp" => Some(new MpPathFormatterPlugin(new MpDimensionSource.Rest(properties)))
+      case cls if prevalidated.containsKey(cls) =>
+        // consume the instance validation already built (remove, not get:
+        // a later startup with changed runtime config must construct fresh)
+        Option(prevalidated.remove(cls)).orElse(fromNames(Seq(cls), properties).headOption.map(p => p))
       case cls =>
         // fail fast like the reference's Class.forName branch: a typo'd
         // plugin name silently resolving to nothing would leave every

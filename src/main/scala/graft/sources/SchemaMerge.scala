@@ -35,7 +35,14 @@ object SchemaMerge {
         // reader must carry every producer's symbols
         val symbols = (a.getEnumSymbols.asScala ++ b.getEnumSymbols.asScala).distinct
         if (symbols.size == a.getEnumSymbols.size) a
-        else Schema.createEnum(a.getName, a.getDoc, a.getNamespace, symbols.asJava)
+        else {
+          // carry the Avro 1.9+ enum default through the rebuild: dropping
+          // it would make resolution against a future writer symbol outside
+          // the merged set FAIL where the original reader would have
+          // coerced to the default
+          val enumDefault = Option(a.getEnumDefault).orElse(Option(b.getEnumDefault)).orNull
+          Schema.createEnum(a.getName, a.getDoc, a.getNamespace, symbols.asJava, enumDefault)
+        }
       case (Schema.Type.MAP, Schema.Type.MAP) =>
         Schema.createMap(merge(a.getValueType, b.getValueType))
       case (Schema.Type.ARRAY, Schema.Type.ARRAY) =>

@@ -52,7 +52,9 @@ object StreamingRestructure {
   }
 
   // committed-batch marker, scoped to the QUERY (the checkpoint location
-  // defines batchId numbering); written via temp + atomic rename
+  // defines batchId numbering); written via temp + overwrite-rename —
+  // single-op through FileContext where the scheme supports it, checked
+  // delete+rename elsewhere (see writeMarker)
   private def markerPath(checkpoint: String): HPath =
     new HPath(s"$checkpoint/graft-committed-batch")
 
@@ -68,12 +70,27 @@ object StreamingRestructure {
 
   private def writeMarker(spark: SparkSession, checkpoint: String, batchId: Long): Unit = {
     val p = markerPath(checkpoint)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = p.getFileSystem(conf)
     val tmp = new HPath(p.getParent, s".${p.getName}.tmp")
     val out = fs.create(tmp, true)
     try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
-    if (fs.exists(p)) fs.delete(p, false)
-    fs.rename(tmp, p)
+    // Prefer FileContext's single-op overwriting rename: no
+    // delete→rename crash window, and failures THROW instead of
+    // returning false. Where the scheme has no AbstractFileSystem
+    // binding, fall back to delete + rename with the boolean CHECKED —
+    // a silently lost marker reopens the duplicate-append replay window
+    // this marker exists to close (when dedup is off), so fail loudly.
+    try {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(p.toUri, conf)
+      fc.rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } catch {
+      case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+        if (fs.exists(p)) fs.delete(p, false)
+        if (!fs.rename(tmp, p) && !fs.rename(tmp, p)) // one retry for transient store hiccups
+          throw new java.io.IOException(
+            s"failed to move committed-batch marker $tmp -> $p")
+    }
   }
 
   /** One micro-batch: stamp provenance (batch id ↔ source file, row pos),

@@ -440,11 +440,14 @@ class DynamicSchemaSpec extends SparkSpec {
     val work = Files.createTempDirectory("graft-dyncap")
     val dir = work.resolve("in/map_topic/partition=0")
     Files.createDirectories(dir)
-    val f = new File(dir.toFile, "map_topic+0+0000000001+0000000005.avro")
+    val f = new File(dir.toFile, "map_topic+0+0000000001+0000000064.avro")
     val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
     w.create(schema, f)
     val t = 1.6095816E9
-    (0 until 5).foreach(i => w.append(rec(schema, "u1", t, Map(s"k$i" -> i), Seq("x"))))
+    // 64 per-record-unique key sets → 64 distinct shapes, far above the cap:
+    // the error must fire from the LIMITED (cap+1) collect, never from a
+    // full materialization of the group table on the driver
+    (0 until 64).foreach(i => w.append(rec(schema, "u1", t, Map(s"k$i" -> i), Seq("x"))))
     w.close()
 
     val out = work.resolve("out")
@@ -460,10 +463,10 @@ class DynamicSchemaSpec extends SparkSpec {
       case other => fail(s"expected exactly one failed topic, got $other")
     }
     assert(topic == "map_topic")
-    assert(msg.contains("5 distinct") && msg.contains("cap 3") &&
+    assert(msg.contains("more than 3 distinct") && msg.contains("cap 3") &&
       msg.contains("maxSchemaFingerprints"),
       s"expected an actionable cap error, got: $msg")
-    assert(!result.ledger.contains("map_topic", 0, 1, 5, java.time.Instant.EPOCH),
+    assert(!result.ledger.contains("map_topic", 0, 1, 64, java.time.Instant.EPOCH),
       "failed topic must not commit to the ledger")
     // the cap throw must not leak the topic's cached batch into the
     // surviving run (the require sits inside the unpersist try/finally)

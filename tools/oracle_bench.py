@@ -19,7 +19,12 @@ def main(sf_dir, sql_json, passes=2):
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"]:
         p = f"{sf_dir}/{t}.parquet"
-        if os.path.exists(p):
+        if os.path.isdir(p):
+            # Spark-written table (e.g. the 10x-replicated bench corpus):
+            # a directory of part files, globbed for duckdb
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}/*.parquet')")
+        elif os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(sql_json))
     names = sorted(oracle)
