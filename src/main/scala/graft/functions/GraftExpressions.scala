@@ -526,38 +526,97 @@ object GraftExpressions {
   }
 
   object TopKIds {
-    /** Size-k min-heap with the WORST entry at the head (smaller score, then
-      * larger id), so a better candidate evicts it in O(log k).
+    /** Size-k binary min-heap over PRIMITIVE parallel arrays with the WORST
+      * entry at the root (smaller score, then larger id), so a better
+      * candidate evicts it in O(log k). Primitive storage matters because
+      * `update` runs per corpus row on the ObjectHashAggregate path (a
+      * TypedImperativeAggregate cannot enter whole-stage codegen by Spark's
+      * design): the previous `PriorityQueue[(Double, Long)]` boxed a tuple
+      * + Double + Long per accepted candidate — first-k fills, every
+      * eviction, every partial-heap merge entry, every deserialize.
+      * Rejections were and remain allocation-free.
       */
     final class Buffer(val k: Int) {
-      private val worstFirst = new java.util.Comparator[(Double, Long)] {
-        override def compare(a: (Double, Long), b: (Double, Long)): Int = {
-          val c = java.lang.Double.compare(a._1, b._1)
-          if (c != 0) c else java.lang.Long.compare(b._2, a._2)
-        }
+      private[TopKIds] val cap = math.max(1, k)
+      private[TopKIds] var scores = new Array[Double](cap)
+      private[TopKIds] var ids = new Array[Long](cap)
+      private[TopKIds] var n = 0
+      // "a sorts before b at the heap root": worse = smaller score, ties
+      // broken by LARGER id. Double.compare, not primitive >: admission
+      // must use the same total order as the heap (NaN greatest,
+      // -0.0 < 0.0) or results become arrival/merge-order dependent.
+      private def rootward(s1: Double, i1: Long, s2: Double, i2: Long): Boolean = {
+        val c = java.lang.Double.compare(s1, s2)
+        c < 0 || (c == 0 && i1 > i2)
       }
-      private val pq = new java.util.PriorityQueue[(Double, Long)](math.max(1, k), worstFirst)
-      def add(s: Double, id: Long): Unit =
-        if (pq.size < k) pq.offer((s, id))
-        else if (k <= 0) () // top-0 keeps nothing (peek() would NPE below)
-        else {
-          val w = pq.peek()
-          // Double.compare, not primitive >: admission must use the same
-          // total order as the heap (NaN greatest, -0.0 < 0.0) or results
-          // become arrival/merge-order dependent
-          val c = java.lang.Double.compare(s, w._1)
-          if (c > 0 || (c == 0 && id < w._2)) { pq.poll(); pq.offer((s, id)) }
+      private def siftUp(start: Int): Unit = {
+        var i = start
+        val s = scores(i); val id = ids(i)
+        while (i > 0 && rootward(s, id, scores((i - 1) / 2), ids((i - 1) / 2))) {
+          val p = (i - 1) / 2
+          scores(i) = scores(p); ids(i) = ids(p)
+          i = p
         }
-      def addAll(o: Buffer): Unit = o.pq.forEach(e => add(e._1, e._2))
+        scores(i) = s; ids(i) = id
+      }
+      private def siftDown(): Unit = {
+        var i = 0
+        val s = scores(0); val id = ids(0)
+        var done = false
+        while (!done) {
+          var c = 2 * i + 1
+          if (c >= n) done = true
+          else {
+            if (c + 1 < n && rootward(scores(c + 1), ids(c + 1), scores(c), ids(c))) c += 1
+            if (rootward(scores(c), ids(c), s, id)) {
+              scores(i) = scores(c); ids(i) = ids(c)
+              i = c
+            } else done = true
+          }
+        }
+        scores(i) = s; ids(i) = id
+      }
+      def add(s: Double, id: Long): Unit =
+        if (k <= 0) () // top-0 keeps nothing
+        else if (n < k) {
+          scores(n) = s; ids(n) = id; n += 1
+          siftUp(n - 1)
+        } else {
+          // full: admit only if strictly better than the worst (root)
+          val c = java.lang.Double.compare(s, scores(0))
+          if (c > 0 || (c == 0 && id < ids(0))) {
+            scores(0) = s; ids(0) = id
+            siftDown()
+          }
+        }
+      def addAll(o: Buffer): Unit = {
+        var i = 0
+        while (i < o.n) { add(o.scores(i), o.ids(i)); i += 1 }
+      }
       def idsBestFirst: Array[Long] = {
-        val arr = pq.toArray(new Array[(Double, Long)](pq.size))
-        java.util.Arrays.sort(arr, worstFirst.reversed())
-        arr.map(_._2)
+        // heapsort on copies: pop the worst into the tail repeatedly —
+        // runs once per group at eval, O(k log k), no boxing
+        val sc = java.util.Arrays.copyOf(scores, n)
+        val idc = java.util.Arrays.copyOf(ids, n)
+        val keep = (scores, ids, n)
+        scores = sc; ids = idc // siftDown operates on the copies
+        val out = new Array[Long](n)
+        var m = n
+        while (m > 0) {
+          out(m - 1) = ids(0)
+          m -= 1
+          scores(0) = scores(m); ids(0) = ids(m)
+          n = m
+          siftDown()
+        }
+        scores = keep._1; ids = keep._2; n = keep._3
+        out
       }
       def toBytes: Array[Byte] = {
-        val bb = java.nio.ByteBuffer.allocate(8 + 16 * pq.size)
-        bb.putInt(k).putInt(pq.size)
-        pq.forEach(e => { bb.putDouble(e._1); bb.putLong(e._2) })
+        val bb = java.nio.ByteBuffer.allocate(8 + 16 * n)
+        bb.putInt(k).putInt(n)
+        var i = 0
+        while (i < n) { bb.putDouble(scores(i)); bb.putLong(ids(i)); i += 1 }
         bb.array()
       }
     }
@@ -773,6 +832,175 @@ object GraftExpressions {
     }
   }
 
+  /** Canonical dynamic-shape string of a record — the grammar of
+    * [[graft.model.DynamicShape]] (struct `(…,…,)`, array `[n]`/`[n:…]`,
+    * map `{kB64[=shape];…}`, null collection `N`, root fields joined by
+    * `|`) — computed imperatively over the row tree INSIDE whole-stage
+    * codegen. The declarative formulation composes `transform`
+    * higher-order functions, which are CodegenFallback in Spark: one
+    * interpreted lambda eval per map key / array element per row on the
+    * dynamic (schema-drift) write path. Same semi-codegen pattern as
+    * [[NearestCells]]: the generated stage calls [[shapeOf]] on the
+    * serialized expression object, so the walk never leaves the stage.
+    *
+    * `child` must be a struct of the DYNAMIC root fields (original
+    * types, original order); all map keys must be strings (the caller
+    * falls back to the declarative tree otherwise). The type walk is
+    * compiled ONCE into nodes — per row only the key-sort scratch
+    * allocates.
+    */
+  case class RootShape(child: Expression) extends UnaryExpression {
+    import graft.model.DynamicShape.isDynamic
+    override def prettyName: String = "graft_root_shape"
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = false
+
+    // @transient: Base64.Encoder is not Serializable, and the compiled
+    // node tree must rebuild executor-side anyway (inner-class nodes
+    // capture `this`) — only the child expression ships
+    @transient private lazy val b64 = java.util.Base64.getEncoder.withoutPadding()
+
+    private sealed trait Node { def append(sb: java.lang.StringBuilder, v: Any): Unit }
+    private object StaticNode extends Node {
+      override def append(sb: java.lang.StringBuilder, v: Any): Unit = ()
+    }
+    private final class StructNode(ords: Array[Int], types: Array[DataType],
+        children: Array[Node]) extends Node {
+      override def append(sb: java.lang.StringBuilder, v: Any): Unit = {
+        val row = v.asInstanceOf[InternalRow]
+        sb.append('(')
+        var j = 0
+        while (j < ords.length) {
+          val cv =
+            if (row == null || row.isNullAt(ords(j))) null
+            else row.get(ords(j), types(j))
+          children(j).append(sb, cv)
+          sb.append(',')
+          j += 1
+        }
+        sb.append(')')
+      }
+    }
+    private object SizeArrayNode extends Node {
+      override def append(sb: java.lang.StringBuilder, v: Any): Unit =
+        if (v == null) sb.append('N')
+        else sb.append('[').append(v.asInstanceOf[ArrayData].numElements()).append(']')
+    }
+    private final class DynArrayNode(elem: Node, et: DataType) extends Node {
+      override def append(sb: java.lang.StringBuilder, v: Any): Unit =
+        if (v == null) sb.append('N')
+        else {
+          val arr = v.asInstanceOf[ArrayData]
+          val n = arr.numElements()
+          sb.append('[').append(n).append(':')
+          var i = 0
+          while (i < n) {
+            if (i > 0) sb.append(';')
+            elem.append(sb, if (arr.isNullAt(i)) null else arr.get(i, et))
+            i += 1
+          }
+          sb.append(']')
+        }
+    }
+    private def appendKey(sb: java.lang.StringBuilder, k: UTF8String): Unit =
+      sb.append('k').append(b64.encodeToString(k.getBytes))
+    private final class KeyMapNode extends Node {
+      override def append(sb: java.lang.StringBuilder, v: Any): Unit =
+        if (v == null) sb.append('N')
+        else {
+          val m = v.asInstanceOf[org.apache.spark.sql.catalyst.util.MapData]
+          val ka = m.keyArray()
+          val n = m.numElements()
+          val keys = new Array[UTF8String](n)
+          var i = 0
+          while (i < n) { keys(i) = ka.getUTF8String(i); i += 1 }
+          // UTF8String.compareTo is unsigned byte-wise — identical to
+          // Spark's array_sort over strings in the declarative tree
+          java.util.Arrays.sort(keys.asInstanceOf[Array[AnyRef]])
+          sb.append('{')
+          i = 0
+          while (i < n) {
+            if (i > 0) sb.append(';')
+            appendKey(sb, keys(i))
+            i += 1
+          }
+          sb.append('}')
+        }
+    }
+    private final class DynMapNode(value: Node, vt: DataType) extends Node {
+      override def append(sb: java.lang.StringBuilder, v: Any): Unit =
+        if (v == null) sb.append('N')
+        else {
+          val m = v.asInstanceOf[org.apache.spark.sql.catalyst.util.MapData]
+          val ka = m.keyArray(); val va = m.valueArray()
+          val n = m.numElements()
+          val idx = new Array[Integer](n)
+          val keys = new Array[UTF8String](n)
+          var i = 0
+          while (i < n) { keys(i) = ka.getUTF8String(i); idx(i) = Integer.valueOf(i); i += 1 }
+          java.util.Arrays.sort(idx, new java.util.Comparator[Integer] {
+            override def compare(a: Integer, b: Integer): Int =
+              keys(a.intValue()).compareTo(keys(b.intValue()))
+          })
+          sb.append('{')
+          i = 0
+          while (i < n) {
+            val p = idx(i).intValue()
+            if (i > 0) sb.append(';')
+            appendKey(sb, keys(p))
+            sb.append('=')
+            value.append(sb, if (va.isNullAt(p)) null else va.get(p, vt))
+            i += 1
+          }
+          sb.append('}')
+        }
+    }
+    private def compile(dt: DataType): Node = dt match {
+      case st: StructType =>
+        val dyn = st.fields.zipWithIndex.filter { case (f, _) => isDynamic(f.dataType) }
+        if (dyn.isEmpty) StaticNode
+        else new StructNode(dyn.map(_._2), dyn.map(_._1.dataType),
+          dyn.map(p => compile(p._1.dataType)))
+      case ArrayType(et, _) =>
+        if (isDynamic(et)) new DynArrayNode(compile(et), et) else SizeArrayNode
+      case MapType(_, vt, _) =>
+        if (isDynamic(vt)) new DynMapNode(compile(vt), vt) else new KeyMapNode
+      case _ => StaticNode
+    }
+    @transient private lazy val fieldTypes: Array[DataType] =
+      child.dataType.asInstanceOf[StructType].fields.map(_.dataType)
+    @transient private lazy val rootNodes: Array[Node] = fieldTypes.map(compile)
+
+    /** Root shape over the dyn-field struct (public: called from generated
+      * code). A null struct renders as a struct of nulls.
+      */
+    def shapeOf(row: InternalRow): UTF8String = {
+      val sb = new java.lang.StringBuilder(64)
+      var i = 0
+      while (i < rootNodes.length) {
+        rootNodes(i).append(sb,
+          if (row == null || row.isNullAt(i)) null else row.get(i, fieldTypes(i)))
+        sb.append('|')
+        i += 1
+      }
+      UTF8String.fromString(sb.toString)
+    }
+    override def eval(input: InternalRow): Any =
+      shapeOf(child.eval(input).asInstanceOf[InternalRow])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val self = ctx.addReferenceObj("rootShape", this, classOf[RootShape].getName)
+      val c = child.genCode(ctx)
+      ev.copy(code =
+        code"""
+          ${c.code}
+          boolean ${ev.isNull} = false;
+          UTF8String ${ev.value} =
+            $self.shapeOf(${c.isNull} ? null : (InternalRow) ${c.value});""")
+    }
+    override protected def withNewChildInternal(newChild: Expression): RootShape =
+      copy(child = newChild)
+  }
+
   /** (name, usage, builder) for EVERY graft SQL function — the one list
     * both [[register]] (session registry) and
     * [[GraftSparkExtensions]] (extension injection) feed from, so the two
@@ -810,6 +1038,8 @@ object GraftExpressions {
       es => VectorSumLong(es.head)),
     ("graft_topk_payload", "bounded top-k aggregate carrying a payload",
       es => TopKPayload(es(0), es(1), es(2), es(3))),
+    ("graft_root_shape", "canonical dynamic-shape string of a dyn-field struct",
+      es => RootShape(es.head)),
     ("graft_bloom_agg", "Bloom filter sketch aggregate over XxHash64'd keys",
       es => new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
         new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(es(0))), es(1), es(2))),
@@ -841,6 +1071,7 @@ object GraftExpressions {
   def cdcBoundaries(c: Column): Column = { ensureRegistered(); call_function("graft_cdc_bounds", c) }
   def dotProduct(a: Column, b: Column): Column = { ensureRegistered(); call_function("graft_dot", a, b) }
   def l2Squared(a: Column, b: Column): Column = { ensureRegistered(); call_function("graft_l2sq", a, b) }
+  def rootShape(c: Column): Column = { ensureRegistered(); call_function("graft_root_shape", c) }
 
   /** [[NearestCells]] over a driver-collected codebook. `ids` must be sorted
     * ascending and positionally aligned with `vecs`.

@@ -35,8 +35,13 @@ object DynamicShape {
     case _ => false
   }
 
+  // strip MIME line-chunking as well as padding: Spark's base64 inserts
+  // \r\n every 76 output chars for inputs >56 bytes, which would embed
+  // control characters in the shape string and crash the strict decoder
+  // in parseRoot (latent long-key bug, caught by the kernel-equivalence
+  // fuzz; the codegen'd kernel encodes unchunked natively)
   private def b64Key(k: Column): Column =
-    regexp_replace(base64(k.cast(StringType).cast(BinaryType)), "=+$", "")
+    regexp_replace(base64(k.cast(StringType).cast(BinaryType)), "[\\r\\n]|=+$", "")
 
   /** Shape column for one value of type `dt` (empty string for static). */
   def shapeCol(c: Column, dt: DataType): Column = dt match {
@@ -67,8 +72,39 @@ object DynamicShape {
     case _ => lit("")
   }
 
-  /** Shape of a whole record frame (root struct as top-level columns). */
+  /** Every map key type in the tree is a string — the codegen'd kernel
+    * handles exactly that (the only case Avro produces); anything else
+    * falls back to the declarative tree, whose `cast(StringType)` covers
+    * arbitrary key types.
+    */
+  private def stringKeyedOnly(dt: DataType): Boolean = dt match {
+    case MapType(kt, vt, _) => kt == StringType && stringKeyedOnly(vt)
+    case ArrayType(et, _) => stringKeyedOnly(et)
+    case st: StructType => st.fields.forall(f => stringKeyedOnly(f.dataType))
+    case _ => true
+  }
+
+  /** Shape of a whole record frame (root struct as top-level columns).
+    * Computed by the [[graft.functions.GraftExpressions.RootShape]]
+    * kernel — one imperative walk per row inside whole-stage codegen —
+    * rather than the declarative `transform` composition below
+    * ([[rootShapeColDeclarative]]), whose higher-order functions are
+    * CodegenFallback in Spark (an interpreted lambda eval per map key /
+    * array element per row, the dynamic write path's per-row cost).
+    */
   def rootShapeCol(schema: StructType): Column = {
+    val dyn = schema.fields.filter(f => isDynamic(f.dataType)).toSeq
+    if (dyn.isEmpty) lit("")
+    else if (dyn.forall(f => stringKeyedOnly(f.dataType)))
+      graft.functions.GraftExpressions.rootShape(
+        struct(dyn.map(f => col(Flatten.quote(f.name)).as(f.name)): _*))
+    else rootShapeColDeclarative(schema)
+  }
+
+  /** The declarative formulation — the kernel's oracle in the fuzz spec
+    * and the fallback for exotic (non-string) map key types.
+    */
+  private[model] def rootShapeColDeclarative(schema: StructType): Column = {
     val dyn = schema.fields.filter(f => isDynamic(f.dataType)).toSeq
     if (dyn.isEmpty) lit("")
     else concat(dyn.flatMap(f =>

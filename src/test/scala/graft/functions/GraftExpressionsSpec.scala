@@ -114,6 +114,38 @@ class GraftExpressionsSpec extends SparkSpec {
     assert(top2 == Seq(7L, 3L)) // score desc, then id asc
   }
 
+  test("TopKIds buffer: random adds/merges/serde match brute-force (primitive heap)") {
+    val rnd = new scala.util.Random(23) // seeded — deterministic test
+    for (trial <- 1 to 20) {
+      val k = rnd.nextInt(6) // includes k=0 (keep nothing)
+      val rows = (0 until 200).map { i =>
+        // few distinct scores force the id tie-break; NaN and ±0.0 force
+        // the Double.compare total order
+        val s = rnd.nextInt(6) match {
+          case 0 => Double.NaN
+          case 1 => -0.0
+          case 2 => 0.0
+          case _ => rnd.nextInt(5).toDouble
+        }
+        (s, rnd.nextLong())
+      }
+      val expected = rows.sortWith { (a, b) =>
+        val c = java.lang.Double.compare(a._1, b._1)
+        c > 0 || (c == 0 && a._2 < b._2)
+      }.take(k).map(_._2)
+      // split into random partial buffers, serde each, merge in random order
+      val parts = rows.grouped(1 + rnd.nextInt(60)).map { chunk =>
+        val b = new GraftExpressions.TopKIds.Buffer(k)
+        chunk.foreach { case (s, id) => b.add(s, id) }
+        GraftExpressions.TopKIds.Buffer.fromBytes(b.toBytes)
+      }.toSeq
+      val merged = rnd.shuffle(parts).reduceLeft { (a, b) => a.addAll(b); a }
+      assert(merged.idsBestFirst.toSeq == expected, s"trial $trial (k=$k)")
+      // idsBestFirst must not disturb the live heap (it sorts on copies)
+      assert(merged.idsBestFirst.toSeq == expected, s"trial $trial second eval")
+    }
+  }
+
   test("TopKPayload buffer: NaN admission matches heap order regardless of arrival order") {
     // NaN compares greatest under Double.compare (Spark's sort order), same
     // contract TopKIds pins: a NaN score wins a top-1 contest either way

@@ -96,4 +96,42 @@ class DynamicShapeFuzzSpec extends SparkSpec {
       prop)
     assert(res.passed, s"dynamic shape fuzz failed: ${res.status}")
   }
+
+  test("property: codegen'd shape kernel ≡ declarative transform tree, codegen fallback disabled") {
+    // rootShapeCol now routes through the RootShape kernel; the retired
+    // declarative formulation stays as its oracle. fallback=false makes a
+    // kernel codegen bug FAIL instead of silently degrading to eval()
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val prop = Prop.forAll(rowGen) { row =>
+        val df = spark.createDataFrame(java.util.Arrays.asList(row), schema)
+        val both = df.select(
+          DynamicShape.rootShapeCol(schema).as("kernel"),
+          DynamicShape.rootShapeColDeclarative(schema).as("decl")).collect()(0)
+        val ok = both.getString(0) == both.getString(1)
+        if (!ok) Console.err.println(
+          s"[shapekernel] row=$row\n kernel='${both.getString(0)}'\n decl  ='${both.getString(1)}'")
+        ok
+      }
+      val res = SCTest.check(
+        SCTest.Parameters.default.withMinSuccessfulTests(60).withInitialSeed(Seed(4242L)),
+        prop)
+      assert(res.passed, s"kernel/declarative divergence: ${res.status}")
+
+      // long map keys (>57 UTF-8 bytes): base64 of the key must not pick
+      // up MIME line-chunking in either formulation
+      val longKey = "k" * 90
+      val row = Row(Map(longKey -> Row(Int.box(1), Seq(Int.box(2)))), null)
+      val df = spark.createDataFrame(java.util.Arrays.asList(row), schema)
+      val both = df.select(
+        DynamicShape.rootShapeCol(schema).as("kernel"),
+        DynamicShape.rootShapeColDeclarative(schema).as("decl")).collect()(0)
+      assert(both.getString(0) == both.getString(1), "long-key base64 divergence")
+      assert(!both.getString(0).contains("\r") && !both.getString(0).contains("\n"))
+      // and the kernel's output still parses + expands
+      val shapes = DynamicShape.parseRoot(both.getString(0), schema)
+      val cols = DynamicShape.expandRoot(schema, shapes, _ => false)
+      assert(cols.nonEmpty)
+    } finally spark.conf.set("spark.sql.codegen.fallback", "true")
+  }
 }
