@@ -544,7 +544,7 @@ object Bench {
         val sec2 = (System.nanoTime() - t1) / 1e9
         val stats = RunStats(timerJson, sec,
           result.processedTopics.map(_.records).sum,
-          result.processedTopics.map(_.paths.size).sum,
+          result.processedTopics.map(_.bins.count).sum.toInt,
           sec2, result2.processedTopics.map(_.records).sum)
         org.apache.commons.io.FileUtils.deleteDirectory(work.toFile)
         stats
@@ -693,7 +693,7 @@ object Bench {
         outputRoot = dwork.resolve("out").toString, timeBinFormat = "yyyyMMdd"))
       val dsec = (System.nanoTime() - dt0) / 1e9
       val dn = dres.processedTopics.map(_.records).sum
-      val dbins = dres.processedTopics.map(_.paths.size).sum
+      val dbins = dres.processedTopics.map(_.bins.count).sum
       org.apache.commons.io.FileUtils.deleteDirectory(dwork.toFile)
       val dyn10x = s"""{"records":$dn,"bins":$dbins,"shapes":3,"sec":${r4(dsec)},""" +
         s""""records_per_sec":${r4(dn / dsec)}}"""

@@ -62,7 +62,7 @@ object Main {
       if (loaded.workerEnabled) {
         val result = Restructure.run(spark, job)
         result.processedTopics.foreach { t =>
-          println(s"[graft] ${t.topic}: ${t.files.size} files, ${t.records} records, ${t.paths.size} bins")
+          println(s"[graft] ${t.topic}: ${t.files.size} files, ${t.records} records, ${t.bins.count} bins")
         }
         result.failedTopics.foreach { case (topic, err) =>
           Console.err.println(s"[graft] FAILED topic $topic: $err (will re-extract next run)")

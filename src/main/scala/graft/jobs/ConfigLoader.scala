@@ -270,6 +270,8 @@ object ConfigLoader {
         .filter(_.isNumber).map(_.asInt()).getOrElse(256),
       mergeChunkBins = opt(root, "worker", "mergeChunkBins")
         .filter(_.isNumber).map(_.asInt()).getOrElse(100000),
+      maxReportedPaths = opt(root, "worker", "maxReportedPaths")
+        .filter(_.isNumber).map(_.asInt()).getOrElse(1000),
       // S9: close open-ended ranges from object tags (S3) / blob metadata
       // (Azure) — reference S3Config.endOffsetFromTags,
       // AzureConfig.endOffsetFromMetadata

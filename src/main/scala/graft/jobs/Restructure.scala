@@ -30,7 +30,21 @@ import graft.time.TimeExtract
   */
 object Restructure {
 
-  final case class TopicResult(topic: String, files: Seq[String], records: Long, paths: Seq[String])
+  /** Distributed bin-write report: bin COUNT plus a bounded, sorted path
+    * sample (`maxReportedPaths` entries). The full per-bin path list was
+    * the last O(bins) driver materialization — pure reporting, never
+    * consumed by job logic — and a 10^7-bin run would hold ~1 GB of path
+    * strings on the driver just for it. Runs writing fewer bins than the
+    * cap still report every path (the sample IS the full sorted list).
+    */
+  final case class WrittenBins(count: Long, sample: Seq[String]) {
+    def merge(o: WrittenBins, cap: Int): WrittenBins =
+      WrittenBins(count + o.count, (sample ++ o.sample).sorted.take(cap))
+    def isEmpty: Boolean = count == 0L
+  }
+  object WrittenBins { val empty: WrittenBins = WrittenBins(0L, Nil) }
+
+  final case class TopicResult(topic: String, files: Seq[String], records: Long, bins: WrittenBins)
   final case class RunResult(processedTopics: Seq[TopicResult], ledger: OffsetRangeSet,
       failedTopics: Seq[(String, String)] = Nil)
 
@@ -273,7 +287,7 @@ object Restructure {
   private[graft] def writeCsvBins(
       spark: SparkSession, cfg: RestructureJobConfig, fs: FileSystem, topic: String,
       df: DataFrame, dataSchema: StructType, pathCol: Column, tCfg: TopicJobConfig,
-      sidecar: Option[Array[Byte]] = None): Seq[String] = {
+      sidecar: Option[Array[Byte]] = None): WrittenBins = {
     val outCols = csvColumns(dataSchema, cfg.allExcludeFields(topic))
     val prepared = df.select(outCols ++ Seq(
       pathCol.as("__path"), col(AvroRead.FileCol), col(AvroRead.PosCol)): _*)
@@ -317,7 +331,7 @@ object Restructure {
   private[jobs] def mergeCommitBins(
       spark: SparkSession, cfg: RestructureJobConfig, fs: FileSystem,
       prepared: DataFrame, format: String, jsonSchema: Option[StructType],
-      topic: String, sidecar: Option[Array[Byte]]): Seq[String] = {
+      topic: String, sidecar: Option[Array[Byte]]): WrittenBins = {
     import spark.implicits._
     val confEntries = AvroRead.fsConfEntries(spark)
     val outputRoot = cfg.outputRoot
@@ -368,7 +382,7 @@ object Restructure {
         // Cleaner.verifyTopic mirrors this loop — change both in lockstep.
         import scala.jdk.CollectionConverters._
         val nParts = math.max(1, math.ceil(nExisting.toDouble / chunkSize).toInt)
-        val written = Seq.newBuilder[String]
+        var written = WrittenBins.empty
         val chunks = probedDf.repartition(nParts, col("__p"))
           .as[(String, Int, String)].toLocalIterator().asScala.grouped(chunkSize)
         for (chunk <- chunks) {
@@ -376,16 +390,17 @@ object Restructure {
           val preparedChunk =
             prepared.join(broadcast(chunkPaths), Seq("__path"), "left_semi")
           val temps = scala.collection.mutable.ArrayBuffer.empty[HPath]
-          try written ++= commitBins(spark, cfg, fs,
+          try written = written.merge(commitBins(spark, cfg, fs,
             mergeChunk(spark, cfg, fs, preparedChunk, chunk, fmt, jsonSchema, temps),
-            format, topic, sidecar)
+            format, topic, sidecar), cfg.maxReportedPaths)
           finally temps.foreach(t => fs.delete(t, true))
         }
         // bins with no existing target: one final new-only commit
         val newOnly = prepared.join(
           probedDf.select(col("__p").as("__path")), Seq("__path"), "left_anti")
-        written ++= commitBins(spark, cfg, fs, newOnly, format, topic, sidecar)
-        written.result()
+        written.merge(
+          commitBins(spark, cfg, fs, newOnly, format, topic, sidecar),
+          cfg.maxReportedPaths)
       }
     } finally probedDf.unpersist(false)
   }
@@ -562,7 +577,7 @@ object Restructure {
   private[graft] def writeCsvBinsDynamic(
       spark: SparkSession, cfg: RestructureJobConfig, fs: FileSystem, topic: String,
       df: DataFrame, dataSchema: StructType, timeCol: Column, template: String,
-      tCfg: TopicJobConfig, sidecar: Option[Array[Byte]] = None): Seq[String] = {
+      tCfg: TopicJobConfig, sidecar: Option[Array[Byte]] = None): WrittenBins = {
     import graft.model.DynamicShape
     // persisted once: the fingerprint groups' headers come from ONE
     // aggregation over this frame, and each group's write re-reads it from
@@ -605,7 +620,7 @@ object Restructure {
           "in its own pass over the cached batch. Fix the producer schema drift, raise " +
           "worker.maxSchemaFingerprints, or process in smaller batches " +
           "(worker.maxFilesPerTopic) so fewer shapes land per run")
-      groupRows.toSeq.flatMap { row =>
+      groupRows.toSeq.map { row =>
       val fp = row.getString(row.fieldIndex("__fp"))
       val group = withFp.filter(col("__fp") === fp).drop("__fp", "__shape")
       val exclude = cfg.allExcludeFields(topic)
@@ -665,7 +680,7 @@ object Restructure {
       val mapDf = spark.createDataset(attemptPairs.toSeq).toDF("__base", "__path")
       val prepared = withBase.join(broadcast(mapDf), "__base").drop("__base")
       mergeCommitBins(spark, cfg, fs, prepared, "csv", None, topic, sidecar)
-      }
+      }.foldLeft(WrittenBins.empty)(_.merge(_, cfg.maxReportedPaths))
     } finally withFp.unpersist(false)
   }
 
@@ -780,7 +795,7 @@ object Restructure {
   private[graft] def writeJsonBins(
       spark: SparkSession, cfg: RestructureJobConfig, fs: FileSystem, topic: String,
       df: DataFrame, dataSchema: StructType, pathCol: Column, tCfg: TopicJobConfig,
-      sidecar: Option[Array[Byte]] = None): Seq[String] = {
+      sidecar: Option[Array[Byte]] = None): WrittenBins = {
     // project by the topic's data schema (like csvColumns), NOT df.columns:
     // the frame arrives plugin-enriched, and the __-prefixed enrichment
     // structs must never reach written records or the dedup key
@@ -835,7 +850,7 @@ object Restructure {
   private def commitBins(
       spark: SparkSession, cfg: RestructureJobConfig, fs: FileSystem,
       df: DataFrame, format: String, topic: String,
-      sidecar: Option[Array[Byte]] = None): Seq[String] = {
+      sidecar: Option[Array[Byte]] = None): WrittenBins = {
     import spark.implicits._
     val dataCols = df.columns.toSeq
       .filterNot(Seq("__path", AvroRead.FileCol, AvroRead.PosCol).contains)
@@ -877,11 +892,20 @@ object Restructure {
     // all tasks of this commit share the runId, so the stale-temp sweep can
     // distinguish a sibling's live temp from a dead run's leftover
     val runId = java.util.UUID.randomUUID().toString
-    val written = Timer.time("write.convert")(prepared.mapPartitions { it =>
-      BinWriter.writePartition(it, outputRoot, confEntries, header, gz, zip, dedupMode, uid, gid,
-        sidecarEntry, runId)
+    // report = count + bounded per-task sample: the stat list must not
+    // ship O(bins) strings to the driver (the write itself is untouched —
+    // one task writes its partition's bins either way)
+    val cap = math.max(0, cfg.maxReportedPaths)
+    val parts = Timer.time("write.convert")(prepared.mapPartitions { it =>
+      val out = BinWriter.writePartition(it, outputRoot, confEntries, header, gz, zip, dedupMode,
+        uid, gid, sidecarEntry, runId)
+      var n = 0L
+      val sample = scala.collection.mutable.ArrayBuffer.empty[String]
+      out.foreach { p => n += 1L; if (sample.length < cap) sample += p }
+      Iterator.single((n, sample.toSeq))
     }.collect())
-    written.toSeq.sorted
+    WrittenBins(parts.iterator.map(_._1).sum,
+      parts.iterator.flatMap(_._2).toSeq.sorted.take(cap))
   }
 
   /** Legacy `offsets/<topic>.csv` migration on startup (reference

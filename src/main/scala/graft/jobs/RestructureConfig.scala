@@ -56,6 +56,11 @@ final case class RestructureJobConfig(
     // residue at ~10 MB of path strings while keeping normal appends on
     // the single-commit fast path
     mergeChunkBins: Int = 100000,
+    // bound on the per-run written-paths REPORT (TopicResult.bins.sample):
+    // bin counts are always exact; only this many path strings ever reach
+    // the driver for reporting — the report was the last O(bins) driver
+    // list
+    maxReportedPaths: Int = 1000,
     minimumFileAgeMs: Long = 0L,
     timeBinFormat: String = "yyyyMMdd_HH00",
     // G6: enrichment-backed path-template plugins (e.g. `mp:`), applied to

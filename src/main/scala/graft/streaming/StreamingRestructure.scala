@@ -101,8 +101,9 @@ object StreamingRestructure {
   private[graft] def processBatch(
       spark: SparkSession, cfg: RestructureJobConfig, topic: String,
       batch: DataFrame, dataSchema: StructType, pathCol: Column, batchId: Long,
-      checkpoint: Option[String] = None): Seq[String] = {
-    if (checkpoint.exists(c => batchId <= lastCommitted(spark, c))) return Seq.empty
+      checkpoint: Option[String] = None): Restructure.WrittenBins = {
+    if (checkpoint.exists(c => batchId <= lastCommitted(spark, c)))
+      return Restructure.WrittenBins.empty
     val fs = new HPath(cfg.outputRoot).getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.setWriteChecksum(false)
     fs.setVerifyChecksum(false)

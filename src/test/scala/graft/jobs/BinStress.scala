@@ -60,7 +60,7 @@ object BinStress {
     val h0 = gcUsedMb()
     var t = System.nanoTime()
     val coldCount = Restructure.writeCsvBins(spark, cfg, fs, "stress", frame(),
-      dataSchema, pathCol, TopicJobConfig(), sidecar).size
+      dataSchema, pathCol, TopicJobConfig(), sidecar).count
     val coldSec = (System.nanoTime() - t) / 1e9
     val h1 = gcUsedMb()
     require(coldCount == bins, s"expected $bins bins, wrote $coldCount")
@@ -70,7 +70,7 @@ object BinStress {
     // returns the full existing set and the merge re-reads + rewrites
     t = System.nanoTime()
     val appendCount = Restructure.writeCsvBins(spark, cfg, fs, "stress", frame(),
-      dataSchema, pathCol, TopicJobConfig(), sidecar).size
+      dataSchema, pathCol, TopicJobConfig(), sidecar).count
     val appendSec = (System.nanoTime() - t) / 1e9
     val h2 = gcUsedMb()
     require(appendCount == bins, s"append expected $bins bins, got $appendCount")
@@ -81,7 +81,7 @@ object BinStress {
     t = System.nanoTime()
     val chunkCfg = cfg.copy(mergeChunkBins = math.max(1, bins / 8))
     val chunkCount = Restructure.writeCsvBins(spark, chunkCfg, fs, "stress", frame(),
-      dataSchema, pathCol, TopicJobConfig(), sidecar).size
+      dataSchema, pathCol, TopicJobConfig(), sidecar).count
     val chunkSec = (System.nanoTime() - t) / 1e9
     val h3 = gcUsedMb()
     require(chunkCount == bins, s"chunked append expected $bins bins, got $chunkCount")
@@ -102,7 +102,7 @@ object BinStress {
       lit("f0").as(AvroRead.FileCol), col("id").as(AvroRead.PosCol))
     t = System.nanoTime()
     val skewCount = Restructure.writeCsvBins(spark, skewCfg, skewFs, "skew", skewFrame(),
-      dataSchema, pathCol, TopicJobConfig(), sidecar).size
+      dataSchema, pathCol, TopicJobConfig(), sidecar).count
     val skewSec = (System.nanoTime() - t) / 1e9
     val h4 = gcUsedMb()
     try skewFs.delete(new HPath(skewOut), true) catch { case _: Exception => () }

@@ -59,14 +59,14 @@ class PathCharsSpec extends SparkSpec {
       def write(tag: String) = Restructure.writeCsvBins(spark, cfg, fs, "t",
         frame(tag), dataSchema, col("__p"), TopicJobConfig())
       val cold = write("c")
-      assert(cold.size == 4, s"($gz,$zip) cold: $cold")
+      assert(cold.count == 4, s"($gz,$zip) cold: $cold")
       val append = write("d")
-      assert(append.size == 4,
+      assert(append.count == 4,
         s"($gz,$zip) append re-binned a special-char path: $append")
-      assert(append.toSet == cold.toSet, s"($gz,$zip): $cold vs $append")
+      assert(append.sample.toSet == cold.sample.toSet, s"($gz,$zip): $cold vs $append")
       // every bin holds BOTH rows — the existing row survived the merge
       // under its original path instead of forking an encoded twin
-      for (p <- cold) {
+      for (p <- cold.sample) {
         val full = new org.apache.hadoop.fs.Path(s"$out/$p")
         val raw: java.io.InputStream =
           if (zip) { val z = new java.util.zip.ZipInputStream(fs.open(full)); z.getNextEntry; z }

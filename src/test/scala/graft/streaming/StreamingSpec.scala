@@ -226,7 +226,7 @@ class StreamingSpec extends SparkSpec {
     val schema = batch.schema
     val first = StreamingRestructure.processBatch(
       spark, cfg, "events", batch, schema, pathCol, batchId = 7L, Some(ckpt.toString))
-    assert(first.size == 2)
+    assert(first.count == 2)
     val bin = out.resolve("proj/u1/events/20210102_1000.csv")
     val afterFirst = Files.readAllLines(bin)
     // replay of the SAME batchId: skipped via the marker
@@ -237,7 +237,7 @@ class StreamingSpec extends SparkSpec {
     // the NEXT batch still processes and appends
     val next = StreamingRestructure.processBatch(
       spark, cfg, "events", batch, schema, pathCol, batchId = 8L, Some(ckpt.toString))
-    assert(next.size == 2)
+    assert(next.count == 2)
     assert(Files.readAllLines(bin).size == afterFirst.size + 1) // +1 data row per user bin
   }
 }
