@@ -800,34 +800,81 @@ object GraftExpressions {
   }
 
   object TopKPayload {
-    /** Size-k heap with the WORST entry at the head (smaller score, then
-      * larger tie), mirroring [[TopKIds.Buffer]] with a payload slot.
+    /** Size-k binary min-heap with the WORST entry at the root (smaller
+      * score, then larger tie), mirroring [[TopKIds.Buffer]] with a
+      * payload slot: primitive score array + object tie/payload arrays,
+      * so a candidate admission never boxes a score or allocates a tuple
+      * (the previous `PriorityQueue[(Double, Any, Any)]` did both per
+      * accepted candidate; rejections were and remain allocation-free).
       */
     final class Buffer(val k: Int, tieCmp: (Any, Any) => Int) {
-      private val worstFirst = new java.util.Comparator[(Double, Any, Any)] {
-        override def compare(a: (Double, Any, Any), b: (Double, Any, Any)): Int = {
-          val c = java.lang.Double.compare(a._1, b._1)
-          if (c != 0) c else tieCmp(b._2, a._2)
-        }
+      private val cap = math.max(1, k)
+      private val scores = new Array[Double](cap)
+      private val ties = new Array[Any](cap)
+      private val payloads = new Array[Any](cap)
+      private var n = 0
+      // "a sorts before b at the root": worse = smaller score, ties broken
+      // by LARGER tie value (so the best-first output is tie-ascending)
+      private def rootward(s1: Double, t1: Any, s2: Double, t2: Any): Boolean = {
+        val c = java.lang.Double.compare(s1, s2)
+        c < 0 || (c == 0 && tieCmp(t1, t2) > 0)
       }
-      private val pq = new java.util.PriorityQueue[(Double, Any, Any)](math.max(1, k), worstFirst)
+      private def siftUp(start: Int): Unit = {
+        var i = start
+        val s = scores(i); val t = ties(i); val p = payloads(i)
+        while (i > 0 && rootward(s, t, scores((i - 1) / 2), ties((i - 1) / 2))) {
+          val q = (i - 1) / 2
+          scores(i) = scores(q); ties(i) = ties(q); payloads(i) = payloads(q)
+          i = q
+        }
+        scores(i) = s; ties(i) = t; payloads(i) = p
+      }
+      private def siftDown(): Unit = {
+        var i = 0
+        val s = scores(0); val t = ties(0); val p = payloads(0)
+        var done = false
+        while (!done) {
+          var c = 2 * i + 1
+          if (c >= n) done = true
+          else {
+            if (c + 1 < n && rootward(scores(c + 1), ties(c + 1), scores(c), ties(c))) c += 1
+            if (rootward(scores(c), ties(c), s, t)) {
+              scores(i) = scores(c); ties(i) = ties(c); payloads(i) = payloads(c)
+              i = c
+            } else done = true
+          }
+        }
+        scores(i) = s; ties(i) = t; payloads(i) = p
+      }
       def add(s: Double, t: Any, p: Any): Unit =
-        if (pq.size < k) pq.offer((s, t, p))
-        else if (k <= 0) () // top-0 keeps nothing (peek() would NPE below)
-        else {
-          val w = pq.peek()
-          val c = java.lang.Double.compare(s, w._1)
-          if (c > 0 || (c == 0 && tieCmp(t, w._2) < 0)) { pq.poll(); pq.offer((s, t, p)) }
+        if (k <= 0) () // top-0 keeps nothing
+        else if (n < k) {
+          scores(n) = s; ties(n) = t; payloads(n) = p; n += 1
+          siftUp(n - 1)
+        } else {
+          val c = java.lang.Double.compare(s, scores(0))
+          if (c > 0 || (c == 0 && tieCmp(t, ties(0)) < 0)) {
+            scores(0) = s; ties(0) = t; payloads(0) = p
+            siftDown()
+          }
         }
-      def addAll(o: Buffer): Unit = o.pq.forEach(e => add(e._1, e._2, e._3))
-      def entries: Seq[(Double, Any, Any)] = {
-        import scala.jdk.CollectionConverters._
-        pq.iterator().asScala.toSeq
+      def addAll(o: Buffer): Unit = {
+        var i = 0
+        while (i < o.n) { add(o.scores(i), o.ties(i), o.payloads(i)); i += 1 }
       }
+      def entries: Seq[(Double, Any, Any)] =
+        (0 until n).map(i => (scores(i), ties(i), payloads(i)))
       def payloadsBestFirst: Array[Any] = {
-        val arr = pq.toArray(new Array[(Double, Any, Any)](pq.size))
-        java.util.Arrays.sort(arr, worstFirst.reversed())
-        arr.map(_._3)
+        // index sort on a copy (runs once per group at eval): best-first =
+        // score desc, tie asc — the reverse of the rootward order
+        val idx = Array.tabulate[Integer](n)(Integer.valueOf)
+        java.util.Arrays.sort(idx, new java.util.Comparator[Integer] {
+          override def compare(a: Integer, b: Integer): Int = {
+            val c = java.lang.Double.compare(scores(b.intValue()), scores(a.intValue()))
+            if (c != 0) c else tieCmp(ties(a.intValue()), ties(b.intValue()))
+          }
+        })
+        idx.map(i => payloads(i.intValue()))
       }
     }
   }

@@ -19,7 +19,8 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     def info(name: String, usage: String) =
-      new ExpressionInfo(classOf[GraftExpressions.type].getName, name, usage, "", "")
+      new ExpressionInfo(classOf[GraftExpressions.type].getName, "", name,
+        s"_FUNC_: $usage", "", "", "", "", "", "", "built-in")
     // the COMPLETE function list, shared with GraftExpressions.register so
     // the spark-sql/JDBC path can never lag the driver-side registry
     GraftExpressions.sqlFunctions.foreach { case (name, usage, builder) =>

@@ -219,7 +219,7 @@ object StreamingNearDedup {
     val live = parts
     if (live.length < 2) return
     val newDirName = s"batch=$epoch-c${live.map(_._2).max}"
-    val merged0 = spark.read.parquet(live.map(p => s"$historyDir/${p._1}"): _*)
+    val merged0 = spark.read.parquet(live.toIndexedSeq.map(p => s"$historyDir/${p._1}"): _*)
     val merged =
       if (live.exists(_._1 == newDirName)) merged0.localCheckpoint(true) // self-overwrite guard
       else merged0
