@@ -18,7 +18,8 @@ import graft.sources.AvroRead
   *
   * Prints one JSON line with wall times and GC'd driver heap at each
   * phase; "flat" = the post-phase heap returns to the baseline order, no
-  * O(bins) driver residue beyond the written-paths stat list.
+  * O(bins) driver residue at all (since round 12 the engine itself
+  * reports count + bounded path sample, never the full stat list).
   */
 object BinStress {
   private def gcUsedMb(): Long = {
@@ -53,10 +54,8 @@ object BinStress {
       lit("/b"), col("bin"), lit(".csv"))
     val sidecar = Some("""{"type":"record","name":"stress"}""".getBytes("UTF-8"))
 
-    // each phase keeps only the written-path COUNT across the heap
-    // measurement — retaining the 1e5-string stat list (which real runs
-    // hand to accounting and drop) would bury the merge-planning signal
-    // under ~15 MB of measurement artifact
+    // the engine's report is count + bounded sample (maxReportedPaths),
+    // so the heap signal is the merge-planning residue alone
     val h0 = gcUsedMb()
     var t = System.nanoTime()
     val coldCount = Restructure.writeCsvBins(spark, cfg, fs, "stress", frame(),

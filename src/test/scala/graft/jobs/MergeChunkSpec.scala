@@ -272,6 +272,33 @@ class MergeChunkSpec extends SparkSpec {
       s"ledger ranges diverged after replay:\n${ledgerRanges()}\nvs\n$cleanLedger")
   }
 
+  test("written-paths report: exact count, sample bounded by maxReportedPaths") {
+    val work = Files.createTempDirectory("graft-chunk-report")
+    val dir = work.resolve("in/topicA/partition=0")
+    Files.createDirectories(dir)
+    val users = (0 until 8).map(i => s"u$i")
+    writeAvro(dir, "topicA+0+0000000000+0000000007.avro",
+      users.map(u => u -> s"$u-a"), 1.6095816e9)
+    val cfg = RestructureJobConfig(
+      inputRoot = work.resolve("in").toString, outputRoot = work.resolve("out").toString,
+      maxReportedPaths = 3)
+    val result = Restructure.run(spark, cfg)
+    val bins = result.processedTopics.head.bins
+    assert(bins.count == 8, s"count must stay exact above the cap: $bins")
+    assert(bins.sample.size == 3, s"sample must be cap-bounded: $bins")
+    assert(bins.sample == bins.sample.sorted)
+    // below the cap the sample IS the full sorted list
+    val work2 = Files.createTempDirectory("graft-chunk-report2")
+    val dir2 = work2.resolve("in/topicA/partition=0")
+    Files.createDirectories(dir2)
+    writeAvro(dir2, "topicA+0+0000000000+0000000003.avro",
+      users.take(2).map(u => u -> s"$u-a"), 1.6095816e9)
+    val r2 = Restructure.run(spark, RestructureJobConfig(
+      inputRoot = work2.resolve("in").toString, outputRoot = work2.resolve("out").toString))
+    val b2 = r2.processedTopics.head.bins
+    assert(b2.count == 2 && b2.sample.size == 2, s"small runs report every path: $b2")
+  }
+
   test("zip merge plans ONE scan per header group, not one per bin") {
     val work = Files.createTempDirectory("graft-chunk-plan")
     val dir = work.resolve("in/topicA/partition=0")
