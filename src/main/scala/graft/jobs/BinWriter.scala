@@ -40,7 +40,10 @@ private[jobs] object BinWriter {
           fc.rename(fs.makeQualified(src), fs.makeQualified(target), Options.Rename.OVERWRITE)
         case None =>
           if (fs.exists(target)) fs.delete(target, false)
-          fs.rename(src, target)
+          // CHECK the boolean: a silently failed rename here loses the
+          // bin's freshly written temp (task reports success, file absent)
+          if (!fs.rename(src, target) && !fs.rename(src, target))
+            throw new java.io.IOException(s"failed to commit $src -> $target")
       }
     }
 

@@ -75,10 +75,15 @@ object Cleaner {
             val name = st.getPath.getName
             if (missingByFile.getOrElse(name, 0L) == 0L) {
               // resolve the FS per file: roots may live on different stores
-              graft.util.Timer.time("cleaner.delete")(st.getPath
+              val removed = graft.util.Timer.time("cleaner.delete")(st.getPath
                 .getFileSystem(spark.sparkContext.hadoopConfiguration)
                 .delete(st.getPath, false))
-              deleted += st.getPath.toString
+              // CHECK the boolean: a false return would report a surviving
+              // file as deleted. The file stays eligible and re-verifies
+              // next run, so a warn is the right severity.
+              if (removed) deleted += st.getPath.toString
+              else Console.err.println(
+                s"[graft] cleaner could not delete verified file ${st.getPath} — will retry next run")
             } else {
               ledger.remove(r.topic, r.partition, r.from, r.to.get)
               rolledBack += st.getPath.toString

@@ -781,7 +781,12 @@ object Restructure {
       } finally in.close()
     } catch { case _: Exception => None }
 
-  /** K9: move an unreadable target aside as `<name>.corrupted[-i]`. */
+  /** K9: move an unreadable target aside as `<name>.corrupted[-i]`.
+    * A failed rename THROWS (caught by per-topic isolation): proceeding
+    * would treat the still-present corrupt file as a fresh bin slot and
+    * the commit's rename-over would destroy the evidence it exists to
+    * preserve.
+    */
   private def quarantine(fs: FileSystem, target: HPath): Unit = {
     var candidate = new HPath(target.toString + ".corrupted")
     var i = 0
@@ -789,7 +794,8 @@ object Restructure {
       i += 1
       candidate = new HPath(target.toString + s".corrupted-$i")
     }
-    fs.rename(target, candidate)
+    if (!fs.rename(target, candidate))
+      throw new java.io.IOException(s"failed to quarantine corrupt target $target -> $candidate")
   }
 
   private[graft] def writeJsonBins(

@@ -328,8 +328,10 @@ object PathFormatterPlugin {
       case "mp" => Some(new MpPathFormatterPlugin(new MpDimensionSource.Rest(properties)))
       case cls if prevalidated.containsKey(cls) =>
         // consume the instance validation already built (remove, not get:
-        // a later startup with changed runtime config must construct fresh)
-        Option(prevalidated.remove(cls)).orElse(fromNames(Seq(cls), properties).headOption.map(p => p))
+        // a later startup with changed runtime config must construct
+        // fresh); if another thread consumed it between the guard and the
+        // remove, fall through to a fresh construction
+        Option(prevalidated.remove(cls)).orElse(fromNames(Seq(cls), properties).headOption)
       case cls =>
         // fail fast like the reference's Class.forName branch: a typo'd
         // plugin name silently resolving to nothing would leave every
