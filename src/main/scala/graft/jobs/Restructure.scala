@@ -64,6 +64,7 @@ object Restructure {
       case None => loadLedger(fs, cfg.ledger)
     }
     migrateLegacyOffsets(fs, cfg, ledger, store)
+    sweepStaleUnzipTemps(fs, cfg.outputRoot)
     val topics = listing.getOrElse(
       TopicFiles.listTopicsAll(spark, cfg.inputRoot +: cfg.extraInputRoots))
     val now = System.currentTimeMillis()
@@ -944,6 +945,26 @@ object Restructure {
     }
     store.fold(saveLedger(fs, cfg.ledger, ledger))(_.set(cfg.ledger, ledger.toJson))
   }
+
+  /** Reclaim `.graft-unzip-*` temp directories orphaned by a CRASHED
+    * merge/cleaner run (the in-process finally cleans them on every
+    * non-crash path, and the dot-temp sweep matches only `.tmp-` names,
+    * so these would otherwise live forever). One listStatus of the output
+    * root per run; the 1-hour age guard spares a concurrent instance's
+    * live temp (same contract as the dot-temp sweep).
+    */
+  private[jobs] def sweepStaleUnzipTemps(fs: FileSystem, outputRoot: String): Unit =
+    try {
+      val root = new HPath(outputRoot)
+      if (fs.exists(root)) {
+        val staleBefore = System.currentTimeMillis() - 3600000L
+        fs.listStatus(root).foreach { st =>
+          if (st.isDirectory && st.getPath.getName.startsWith(".graft-unzip-") &&
+              st.getModificationTime < staleBefore)
+            try fs.delete(st.getPath, true) catch { case _: Exception => }
+        }
+      }
+    } catch { case _: Exception => } // reclamation is best-effort, never fails a run
 
   def loadLedger(fs: FileSystem, path: String): OffsetRangeSet = {
     val p = new HPath(path)

@@ -272,6 +272,27 @@ class MergeChunkSpec extends SparkSpec {
       s"ledger ranges diverged after replay:\n${ledgerRanges()}\nvs\n$cleanLedger")
   }
 
+  test("crash-orphaned unzip temp dirs: stale ones reclaimed at job entry, fresh ones spared") {
+    val work = Files.createTempDirectory("graft-chunk-unzsweep")
+    val dir = work.resolve("in/topicA/partition=0")
+    Files.createDirectories(dir)
+    writeAvro(dir, "topicA+0+0000000000+0000000001.avro",
+      Seq("u0" -> "a", "u1" -> "b"), 1.6095816e9)
+    val out = work.resolve("out")
+    Files.createDirectories(out)
+    // a crashed run's leftover (old mtime) and a concurrent run's live temp
+    val stale = out.resolve(".graft-unzip-dead")
+    val live = out.resolve(".graft-unzip-live")
+    Files.createDirectories(stale); Files.createDirectories(live)
+    Files.write(stale.resolve("x.unz"), "junk".getBytes)
+    Files.setLastModifiedTime(stale,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 2 * 3600 * 1000L))
+    Restructure.run(spark, RestructureJobConfig(
+      inputRoot = work.resolve("in").toString, outputRoot = out.toString))
+    assert(!Files.exists(stale), "stale unzip temp not reclaimed")
+    assert(Files.exists(live), "live (recent) unzip temp must be spared")
+  }
+
   test("written-paths report: exact count, sample bounded by maxReportedPaths") {
     val work = Files.createTempDirectory("graft-chunk-report")
     val dir = work.resolve("in/topicA/partition=0")
