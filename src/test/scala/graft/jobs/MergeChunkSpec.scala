@@ -272,6 +272,59 @@ class MergeChunkSpec extends SparkSpec {
       s"ledger ranges diverged after replay:\n${ledgerRanges()}\nvs\n$cleanLedger")
   }
 
+  test("crash BETWEEN chunks, zip mode: partial commits replay to identical bin contents") {
+    // same crash construction as the csv case, but zip bins are NOT
+    // byte-deterministic (the single zip entry embeds its write mtime), so
+    // the invariant is identical unzipped CONTENT + ledger ranges
+    import scala.jdk.CollectionConverters._
+    val work = Files.createTempDirectory("graft-chunk-zipcrash")
+    val dir = work.resolve("in/topicA/partition=0")
+    Files.createDirectories(dir)
+    val users = (0 until 6).map(i => s"u$i")
+    writeAvro(dir, "topicA+0+0000000000+0000000011.avro",
+      users.flatMap(u => Seq(u -> s"$u-a", u -> s"$u-b")), 1.6095816e9)
+    val out = work.resolve("out")
+    val cfg = RestructureJobConfig(
+      inputRoot = work.resolve("in").toString, outputRoot = out.toString,
+      dedup = true, zip = true, mergeChunkBins = 2)
+    Restructure.run(spark, cfg)
+    def zipBins(): Map[String, (Array[Byte], Seq[String])] =
+      Files.walk(out).iterator().asScala
+        .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".csv.zip"))
+        .map { p =>
+          val zin = new java.util.zip.ZipInputStream(Files.newInputStream(p))
+          assert(zin.getNextEntry != null)
+          val content = new String(zin.readAllBytes(), "UTF-8")
+          zin.close()
+          out.relativize(p).toString -> (Files.readAllBytes(p), content.linesIterator.toSeq)
+        }.toMap
+    def ledgerRanges(): String =
+      new String(Files.readAllBytes(out.resolve("_ledger.json")), "UTF-8")
+        .replaceAll(""","lastProcessed":"[^"]*"""", "")
+    val preBins = zipBins()
+    val preLedger = Files.readAllBytes(out.resolve("_ledger.json"))
+    writeAvro(dir, "topicA+0+0000000012+0000000023.avro",
+      users.flatMap(u => Seq(u -> s"$u-b", u -> s"$u-c")), 1.6095816e9)
+    Restructure.run(spark, cfg) // clean chunked zip append (3 chunks)
+    val cleanBins = zipBins()
+    val cleanLedger = ledgerRanges()
+    assert(cleanBins.keySet.size == 6)
+    // crash state: roll 4 of 6 bins back to their pre-append ZIP BYTES and
+    // restore the run-1 ledger
+    cleanBins.keySet.toSeq.sorted.drop(2).foreach(p =>
+      Files.write(out.resolve(p), preBins(p)._1))
+    Files.write(out.resolve("_ledger.json"), preLedger)
+    Restructure.run(spark, cfg)
+    val replayBins = zipBins()
+    assert(replayBins.keySet == cleanBins.keySet)
+    for ((p, (_, lines)) <- replayBins)
+      assert(lines == cleanBins(p)._2,
+        s"zip bin $p content diverged after mid-chunk crash replay:\n$lines\nvs\n${cleanBins(p)._2}")
+    assert(ledgerRanges() == cleanLedger)
+    // no unzip temp residue from any of the three runs
+    assert(!Files.walk(out).iterator().asScala.exists(_.getFileName.toString.contains("graft-unzip")))
+  }
+
   test("crash-orphaned unzip temp dirs: stale ones reclaimed at job entry, fresh ones spared") {
     val work = Files.createTempDirectory("graft-chunk-unzsweep")
     val dir = work.resolve("in/topicA/partition=0")
