@@ -901,6 +901,24 @@ object GraftExpressions {
     override def prettyName: String = "graft_root_shape"
     override def dataType: DataType = StringType
     override def nullable: Boolean = false
+    // the function is SQL-registered: a non-struct argument must fail
+    // analysis with a clear message, not ClassCastException at runtime
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case st: StructType if st.fields.forall(f => mapKeysAreStrings(f.dataType)) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case _: StructType =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            "graft_root_shape requires all map keys in the struct to be strings")
+        case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_root_shape needs a struct argument, got $t")
+      }
+    private def mapKeysAreStrings(dt: DataType): Boolean = dt match {
+      case MapType(kt, vt, _) => kt == StringType && mapKeysAreStrings(vt)
+      case ArrayType(et, _) => mapKeysAreStrings(et)
+      case st: StructType => st.fields.forall(f => mapKeysAreStrings(f.dataType))
+      case _ => true
+    }
 
     // @transient: Base64.Encoder is not Serializable, and the compiled
     // node tree must rebuild executor-side anyway (inner-class nodes
