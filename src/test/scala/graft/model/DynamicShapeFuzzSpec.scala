@@ -97,6 +97,75 @@ class DynamicShapeFuzzSpec extends SparkSpec {
     assert(res.passed, s"dynamic shape fuzz failed: ${res.status}")
   }
 
+  test("property: kernel ≡ declarative over RANDOM schemas (type trees) and random data") {
+    // the fixed-schema fuzz exercises one type tree; this one generates
+    // the tree itself — arrays/maps/structs nested to depth 3 with leaf
+    // ints/strings/doubles — so every Node shape in the kernel's compiled
+    // walker meets every null/arity/key combination
+    val leafGen: Gen[DataType] = Gen.oneOf(IntegerType, StringType, DoubleType)
+    def genType(depth: Int): Gen[DataType] =
+      if (depth >= 3) leafGen
+      else Gen.frequency(
+        3 -> leafGen,
+        2 -> Gen.lzy(genType(depth + 1).map(ArrayType(_, true))),
+        2 -> Gen.lzy(genType(depth + 1).map(vt => MapType(StringType, vt, true))),
+        1 -> Gen.lzy(Gen.chooseNum(1, 3).flatMap(n =>
+          Gen.sequence[List[DataType], DataType](List.fill(n)(genType(depth + 1)))
+            .map(ts => StructType(ts.zipWithIndex.map { case (t, i) =>
+              StructField(s"f$i", t, nullable = true) })))))
+    val kg: Gen[String] = Gen.oneOf("", "k1", "a=b", "é中", "x;y", "k" * 70)
+    def genValue(dt: DataType): Gen[Any] = dt match {
+      case IntegerType => Gen.oneOf(Gen.const(null), Gen.chooseNum(0, 9).map(Int.box))
+      case StringType => Gen.oneOf(null, "a", "", "é中")
+      case DoubleType => Gen.oneOf(null, Double.box(1.5), Double.box(-0.0))
+      case ArrayType(et, _) => Gen.oneOf(
+        Gen.const(null),
+        Gen.chooseNum(0, 3).flatMap(n =>
+          Gen.sequence[List[Any], Any](List.fill(n)(genValue(et)))))
+      case MapType(_, vt, _) => Gen.oneOf(
+        Gen.const(null),
+        Gen.chooseNum(0, 3).flatMap(n =>
+          Gen.sequence[List[(String, Any)], (String, Any)](
+            List.fill(n)(for { k <- kg; v <- genValue(vt) } yield k -> v)).map(_.toMap)))
+      case st: StructType => Gen.oneOf(
+        Gen.const(null),
+        Gen.sequence[List[Any], Any](st.fields.map(f => genValue(f.dataType)).toList)
+          .map(vs => Row(vs: _*)))
+      case t => throw new IllegalArgumentException(t.toString)
+    }
+    val caseGen = for {
+      nFields <- Gen.chooseNum(1, 3)
+      types <- Gen.sequence[List[DataType], DataType](List.fill(nFields)(genType(0)))
+      sch = StructType(types.zipWithIndex.map { case (t, i) =>
+        StructField(s"c$i", t, nullable = true) })
+      row <- Gen.sequence[List[Any], Any](sch.fields.map(f => genValue(f.dataType)).toList)
+        .map(vs => Row(vs: _*))
+    } yield (sch, row)
+    val prop = Prop.forAll(caseGen) { case (sch, row) =>
+      val df = spark.createDataFrame(java.util.Arrays.asList(row), sch)
+      val both = df.select(
+        DynamicShape.rootShapeCol(sch).as("kernel"),
+        DynamicShape.rootShapeColDeclarative(sch).as("decl")).collect()(0)
+      val eq = both.getString(0) == both.getString(1)
+      // the shape must also parse back and expand without throwing
+      val parses =
+        try {
+          val shapes = DynamicShape.parseRoot(both.getString(0), sch)
+          val cols = DynamicShape.expandRoot(sch, shapes, _ => false)
+          if (cols.nonEmpty) df.select(cols: _*).collect()
+          true
+        } catch { case e: Exception =>
+          Console.err.println(s"[schemafuzz] parse/expand failed for $sch $row: $e"); false
+        }
+      if (!eq) Console.err.println(
+        s"[schemafuzz] $sch $row\n kernel='${both.getString(0)}'\n decl  ='${both.getString(1)}'")
+      eq && parses
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(50).withInitialSeed(Seed(7777L)), prop)
+    assert(res.passed, s"random-schema kernel divergence: ${res.status}")
+  }
+
   test("property: codegen'd shape kernel ≡ declarative transform tree, codegen fallback disabled") {
     // rootShapeCol now routes through the RootShape kernel; the retired
     // declarative formulation stays as its oracle. fallback=false makes a
