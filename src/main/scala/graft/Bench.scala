@@ -686,14 +686,25 @@ object Bench {
       val dcounters = new Array[Long](16)
       var dynRecords = 0L
       (0 until rep).foreach { r => dynRecords += writeDyn(dwork, dcounters, rows, r * 64) }
-      dropCachedBlocks()
-      val dt0 = System.nanoTime()
-      val dres = graft.jobs.Restructure.run(spark, graft.jobs.RestructureJobConfig(
-        inputRoot = dwork.resolve("in").toString,
-        outputRoot = dwork.resolve("out").toString, timeBinFormat = "yyyyMMdd"))
-      val dsec = (System.nanoTime() - dt0) / 1e9
-      val dn = dres.processedTopics.map(_.records).sum
-      val dbins = dres.processedTopics.map(_.bins.count).sum
+      // min-of-2 measured runs over the SAME input tree (fresh output root
+      // + ledger each pass, so both are full cold extractions): round 11's
+      // single-shot jobs10x rows produced a false +33% alarm from one
+      // noise burst — the input fixture is the expensive part and is
+      // reused, so the second pass costs only the job itself
+      def dynOnce(): (Double, Long, Long) = {
+        val out = java.nio.file.Files.createTempDirectory("graft-bench-dyn10x-out")
+        dropCachedBlocks()
+        val dt0 = System.nanoTime()
+        val dres = graft.jobs.Restructure.run(spark, graft.jobs.RestructureJobConfig(
+          inputRoot = dwork.resolve("in").toString,
+          outputRoot = out.toString, timeBinFormat = "yyyyMMdd"))
+        val dsec = (System.nanoTime() - dt0) / 1e9
+        org.apache.commons.io.FileUtils.deleteDirectory(out.toFile)
+        (dsec, dres.processedTopics.map(_.records).sum,
+          dres.processedTopics.map(_.bins.count).sum)
+      }
+      val druns = Seq(dynOnce(), dynOnce())
+      val (dsec, dn, dbins) = druns.minBy(_._1)
       org.apache.commons.io.FileUtils.deleteDirectory(dwork.toFile)
       val dyn10x = s"""{"records":$dn,"bins":$dbins,"shapes":3,"sec":${r4(dsec)},""" +
         s""""records_per_sec":${r4(dn / dsec)}}"""
