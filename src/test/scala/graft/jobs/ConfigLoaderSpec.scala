@@ -30,6 +30,7 @@ class ConfigLoaderSpec extends AnyFunSuite {
       |  minimumFileAge: 60
       |  maxSchemaFingerprints: 32
       |  mergeChunkBins: 5000
+      |  maxReportedPaths: 7
       |cleaner:
       |  enable: true
       |  age: 7
@@ -64,6 +65,7 @@ class ConfigLoaderSpec extends AnyFunSuite {
     assert(l.job.minimumFileAgeMs == 60000L)
     assert(l.job.maxSchemaFingerprints == 32)
     assert(l.job.mergeChunkBins == 5000)
+    assert(l.job.maxReportedPaths == 7)
     assert(l.job.pathTemplate == "${projectId}/${userId}/${topic}/${filename}")
     assert(!l.job.dedupEnabled("topic_a")) // per-topic override
     assert(l.job.dedupEnabled("topic_x"))  // global default
