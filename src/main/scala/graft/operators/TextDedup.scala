@@ -246,10 +246,13 @@ object TextDedup {
     * whole-document dedup cannot see.
     *
     * Scale shape: window explosion is linear in total tokens (one row per
-    * token position, no pair space); the per-doc `distinct` collapses
-    * within-doc repeats BEFORE the fingerprint shuffle, and the doc count
-    * is then a plain `count` with map-side partial combine — never a
-    * count-distinct over the raw window stream.
+    * token position, no pair space); within-doc repeats collapse ROW-LOCALLY
+    * (`array_distinct` on the window array, before the explode) so the
+    * only exchange in the whole plan is the map-side-combined
+    * `groupBy(fp)` — never a second shuffle to dedup `(id, fp)` pairs,
+    * and never a count-distinct over the raw window stream. Assumes
+    * `idCol` identifies a document (one row per doc), which every caller
+    * in this engine satisfies.
     */
   def repeatedSpans(df: DataFrame, idCol: String, textCol: String,
       windowTokens: Int = 8, minDocs: Int = 2): DataFrame = {
@@ -258,8 +261,8 @@ object TextDedup {
     val toks = TextFunctions.words(col(textCol))
     val w = windowTokens
     val fps = Scale.widen(df).select(col(idCol),
-      explode(windowFingerprints(toks, w)).as("fp"))
-    fps.distinct()
+      explode(array_distinct(windowFingerprints(toks, w))).as("fp"))
+    fps
       .groupBy(col("fp"))
       .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("min_doc_id"))
       .filter(col("n_docs") >= minDocs)

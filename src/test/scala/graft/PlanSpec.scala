@@ -88,6 +88,24 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Window ("), "dedup should not need a Window")
   }
 
+  test("q_repeated_spans: exactly one exchange — within-doc dedup is row-local") {
+    // the only keyed shuffle allowed is the map-side-combined groupBy(fp);
+    // a second hash exchange means (id, fp) pairs are being deduped via
+    // distinct() instead of array_distinct before the explode, doubling
+    // the shuffled volume of the highest-volume text operator. (The
+    // Scale.widen round-robin input spread and the oracle-ordering sort's
+    // range exchange are not keyed shuffles of the window stream.)
+    val plan = formatted("q_repeated_spans")
+    val hashExchanges = plan.linesIterator.count(l =>
+      l.contains("Arguments: hashpartitioning"))
+    assert(hashExchanges == 1,
+      s"repeatedSpans must hash-shuffle once, found $hashExchanges:\n$plan")
+    assert(plan.contains("array_distinct"),
+      s"within-doc dedup not row-local:\n$plan")
+    assert(plan.contains("partial_count"),
+      s"doc count missing map-side partial combine:\n$plan")
+  }
+
   test("q_contamination: eval shingle set is the broadcast side of the probe join") {
     val plan = formatted("q_contamination")
     assert(plan.contains("BroadcastHashJoin"), s"probe join not broadcast:\n$plan")
