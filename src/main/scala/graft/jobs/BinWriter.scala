@@ -41,8 +41,14 @@ private[jobs] object BinWriter {
         case None =>
           if (fs.exists(target)) fs.delete(target, false)
           // CHECK the boolean: a silently failed rename here loses the
-          // bin's freshly written temp (task reports success, file absent)
-          if (!fs.rename(src, target) && !fs.rename(src, target))
+          // bin's freshly written temp (task reports success, file absent).
+          // On an eventually-consistent store the FIRST rename can complete
+          // while reporting false; the bare retry then also returns false
+          // (src is gone) — so before failing the task, accept a present
+          // target with no remaining src as a committed rename rather
+          // than throwing a misleading error for work that succeeded.
+          if (!fs.rename(src, target) && !fs.rename(src, target) &&
+              !(fs.exists(target) && !fs.exists(src)))
             throw new java.io.IOException(s"failed to commit $src -> $target")
       }
     }

@@ -43,7 +43,7 @@ object Cleaner {
           .getOrElse(new graft.ledger.OffsetRangeSet)
       case None => Restructure.loadLedger(fs, cfg.ledger)
     }
-    Restructure.sweepStaleUnzipTemps(fs, cfg.outputRoot)
+    Restructure.sweepStaleUnzipTemps(fs, cfg.outputRoot, cfg.staleTempAgeMs)
     val now = System.currentTimeMillis()
     val deleted = Seq.newBuilder[String]
     val rolledBack = Seq.newBuilder[String]

@@ -45,7 +45,7 @@ object ConfigLoader {
       * deployment with the legal parameter set named, instead of silently
       * routing every record to an `unknown-*` path component.
       */
-    def validate(): Loaded = {
+    def validate(): Loaded = try {
       require(workerEnabled || cleanerEnabled,
         "Either restructuring or cleaning needs to be enabled.")
       // validate against the EFFECTIVE prefix names (a class-loaded
@@ -61,6 +61,11 @@ object ConfigLoader {
         tc.pathTemplate.foreach(check(_, s"topics.$t.pathProperties.format"))
       }
       this
+    } catch { case e: Throwable =>
+      // a rejected config never reaches fromNames — drop any plugin
+      // instances prefixNames parked, or they leak for the process lifetime
+      graft.paths.PathFormatterPlugin.clearPrevalidated()
+      throw e
     }
   }
 
@@ -272,6 +277,8 @@ object ConfigLoader {
         .filter(_.isNumber).map(_.asInt()).getOrElse(100000),
       maxReportedPaths = opt(root, "worker", "maxReportedPaths")
         .filter(_.isNumber).map(_.asInt()).getOrElse(1000),
+      staleTempAgeMs = opt(root, "worker", "staleTempAgeMs")
+        .filter(_.isNumber).map(_.asLong()).getOrElse(3600000L),
       // S9: close open-ended ranges from object tags (S3) / blob metadata
       // (Azure) — reference S3Config.endOffsetFromTags,
       // AzureConfig.endOffsetFromMetadata

@@ -64,7 +64,7 @@ object Restructure {
       case None => loadLedger(fs, cfg.ledger)
     }
     migrateLegacyOffsets(fs, cfg, ledger, store)
-    sweepStaleUnzipTemps(fs, cfg.outputRoot)
+    sweepStaleUnzipTemps(fs, cfg.outputRoot, cfg.staleTempAgeMs)
     val topics = listing.getOrElse(
       TopicFiles.listTopicsAll(spark, cfg.inputRoot +: cfg.extraInputRoots))
     val now = System.currentTimeMillis()
@@ -950,18 +950,35 @@ object Restructure {
     * merge/cleaner run (the in-process finally cleans them on every
     * non-crash path, and the dot-temp sweep matches only `.tmp-` names,
     * so these would otherwise live forever). One listStatus of the output
-    * root per run; the 1-hour age guard spares a concurrent instance's
-    * live temp (same contract as the dot-temp sweep).
+    * root per run; the age guard (`staleAgeMs`, default 1 hour — the
+    * dot-temp sweep's contract) spares a concurrent instance's live temp.
+    * Liveness is keyed on the NEWEST entry inside the directory, not the
+    * directory's own mtime: a live unzip of a large zip store keeps
+    * creating entries well past the hour, and nested writes never touch
+    * the top directory's mtime — keying on the dir alone could reclaim a
+    * concurrent merge's temp mid-use.
     */
-  private[jobs] def sweepStaleUnzipTemps(fs: FileSystem, outputRoot: String): Unit =
+  private[jobs] def sweepStaleUnzipTemps(fs: FileSystem, outputRoot: String,
+      staleAgeMs: Long = 3600000L): Unit =
     try {
       val root = new HPath(outputRoot)
       if (fs.exists(root)) {
-        val staleBefore = System.currentTimeMillis() - 3600000L
+        val staleBefore = System.currentTimeMillis() - staleAgeMs
         fs.listStatus(root).foreach { st =>
           if (st.isDirectory && st.getPath.getName.startsWith(".graft-unzip-") &&
-              st.getModificationTime < staleBefore)
-            try fs.delete(st.getPath, true) catch { case _: Exception => }
+              st.getModificationTime < staleBefore) {
+            // second-level check only for dirs already stale by their own
+            // mtime (one extra listStatus per candidate, not per run)
+            val newestEntry =
+              try {
+                val children = fs.listStatus(st.getPath)
+                if (children.isEmpty) st.getModificationTime
+                else math.max(st.getModificationTime,
+                  children.map(_.getModificationTime).max)
+              } catch { case _: Exception => Long.MaxValue } // unlistable → assume live
+            if (newestEntry < staleBefore)
+              try fs.delete(st.getPath, true) catch { case _: Exception => }
+          }
         }
       }
     } catch { case _: Exception => } // reclamation is best-effort, never fails a run

@@ -61,6 +61,11 @@ final case class RestructureJobConfig(
     // the driver for reporting — the report was the last O(bins) driver
     // list
     maxReportedPaths: Int = 1000,
+    // age before an orphaned `.graft-unzip-*` temp is reclaimed at job
+    // entry; large-zip-store deployments whose unzip phase legitimately
+    // runs long should raise it (liveness is additionally keyed on the
+    // temp's newest entry, so only a fully idle temp is ever reclaimed)
+    staleTempAgeMs: Long = 3600000L,
     minimumFileAgeMs: Long = 0L,
     timeBinFormat: String = "yyyyMMdd_HH00",
     // G6: enrichment-backed path-template plugins (e.g. `mp:`), applied to

@@ -35,11 +35,14 @@ object DynamicShape {
     case _ => false
   }
 
-  // strip MIME line-chunking as well as padding: Spark's base64 inserts
-  // \r\n every 76 output chars for inputs >56 bytes, which would embed
-  // control characters in the shape string and crash the strict decoder
-  // in parseRoot (latent long-key bug, caught by the kernel-equivalence
-  // fuzz; the codegen'd kernel encodes unchunked natively)
+  // strip MIME line-chunking as well as padding: with
+  // spark.sql.legacy.chunkBase64String.enabled set, Spark's base64
+  // inserts \r\n every 76 output chars for inputs >56 bytes, which would
+  // embed control characters in the shape string and crash the strict
+  // decoder in parseRoot (caught by the kernel-equivalence fuzz; default
+  // Spark 4.x output is unchunked, so this is defensive canonicalization
+  // against the legacy flag — the codegen'd kernel encodes unchunked
+  // natively either way)
   private def b64Key(k: Column): Column =
     regexp_replace(base64(k.cast(StringType).cast(BinaryType)), "[\\r\\n]|=+$", "")
 

@@ -304,8 +304,18 @@ object PathFormatterPlugin {
   // here and CONSUMED by the next fromNames for the same class, so a
   // plugin with a side-effectful constructor (connections, threads) runs
   // ONCE per startup, not once for validation plus once for real.
+  // Retention is bounded to the load pass: fromNames clears the whole map
+  // when its pass completes, and config validation clears it on failure —
+  // otherwise parked instances (connections, threads) from validation-only
+  // or rejected configs would live in this static map for the process
+  // lifetime. A validation-only caller that never constructs plugins can
+  // also call [[clearPrevalidated]] explicitly.
   private val prevalidated =
     new java.util.concurrent.ConcurrentHashMap[String, PathFormatterPlugin]()
+
+  /** Drop any plugin instances parked by [[prefixNames]] that no
+    * [[fromNames]] pass consumed (validation-only runs, rejected configs). */
+  def clearPrevalidated(): Unit = prevalidated.clear()
 
   def prefixNames(names: Seq[String]): Seq[String] =
     names.flatMap {
@@ -323,6 +333,13 @@ object PathFormatterPlugin {
 
   def fromNames(
       names: Seq[String], properties: Map[String, String]): Seq[PathFormatterPlugin] =
+    // the clear runs after the WHOLE pass (not per-name): mid-pass, other
+    // classes' parked instances are still pending consumption
+    try resolveNames(names, properties)
+    finally prevalidated.clear()
+
+  private def resolveNames(
+      names: Seq[String], properties: Map[String, String]): Seq[PathFormatterPlugin] =
     names.flatMap {
       case "fixed" | "time" | "key" | "value" | "" => None // built-in
       case "mp" => Some(new MpPathFormatterPlugin(new MpDimensionSource.Rest(properties)))
@@ -331,7 +348,7 @@ object PathFormatterPlugin {
         // a later startup with changed runtime config must construct
         // fresh); if another thread consumed it between the guard and the
         // remove, fall through to a fresh construction
-        Option(prevalidated.remove(cls)).orElse(fromNames(Seq(cls), properties).headOption)
+        Option(prevalidated.remove(cls)).orElse(resolveNames(Seq(cls), properties).headOption)
       case cls =>
         // fail fast like the reference's Class.forName branch: a typo'd
         // plugin name silently resolving to nothing would leave every

@@ -31,6 +31,7 @@ class ConfigLoaderSpec extends AnyFunSuite {
       |  maxSchemaFingerprints: 32
       |  mergeChunkBins: 5000
       |  maxReportedPaths: 7
+      |  staleTempAgeMs: 7200000
       |cleaner:
       |  enable: true
       |  age: 7
@@ -66,6 +67,7 @@ class ConfigLoaderSpec extends AnyFunSuite {
     assert(l.job.maxSchemaFingerprints == 32)
     assert(l.job.mergeChunkBins == 5000)
     assert(l.job.maxReportedPaths == 7)
+    assert(l.job.staleTempAgeMs == 7200000L)
     assert(l.job.pathTemplate == "${projectId}/${userId}/${topic}/${filename}")
     assert(!l.job.dedupEnabled("topic_a")) // per-topic override
     assert(l.job.dedupEnabled("topic_x"))  // global default

@@ -333,17 +333,30 @@ class MergeChunkSpec extends SparkSpec {
       Seq("u0" -> "a", "u1" -> "b"), 1.6095816e9)
     val out = work.resolve("out")
     Files.createDirectories(out)
-    // a crashed run's leftover (old mtime) and a concurrent run's live temp
+    // a crashed run's leftover (old mtime, old entries), a concurrent run's
+    // recent temp, and a LONG-RUNNING concurrent unzip: dir mtime past the
+    // age bar but entries still being written — liveness is keyed on the
+    // newest entry, so only the fully idle temp may be reclaimed
     val stale = out.resolve(".graft-unzip-dead")
     val live = out.resolve(".graft-unzip-live")
+    val longRunning = out.resolve(".graft-unzip-longrun")
     Files.createDirectories(stale); Files.createDirectories(live)
+    Files.createDirectories(longRunning)
+    val oldMs = System.currentTimeMillis() - 2 * 3600 * 1000L
     Files.write(stale.resolve("x.unz"), "junk".getBytes)
+    Files.setLastModifiedTime(stale.resolve("x.unz"),
+      java.nio.file.attribute.FileTime.fromMillis(oldMs))
     Files.setLastModifiedTime(stale,
-      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 2 * 3600 * 1000L))
+      java.nio.file.attribute.FileTime.fromMillis(oldMs))
+    Files.write(longRunning.resolve("fresh.unz"), "live".getBytes) // fresh entry
+    Files.setLastModifiedTime(longRunning,
+      java.nio.file.attribute.FileTime.fromMillis(oldMs))
     Restructure.run(spark, RestructureJobConfig(
       inputRoot = work.resolve("in").toString, outputRoot = out.toString))
     assert(!Files.exists(stale), "stale unzip temp not reclaimed")
     assert(Files.exists(live), "live (recent) unzip temp must be spared")
+    assert(Files.exists(longRunning),
+      "old dir with fresh entries is a live long unzip — must be spared")
   }
 
   test("written-paths report: exact count, sample bounded by maxReportedPaths") {

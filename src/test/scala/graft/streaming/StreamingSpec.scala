@@ -17,7 +17,7 @@ class StreamingSpec extends SparkSpec {
   // readStream needs the RAW physical schema (normalization comes after),
   // so this is the one sanctioned direct read of events.parquet — set
   // nanosAsLong first so a TIMESTAMP(NANOS) regeneration still infers
-  // instead of failing schema discovery (see .claude/skills/verify gotcha).
+  // instead of failing schema discovery.
   private val rawSchema = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$sf/events.parquet").schema
