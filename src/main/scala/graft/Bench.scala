@@ -197,7 +197,8 @@ object Bench {
   private def benchOracle(sfDir: String): String =
     runOracleSweep(sfDir, SparkEntry.oracleSql)
 
-  private def runOracleSweep(sfDir: String, sql: Map[String, String]): String =
+  private def runOracleSweep(sfDir: String, sql: Map[String, String],
+      passes: Int = 2): String =
     try {
       val entries = sql.toSeq.sortBy(_._1)
         .map { case (k, v) => jsonStr(k) + ":" + jsonStr(v) }
@@ -214,7 +215,8 @@ object Bench {
           val outFile = java.nio.file.Files.createTempFile("graft-oracle-out", ".txt")
           val errFile = java.nio.file.Files.createTempFile("graft-oracle-err", ".txt")
           try {
-            val pb = new ProcessBuilder("python3", script.toString, sfDir, tmp.toString)
+            val pb = new ProcessBuilder("python3", script.toString, sfDir,
+              tmp.toString, passes.toString)
             pb.redirectOutput(outFile.toFile)
             pb.redirectError(errFile.toFile)
             val proc = pb.start()
@@ -287,9 +289,12 @@ object Bench {
       }.reduce(_ unionByName _)
         .repartition(32)
         .write.mode("overwrite").parquet(s"$work/embeddings.parquet")
-      val names = Seq("q_corpus_dedup", "q_minhash_pairs", "q_repeated_spans", "q_ivfpq_topk")
-      // two interleaved passes, min per query — same noise rationale as the
-      // main sweeps (a single contended pass misreads as a scaling change)
+      // headline dedup/ANN/text set PLUS the two corpus-aggregation sf0.1
+      // laggards (q_tfidf, q_bigram_logprob) — their "scheduling floor
+      // amortizes at scale" claim needs the same both-sides-at-10× evidence
+      // the dedup family has
+      val names = Seq("q_corpus_dedup", "q_minhash_pairs", "q_repeated_spans",
+        "q_ivfpq_topk", "q_tfidf", "q_bigram_logprob")
       def once(name: String): Double = {
         dropCachedBlocks()
         val t0 = System.nanoTime()
@@ -300,22 +305,41 @@ object Bench {
         }
         (System.nanoTime() - t0) / 1e9
       }
-      // three interleaved passes (was two): round 11 saw q_repeated_spans
-      // move +33% at 10× on a single-shot while its sf0.1 time improved —
-      // min-of-3 gives the 10× rows the same noise floor as the main sweeps
-      val passes = Seq(names.map(once), names.map(once), names.map(once))
-      val timed = names.zipWithIndex.map { case (name, i) =>
-        val runs = passes.map(_(i))
+      // three interleaved passes for every query (round 11 saw a +33%
+      // single-shot false alarm), then TWO MORE for the sub-3 s ones: this
+      // host's noise bursts are multi-second, so a short query's min-of-3
+      // can still be 100% noise (round 12's final artifact recorded 8.9 s
+      // for a query three same-code snapshots put at 1.76-2.76 s) —
+      // min-of-5 puts the fast rows' noise floor below their signal
+      val base = Seq(names.map(once), names.map(once), names.map(once))
+      val subThree = names.zipWithIndex.filter { case (_, i) =>
+        val runs = base.map(_(i)); runs.forall(_ >= 0) && runs.min < 3.0
+      }.map(_._1)
+      val extra = Seq(subThree.map(once), subThree.map(once))
+      val allRuns: Map[String, Seq[Double]] = names.zipWithIndex.map { case (name, i) =>
+        val e = subThree.indexOf(name)
+        name -> (base.map(_(i)) ++ (if (e >= 0) extra.map(_(e)) else Nil))
+      }.toMap
+      val timed = names.map { name =>
+        val runs = allRuns(name)
         name -> (if (runs.exists(_ < 0)) -1.0 else r4(runs.min))
       }
       // oracle pairing on the SAME 10×-replicated corpus: the "Spark's
       // per-job overhead amortizes at scale" argument needs both sides of
-      // the ratio measured at 10×, not just Spark's
+      // the ratio measured at 10×, not just Spark's (3 passes + per-pass
+      // array, mirroring the Spark side's noise legibility)
       val oracle10 = runOracleSweep(work.toString,
-        SparkEntry.oracleSql.view.filterKeys(names.contains).toMap)
+        SparkEntry.oracleSql.view.filterKeys(names.contains).toMap, passes = 3)
       org.apache.commons.io.FileUtils.deleteDirectory(work.toFile)
       val qs = timed.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-      s"""{"replication":$rep,"base_sf":${jsonStr(sfDir)},"queries":$qs,"oracle":$oracle10}"""
+      // every pass alongside the min: a 4× same-code spread (round 12's
+      // final artifact vs its three committed snapshots) is then legible
+      // as contention in the artifact itself, not a silent plan regression
+      val passesJson = names.map { name =>
+        "\"" + name + "\":[" + allRuns(name).map(r4).mkString(",") + "]"
+      }.mkString("{", ",", "}")
+      s"""{"replication":$rep,"base_sf":${jsonStr(sfDir)},"queries":$qs,""" +
+        s""""passes":$passesJson,"oracle":$oracle10}"""
     } catch { case e: Throwable =>
       Console.err.println(s"[bench] 10x setup FAILED: ${e.getClass.getName}: ${e.getMessage}")
       s"""{"error":${jsonStr(s"${e.getClass.getSimpleName}: ${e.getMessage}")}}"""
@@ -397,8 +421,10 @@ object Bench {
       runOnce()
       val runs = Seq(runOnce(), runOnce())
       val best = runs.minBy(_._1)
+      val passes = runs.map(r => r4(r._1)).mkString("[", ",", "]")
       s"""{"records":${rows.length},"deleted_files":${best._2},""" +
-        s""""rolled_back":${best._3},"sec":${r4(best._1)},"timer":${best._4}}"""
+        s""""rolled_back":${best._3},"sec":${r4(best._1)},"passes":$passes,""" +
+        s""""timer":${best._4}}"""
     } catch { case e: Throwable =>
       Console.err.println(s"[bench] cleaner bench FAILED: ${e.getClass.getName}: ${e.getMessage}")
       e.printStackTrace()
@@ -437,14 +463,25 @@ object Bench {
       val errJson = if (errors.isEmpty) ""
         else s""","error":${jsonStr(errors.map(e =>
           s"${e.getClass.getSimpleName}: ${e.getMessage}").mkString("; "))}"""
-      runs.collect { case Right(s) => s }.sortBy(r => r.sec + r.sec2).headOption match {
-        case Some(best) =>
-          s"""{"records":${best.n},"bins":${best.bins},"sec":${r4(best.sec)},""" +
-            s""""records_per_sec":${r4(best.n / best.sec)},""" +
-            s""""append_records":${best.n2},"append_sec":${r4(best.sec2)},""" +
-            s""""append_records_per_sec":${r4(best.n2 / best.sec2)},""" +
-            s""""timer":${best.timerJson}$errJson}"""
-        case None => s"""{"records":0$errJson}"""
+      val ok = runs.collect { case Right(s) => s }.toSeq
+      ok match {
+        case Nil => s"""{"records":0$errJson}"""
+        case _ =>
+          // per-PHASE mins, not best-by-total: the cold and append phases
+          // are independently noise-exposed, and a burst in one pass's
+          // append previously reported as a throughput regression (round
+          // 12: 16.9k→14.4k rec/s on a single shot). Pass arrays make any
+          // residual spread legible in the artifact.
+          val bestCold = ok.minBy(_.sec)
+          val bestApp = ok.minBy(_.sec2)
+          val coldPasses = ok.map(s => r4(s.sec)).mkString("[", ",", "]")
+          val appPasses = ok.map(s => r4(s.sec2)).mkString("[", ",", "]")
+          s"""{"records":${bestCold.n},"bins":${bestCold.bins},"sec":${r4(bestCold.sec)},""" +
+            s""""records_per_sec":${r4(bestCold.n / bestCold.sec)},""" +
+            s""""append_records":${bestApp.n2},"append_sec":${r4(bestApp.sec2)},""" +
+            s""""append_records_per_sec":${r4(bestApp.n2 / bestApp.sec2)},""" +
+            s""""cold_passes":$coldPasses,"append_passes":$appPasses,""" +
+            s""""timer":${bestCold.timerJson}$errJson}"""
       }
     }
   }
@@ -615,26 +652,42 @@ object Bench {
         }
       }
       val (rows1, rows2) = rows.splitAt((rows.length * 0.8).toInt)
-      val cwork = java.nio.file.Files.createTempDirectory("graft-bench-cln10x")
+      // the fixture (driver-side Avro writes — the expensive part) is built
+      // ONCE into a pristine tree; the cleaner consumes its input (deletes
+      // verified files), so each measured pass gets a cheap file-tree COPY
+      // of the pristine input plus its own untimed restructure setup.
+      // min-of-2: round 11's single-shot jobs10x rows produced a false
+      // +33% alarm from one noise burst
+      val pristine = java.nio.file.Files.createTempDirectory("graft-bench-cln10x-src")
       val ccounters = new Array[Long](16)
-      (0 until rep).foreach { r => writeClosed(cwork, ccounters, rows1, r * 64) }
-      (0 until rep).foreach { r => writeClosed(cwork, ccounters, rows2, r * 64) }
-      val ccfg = graft.jobs.RestructureJobConfig(
-        inputRoot = cwork.resolve("in").toString,
-        outputRoot = cwork.resolve("out").toString,
-        dedup = true, timeBinFormat = "yyyyMMdd")
-      graft.jobs.Restructure.run(spark, ccfg) // setup, untimed
-      dropCachedBlocks()
-      graft.util.Timer.reset(); graft.util.Timer.enabled = true
-      val ct0 = System.nanoTime()
-      val cres = graft.jobs.Cleaner.run(spark, ccfg, ageMs = 0L)
-      val csec = (System.nanoTime() - ct0) / 1e9
-      graft.util.Timer.enabled = false
-      val ctimer = graft.util.Timer.toJson
-      org.apache.commons.io.FileUtils.deleteDirectory(cwork.toFile)
+      (0 until rep).foreach { r => writeClosed(pristine, ccounters, rows1, r * 64) }
+      (0 until rep).foreach { r => writeClosed(pristine, ccounters, rows2, r * 64) }
+      def cleanerOnce(): (Double, Int, Int, String) = {
+        val cwork = java.nio.file.Files.createTempDirectory("graft-bench-cln10x")
+        org.apache.commons.io.FileUtils.copyDirectory(
+          pristine.resolve("in").toFile, cwork.resolve("in").toFile)
+        val ccfg = graft.jobs.RestructureJobConfig(
+          inputRoot = cwork.resolve("in").toString,
+          outputRoot = cwork.resolve("out").toString,
+          dedup = true, timeBinFormat = "yyyyMMdd")
+        graft.jobs.Restructure.run(spark, ccfg) // setup, untimed
+        dropCachedBlocks()
+        graft.util.Timer.reset(); graft.util.Timer.enabled = true
+        val ct0 = System.nanoTime()
+        val cres = graft.jobs.Cleaner.run(spark, ccfg, ageMs = 0L)
+        val csec = (System.nanoTime() - ct0) / 1e9
+        graft.util.Timer.enabled = false
+        val ctimer = graft.util.Timer.toJson
+        org.apache.commons.io.FileUtils.deleteDirectory(cwork.toFile)
+        (csec, cres.deleted.size, cres.rolledBack.size, ctimer)
+      }
+      val cruns = Seq(cleanerOnce(), cleanerOnce())
+      org.apache.commons.io.FileUtils.deleteDirectory(pristine.toFile)
+      val cbest = cruns.minBy(_._1)
+      val cpasses = cruns.map(r => r4(r._1)).mkString("[", ",", "]")
       val cleaner10x = s"""{"records":${rows.length.toLong * rep},""" +
-        s""""deleted_files":${cres.deleted.size},"rolled_back":${cres.rolledBack.size},""" +
-        s""""sec":${r4(csec)},"timer":$ctimer}"""
+        s""""deleted_files":${cbest._2},"rolled_back":${cbest._3},""" +
+        s""""sec":${r4(cbest._1)},"passes":$cpasses,"timer":${cbest._4}}"""
 
       // ---- dynamic-schema topic at 10×: a map-valued field whose key set
       // cycles through 3 shapes — the batch groups into 3 header
@@ -706,8 +759,9 @@ object Bench {
       val druns = Seq(dynOnce(), dynOnce())
       val (dsec, dn, dbins) = druns.minBy(_._1)
       org.apache.commons.io.FileUtils.deleteDirectory(dwork.toFile)
+      val dpasses = druns.map(r => r4(r._1)).mkString("[", ",", "]")
       val dyn10x = s"""{"records":$dn,"bins":$dbins,"shapes":3,"sec":${r4(dsec)},""" +
-        s""""records_per_sec":${r4(dn / dsec)}}"""
+        s""""records_per_sec":${r4(dn / dsec)},"passes":$dpasses}"""
 
       s"""{"replication":$rep,"cleaner":$cleaner10x,"restructure_dynamic":$dyn10x}"""
     } catch { case e: Throwable =>

@@ -287,6 +287,111 @@ object GraftExpressions {
         newLeft: Expression, newRight: Expression): NGrams = copy(newLeft, newRight)
   }
 
+  private val hexDigits = "0123456789abcdef".getBytes("US-ASCII")
+  private val emptyStringArray = new GenericArrayData(Array.empty[Any])
+
+  /** Sliding-window md5 fingerprint kernel (public: called from generated
+    * code). Byte-identical to the declarative
+    * `transform(sequence(1, size-w+1), i => md5(concat_ws(" ", slice(toks,
+    * i, w)).cast(binary)))` — lowercase hex over the UTF-8 bytes of the
+    * space-joined window, null elements skipped exactly like `concat_ws` —
+    * with `array_distinct` folded in when `distinct` is set (keeps first
+    * occurrence order). Null or shorter-than-w input → empty array, the
+    * declarative tree's `otherwise(array())` branch. One pass, one digest:
+    * the declarative chain allocates a sliced ArrayData + a concatenated
+    * UTF8String + a fresh digest per window of every document.
+    */
+  def windowFingerprintsKernel(arr: ArrayData, w: Int, distinct: Boolean): ArrayData = {
+    if (arr == null) return emptyStringArray
+    val n = arr.numElements()
+    if (n < w) return emptyStringArray
+    val tokBytes = new Array[Array[Byte]](n)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) tokBytes(i) = arr.getUTF8String(i).getBytes
+      i += 1
+    }
+    val md = md5Local.get()
+    val out = new java.util.ArrayList[Any](n - w + 1)
+    val seen = if (distinct) new java.util.HashSet[UTF8String]() else null
+    var s = 0
+    while (s + w <= n) {
+      md.reset()
+      var first = true
+      var j = s
+      val end = s + w
+      while (j < end) {
+        val tb = tokBytes(j)
+        if (tb != null) { // concat_ws skips null elements, no doubled separator
+          if (!first) md.update(0x20.toByte)
+          md.update(tb)
+          first = false
+        }
+        j += 1
+      }
+      val dig = md.digest()
+      val hex = new Array[Byte](32)
+      var b = 0
+      while (b < 16) {
+        hex(2 * b) = hexDigits((dig(b) >> 4) & 0xf)
+        hex(2 * b + 1) = hexDigits(dig(b) & 0xf)
+        b += 1
+      }
+      val u = UTF8String.fromBytes(hex)
+      if (seen == null || seen.add(u)) out.add(u)
+      s += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  /** md5 fingerprints of every `w`-token sliding window — the
+    * repeated-passage primitive behind `TextDedup.repeatedSpans` and the
+    * span-masking surgery. Same semi-codegen motivation as [[NGrams]]:
+    * the declarative slice→concat_ws→md5 chain is three allocations per
+    * window of every document (the hottest projection of the span
+    * family); this kernel is one pass with a thread-reused digest.
+    * `distinct` folds `array_distinct` into the same pass (within-doc
+    * window dedup without a second array walk). Null input → empty array,
+    * matching the declarative tree's `otherwise(array())`.
+    */
+  case class WindowMd5Fps(child: Expression, wExpr: Expression, distinctExpr: Expression)
+      extends Expression {
+    override def prettyName: String = "graft_window_fps"
+    override def children: Seq[Expression] = Seq(child, wExpr, distinctExpr)
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullable: Boolean = false
+    override def foldable: Boolean = false
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      (child.dataType, wExpr.dataType, distinctExpr.dataType) match {
+        case (ArrayType(StringType, _), IntegerType | LongType, BooleanType)
+          if wExpr.foldable && distinctExpr.foldable =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case (a, b, c) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_window_fps needs (array<string>, foldable int, foldable boolean), got ($a, $b, $c)")
+      }
+    private lazy val w: Int = {
+      val v = wExpr.eval(null).asInstanceOf[Number].intValue()
+      require(v >= 1, s"graft_window_fps: window must be >= 1, got $v")
+      v
+    }
+    private lazy val distinct: Boolean =
+      distinctExpr.eval(null).asInstanceOf[Boolean]
+    override def eval(input: InternalRow): Any =
+      windowFingerprintsKernel(child.eval(input).asInstanceOf[ArrayData], w, distinct)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val c = child.genCode(ctx)
+      val arrayData = classOf[ArrayData].getName
+      ev.copy(code =
+        code"""
+          ${c.code}
+          boolean ${ev.isNull} = false;
+          $arrayData ${ev.value} = graft.functions.GraftExpressions.windowFingerprintsKernel(
+            ${c.isNull} ? null : (($arrayData) ${c.value}), $w, $distinct);""")
+    }
+    override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): WindowMd5Fps =
+      copy(child = c(0), wExpr = c(1), distinctExpr = c(2))
+  }
+
   /** Strict sequential left-fold dot product over two numeric arrays in
     * double precision — bit-identical to `list_reduce(list_prepend(0.0,
     * products), +)` in the DuckDB oracle, but a tight loop instead of
@@ -1091,6 +1196,8 @@ object GraftExpressions {
       es => WhitespaceTokens(es.head)),
     ("graft_cdc_bounds", "content-defined chunk boundaries over UTF-8 bytes",
       es => CdcBoundaries(es.head)),
+    ("graft_window_fps", "md5 fingerprints of w-token sliding windows",
+      es => WindowMd5Fps(es(0), es(1), es(2))),
     ("graft_dot", "strict sequential dot product of two numeric arrays",
       es => DotProduct(es(0), es(1))),
     ("graft_l2sq", "strict sequential squared L2 distance of two numeric arrays",
@@ -1134,6 +1241,10 @@ object GraftExpressions {
   def nGrams(c: Column, n: Int): Column = { ensureRegistered(); call_function("graft_ngrams", c, lit(n)) }
   def whitespaceTokens(c: Column): Column = { ensureRegistered(); call_function("graft_ws_tokens", c) }
   def cdcBoundaries(c: Column): Column = { ensureRegistered(); call_function("graft_cdc_bounds", c) }
+  def windowFps(toks: Column, w: Int, distinct: Boolean): Column = {
+    ensureRegistered()
+    call_function("graft_window_fps", toks, lit(w), lit(distinct))
+  }
   def dotProduct(a: Column, b: Column): Column = { ensureRegistered(); call_function("graft_dot", a, b) }
   def l2Squared(a: Column, b: Column): Column = { ensureRegistered(); call_function("graft_l2sq", a, b) }
   def rootShape(c: Column): Column = { ensureRegistered(); call_function("graft_root_shape", c) }

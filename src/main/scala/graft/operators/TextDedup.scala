@@ -261,7 +261,7 @@ object TextDedup {
     val toks = TextFunctions.words(col(textCol))
     val w = windowTokens
     val fps = Scale.widen(df).select(col(idCol),
-      explode(array_distinct(windowFingerprints(toks, w))).as("fp"))
+      explode(windowFingerprints(toks, w, distinct = true)).as("fp"))
     fps
       .groupBy(col("fp"))
       .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("min_doc_id"))
@@ -314,8 +314,8 @@ object TextDedup {
     // EXACT distinct count (heavy window duplication can put the bound far
     // above the real broadcast size, which must not reject a valid suite).
     val evalFps = evalDf.select(
-        explode(windowFingerprints(toks, w)).as("fp"))
-      .distinct()
+        explode(windowFingerprints(toks, w, distinct = true)).as("fp"))
+      .distinct() // cross-row distinct (the kernel dedups within one doc)
     val windowCount = evalDf
       .agg(coalesce(sum(greatest(lit(0), size(toks) - w + 1)), lit(0L)))
       .head().getLong(0)
@@ -346,7 +346,20 @@ object TextDedup {
     * probe: the two sides of the decontamination join compare these
     * strings bit-for-bit, so a drifted copy would silently match nothing.
     */
-  private def windowFingerprints(toks: Column, w: Int): Column =
+  /** md5 of every `w`-token sliding window — the codegen'd one-pass kernel
+    * ([[graft.functions.GraftExpressions.WindowMd5Fps]]); byte-identical to
+    * [[windowFingerprintsDeclarative]] (kernel-equivalence property spec'd).
+    */
+  private def windowFingerprints(toks: Column, w: Int,
+      distinct: Boolean = false): Column =
+    graft.functions.GraftExpressions.windowFps(toks, w, distinct)
+
+  /** The declarative formulation the kernel replaces (slice → concat_ws →
+    * md5 per window: three allocations per token position, and the
+    * transform HOF is interpreted, not codegen'd). Kept as the
+    * equivalence-spec reference semantics.
+    */
+  private[operators] def windowFingerprintsDeclarative(toks: Column, w: Int): Column =
     when(size(toks) >= w,
       transform(sequence(lit(1), size(toks) - w + 1),
         i => md5(concat_ws(" ", slice(toks, i, lit(w)))

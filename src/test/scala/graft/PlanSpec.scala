@@ -100,8 +100,8 @@ class PlanSpec extends SparkSpec {
       l.contains("Arguments: hashpartitioning"))
     assert(hashExchanges == 1,
       s"repeatedSpans must hash-shuffle once, found $hashExchanges:\n$plan")
-    assert(plan.contains("array_distinct"),
-      s"within-doc dedup not row-local:\n$plan")
+    assert(plan.contains("graft_window_fps"),
+      s"window-fingerprint kernel missing (within-doc dedup must be row-local):\n$plan")
     assert(plan.contains("partial_count"),
       s"doc count missing map-side partial combine:\n$plan")
   }

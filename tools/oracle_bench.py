@@ -47,7 +47,11 @@ def main(sf_dir, sql_json, passes=2):
             for n, v in times.items()}
     total = round(sum(v for v in best.values() if v >= 0), 4)
     threads = con.sql("SELECT current_setting('threads')").fetchone()[0]
-    print(json.dumps({"total": total, "threads": int(threads), "queries": best}))
+    # per-pass times alongside the min: a noise burst in one pass is then
+    # legible in the artifact instead of silently inflating/deflating "min"
+    all_passes = {n: [round(x, 4) for x in v] for n, v in times.items()}
+    print(json.dumps({"total": total, "threads": int(threads),
+                      "queries": best, "passes": all_passes}))
     return 0
 
 
