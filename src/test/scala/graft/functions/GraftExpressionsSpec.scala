@@ -59,9 +59,9 @@ class GraftExpressionsSpec extends SparkSpec {
       val viaRegister = {
         GraftExpressions.register(spark)
         Seq("graft_rolling_hash", "graft_simhash64", "graft_adjacent_pairs", "graft_ngrams",
-          "graft_ws_tokens", "graft_cdc_bounds", "graft_dot", "graft_l2sq",
+          "graft_ws_tokens", "graft_cdc_bounds", "graft_window_fps", "graft_dot", "graft_l2sq",
           "graft_nearest_cells", "graft_topk", "graft_vec_sum_long", "graft_topk_payload",
-          "graft_bloom_agg", "graft_bloom_might_contain")
+          "graft_root_shape", "graft_bloom_agg", "graft_bloom_might_contain")
       }
       viaRegister.foreach { fn =>
         assert(s2.sessionState.functionRegistry.functionExists(
@@ -74,6 +74,28 @@ class GraftExpressionsSpec extends SparkSpec {
       SparkSession.setDefaultSession(spark)
       SparkSession.setActiveSession(spark)
     }
+  }
+
+  test("graft_window_fps from SQL: md5 parity and analysis-time type/foldability check") {
+    GraftExpressions.register(spark)
+    // value parity with the built-in md5 over the space-joined window
+    val r = spark.sql(
+      "SELECT graft_window_fps(array('a','b','c'), 2, false) AS f, " +
+        "array(md5('a b'), md5('b c')) AS e").collect()(0)
+    assert(r.getSeq[String](0) == r.getSeq[String](1))
+    // distinct folds within-row duplicates, keeps first-occurrence order
+    val d = spark.sql(
+      "SELECT graft_window_fps(array('x','x','x'), 2, true) AS f").collect()(0)
+    assert(d.getSeq[String](0) == Seq.fill(1)(
+      spark.sql("SELECT md5('x x')").collect()(0).getString(0)))
+    // a non-array first argument and a non-foldable width must fail at
+    // ANALYSIS with the function named, not ClassCastException at runtime
+    val e1 = intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql("SELECT graft_window_fps('nope', 2, false)").collect())
+    assert(e1.getMessage.contains("graft_window_fps"))
+    val e2 = intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql("SELECT graft_window_fps(array('a','b'), cast(rand()*2 AS int), false)").collect())
+    assert(e2.getMessage.contains("graft_window_fps"))
   }
 
   test("hammingDist64 column matches bitCount") {
