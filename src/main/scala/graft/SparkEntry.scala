@@ -858,17 +858,24 @@ object SparkEntry {
     */
   private def qTfidf(implicit s: SparkSession, d: String): DataFrame = {
     val docs = graft.operators.Scale.widen(t("documents"))
-    val tokens = docs.select(col("doc_id"), explode(TextFunctions.words(col("text"))).as("token"))
-    val tf = tokens.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
-    // df derives FROM tf (tf rows are already distinct (doc, token) pairs),
-    // so the expensive tokenize+explode+aggregate subtree is byte-identical
-    // in both branches and Spark's ReusedExchange computes it once — the
-    // corpus is tokenized a single time. The tf > 0 filter (vacuously true)
-    // keeps the count column alive through this branch's pruning: without
-    // it the df-side partial aggregate drops the count, the two tf
-    // exchanges no longer canonicalize equal, and AQE cannot reuse the
-    // stage (measured: tokenize then runs twice)
-    val df_ = tf.filter(col("tf") > 0).groupBy(col("token")).agg(count(lit(1)).as("df"))
+    // per-(doc, token) counts are ROW-LOCAL (a document's tokens live in
+    // one row — graft_elem_counts), so the tf table needs NO corpus-wide
+    // (doc, token) exchange and no occurrence-stream hash aggregation:
+    // explode emits pre-counted distinct pairs straight from the scan
+    // stage. The first shuffle of the query is the small vocabulary
+    // aggregation (map-side combined), not the full token stream. The df
+    // branch re-runs the row-local projection (second columnar scan) —
+    // cheaper than the corpus-wide pair shuffle the old
+    // tokenize-once-via-ReusedExchange shape paid; at cluster scale,
+    // where the vocabulary exceeds the broadcast bar and the join
+    // shuffles, both branches hash-partition the SAME subtree and AQE
+    // reuse returns on the join exchange instead.
+    val tf = docs
+      .select(col("doc_id"),
+        explode(graft.functions.GraftExpressions.elemCounts(
+          TextFunctions.words(col("text")))).as("__tc"))
+      .select(col("doc_id"), col("__tc.t").as("token"), col("__tc.c").as("tf"))
+    val df_ = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     // per-doc top-3: bounded-heap aggregate with the token as tie-break —
     // map-side partials keep ≤3 rows per (doc, mapper); never a row_number
     // window funneling every scored row into |docs| sort partitions
@@ -1107,10 +1114,13 @@ object SparkEntry {
     * AQE reuses it; the vocabulary bucket table broadcasts.
     */
   private def qUnigramLogprob(implicit s: SparkSession, d: String): DataFrame = {
+    // row-local per-(doc, token) counts — see qTfidf: no (doc, token)
+    // exchange, the first shuffle is the vocabulary aggregation
     val dt = t("documents")
-      .select(col("doc_id"), explode(TextFunctions.words(col("text"))).as("token"))
-      .groupBy(col("doc_id"), col("token"))
-      .agg(count(lit(1)).as("c"))
+      .select(col("doc_id"),
+        explode(graft.functions.GraftExpressions.elemCounts(
+          TextFunctions.words(col("text")))).as("__tc"))
+      .select(col("doc_id"), col("__tc.t").as("token"), col("__tc.c").as("c"))
     val freq = dt.groupBy(col("token")).agg(sum(col("c")).as("__f"))
       .select(col("token"), (length(conv(col("__f"), 10, 2)) - 1).cast(LongType).as("__bucket"))
     dt.join(broadcast(freq), "token")
@@ -1137,17 +1147,20 @@ object SparkEntry {
     * corpus size), so both sides hash-partition on the bigram key.
     */
   private def qBigramLogprob(implicit s: SparkSession, d: String): DataFrame = {
+    // row-local per-(doc, bigram) counts: AdjacentPairs builds the pair
+    // array and graft_elem_counts collapses it in the same scan-stage
+    // projection — no (doc, bigram) exchange, no occurrence-stream hash
+    // aggregation (see qTfidf; this was the engine's widest 10×-vs-oracle
+    // gap, a constant-factor serialization cost on two corpus-pair
+    // shuffles of which this shape keeps at most one)
     val db = t("documents")
       .select(col("doc_id"), TextFunctions.words(col("text")).as("__ws"))
       .filter(size(col("__ws")) >= 2)
       .select(col("doc_id"),
-        explode(graft.functions.GraftExpressions.adjacentPairs(col("__ws"))).as("bigram"))
-      .groupBy(col("doc_id"), col("bigram"))
-      .agg(count(lit(1)).as("c"))
-    // c > 0 is vacuously true but keeps the count column alive through this
-    // branch's pruning so the two db exchanges canonicalize equal and AQE
-    // computes the tokenize+pair+aggregate subtree once (see qTfidf)
-    val freq = db.filter(col("c") > 0).groupBy(col("bigram"))
+        explode(graft.functions.GraftExpressions.elemCounts(
+          graft.functions.GraftExpressions.adjacentPairs(col("__ws")))).as("__bc"))
+      .select(col("doc_id"), col("__bc.t").as("bigram"), col("__bc.c").as("c"))
+    val freq = db.groupBy(col("bigram"))
       .agg(sum(col("c")).as("__f"))
       .select(col("bigram"), (length(conv(col("__f"), 10, 2)) - 1).cast(LongType).as("__bucket"))
     db.join(freq, "bigram")
@@ -1343,19 +1356,20 @@ object SparkEntry {
     * corpus vocabulary (count desc, token asc tie-break), then score every
     * document by the fraction of its token occurrences covered — the
     * pre-training check that a candidate tokenizer/vocab fits the corpus.
-    * The per-(doc, token) count exchange feeds BOTH the vocabulary build
-    * and the scoring probe (q_tfidf's reuse derivation: one tokenize).
+    * The per-(doc, token) counts are ROW-LOCAL (`graft_elem_counts`, see
+    * qTfidf): neither the vocabulary build nor the scoring probe ever
+    * shuffles the corpus token stream on (doc, token) — the first keyed
+    * exchange is the map-side-combined vocabulary aggregation.
     * The top-1000 cut runs as a bounded TakeOrdered (never a full sort),
     * and the vocabulary — capped at 1000 rows by construction — broadcasts.
     */
   private def qVocabCoverage(implicit s: SparkSession, d: String): DataFrame = {
     val dt = t("documents")
-      .select(col("doc_id"), explode(TextFunctions.words(col("text"))).as("token"))
-      .groupBy(col("doc_id"), col("token"))
-      .agg(count(lit(1)).as("c"))
-    // c > 0 keeps the count alive so the two dt exchanges canonicalize
-    // equal and the tokenize+aggregate subtree computes once (see qTfidf)
-    val vocab = dt.filter(col("c") > 0).groupBy(col("token"))
+      .select(col("doc_id"),
+        explode(graft.functions.GraftExpressions.elemCounts(
+          TextFunctions.words(col("text")))).as("__tc"))
+      .select(col("doc_id"), col("__tc.t").as("token"), col("__tc.c").as("c"))
+    val vocab = dt.groupBy(col("token"))
       .agg(sum(col("c")).as("__f"))
       .orderBy(col("__f").desc, col("token").asc)
       .limit(1000)

@@ -344,6 +344,80 @@ object GraftExpressions {
     new GenericArrayData(out.toArray)
   }
 
+  private val elemCountsType: DataType = ArrayType(
+    StructType(Seq(StructField("t", StringType), StructField("c", LongType))),
+    containsNull = false)
+
+  /** Element-count kernel (public: called from generated code): distinct
+    * elements of a string array with their occurrence counts, first-
+    * occurrence order — `["a","b","a"]` → `[("a",2),("b",1)]`. One hash
+    * map per row. Null elements are SKIPPED: every consumer joins the
+    * element back as a key (tf·idf df join, LM frequency join), where an
+    * inner join on null never matches — a null group could not survive
+    * anyway, and the tokenizer never emits one. Null array → empty.
+    */
+  def elemCountsKernel(arr: ArrayData): ArrayData = {
+    if (arr == null) return emptyStringArray
+    val n = arr.numElements()
+    if (n == 0) return emptyStringArray
+    // LinkedHashMap: deterministic first-occurrence output order (the
+    // consumers aggregate downstream, but determinism keeps plans
+    // replay-stable and specs exact)
+    val m = new java.util.LinkedHashMap[UTF8String, Array[Long]](Math.min(n * 2, 64))
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val k = arr.getUTF8String(i)
+        val slot = m.get(k)
+        if (slot != null) slot(0) += 1L
+        // clone on first insert: the input array may be a view into a
+        // reused row/column buffer, and the output outlives this eval
+        else m.put(k.clone(), Array(1L))
+      }
+      i += 1
+    }
+    val out = new Array[Any](m.size())
+    val it = m.entrySet().iterator()
+    var j = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(j) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](e.getKey, e.getValue()(0)))
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Per-row distinct-element counts of a string array — the row-local
+    * replacement for `explode → groupBy(row_id, elem) → count`. A document's
+    * tokens (or bigrams/shingles) all live in ONE row, so the per-(doc,
+    * elem) count table needs no corpus-wide exchange at all: this kernel
+    * computes it in the scan stage, `explode` emits pre-counted distinct
+    * pairs, and the first shuffle of the tf/LM-scoring family becomes the
+    * (small, map-side-combined) vocabulary aggregation instead of the full
+    * occurrence stream keyed by (doc, elem).
+    */
+  case class ElemCounts(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+    override def prettyName: String = "graft_elem_counts"
+    override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+    override def dataType: DataType = elemCountsType
+    override def nullable: Boolean = false
+    override def eval(input: InternalRow): Any =
+      elemCountsKernel(child.eval(input).asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val c = child.genCode(ctx)
+      val arrayData = classOf[ArrayData].getName
+      ev.copy(code =
+        code"""
+          ${c.code}
+          boolean ${ev.isNull} = false;
+          $arrayData ${ev.value} = graft.functions.GraftExpressions.elemCountsKernel(
+            ${c.isNull} ? null : (($arrayData) ${c.value}));""")
+    }
+    override protected def withNewChildInternal(newChild: Expression): ElemCounts =
+      copy(child = newChild)
+  }
+
   /** md5 fingerprints of every `w`-token sliding window — the
     * repeated-passage primitive behind `TextDedup.repeatedSpans` and the
     * span-masking surgery. Same semi-codegen motivation as [[NGrams]]:
@@ -1198,6 +1272,8 @@ object GraftExpressions {
       es => CdcBoundaries(es.head)),
     ("graft_window_fps", "md5 fingerprints of w-token sliding windows",
       es => WindowMd5Fps(es(0), es(1), es(2))),
+    ("graft_elem_counts", "distinct elements of a string array with counts",
+      es => ElemCounts(es.head)),
     ("graft_dot", "strict sequential dot product of two numeric arrays",
       es => DotProduct(es(0), es(1))),
     ("graft_l2sq", "strict sequential squared L2 distance of two numeric arrays",
@@ -1245,6 +1321,7 @@ object GraftExpressions {
     ensureRegistered()
     call_function("graft_window_fps", toks, lit(w), lit(distinct))
   }
+  def elemCounts(c: Column): Column = { ensureRegistered(); call_function("graft_elem_counts", c) }
   def dotProduct(a: Column, b: Column): Column = { ensureRegistered(); call_function("graft_dot", a, b) }
   def l2Squared(a: Column, b: Column): Column = { ensureRegistered(); call_function("graft_l2sq", a, b) }
   def rootShape(c: Column): Column = { ensureRegistered(); call_function("graft_root_shape", c) }

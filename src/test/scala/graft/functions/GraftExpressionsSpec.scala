@@ -76,6 +76,33 @@ class GraftExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("ElemCounts: matches explode+groupBy counts; null elements skipped; null array empty") {
+    GraftExpressions.register(spark)
+    val rows = Seq(
+      (1L, Some(Seq("a", "b", "a", "c", "b", "a"))),
+      (2L, Some(Seq("x"))),
+      (3L, Some(Seq.empty[String])),
+      (4L, None),
+      (5L, Some(Seq("é中", "", "é中", " tok "))))
+      .toDF("id", "toks")
+      .select(col("id"), col("toks").cast("array<string>").as("toks"))
+    val viaKernel = rows
+      .select(col("id"), explode(GraftExpressions.elemCounts(col("toks"))).as("tc"))
+      .select(col("id"), col("tc.t").as("t"), col("tc.c").as("c"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val viaGroupBy = rows
+      .select(col("id"), explode(col("toks")).as("t"))
+      .filter(col("t").isNotNull)
+      .groupBy(col("id"), col("t")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(viaKernel == viaGroupBy)
+    // first-occurrence order within a row (deterministic output contract)
+    val ordered = rows.filter(col("id") === 1L)
+      .select(GraftExpressions.elemCounts(col("toks")).as("tc")).collect()(0)
+      .getSeq[org.apache.spark.sql.Row](0).map(_.getString(0))
+    assert(ordered == Seq("a", "b", "c"))
+  }
+
   test("graft_window_fps from SQL: md5 parity and analysis-time type/foldability check") {
     GraftExpressions.register(spark)
     // value parity with the built-in md5 over the space-joined window
