@@ -297,6 +297,14 @@ object Bench {
         "q_ivfpq_topk", "q_tfidf", "q_bigram_logprob")
       def once(name: String): Double = {
         dropCachedBlocks()
+        // GC BEFORE the clock starts: by this point the JVM carries ~15 min
+        // of sweep debt, and in local mode shuffle-file/broadcast reclaim
+        // rides on ContextCleaner, which only fires on a JVM GC (periodic
+        // GC default 30 min — longer than the whole bench). Without this
+        // the heavy 10× rows measured 2-3× their fresh-JVM wall on the
+        // same code (minhash 3.6 s in-bench vs 1.2 s isolated), steady
+        // across passes — debt, not noise, so min-of-N could not absorb it.
+        System.gc()
         val t0 = System.nanoTime()
         try { SparkEntry.queries(name)(spark, work.toString).count() }
         catch { case e: Throwable =>
@@ -406,7 +414,7 @@ object Bench {
         writeClosedBatch(work, counters, rows1)
         writeClosedBatch(work, counters, rows2)
         graft.jobs.Restructure.run(spark, cfg) // setup, untimed
-        dropCachedBlocks()
+        dropCachedBlocks(); System.gc() // untimed debt reclaim (see benchTenX)
         graft.util.Timer.reset()
         graft.util.Timer.enabled = true
         val t0 = System.nanoTime()
@@ -671,7 +679,7 @@ object Bench {
           outputRoot = cwork.resolve("out").toString,
           dedup = true, timeBinFormat = "yyyyMMdd")
         graft.jobs.Restructure.run(spark, ccfg) // setup, untimed
-        dropCachedBlocks()
+        dropCachedBlocks(); System.gc() // untimed debt reclaim (see benchTenX)
         graft.util.Timer.reset(); graft.util.Timer.enabled = true
         val ct0 = System.nanoTime()
         val cres = graft.jobs.Cleaner.run(spark, ccfg, ageMs = 0L)
@@ -746,7 +754,7 @@ object Bench {
       // reused, so the second pass costs only the job itself
       def dynOnce(): (Double, Long, Long) = {
         val out = java.nio.file.Files.createTempDirectory("graft-bench-dyn10x-out")
-        dropCachedBlocks()
+        dropCachedBlocks(); System.gc() // untimed debt reclaim (see benchTenX)
         val dt0 = System.nanoTime()
         val dres = graft.jobs.Restructure.run(spark, graft.jobs.RestructureJobConfig(
           inputRoot = dwork.resolve("in").toString,
