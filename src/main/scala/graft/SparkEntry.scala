@@ -1139,10 +1139,10 @@ object SparkEntry {
     * that a bag-of-words unigram score cannot see lowers this one).
     * Bigrams form ROW-LOCALLY (the codegen'd [[GraftExpressions.AdjacentPairs]]
     * kernel — no window, no per-position shuffle; the `zip_with`-of-slices
-    * formulation kept the pairing stage in interpreted eval). The corpus
-    * bigram frequency table derives FROM the per-(doc, bigram) count aggregate —
-    * same exchange-reuse derivation as q_tfidf — and joins back with a
-    * shuffle join: unlike the unigram vocabulary, a corpus-scale BIGRAM
+    * formulation kept the pairing stage in interpreted eval), and so do the
+    * per-(doc, bigram) counts (`graft_elem_counts` — see qTfidf). The corpus
+    * bigram frequency table joins back with a sort-merge join pinned by
+    * hint: unlike the unigram vocabulary, a corpus-scale BIGRAM
     * vocabulary is not broadcastable by contract (it grows ~linearly with
     * corpus size), so both sides hash-partition on the bigram key.
     */
@@ -1163,7 +1163,15 @@ object SparkEntry {
     val freq = db.groupBy(col("bigram"))
       .agg(sum(col("c")).as("__f"))
       .select(col("bigram"), (length(conv(col("__f"), 10, 2)) - 1).cast(LongType).as("__bucket"))
-    db.join(freq, "bigram")
+    // merge hint: with db row-local (no pre-join aggregate), the static
+    // planner only sees the parquet scan's size under the explode and
+    // estimates the PAIR STREAM below the broadcast bar — measured at 10×
+    // it built a 304 MiB / 2.6M-row driver-side broadcast of the probe
+    // side (1.2-1.5 s of driver gap; at 100 TB an OOM). Pinning the join
+    // to sort-merge keeps both sides hash-partitioned on the bigram key —
+    // the corpus-scale contract — and AQE's skew-join split still applies
+    // to SMJ, which is exactly the guard a hot bigram ("of the") needs.
+    db.join(freq.hint("merge"), "bigram")
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).as("n_bigrams"),
         sum(col("c") * col("__bucket")).as("sum_bucket"))

@@ -410,22 +410,26 @@ class PlanSpec extends SparkSpec {
     // detail, so the kernel is asserted on the formatted pre-AQE plan)
   }
 
-  test("q_bigram_logprob: row-local pair counts; bigram join NOT broadcast-hinted") {
+  test("q_bigram_logprob: row-local pair counts; bigram join sort-merge, NEVER broadcast") {
     val df = SparkEntry.queries("q_bigram_logprob")(spark, sf)
     df.collect()
     val executed = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
     val finalPlan = executed.split("== Initial Plan ==").head
     // per-(doc, bigram) counts are row-local (AdjacentPairs →
     // graft_elem_counts in one scan-stage projection) — the corpus pair
-    // stream never shuffles on (doc, bigram); the engine-widest 10×
-    // constant-factor gap came from exactly that exchange. (Kernel
-    // presence is pinned on the formatted pre-AQE plan in the row-local
-    // test above; the executed TREE omits expression detail.)
-    val _ = finalPlan
-    // unlike the unigram vocabulary, the bigram table grows with the corpus:
-    // the plan must NOT rely on broadcasting it (AQE may still pick a
-    // broadcast at bench scale — assert only that we didn't force one)
-    assert(!df.queryExecution.logical.toString.contains("ResolvedHint"),
+    // stream never shuffles on (doc, bigram). With no pre-join aggregate
+    // on the probe side, the static planner's size estimate for the
+    // exploded pair stream is the parquet scan's (bogus-small) size, and
+    // it BROADCAST the probe side — measured at 10×: a 304 MiB / 2.6M-row
+    // driver-side build; at 100 TB an OOM. The join is therefore pinned
+    // sort-merge: both sides hash-partition on the bigram key (the
+    // corpus-scale contract), AQE skew-split still applies.
+    assert(finalPlan.contains("SortMergeJoin"),
+      s"bigram join not sort-merge:\n$finalPlan")
+    assert(!finalPlan.contains("BroadcastHashJoin"),
+      s"bigram join broadcast a corpus-scale table:\n$finalPlan")
+    // the hint must be the merge pin, never a broadcast hint
+    assert(!df.queryExecution.logical.toString.toLowerCase.contains("broadcast"),
       "bigram join must not carry a broadcast hint — the table is corpus-scale")
   }
 
