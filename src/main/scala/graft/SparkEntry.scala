@@ -371,7 +371,13 @@ object SparkEntry {
       .select(col("doc_id"), array_distinct(TextDedup.shingles(col("text"), 3)).as("ds"))
     val a = docs.select(col("doc_id").as("doc_a"), col("ds").as("dsa"))
     val b = docs.select(col("doc_id").as("doc_b"), col("ds").as("dsb"))
-    val joined = a.join(b, col("doc_b") === col("doc_a") + 1)
+    // merge pin: both sides are the full per-doc shingle-set table (rows =
+    // |corpus|, wide array payload), and with no pre-join aggregate the
+    // static planner estimates them at the scan's size and broadcast one —
+    // measured at 10×: 130 MiB / 50k rows driver-side. The equality key
+    // (doc_a + 1) hash-partitions both sides cleanly; nothing corpus-sized
+    // may broadcast.
+    val joined = a.join(b.hint("merge"), col("doc_b") === col("doc_a") + 1)
     val inter = size(array_intersect(col("dsa"), col("dsb")))
     joined.select(
       col("doc_a"), col("doc_b"),
@@ -441,8 +447,13 @@ object SparkEntry {
       .map(i => when(col(s"__a_$i") === col(s"__b_$i"), 1L).otherwise(0L))
       .reduce(_ + _)
     val (inter, union) = TextDedup.jaccardCounts(col("__sha"), col("__shb"))
-    pairs.join(sigA, "doc_a").join(sigB, "doc_b")
-      .join(setA, "doc_a").join(setB, "doc_b")
+    // merge pins: all four re-attach tables are corpus-row-count frames
+    // (signatures 18 MiB, shingle sets 130 MiB at 10×) whose static size
+    // estimates don't model the array payload — the planner broadcast all
+    // four. The audit contract is id-keyed narrow re-attach JOINS: SMJ on
+    // the pair ids at every scale, never a corpus-row broadcast.
+    pairs.join(sigA.hint("merge"), "doc_a").join(sigB.hint("merge"), "doc_b")
+      .join(setA.hint("merge"), "doc_a").join(setB.hint("merge"), "doc_b")
       .select(col("doc_a"), col("doc_b"), estLanes.as("est_lanes"),
         inter.cast(LongType).as("inter_sz"), union.cast(LongType).as("union_sz"))
       .orderBy(col("doc_a"), col("doc_b"))
