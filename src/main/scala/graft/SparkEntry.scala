@@ -371,13 +371,14 @@ object SparkEntry {
       .select(col("doc_id"), array_distinct(TextDedup.shingles(col("text"), 3)).as("ds"))
     val a = docs.select(col("doc_id").as("doc_a"), col("ds").as("dsa"))
     val b = docs.select(col("doc_id").as("doc_b"), col("ds").as("dsb"))
-    // merge pin: both sides are the full per-doc shingle-set table (rows =
-    // |corpus|, wide array payload), and with no pre-join aggregate the
-    // static planner estimates them at the scan's size and broadcast one —
-    // measured at 10×: 130 MiB / 50k rows driver-side. The equality key
-    // (doc_a + 1) hash-partitions both sides cleanly; nothing corpus-sized
+    // shuffle_hash pin: both sides are the full per-doc shingle-set table
+    // (rows = |corpus|, wide array payload), and with no pre-join aggregate
+    // the static planner estimates them at the scan's size and broadcast
+    // one — measured at 10×: 130 MiB / 50k rows driver-side. The equality
+    // key (doc_a + 1) hash-partitions both sides cleanly (unique keys, no
+    // skew — SHJ skips sorting the array payloads); nothing corpus-sized
     // may broadcast.
-    val joined = a.join(b.hint("merge"), col("doc_b") === col("doc_a") + 1)
+    val joined = a.join(b.hint("shuffle_hash"), col("doc_b") === col("doc_a") + 1)
     val inter = size(array_intersect(col("dsa"), col("dsb")))
     joined.select(
       col("doc_a"), col("doc_b"),
@@ -447,13 +448,16 @@ object SparkEntry {
       .map(i => when(col(s"__a_$i") === col(s"__b_$i"), 1L).otherwise(0L))
       .reduce(_ + _)
     val (inter, union) = TextDedup.jaccardCounts(col("__sha"), col("__shb"))
-    // merge pins: all four re-attach tables are corpus-row-count frames
-    // (signatures 18 MiB, shingle sets 130 MiB at 10×) whose static size
-    // estimates don't model the array payload — the planner broadcast all
-    // four. The audit contract is id-keyed narrow re-attach JOINS: SMJ on
-    // the pair ids at every scale, never a corpus-row broadcast.
-    pairs.join(sigA.hint("merge"), "doc_a").join(sigB.hint("merge"), "doc_b")
-      .join(setA.hint("merge"), "doc_a").join(setB.hint("merge"), "doc_b")
+    // shuffle_hash pins: all four re-attach tables are corpus-row-count
+    // frames (signatures 18 MiB, shingle sets 130 MiB at 10×) whose static
+    // size estimates don't model the array payload — the planner broadcast
+    // all four. The audit contract is id-keyed narrow re-attach JOINS that
+    // hash-partition at every scale, never a corpus-row broadcast; SHJ over
+    // SMJ because the keys are unique doc ids (no skew) and it skips
+    // sorting the wide array payloads (measured ~1.4 vs ~1.8 s at sf0.1,
+    // ~2.0 vs ~2.3-4.0 s at 10×). AQE skew-split applies to SHJ too.
+    pairs.join(sigA.hint("shuffle_hash"), "doc_a").join(sigB.hint("shuffle_hash"), "doc_b")
+      .join(setA.hint("shuffle_hash"), "doc_a").join(setB.hint("shuffle_hash"), "doc_b")
       .select(col("doc_a"), col("doc_b"), estLanes.as("est_lanes"),
         inter.cast(LongType).as("inter_sz"), union.cast(LongType).as("union_sz"))
       .orderBy(col("doc_a"), col("doc_b"))

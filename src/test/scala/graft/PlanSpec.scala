@@ -433,6 +433,27 @@ class PlanSpec extends SparkSpec {
       "bigram join must not carry a broadcast hint — the table is corpus-scale")
   }
 
+  test("q_minhash_calib / q_ngram_jaccard: corpus-row attach joins never broadcast") {
+    // the re-attach tables carry array payloads whose static size estimate
+    // is bogus-small (the planner broadcast 130 MiB frames at 10×) — the
+    // pins keep every corpus-row join hash-partitioned (ShuffledHashJoin)
+    for (q <- Seq("q_minhash_calib", "q_ngram_jaccard")) {
+      val df = SparkEntry.queries(q)(spark, sf)
+      df.collect()
+      val finalPlan = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+        .split("== Initial Plan ==").head
+      assert(finalPlan.contains("ShuffledHashJoin"),
+        s"$q: attach joins lost their shuffle pin:\n$finalPlan")
+      val broadcasts = finalPlan.linesIterator.count(_.contains("BroadcastHashJoin"))
+      // q_minhash_calib's candidate subtree may keep small AQE broadcasts
+      // (post-aggregate, size-aware); the four attach joins must not appear
+      val shjs = finalPlan.linesIterator.count(_.contains("ShuffledHashJoin"))
+      val expectedShjs = if (q == "q_minhash_calib") 4 else 1
+      assert(shjs >= expectedShjs,
+        s"$q: expected ≥$expectedShjs shuffled-hash attach joins, saw $shjs (broadcasts=$broadcasts):\n$finalPlan")
+    }
+  }
+
   test("q_chunk_dedup: per-hash count exchange reused by the join back") {
     val df = SparkEntry.queries("q_chunk_dedup")(spark, sf)
     df.collect()
