@@ -283,9 +283,31 @@ object TextDedup {
     * no UDF).
     */
   def maskRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
-      windowTokens: Int = 8, minDocs: Int = 2): DataFrame = {
+      windowTokens: Int = 8, minDocs: Int = 2,
+      maxSpanRows: Int = MaxSpanFingerprintRows): DataFrame = {
     val spans = repeatedSpans(df, idCol, textCol, windowTokens, minDocs).select(col("fp"))
-    maskSpansByFingerprints(df, idCol, textCol, spans, windowTokens)
+    // same fail-fast-with-cure contract as decontaminateAgainst — the
+    // repeated-span table is duplicate-bounded (fps seen in ≥ minDocs
+    // docs), but a templated corpus can push it past what belongs on the
+    // broadcast side of the masking join (this was the engine's one
+    // UNguarded explicit broadcast). The guard is IN-PLAN, not a separate
+    // driver action (a count() here measured +0.5 s of pure scheduling):
+    // a 1-row cap-check aggregate cross-joined under the broadcast. Both
+    // the check and the join side end at the same groupBy(fp) exchange, so
+    // ReusedExchange computes the spans subtree once; the single-partition
+    // check stage completes BEFORE the cross-join stage feeds the driver's
+    // broadcast collect, so an over-cap table raises the cure instead of
+    // OOMing mid-build. The filter on __ok keeps the check alive through
+    // column pruning.
+    val capCheck = spans.agg(
+      when(count(lit(1)) > maxSpanRows,
+        raise_error(lit(s"repeated-span fingerprint set exceeds $maxSpanRows rows; " +
+          "it broadcasts whole to every executor — raise minDocs / windowTokens " +
+          "(fewer, longer repeated spans) or mask in fingerprint-range chunks; a " +
+          "corpus-sized frame does not belong on the broadcast side of the masking join")))
+        .otherwise(lit(true)).as("__ok"))
+    val guarded = spans.crossJoin(broadcast(capCheck)).filter(col("__ok")).select(col("fp"))
+    maskSpansByFingerprints(df, idCol, textCol, guarded, windowTokens)
   }
 
   /** Span-level decontamination: mask every `windowTokens`-token span of

@@ -61,6 +61,18 @@ class TextDedupSpec extends SparkSpec {
     val none = TextDedup.maskRepeatedSpans(docs, "doc_id", "text", windowTokens = 8)
       .agg(max(col("n_masked_tokens"))).head().getLong(0)
     assert(none == 0L)
+    // broadcast guard: a span table over the cap fails with the cure
+    // (in-plan raise_error — fires when the query runs, before the
+    // broadcast collects), never an opaque executor OOM mid-join
+    // (4 repeated windows here > 1)
+    val err = intercept[Throwable] {
+      TextDedup.maskRepeatedSpans(docs, "doc_id", "text", windowTokens = 4,
+        maxSpanRows = 1).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    val all = messages(err).mkString("\n")
+    assert(all.contains("repeated-span fingerprint set") && all.contains("minDocs"), all)
   }
 
   test("identical docs always collide in minhash LSH; disjoint docs get distinct signatures") {
