@@ -125,6 +125,17 @@ class GraftExpressionsSpec extends SparkSpec {
     assert(e2.getMessage.contains("graft_window_fps"))
   }
 
+  test("graft_elem_counts from SQL: struct field names, counts, and analysis-time type check") {
+    GraftExpressions.register(spark)
+    val r = spark.sql(
+      "SELECT tc.t, tc.c FROM (SELECT explode(graft_elem_counts(array('b','a','b'))) AS tc)")
+      .collect().map(x => (x.getString(0), x.getLong(1))).toSeq
+    assert(r == Seq(("b", 2L), ("a", 1L))) // first-occurrence order
+    val e = intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql("SELECT graft_elem_counts(42)").collect())
+    assert(e.getMessage.contains("graft_elem_counts"))
+  }
+
   test("hammingDist64 column matches bitCount") {
     GraftExpressions.register(spark)
     val got = Seq((0xffL, 0x0fL)).toDF("a", "b")
