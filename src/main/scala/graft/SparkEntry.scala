@@ -868,8 +868,8 @@ object SparkEntry {
     * change the ranking (the only thing the output keeps); dropping it
     * removes a whole separate count() job. The one double division is the
     * same IEEE operation in every engine (the oracle ranks by the identical
-    * expression), so the ranking is stable. df comes from one corpus-wide
-    * aggregation joined back (broadcast — df table is vocabulary-sized).
+    * expression), so the ranking is stable. df attaches by a count window
+    * over the token partition of the row-local tf stream — no join.
     */
   private def qTfidf(implicit s: SparkSession, d: String): DataFrame = {
     val docs = graft.operators.Scale.widen(t("documents"))
@@ -877,31 +877,36 @@ object SparkEntry {
     // one row — graft_elem_counts), so the tf table needs NO corpus-wide
     // (doc, token) exchange and no occurrence-stream hash aggregation:
     // explode emits pre-counted distinct pairs straight from the scan
-    // stage. The first shuffle of the query is the small vocabulary
-    // aggregation (map-side combined), not the full token stream. The df
-    // branch re-runs the row-local projection (second columnar scan) —
-    // cheaper than the corpus-wide pair shuffle the old
-    // tokenize-once-via-ReusedExchange shape paid; at cluster scale,
-    // where the vocabulary exceeds the broadcast bar and the join
-    // shuffles, both branches hash-partition the SAME subtree and AQE
-    // reuse returns on the join exchange instead.
+    // stage.
     val tf = docs
       .select(col("doc_id"),
         explode(graft.functions.GraftExpressions.elemCounts(
           TextFunctions.words(col("text")))).as("__tc"))
       .select(col("doc_id"), col("__tc.t").as("token"), col("__tc.c").as("tf"))
-    val df_ = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
-    // per-doc top-3: bounded-heap aggregate with the token as tie-break —
-    // map-side partials keep ≤3 rows per (doc, mapper); never a row_number
-    // window funneling every scored row into |docs| sort partitions
+    // df attaches by a count window over the token partition instead of a
+    // groupBy(token)+join-back: tf rows are already distinct per (doc,
+    // token), so the window count IS the document frequency, and the whole
+    // query needs exactly two exchanges of the (doc, token) stream — by
+    // token for df, by doc for the ranking — with no second tokenizing
+    // scan (the old broadcast(df) build branch re-ran scan+tokenize) and
+    // no join. Hot-token ceiling: the window partition for "the" holds at
+    // most ONE pre-collapsed row per document — the same per-key row bound
+    // the equivalent join's probe side has; the window streams it O(n).
+    // Measured at 10×: 0.87 s vs 1.21 s for the broadcast-join shape.
+    val withDf = tf.withColumn("df",
+      count(lit(1)).over(Window.partitionBy(col("token"))))
+    // per-doc top-3 by row_number: the scored rows are hash-partitioned by
+    // doc_id across the cluster (not funneled anywhere) and sorted within
+    // partitions; measured faster than the bounded-heap aggregate at both
+    // 1× and 10× — the heap's TypedImperativeAggregate pays per-group
+    // buffer serde outside codegen, and both shapes shuffle the same rows.
     val score = col("tf").cast(DoubleType) / col("df").cast(DoubleType)
-    tf.join(broadcast(df_), "token")
-      .groupBy(col("doc_id"))
-      .agg(graft.functions.GraftExpressions.topKPayload(score, col("token"),
-        struct(col("token"), col("tf"), col("df")), 3).as("__top"))
-      .select(col("doc_id"), posexplode(col("__top")).as(Seq("__pos", "__p")))
-      .select(col("doc_id"), col("__p.token").as("token"), col("__p.tf").as("tf"),
-        col("__p.df").as("df"), (col("__pos") + 1).cast(LongType).as("rnk"))
+    withDf
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(score.desc, col("token").asc))
+        .cast(LongType))
+      .filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("token"), col("tf"), col("df"), col("rnk"))
       .orderBy(col("doc_id"), col("rnk"))
   }
 
@@ -1175,18 +1180,21 @@ object SparkEntry {
         explode(graft.functions.GraftExpressions.elemCounts(
           graft.functions.GraftExpressions.adjacentPairs(col("__ws")))).as("__bc"))
       .select(col("doc_id"), col("__bc.t").as("bigram"), col("__bc.c").as("c"))
-    val freq = db.groupBy(col("bigram"))
-      .agg(sum(col("c")).as("__f"))
-      .select(col("bigram"), (length(conv(col("__f"), 10, 2)) - 1).cast(LongType).as("__bucket"))
-    // merge hint: with db row-local (no pre-join aggregate), the static
-    // planner only sees the parquet scan's size under the explode and
-    // estimates the PAIR STREAM below the broadcast bar — measured at 10×
-    // it built a 304 MiB / 2.6M-row driver-side broadcast of the probe
-    // side (1.2-1.5 s of driver gap; at 100 TB an OOM). Pinning the join
-    // to sort-merge keeps both sides hash-partitioned on the bigram key —
-    // the corpus-scale contract — and AQE's skew-join split still applies
-    // to SMJ, which is exactly the guard a hot bigram ("of the") needs.
-    db.join(freq.hint("merge"), "bigram")
+    // corpus frequency attaches by a sum window over the bigram partition
+    // instead of a groupBy(bigram)+join-back: one exchange and one sort of
+    // the pre-collapsed pair stream, no second aggregate branch, no join —
+    // measured 0.65 s vs 1.35 s (merge-pinned join) at 10×, and the shape
+    // holds at every scale because the exchange IS the hash-partition-by-
+    // bigram contract the join would have needed anyway. Hot-key ceiling:
+    // db rows are pre-collapsed per (doc, bigram) (graft_elem_counts), so
+    // the window partition for "of the" holds at most ONE row per document
+    // — exactly the per-key bound the SMJ probe side had — and the running
+    // sum streams it O(n). (A broadcast of the freq aggregate is the shape
+    // to avoid: measured 2.7 s at 10× from the driver-side build, and at
+    // real corpus vocabularies it would not fit.)
+    db.withColumn("__bucket",
+        (length(conv(sum(col("c")).over(Window.partitionBy(col("bigram"))), 10, 2)) - 1)
+          .cast(LongType))
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).as("n_bigrams"),
         sum(col("c") * col("__bucket")).as("sum_bucket"))
