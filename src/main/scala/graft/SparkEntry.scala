@@ -438,26 +438,32 @@ object SparkEntry {
     val pairs = TextDedup.minhashCandidatePairsFromSets(sets, "doc_id",
       k = 12, bands = 6, rowsPerBand = 2, materialize = false)
     val sigs = TextDedup.minhashSignaturesFromSets(sets, "doc_id", k = 12)
-    val sigA = sigs.select(col("doc_id").as("doc_a") +:
+    // ONE combined attach frame (doc_id, signature lanes, shingle set): the
+    // signature agg's output is already hash-partitioned by doc_id, so this
+    // join only exchanges the sets side — and the pair stream then
+    // re-partitions TWICE (by doc_a, by doc_b) instead of the four times
+    // (a, b, a, b) the separate sig/set re-attach joins cost. (Carrying
+    // __sh through the signature explode instead would copy the array once
+    // per shingle row — O(|set|²) bytes per document; the join is the
+    // linear-cost way to line the two up.)
+    val attach = sigs.join(sets.hint("shuffle_hash"), "doc_id")
+    val attA = attach.select(col("doc_id").as("doc_a") +: col("__sh").as("__sha") +:
       (0 until 12).map(i => col(s"__mh_$i").as(s"__a_$i")): _*)
-    val sigB = sigs.select(col("doc_id").as("doc_b") +:
+    val attB = attach.select(col("doc_id").as("doc_b") +: col("__sh").as("__shb") +:
       (0 until 12).map(i => col(s"__mh_$i").as(s"__b_$i")): _*)
-    val setA = sets.select(col("doc_id").as("doc_a"), col("__sh").as("__sha"))
-    val setB = sets.select(col("doc_id").as("doc_b"), col("__sh").as("__shb"))
     val estLanes = (0 until 12)
       .map(i => when(col(s"__a_$i") === col(s"__b_$i"), 1L).otherwise(0L))
       .reduce(_ + _)
     val (inter, union) = TextDedup.jaccardCounts(col("__sha"), col("__shb"))
-    // shuffle_hash pins: all four re-attach tables are corpus-row-count
-    // frames (signatures 18 MiB, shingle sets 130 MiB at 10×) whose static
-    // size estimates don't model the array payload — the planner broadcast
-    // all four. The audit contract is id-keyed narrow re-attach JOINS that
+    // shuffle_hash pins: the re-attach tables are corpus-row-count frames
+    // (signatures 18 MiB, shingle sets 130 MiB at 10×) whose static size
+    // estimates don't model the array payload — the planner broadcast
+    // them. The audit contract is id-keyed narrow re-attach JOINS that
     // hash-partition at every scale, never a corpus-row broadcast; SHJ over
     // SMJ because the keys are unique doc ids (no skew) and it skips
     // sorting the wide array payloads (measured ~1.4 vs ~1.8 s at sf0.1,
     // ~2.0 vs ~2.3-4.0 s at 10×). AQE skew-split applies to SHJ too.
-    pairs.join(sigA.hint("shuffle_hash"), "doc_a").join(sigB.hint("shuffle_hash"), "doc_b")
-      .join(setA.hint("shuffle_hash"), "doc_a").join(setB.hint("shuffle_hash"), "doc_b")
+    pairs.join(attA.hint("shuffle_hash"), "doc_a").join(attB.hint("shuffle_hash"), "doc_b")
       .select(col("doc_a"), col("doc_b"), estLanes.as("est_lanes"),
         inter.cast(LongType).as("inter_sz"), union.cast(LongType).as("union_sz"))
       .orderBy(col("doc_a"), col("doc_b"))
