@@ -490,20 +490,21 @@ object SparkEntry {
     * up to (source, source) cells — "which sources copy each other", the
     * provenance diagnostic that decides whether to dedup within or across
     * sources before mixing. The pair set is band-bounded (never all-pairs);
-    * the two provenance lookups are shuffle joins on doc_id against a
-    * NARROW (id, source) projection of the corpus, then the matrix
-    * aggregate runs over candidate pairs only. Source order inside a cell
-    * is canonicalized with least/greatest so (A,B) and (B,A) collapse.
+    * the source tag is CARRIED through the band pipeline (narrow
+    * passthrough: `bands` small copies per document inside the one
+    * existing exchange) instead of re-attached by two id-keyed joins that
+    * would re-shuffle the entire pair stream — carry narrow, join wide.
+    * Source order inside a cell is canonicalized with least/greatest so
+    * (A,B) and (B,A) collapse.
     */
   private def qSourceOverlap(implicit s: SparkSession, d: String): DataFrame = {
     val docs = t("documents")
     val pairs = TextDedup.minhashCandidatePairs(docs, "doc_id", "text",
-      shingleN = 3, k = 12, bands = 6, rowsPerBand = 2, materialize = false)
-    val srcA = docs.select(col("doc_id").as("doc_a"), col("source").as("__sa"))
-    val srcB = docs.select(col("doc_id").as("doc_b"), col("source").as("__sb"))
-    pairs.join(srcA, "doc_a").join(srcB, "doc_b")
-      .select(least(col("__sa"), col("__sb")).as("source_a"),
-        greatest(col("__sa"), col("__sb")).as("source_b"))
+      shingleN = 3, k = 12, bands = 6, rowsPerBand = 2, materialize = false,
+      carryCols = Seq("source"))
+    pairs
+      .select(least(col("__a_source"), col("__b_source")).as("source_a"),
+        greatest(col("__a_source"), col("__b_source")).as("source_b"))
       .groupBy(col("source_a"), col("source_b"))
       .agg(count(lit(1)).as("n_pairs"))
       .orderBy(col("source_a"), col("source_b"))

@@ -59,9 +59,10 @@ object TextDedup {
     * stream, and the verifier needs the distinct set anyway).
     */
   private[graft] def distinctShingleSets(
-      df: DataFrame, idCol: String, textCol: String, shingleN: Int): DataFrame =
-    Scale.widen(df).select(col(idCol),
-      array_distinct(shingles(col(textCol), shingleN)).as("__sh"))
+      df: DataFrame, idCol: String, textCol: String, shingleN: Int,
+      carryCols: Seq[String] = Nil): DataFrame =
+    Scale.widen(df).select(col(idCol) +: carryCols.map(col) :+
+      array_distinct(shingles(col(textCol), shingleN)).as("__sh"): _*)
 
   /** Per-document k-element MinHash signatures, computed the scale-friendly
     * way: explode shingles to one row each, hash every shingle once per salt,
@@ -81,17 +82,24 @@ object TextDedup {
   /** [[minhashSignatures]] over an already-built `(idCol, __sh)` shingle-set
     * frame (see [[distinctShingleSets]]).
     */
-  private[graft] def minhashSignaturesFromSets(sets: DataFrame, idCol: String, k: Int): DataFrame = {
+  private[graft] def minhashSignaturesFromSets(
+      sets: DataFrame, idCol: String, k: Int,
+      carryCols: Seq[String] = Nil): DataFrame = {
     // one salted md5 yields FOUR 32-bit (8-hex-char) minhash lanes — 3 md5
     // calls per shingle for k=12 instead of 12 (md5 dominates the stage)
     val nSalts = (k + 3) / 4
     val hashed = sets
-      .select(col(idCol), explode(col("__sh")).as("__sh1"))
-      .select(col(idCol) +: (0 until nSalts).map(s =>
+      .select(col(idCol) +: carryCols.map(col) :+ explode(col("__sh")).as("__sh1"): _*)
+      .select(col(idCol) +: carryCols.map(col) ++: (0 until nSalts).map(s =>
         md5(concat(lit(s"$s:"), col("__sh1"))).as(s"__h$s")): _*)
+    // carried columns are NARROW passthroughs functionally dependent on the
+    // id (one value per document), so first() is deterministic and the
+    // map-side partial agg collapses them before the exchange — carrying
+    // beats a re-attach join whenever the column is small (see
+    // minhashCandidatePairs doc)
     val aggs = (0 until k).map { i =>
       min(substring(col(s"__h${i / 4}"), (i % 4) * 8 + 1, 8)).as(s"__mh_$i")
-    }
+    } ++ carryCols.map(c => first(col(c)).as(c))
     hashed.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -109,14 +117,22 @@ object TextDedup {
     * consume the pairs exactly once (the band pipeline is still computed
     * only once: both self-join sides shuffle on the same band key from an
     * identical subtree, so the exchange is reused).
+    *
+    * `carryCols`: NARROW per-document passthrough columns (provenance tags,
+    * quality buckets) emitted on both pair sides as `__a_<c>` / `__b_<c>`.
+    * Carrying a narrow column through the band pipeline costs `bands` small
+    * copies per document inside the one existing exchange; re-attaching it
+    * afterwards costs two id-keyed joins that re-shuffle the ENTIRE pair
+    * stream — carry narrow columns, join wide ones (signatures, shingle
+    * sets).
     */
   def minhashCandidatePairs(
       df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, k: Int = 12, bands: Int = 6, rowsPerBand: Int = 2,
-      materialize: Boolean = true): DataFrame =
+      materialize: Boolean = true, carryCols: Seq[String] = Nil): DataFrame =
     minhashCandidatePairsFromSets(
-      distinctShingleSets(df, idCol, textCol, shingleN), idCol, k, bands, rowsPerBand,
-      materialize)
+      distinctShingleSets(df, idCol, textCol, shingleN, carryCols), idCol, k, bands,
+      rowsPerBand, materialize, carryCols)
 
   /** [[minhashCandidatePairs]] over a prebuilt (ideally persisted) shingle-set
     * frame, so pipelines that also need the sets (exact-Jaccard verification)
@@ -127,27 +143,33 @@ object TextDedup {
     * near-dup pipeline keys on. Output: `__id, __band_idx, __band_hash`.
     */
   private[graft] def bandTableOfSets(
-      sets: DataFrame, idCol: String, k: Int, bands: Int, rowsPerBand: Int): DataFrame = {
+      sets: DataFrame, idCol: String, k: Int, bands: Int, rowsPerBand: Int,
+      carryCols: Seq[String] = Nil): DataFrame = {
     require(bands * rowsPerBand <= k, "bands*rowsPerBand must be <= k")
-    val sigs = minhashSignaturesFromSets(sets, idCol, k)
+    val sigs = minhashSignaturesFromSets(sets, idCol, k, carryCols)
     val bandArr = array((0 until bands).map { j =>
       md5(concat_ws(",",
         (0 until rowsPerBand).map(r => col(s"__mh_${j * rowsPerBand + r}")): _*))
     }: _*)
-    sigs.select(col(idCol).as("__id"), posexplode(bandArr).as(Seq("__band_idx", "__band_hash")))
+    sigs.select(col(idCol).as("__id") +: carryCols.map(col) :+
+      posexplode(bandArr).as(Seq("__band_idx", "__band_hash")): _*)
   }
 
   private[graft] def minhashCandidatePairsFromSets(
       sets: DataFrame, idCol: String,
       k: Int = 12, bands: Int = 6, rowsPerBand: Int = 2,
-      materialize: Boolean = true): DataFrame = {
-    val bandTable = bandTableOfSets(sets, idCol, k, bands, rowsPerBand)
+      materialize: Boolean = true, carryCols: Seq[String] = Nil): DataFrame = {
+    val bandTable = bandTableOfSets(sets, idCol, k, bands, rowsPerBand, carryCols)
     def pairsOf(a: DataFrame, b: DataFrame): DataFrame =
       a.alias("a").join(b.alias("b"),
           col("a.__band_idx") === col("b.__band_idx") &&
           col("a.__band_hash") === col("b.__band_hash") &&
           col("a.__id") < col("b.__id"))
-        .select(col("a.__id").as("doc_a"), col("b.__id").as("doc_b"))
+        .select(col("a.__id").as("doc_a") +: col("b.__id").as("doc_b") +:
+          (carryCols.map(c => col(s"a.$c").as(s"__a_$c")) ++
+           carryCols.map(c => col(s"b.$c").as(s"__b_$c"))): _*)
+        // carried columns are functionally dependent on the doc id, so the
+        // distinct's cardinality (and the pair semantics) are unchanged
         .distinct()
     if (materialize) {
       // the self-join would otherwise recompute the whole shingle→minhash

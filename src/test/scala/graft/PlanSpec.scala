@@ -451,6 +451,18 @@ class PlanSpec extends SparkSpec {
       "bigram freq attach must not carry a broadcast hint — the table is corpus-scale")
   }
 
+  test("q_source_overlap: source carried through the band pipeline — exactly one join") {
+    val plan = formatted("q_source_overlap")
+    // the provenance tag is a NARROW per-doc column, so it rides the band
+    // pipeline's one existing exchange (bands copies per doc) instead of
+    // two id-keyed re-attach joins that would re-shuffle the entire
+    // candidate-pair stream; the only join left is the band self-join
+    val joins = plan.linesIterator.count(_.startsWith("Join type:"))
+    assert(joins == 1, s"expected exactly the band self-join, got $joins:\n$plan")
+    assert(!plan.contains("BroadcastExchange"),
+      s"overlap matrix must not broadcast a corpus-row table:\n$plan")
+  }
+
   test("q_minhash_calib / q_ngram_jaccard: corpus-row attach joins never broadcast") {
     // the re-attach tables carry array payloads whose static size estimate
     // is bogus-small (the planner broadcast 130 MiB frames at 10×) — the

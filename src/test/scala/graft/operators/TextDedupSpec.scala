@@ -87,6 +87,29 @@ class TextDedupSpec extends SparkSpec {
     assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
   }
 
+  test("carryCols: carried pair-side values ≡ a join-based re-attach; pair set unchanged") {
+    val docs = Seq(
+      (1L, "spark catalyst optimizer rewrites logical plans into physical plans", "web"),
+      (2L, "spark catalyst optimizer rewrites logical plans into physical plans", "books"),
+      (3L, "spark catalyst optimizer rewrites logical plans into physical trees", "web"),
+      (4L, "entirely unrelated words about cooking pasta with tomato sauce basil", "code"))
+      .toDF("doc_id", "text", "source")
+    val carried = TextDedup.minhashCandidatePairs(docs, "doc_id", "text",
+        materialize = false, carryCols = Seq("source"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3))).toSet
+    val plain = TextDedup.minhashCandidatePairs(docs, "doc_id", "text",
+      materialize = false)
+    val srcA = docs.select(col("doc_id").as("doc_a"), col("source").as("__a_source"))
+    val srcB = docs.select(col("doc_id").as("doc_b"), col("source").as("__b_source"))
+    val joined = plain.join(srcA, "doc_a").join(srcB, "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("__a_source"), col("__b_source"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3))).toSet
+    assert(carried == joined)
+    assert(carried.map(p => (p._1, p._2)) ==
+      plain.collect().map(r => (r.getLong(0), r.getLong(1))).toSet,
+      "carrying a functionally-dependent column must not change the pair set")
+  }
+
   test("lazy candidate pairs: identical result to the materialized path, zero persisted RDDs") {
     val docs = Seq(
       (1L, "spark catalyst optimizer rewrites logical plans into physical plans"),
