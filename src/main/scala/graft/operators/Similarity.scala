@@ -71,15 +71,43 @@ object Similarity {
     */
   val MaxProbeBatchRows = 65536
 
-  /** Bounded count of a probe batch: scans at most `cap`+1 rows (the limit
-    * short-circuits the scan), so the guard itself stays cheap on an
-    * arbitrarily large mis-passed frame.
+  /** In-plan probe cap (the repeated-span guard's pattern): a 1-row
+    * cap-check aggregate — bounded by `limit(cap+1)`, so the check scans at
+    * most cap+1 rows of a mis-passed corpus — cross-joined under the
+    * caller's broadcast side. Unlike the eager `count()` this replaced, the
+    * guard adds NO separate driver action (one scheduled job + a batch scan
+    * per incremental probe call — pure overhead in the per-batch service
+    * loop); the 1-row check broadcast materializes BEFORE the probe
+    * broadcast collects, so an over-cap batch raises the cure instead of
+    * OOMing mid-build, and when `batch` already ends in an exchange
+    * (a distinct'd fingerprint set) ReusedExchange computes it once for
+    * check and probe. Failure surfaces at EXECUTION time (first action),
+    * not at plan-build time.
+    */
+  /** Eager bounded count of a probe batch: scans at most `cap`+1 rows (the
+    * limit short-circuits the scan), so the guard stays cheap on an
+    * arbitrarily large mis-passed frame. Prefer [[probeGuarded]] when the
+    * guarded frame ends in an exchange the check can reuse; keep THIS form
+    * when the in-plan check would only serialize one more broadcast stage
+    * ahead of the probe's own broadcast (measured on the minhash probe:
+    * in-plan was +2 jobs / +0.25 s because the raw batch offers no
+    * exchange to share).
     */
   private[operators] def requireProbeBatch(
       batch: DataFrame, cap: Int, what: String, cure: String): Unit = {
     val n = batch.limit(cap + 1).count()
     require(n <= cap,
       s"$what exceeds $cap rows; it broadcasts whole to every executor — $cure")
+  }
+
+  private[operators] def probeGuarded(
+      batch: DataFrame, cap: Int, what: String, cure: String): DataFrame = {
+    val capCheck = batch.limit(cap + 1).agg(
+      when(count(lit(1)) > cap,
+        raise_error(lit(s"$what exceeds $cap rows; it broadcasts whole to " +
+          s"every executor — $cure")))
+        .otherwise(lit(true)).as("__ok"))
+    batch.crossJoin(broadcast(capCheck)).filter(col("__ok")).drop("__ok")
   }
 
   private def requireIntegralId(idType: DataType, what: String): Unit =
@@ -329,13 +357,13 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding",
       maxBatchRows: Int = MaxProbeBatchRows): DataFrame = {
     GraftExpressions.register(history.sparkSession)
-    requireProbeBatch(batch, maxBatchRows, "probe batch",
-      "for large batches assign both sides to IVF cells (ivfAssign) and use " +
-        "cosineNearDupPairs's blocked cell join instead")
     val h = Scale.widen(history).select(col(idCol).as("history_id"), col(vecCol).as("__hv"),
       sqrt(dot(col(vecCol), col(vecCol))).as("__hn"))
-    val b = batch.select(col(idCol).as("batch_id"), col(vecCol).as("__bv"),
-      sqrt(dot(col(vecCol), col(vecCol))).as("__bn"))
+    val b = probeGuarded(batch, maxBatchRows, "probe batch",
+        "for large batches assign both sides to IVF cells (ivfAssign) and use " +
+          "cosineNearDupPairs's blocked cell join instead")
+      .select(col(idCol).as("batch_id"), col(vecCol).as("__bv"),
+        sqrt(dot(col(vecCol), col(vecCol))).as("__bn"))
     h.join(broadcast(b), lit(true))
       .withColumn("__sim", try_divide(dot(col("__hv"), col("__bv")), col("__hn") * col("__bn")))
       .filter(col("__sim") > threshold)

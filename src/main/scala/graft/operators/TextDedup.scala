@@ -207,6 +207,10 @@ object TextDedup {
       history: DataFrame, batch: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, k: Int = 12, bands: Int = 6, rowsPerBand: Int = 2,
       maxBatchRows: Int = Similarity.MaxProbeBatchRows): DataFrame = {
+    // eager bounded-count guard, deliberately NOT the in-plan form: the raw
+    // batch offers no exchange for the cap-check to reuse, so the in-plan
+    // check only serialized one more broadcast stage ahead of the band
+    // table's own broadcast (A/B at sf0.1: +2 jobs, 1.08 → 1.34 s)
     Similarity.requireProbeBatch(batch, maxBatchRows, "probe batch",
       "for large batches run minhashCandidatePairs over the combined corpus " +
         "(bucketed self-join — never all-pairs) instead of the broadcast probe")
@@ -348,27 +352,24 @@ object TextDedup {
     val w = windowTokens
     val toks = TextFunctions.words(col(textCol))
     // same contract-enforcement convention as minhashCandidatePairsAgainst
-    // (Similarity.requireProbeBatch): "an eval suite, not a second corpus"
-    // is a contract, and the fingerprint set broadcasts whole — an
-    // unbounded one must fail fast with a cure, not an opaque executor
-    // OOM mid-join. TWO-STAGE guard: the total window count (one cheap agg
-    // scan, an upper bound on distinct fingerprints) clears the common
-    // case without computing the explode+distinct pipeline twice; only a
-    // suite over the bound pays one extra pipeline pass to check the
-    // EXACT distinct count (heavy window duplication can put the bound far
-    // above the real broadcast size, which must not reject a valid suite).
+    // (Similarity.probeGuarded): "an eval suite, not a second corpus" is a
+    // contract, and the fingerprint set broadcasts whole — an unbounded one
+    // must fail fast with a cure, not an opaque executor OOM mid-join. The
+    // guard is IN-PLAN (the maskRepeatedSpans pattern): the cap-check
+    // aggregate and the broadcast side both end at the same distinct()
+    // exchange, so ReusedExchange computes the explode+distinct pipeline
+    // ONCE — this replaced a two-stage driver guard (a window-count agg
+    // action on every call + a conditional exact count) with zero driver
+    // actions, and it checks the EXACT distinct count, so heavy window
+    // duplication can never reject a valid suite.
     val evalFps = evalDf.select(
         explode(windowFingerprints(toks, w, distinct = true)).as("fp"))
       .distinct() // cross-row distinct (the kernel dedups within one doc)
-    val windowCount = evalDf
-      .agg(coalesce(sum(greatest(lit(0), size(toks) - w + 1)), lit(0L)))
-      .head().getLong(0)
-    if (windowCount > MaxSpanFingerprintRows)
-      Similarity.requireProbeBatch(evalFps, MaxSpanFingerprintRows,
-        "eval window fingerprint set",
-        "decontaminate against a bounded eval suite (or chunk it); a " +
-          "corpus-sized frame does not belong on the broadcast side of the masking join")
-    maskSpansByFingerprints(train, idCol, textCol, evalFps, w)
+    val guarded = Similarity.probeGuarded(evalFps, MaxSpanFingerprintRows,
+      "eval window fingerprint set",
+      "decontaminate against a bounded eval suite (or chunk it); a " +
+        "corpus-sized frame does not belong on the broadcast side of the masking join")
+    maskSpansByFingerprints(train, idCol, textCol, guarded, w)
   }
 
   /** The masking surgery shared by [[maskRepeatedSpans]] and

@@ -331,13 +331,20 @@ class SimilaritySpec extends SparkSpec {
       array(col("id").cast("float"), lit(1.0f)).as("embedding"))
     val batch = spark.range(12).select((col("id") + 100).as("vec_id"),
       array(col("id").cast("float"), lit(1.0f)).as("embedding"))
-    val e = intercept[IllegalArgumentException] {
-      Similarity.cosineNearDupAgainst(history, batch, 0.9, maxBatchRows = 10)
+    // the guard is IN-PLAN (no per-call driver action), so it fires at
+    // execution time — before the probe broadcast collects
+    val e = intercept[Throwable] {
+      Similarity.cosineNearDupAgainst(history, batch, 0.9, maxBatchRows = 10).collect()
     }
-    assert(e.getMessage.contains("probe batch exceeds 10 rows"), e.getMessage)
-    assert(e.getMessage.contains("cosineNearDupPairs"), e.getMessage)
+    def messages(t: Throwable): String =
+      if (t == null) "" else Option(t.getMessage).getOrElse("") + "\n" + messages(t.getCause)
+    val all = messages(e)
+    assert(all.contains("probe batch exceeds 10 rows"), all)
+    assert(all.contains("cosineNearDupPairs"), all)
     // at the cap it still runs (guard counts, does not truncate)
-    assert(Similarity.cosineNearDupAgainst(history, batch.limit(10), 0.9,
-      maxBatchRows = 10).columns.toSeq == Seq("history_id", "batch_id"))
+    val atCap = Similarity.cosineNearDupAgainst(history, batch.limit(10), 0.9,
+      maxBatchRows = 10)
+    assert(atCap.columns.toSeq == Seq("history_id", "batch_id"))
+    atCap.collect() // the in-plan check must pass, not just plan
   }
 }

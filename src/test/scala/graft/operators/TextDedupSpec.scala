@@ -174,6 +174,8 @@ class TextDedupSpec extends SparkSpec {
     val history = Seq((1L, "some history document text here")).toDF("doc_id", "text")
     val batch = (0L until 12L).map(i => (100L + i, s"batch document $i text"))
       .toDF("doc_id", "text")
+    // eager guard (see the operator: the in-plan form measured slower
+    // here), so the failure is at CALL time with a plain exception
     val e = intercept[IllegalArgumentException] {
       TextDedup.minhashCandidatePairsAgainst(history, batch, "doc_id", "text",
         maxBatchRows = 10)
@@ -181,8 +183,10 @@ class TextDedupSpec extends SparkSpec {
     assert(e.getMessage.contains("probe batch exceeds 10 rows"), e.getMessage)
     assert(e.getMessage.contains("minhashCandidatePairs"), e.getMessage)
     // at the cap it still runs
-    assert(TextDedup.minhashCandidatePairsAgainst(history, batch.limit(10),
-      "doc_id", "text", maxBatchRows = 10).columns.toSeq == Seq("history_id", "batch_id"))
+    val atCap = TextDedup.minhashCandidatePairsAgainst(history, batch.limit(10),
+      "doc_id", "text", maxBatchRows = 10)
+    assert(atCap.columns.toSeq == Seq("history_id", "batch_id"))
+    atCap.collect() // the in-plan check must pass, not just plan
   }
 
   test("dedupCorpus leaves no cached RDDs behind (service-loop hygiene)") {
