@@ -1168,10 +1168,11 @@ object SparkEntry {
     * kernel — no window, no per-position shuffle; the `zip_with`-of-slices
     * formulation kept the pairing stage in interpreted eval), and so do the
     * per-(doc, bigram) counts (`graft_elem_counts` — see qTfidf). The corpus
-    * bigram frequency table joins back with a sort-merge join pinned by
-    * hint: unlike the unigram vocabulary, a corpus-scale BIGRAM
-    * vocabulary is not broadcastable by contract (it grows ~linearly with
-    * corpus size), so both sides hash-partition on the bigram key.
+    * bigram frequency attaches JOIN-FREE by a sum window over the bigram
+    * partition of the pre-collapsed pair stream (one exchange, no
+    * groupBy+join-back) — and never a broadcast: unlike the unigram
+    * vocabulary, a corpus-scale BIGRAM vocabulary grows ~linearly with
+    * corpus size.
     */
   private def qBigramLogprob(implicit s: SparkSession, d: String): DataFrame = {
     // row-local per-(doc, bigram) counts: AdjacentPairs builds the pair

@@ -108,6 +108,15 @@ class TextDedupSpec extends SparkSpec {
     assert(carried.map(p => (p._1, p._2)) ==
       plain.collect().map(r => (r.getLong(0), r.getLong(1))).toSet,
       "carrying a functionally-dependent column must not change the pair set")
+    // multiple carried columns of mixed types ride together
+    val docs2 = docs.withColumn("bucket", (col("doc_id") % 2).cast("int"))
+    val multi = TextDedup.minhashCandidatePairs(docs2, "doc_id", "text",
+      materialize = false, carryCols = Seq("source", "bucket"))
+    assert(multi.columns.toSeq ==
+      Seq("doc_a", "doc_b", "__a_source", "__a_bucket", "__b_source", "__b_bucket"))
+    val row = multi.filter(col("doc_a") === 1L && col("doc_b") === 2L).head()
+    assert(row.getString(2) == "web" && row.getInt(3) == 1 &&
+      row.getString(4) == "books" && row.getInt(5) == 0)
   }
 
   test("lazy candidate pairs: identical result to the materialized path, zero persisted RDDs") {
