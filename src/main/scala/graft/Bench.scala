@@ -38,11 +38,33 @@ object Bench {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
     }
-    names.foreach { name =>
+    // jobs + shuffle-write per query, captured on the WARM pass (plan and
+    // exchange structure are identical to the measured passes; counters on
+    // the warm pass keep the listener settle-sleep out of measured time).
+    // This is the graft.Profile decomposition, institutionalized in every
+    // artifact: a wall-time gap with jobs high / shuffle small is Spark's
+    // ~0.1-0.2 s/stage scheduling floor (amortizes at scale); shuffle high
+    // is data volume (widens at scale). File/stderr artifact only — never
+    // part of the budget-bounded stdout line.
+    val profJobs = new java.util.concurrent.atomic.AtomicInteger
+    val profShufW = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val _ = profJobs.incrementAndGet()
+      }
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) { val _ = profShufW.addAndGet(m.shuffleWriteMetrics.bytesWritten) }
+      }
+    })
+    val profile: Map[String, (Int, Double)] = names.map { name =>
       dropCachedBlocks()
+      profJobs.set(0); profShufW.set(0)
       try SparkEntry.queries(name)(spark, sfDir).count()
       catch { case _: Throwable => }
-    }
+      Thread.sleep(120) // listener events drain asynchronously; settle
+      name -> (profJobs.get, math.rint(profShufW.get / 1048576.0 * 10) / 10)
+    }.toMap
     val _ = warmDir
 
     // clearCache between queries: several operators persist their
@@ -144,11 +166,15 @@ object Bench {
     val failedJson = if (failed.isEmpty) "" else s""","failed":[${failed.mkString(",")}]"""
     val loadJson = s"""{"start":${r4(loadSamples.head)},"end":${r4(loadSamples.last)},""" +
       s""""max":${r4(loadSamples.max)},"cpus":$cpus}"""
+    val profileJson = names.map { name =>
+      val (j, mb) = profile(name)
+      "\"" + name + "\":{\"jobs\":" + j + ",\"shufw_mb\":" + mb + "}"
+    }.mkString("{", ",", "}")
     val line = s"""{"metric":"total","value":$total,"unit":"sec","total_median":$totalMedian,""" +
       s""""queries":$qs,"queries_median":$qsMedian$failedJson,"load":$loadJson,""" +
       s""""sf":"$sfDir","restructure":$restructureJson,""" +
       s""""sf1x10":$tenXJson,"cleaner":$cleanerJson,"jobs1x10":$jobs10xJson,""" +
-      s""""oracle":$oracleJson}"""
+      s""""profile":$profileJson,"oracle":$oracleJson}"""
     // file copy survives even if the stdout tail truncates the line
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
