@@ -326,6 +326,15 @@ class SimilaritySpec extends SparkSpec {
     assert(ec.getMessage.contains("codebook exceeds"))
   }
 
+  test("probeGuarded edges: empty batch passes, schema unchanged, at-cap passes") {
+    val batch = vecs.limit(0)
+    val g = Similarity.probeGuarded(batch, 10, "probe batch", "cure")
+    assert(g.columns.toSeq == batch.columns.toSeq, "guard must not change the schema")
+    assert(g.count() == 0, "empty batch must pass the in-plan cap check")
+    val atCap = Similarity.probeGuarded(vecs, 4, "probe batch", "cure")
+    assert(atCap.count() == 4, "at-cap batch must pass and keep every row")
+  }
+
   test("cosineNearDupAgainst: oversized probe batch fails fast naming the blocked alternative") {
     val history = spark.range(4).select(col("id").as("vec_id"),
       array(col("id").cast("float"), lit(1.0f)).as("embedding"))
