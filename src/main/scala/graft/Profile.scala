@@ -113,6 +113,9 @@ object Profile {
         f"jobs=${jobs.get}%-3d stages=${stages.get}%-3d tasks=${tasks.get}%-5d " +
         f"shufR=${mib(shufRead.get)}%6.1f MiB shufW=${mib(shufWrite.get)}%6.1f MiB  plan=$planFile")
     }
+    if (dir != sfDir)
+      try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      catch { case _: Throwable => }
     spark.stop()
   }
 }
