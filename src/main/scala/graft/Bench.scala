@@ -46,24 +46,14 @@ object Bench {
     // ~0.1-0.2 s/stage scheduling floor (amortizes at scale); shuffle high
     // is data volume (widens at scale). File/stderr artifact only — never
     // part of the budget-bounded stdout line.
-    val profJobs = new java.util.concurrent.atomic.AtomicInteger
-    val profShufW = new java.util.concurrent.atomic.AtomicLong
-    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
-        val _ = profJobs.incrementAndGet()
-      }
-      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
-        val m = t.taskMetrics
-        if (m != null) { val _ = profShufW.addAndGet(m.shuffleWriteMetrics.bytesWritten) }
-      }
-    })
+    val counters = BenchSupport.attachCounters(spark)
     val profile: Map[String, (Int, Double)] = names.map { name =>
       dropCachedBlocks()
-      profJobs.set(0); profShufW.set(0)
+      counters.reset()
       try SparkEntry.queries(name)(spark, sfDir).count()
       catch { case _: Throwable => }
-      Thread.sleep(120) // listener events drain asynchronously; settle
-      name -> (profJobs.get, math.rint(profShufW.get / 1048576.0 * 10) / 10)
+      counters.settle()
+      name -> (counters.jobs.get, counters.shufWriteMb)
     }.toMap
     val _ = warmDir
 
@@ -297,24 +287,8 @@ object Bench {
   private def benchTenX(spark: SparkSession, sfDir: String,
       dropCachedBlocks: () => Unit): String =
     try {
-      import org.apache.spark.sql.functions._
       val rep = 10
-      val work = java.nio.file.Files.createTempDirectory("graft-bench-10x")
-      val docs = Tables.load(spark, sfDir, "documents")
-      val embs = Tables.load(spark, sfDir, "embeddings")
-      (0 until rep).map { r =>
-        val d = docs.withColumn("doc_id", col("doc_id") + lit(r * 10000000L))
-        // replica 0 keeps the original text; others shift the token space
-        if (r == 0) d
-        else d.withColumn("text", regexp_replace(col("text"), "(\\S+)", "$1x" + r))
-      }.reduce(_ unionByName _)
-        .repartition(32)
-        .write.mode("overwrite").parquet(s"$work/documents.parquet")
-      (0 until rep).map { r =>
-        embs.withColumn("vec_id", col("vec_id") + lit(r * 10000000L))
-      }.reduce(_ unionByName _)
-        .repartition(32)
-        .write.mode("overwrite").parquet(s"$work/embeddings.parquet")
+      val work = BenchSupport.replicateCorpus(spark, sfDir, rep, "graft-bench-10x")
       // headline dedup/ANN/text set PLUS the two corpus-aggregation sf0.1
       // laggards (q_tfidf, q_bigram_logprob) — their "scheduling floor
       // amortizes at scale" claim needs the same both-sides-at-10× evidence

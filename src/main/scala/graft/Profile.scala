@@ -1,15 +1,16 @@
 package graft
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerStageCompleted, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
-import java.util.concurrent.atomic.{AtomicInteger, AtomicLong}
 
 /** Query profiler: per-query Spark job/stage/task counts and shuffle volume,
   * the numbers that explain a wall-time gap better than wall time does. A
   * sub-second query at 3× the oracle is EITHER paying the ~0.2 s/job
   * scheduling floor several times over (job count high, shuffle small — the
   * gap amortizes at scale) or moving too much data (shuffle bytes high — the
-  * gap widens at scale); this tool tells the two apart.
+  * gap widens at scale); this tool tells the two apart. The counters and the
+  * replicated corpus come from [[BenchSupport]] — the SAME plumbing the
+  * bench artifact's profile section uses, so the decomposition here is
+  * directly comparable to any committed snapshot.
   *
   * Usage: SPARK_GRAFT_SF_DIR=… runMain graft.Profile q_tfidf q_bigram_logprob
   * Prints one line per query: passes(sec), jobs, stages, tasks, shuffle
@@ -30,25 +31,7 @@ object Profile {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val jobs = new AtomicInteger
-    val stages = new AtomicInteger
-    val tasks = new AtomicInteger
-    val shufRead = new AtomicLong
-    val shufWrite = new AtomicLong
-    spark.sparkContext.addSparkListener(new SparkListener {
-      override def onJobStart(j: SparkListenerJobStart): Unit = { val _ = jobs.incrementAndGet() }
-      override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
-        val _ = stages.incrementAndGet()
-      }
-      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
-        val _ = tasks.incrementAndGet()
-        val m = t.taskMetrics
-        if (m != null) {
-          val _ = shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
-          val _ = shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
-        }
-      }
-    })
+    val counters = BenchSupport.attachCounters(spark)
 
     def dropCachedBlocks(): Unit = {
       spark.catalog.clearCache()
@@ -60,28 +43,12 @@ object Profile {
 
     // SPARK_GRAFT_REPLICATE=10: profile against the same workload-honest
     // replicated corpus the bench's sf1x10 section uses (disjoint id+token
-    // space per replica — see Bench.benchTenX), so a 10× ratio can be
-    // decomposed into jobs vs data here before touching the query.
+    // space per replica — BenchSupport.replicateCorpus, shared with Bench),
+    // so a 10× ratio can be decomposed into jobs vs data here before
+    // touching the query.
     val rep = sys.env.getOrElse("SPARK_GRAFT_REPLICATE", "1").toInt
-    val dir = if (rep <= 1) sfDir else {
-      import org.apache.spark.sql.functions._
-      val work = java.nio.file.Files.createTempDirectory("graft-prof-rep")
-      val docs = Tables.load(spark, sfDir, "documents")
-      (0 until rep).map { r =>
-        val d = docs.withColumn("doc_id", col("doc_id") + lit(r * 10000000L))
-        if (r == 0) d
-        else d.withColumn("text", regexp_replace(col("text"), "(\\S+)", "$1x" + r))
-      }.reduce(_ unionByName _)
-        .repartition(32)
-        .write.mode("overwrite").parquet(s"$work/documents.parquet")
-      val embs = Tables.load(spark, sfDir, "embeddings")
-      (0 until rep).map { r =>
-        embs.withColumn("vec_id", col("vec_id") + lit(r * 10000000L))
-      }.reduce(_ unionByName _)
-        .repartition(32)
-        .write.mode("overwrite").parquet(s"$work/embeddings.parquet")
-      work.toString
-    }
+    val dir = if (rep <= 1) sfDir
+      else BenchSupport.replicateCorpus(spark, sfDir, rep, "graft-prof-rep").toString
     val planDir = new java.io.File("/tmp/graft-plans")
     val _ = planDir.mkdirs()
     names.foreach { name =>
@@ -97,21 +64,18 @@ object Profile {
       try { val _ = q(spark, dir).count() } catch { case _: Throwable => }
       val times = (1 to passes).map { _ =>
         dropCachedBlocks()
-        jobs.set(0); stages.set(0); tasks.set(0); shufRead.set(0); shufWrite.set(0)
+        counters.reset()
         val t0 = System.nanoTime()
         try { val _ = q(spark, dir).count() } catch {
           case e: Throwable => Console.err.println(s"[prof] FAILED $name: ${e.getMessage}")
         }
         val elapsed = (System.nanoTime() - t0) / 1e9
-        // listener events drain asynchronously; settle before reading
-        // (listenerBus is private[spark]; a short sleep is enough locally)
-        Thread.sleep(150)
+        counters.settle()
         elapsed
       }
-      def mib(b: Long): Double = math.rint(b / 1048576.0 * 10) / 10
       println(f"$name%-24s passes=${times.map(t => f"$t%.3f").mkString(",")}  " +
-        f"jobs=${jobs.get}%-3d stages=${stages.get}%-3d tasks=${tasks.get}%-5d " +
-        f"shufR=${mib(shufRead.get)}%6.1f MiB shufW=${mib(shufWrite.get)}%6.1f MiB  plan=$planFile")
+        f"jobs=${counters.jobs.get}%-3d stages=${counters.stages.get}%-3d tasks=${counters.tasks.get}%-5d " +
+        f"shufR=${counters.shufReadMb}%6.1f MiB shufW=${counters.shufWriteMb}%6.1f MiB  plan=$planFile")
     }
     if (dir != sfDir)
       try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))

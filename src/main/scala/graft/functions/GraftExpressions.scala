@@ -19,6 +19,23 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object GraftExpressions {
 
+  /** Evaluate a foldable integral parameter of a graft expression. A typed
+    * NULL literal passes the analysis-time type check (right type, still
+    * foldable) and an out-of-int-range LongType literal would silently WRAP
+    * through `Number.intValue()` — e.g. a window width of 2^32+1 becoming 1
+    * and fingerprinting every token as a "window". Both must fail here with
+    * the function's name and the cure, not as a bare NPE or a wrong-width
+    * result.
+    */
+  private def foldableIntParam(e: Expression, fn: String, what: String): Int = {
+    val v = e.eval(null)
+    require(v != null, s"$fn: $what must be a non-null integer literal")
+    val l = v.asInstanceOf[Number].longValue()
+    require(l >= 1 && l <= Int.MaxValue.toLong,
+      s"$fn: $what must be in [1, ${Int.MaxValue}], got $l")
+    l.toInt
+  }
+
   /** Rolling-hash kernel (public static forwarder — called from generated
     * code): h = h*257 + b (mod 1e9+7) over UTF-8 bytes.
     */
@@ -443,11 +460,7 @@ object GraftExpressions {
         case (a, b, c) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
           s"graft_window_fps needs (array<string>, foldable int, foldable boolean), got ($a, $b, $c)")
       }
-    private lazy val w: Int = {
-      val v = wExpr.eval(null).asInstanceOf[Number].intValue()
-      require(v >= 1, s"graft_window_fps: window must be >= 1, got $v")
-      v
-    }
+    private lazy val w: Int = foldableIntParam(wExpr, "graft_window_fps", "window")
     private lazy val distinct: Boolean =
       distinctExpr.eval(null).asInstanceOf[Boolean]
     override def eval(input: InternalRow): Any =
@@ -590,11 +603,7 @@ object GraftExpressions {
       val a = cents.eval(null).asInstanceOf[ArrayData]
       Array.tabulate(a.numElements())(i => a.getArray(i).toDoubleArray())
     }
-    private lazy val nprobe: Int = {
-      val v = n.eval(null).asInstanceOf[Number].intValue()
-      require(v >= 1, s"graft_nearest_cells: nprobe must be >= 1, got $v")
-      v
-    }
+    private lazy val nprobe: Int = foldableIntParam(n, "graft_nearest_cells", "nprobe")
     // semi-codegen: the generated stage calls [[nearestIds]] on this
     // (serialized) expression object directly, so the assignment scan stays
     // INSIDE whole-stage codegen — a CodegenFallback would box an
@@ -682,7 +691,7 @@ object GraftExpressions {
       override val inputAggBufferOffset: Int = 0)
       extends TypedImperativeAggregate[TopKIds.Buffer] {
     override def prettyName: String = "graft_topk"
-    private lazy val k: Int = kExpr.eval(null).asInstanceOf[Number].intValue()
+    private lazy val k: Int = foldableIntParam(kExpr, "graft_topk", "k")
     override def children: Seq[Expression] = Seq(score, id, kExpr)
     override def nullable: Boolean = false
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -891,7 +900,7 @@ object GraftExpressions {
       override val inputAggBufferOffset: Int = 0)
       extends TypedImperativeAggregate[TopKPayload.Buffer] {
     override def prettyName: String = "graft_topk_payload"
-    private lazy val k: Int = kExpr.eval(null).asInstanceOf[Number].intValue()
+    private lazy val k: Int = foldableIntParam(kExpr, "graft_topk_payload", "k")
     override def children: Seq[Expression] = Seq(score, tie, payload, kExpr)
     override def nullable: Boolean = false
     override def dataType: DataType = ArrayType(payload.dataType, containsNull = false)

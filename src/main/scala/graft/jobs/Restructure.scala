@@ -967,14 +967,20 @@ object Restructure {
         fs.listStatus(root).foreach { st =>
           if (st.isDirectory && st.getPath.getName.startsWith(".graft-unzip-") &&
               st.getModificationTime < staleBefore) {
-            // second-level check only for dirs already stale by their own
-            // mtime (one extra listStatus per candidate, not per run)
+            // deep check only for dirs already stale by their own mtime
+            // (rare: crashed or >1h-old temps). It must be RECURSIVE: unzip
+            // writes leaf files several path segments down ($p.unz bin
+            // paths), and creating a file updates only its immediate
+            // parent's mtime — a one-level look at the top children misses
+            // a live deep write and would reclaim a long-running concurrent
+            // unzip mid-use. Newest FILE mtime is the liveness signal (a
+            // live unzip keeps creating files).
             val newestEntry =
               try {
-                val children = fs.listStatus(st.getPath)
-                if (children.isEmpty) st.getModificationTime
-                else math.max(st.getModificationTime,
-                  children.map(_.getModificationTime).max)
+                var newest = st.getModificationTime
+                val it = fs.listFiles(st.getPath, true)
+                while (it.hasNext) newest = math.max(newest, it.next().getModificationTime)
+                newest
               } catch { case _: Exception => Long.MaxValue } // unlistable → assume live
             if (newestEntry < staleBefore)
               try fs.delete(st.getPath, true) catch { case _: Exception => }

@@ -71,19 +71,6 @@ object Similarity {
     */
   val MaxProbeBatchRows = 65536
 
-  /** In-plan probe cap (the repeated-span guard's pattern): a 1-row
-    * cap-check aggregate — bounded by `limit(cap+1)`, so the check scans at
-    * most cap+1 rows of a mis-passed corpus — cross-joined under the
-    * caller's broadcast side. Unlike the eager `count()` this replaced, the
-    * guard adds NO separate driver action (one scheduled job + a batch scan
-    * per incremental probe call — pure overhead in the per-batch service
-    * loop); the 1-row check broadcast materializes BEFORE the probe
-    * broadcast collects, so an over-cap batch raises the cure instead of
-    * OOMing mid-build, and when `batch` already ends in an exchange
-    * (a distinct'd fingerprint set) ReusedExchange computes it once for
-    * check and probe. Failure surfaces at EXECUTION time (first action),
-    * not at plan-build time.
-    */
   /** Eager bounded count of a probe batch: scans at most `cap`+1 rows (the
     * limit short-circuits the scan), so the guard stays cheap on an
     * arbitrarily large mis-passed frame. Prefer [[probeGuarded]] when the
@@ -100,6 +87,19 @@ object Similarity {
       s"$what exceeds $cap rows; it broadcasts whole to every executor — $cure")
   }
 
+  /** In-plan probe cap (the repeated-span guard's pattern): a 1-row
+    * cap-check aggregate — bounded by `limit(cap+1)`, so the check scans at
+    * most cap+1 rows of a mis-passed corpus — cross-joined under the
+    * caller's broadcast side. Unlike the eager [[requireProbeBatch]], the
+    * guard adds NO separate driver action (one scheduled job + a batch scan
+    * per incremental probe call — pure overhead in the per-batch service
+    * loop); the 1-row check broadcast materializes BEFORE the probe
+    * broadcast collects, so an over-cap batch raises the cure instead of
+    * OOMing mid-build, and when `batch` already ends in an exchange
+    * (a distinct'd fingerprint set) ReusedExchange computes it once for
+    * check and probe. Failure surfaces at EXECUTION time (first action),
+    * not at plan-build time.
+    */
   private[operators] def probeGuarded(
       batch: DataFrame, cap: Int, what: String, cure: String): DataFrame = {
     val capCheck = batch.limit(cap + 1).agg(

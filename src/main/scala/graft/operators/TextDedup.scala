@@ -276,9 +276,14 @@ object TextDedup {
     * (`array_distinct` on the window array, before the explode) so the
     * only exchange in the whole plan is the map-side-combined
     * `groupBy(fp)` — never a second shuffle to dedup `(id, fp)` pairs,
-    * and never a count-distinct over the raw window stream. Assumes
-    * `idCol` identifies a document (one row per doc), which every caller
-    * in this engine satisfies.
+    * and never a count-distinct over the raw window stream.
+    *
+    * PRECONDITION: `idCol` identifies a ROW-unique document (exactly one
+    * text row per id) — every caller in this engine satisfies it. A frame
+    * with the same id on several rows (chunked corpus, upstream duplicate
+    * rows) makes `n_docs` count ROWS, not documents, so a span repeated
+    * only across one document's chunks would pass `minDocs` and be masked
+    * by [[maskRepeatedSpans]]; concatenate chunks or dedup rows first.
     */
   def repeatedSpans(df: DataFrame, idCol: String, textCol: String,
       windowTokens: Int = 8, minDocs: Int = 2): DataFrame = {
@@ -316,23 +321,16 @@ object TextDedup {
     // repeated-span table is duplicate-bounded (fps seen in ≥ minDocs
     // docs), but a templated corpus can push it past what belongs on the
     // broadcast side of the masking join (this was the engine's one
-    // UNguarded explicit broadcast). The guard is IN-PLAN, not a separate
-    // driver action (a count() here measured +0.5 s of pure scheduling):
-    // a 1-row cap-check aggregate cross-joined under the broadcast. Both
-    // the check and the join side end at the same groupBy(fp) exchange, so
-    // ReusedExchange computes the spans subtree once; the single-partition
-    // check stage completes BEFORE the cross-join stage feeds the driver's
-    // broadcast collect, so an over-cap table raises the cure instead of
-    // OOMing mid-build. The filter on __ok keeps the check alive through
-    // column pruning.
-    val capCheck = spans.agg(
-      when(count(lit(1)) > maxSpanRows,
-        raise_error(lit(s"repeated-span fingerprint set exceeds $maxSpanRows rows; " +
-          "it broadcasts whole to every executor — raise minDocs / windowTokens " +
-          "(fewer, longer repeated spans) or mask in fingerprint-range chunks; a " +
-          "corpus-sized frame does not belong on the broadcast side of the masking join")))
-        .otherwise(lit(true)).as("__ok"))
-    val guarded = spans.crossJoin(broadcast(capCheck)).filter(col("__ok")).select(col("fp"))
+    // UNguarded explicit broadcast). The guard is IN-PLAN
+    // (Similarity.probeGuarded — a count() here measured +0.5 s of pure
+    // scheduling): the cap-check and the join side end at the same
+    // groupBy(fp) exchange, so ReusedExchange computes the spans subtree
+    // once, and the check completes BEFORE the broadcast collects.
+    val guarded = Similarity.probeGuarded(spans, maxSpanRows,
+      "repeated-span fingerprint set",
+      "raise minDocs / windowTokens (fewer, longer repeated spans) or mask " +
+        "in fingerprint-range chunks; a corpus-sized frame does not belong " +
+        "on the broadcast side of the masking join")
     maskSpansByFingerprints(df, idCol, textCol, guarded, windowTokens)
   }
 

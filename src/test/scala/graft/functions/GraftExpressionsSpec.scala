@@ -123,6 +123,19 @@ class GraftExpressionsSpec extends SparkSpec {
     val e2 = intercept[org.apache.spark.sql.AnalysisException](
       spark.sql("SELECT graft_window_fps(array('a','b'), cast(rand()*2 AS int), false)").collect())
     assert(e2.getMessage.contains("graft_window_fps"))
+    // an out-of-int-range LongType width passes the type check but must
+    // fail NAMED — Number.intValue() would silently wrap 2^32+1 to width 1
+    // and fingerprint every token as a "window"
+    val e3 = intercept[Throwable](
+      spark.sql("SELECT graft_window_fps(array('a','b'), 4294967297, false)").collect())
+    def messages(t: Throwable): String =
+      if (t == null) "" else Option(t.getMessage).getOrElse("") + "\n" + messages(t.getCause)
+    assert(messages(e3).contains("graft_window_fps"), messages(e3))
+    // a typed NULL width is foldable with the right type — it must fail
+    // named, not as a bare NullPointerException
+    val e4 = intercept[Throwable](
+      spark.sql("SELECT graft_window_fps(array('a','b'), cast(null AS int), false)").collect())
+    assert(messages(e4).contains("graft_window_fps"), messages(e4))
   }
 
   test("graft_elem_counts from SQL: struct field names, counts, and analysis-time type check") {

@@ -348,7 +348,18 @@ class MergeChunkSpec extends SparkSpec {
       java.nio.file.attribute.FileTime.fromMillis(oldMs))
     Files.setLastModifiedTime(stale,
       java.nio.file.attribute.FileTime.fromMillis(oldMs))
-    Files.write(longRunning.resolve("fresh.unz"), "live".getBytes) // fresh entry
+    // the fresh entry sits SEVERAL path segments down (real unzip temps use
+    // multi-segment $p.unz bin paths) and every DIRECTORY on the way is old
+    // (creating a file only touches its immediate parent, which we also age
+    // to model a long-lived leaf dir): liveness must come from a RECURSIVE
+    // newest-file scan — a one-level child look would reclaim this live temp
+    val deep = longRunning.resolve("proj/user/topic")
+    Files.createDirectories(deep)
+    Files.write(deep.resolve("fresh.unz"), "live".getBytes)
+    val oldFt = java.nio.file.attribute.FileTime.fromMillis(oldMs)
+    Files.setLastModifiedTime(deep, oldFt)
+    Files.setLastModifiedTime(deep.getParent, oldFt)
+    Files.setLastModifiedTime(deep.getParent.getParent, oldFt)
     Files.setLastModifiedTime(longRunning,
       java.nio.file.attribute.FileTime.fromMillis(oldMs))
     Restructure.run(spark, RestructureJobConfig(
