@@ -42,11 +42,15 @@ private[jobs] object BinWriter {
           if (fs.exists(target)) fs.delete(target, false)
           // CHECK the boolean: a silently failed rename here loses the
           // bin's freshly written temp (task reports success, file absent).
-          // On an eventually-consistent store the FIRST rename can complete
-          // while reporting false; the bare retry then also returns false
-          // (src is gone) — so before failing the task, accept a present
-          // target with no remaining src as a committed rename rather
-          // than throwing a misleading error for work that succeeded.
+          // The FIRST rename can complete while reporting false (transient
+          // store error after the server-side move); the bare retry then
+          // also returns false (src is gone) — so before failing the task,
+          // accept a present target with no remaining src as a committed
+          // rename rather than throwing a misleading error for work that
+          // succeeded. The exists() reads assume read-after-write
+          // consistency (HDFS, ABFS, and S3 since 2020 all provide it); on
+          // a store without it a stale read could mis-accept, and the
+          // idempotent bin replay on task retry is the backstop.
           if (!fs.rename(src, target) && !fs.rename(src, target) &&
               !(fs.exists(target) && !fs.exists(src)))
             throw new java.io.IOException(s"failed to commit $src -> $target")
