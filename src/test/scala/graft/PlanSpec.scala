@@ -475,12 +475,26 @@ class PlanSpec extends SparkSpec {
       assert(finalPlan.contains("ShuffledHashJoin"),
         s"$q: attach joins lost their shuffle pin:\n$finalPlan")
       val broadcasts = finalPlan.linesIterator.count(_.contains("BroadcastHashJoin"))
-      // q_minhash_calib's candidate subtree may keep small AQE broadcasts
-      // (post-aggregate, size-aware); the four attach joins must not appear
       val shjs = finalPlan.linesIterator.count(_.contains("ShuffledHashJoin"))
-      val expectedShjs = if (q == "q_minhash_calib") 4 else 1
-      assert(shjs >= expectedShjs,
-        s"$q: expected ≥$expectedShjs shuffled-hash attach joins, saw $shjs (broadcasts=$broadcasts):\n$finalPlan")
+      assert(shjs >= 1,
+        s"$q: attach joins lost their shuffle-hash pin, saw $shjs (broadcasts=$broadcasts):\n$finalPlan")
+      if (q == "q_minhash_calib") {
+        // the round-13 combined attach halved the pair-stream re-shuffles:
+        // the CANDIDATE-PAIR stream is joined exactly TWICE (once by doc_a,
+        // once by doc_b, each bringing signature lanes AND shingle set in
+        // one frame). Four id-keyed joins = the old shape regressed (the
+        // sig/set tables re-attached separately, re-shuffling the pair
+        // stream four times). Counted from the detail blocks of a FRESH
+        // un-executed plan (an executed AQE explain prints each operator's
+        // detail once per tree — final AND initial — doubling the count).
+        val fresh = SparkEntry.queries(q)(spark, sf).queryExecution
+          .explainString(ExplainMode.fromString("formatted"))
+        val pairAttaches = fresh.split("\n\n").count(block =>
+          block.contains("ShuffledHashJoin") && block.contains("Left keys") &&
+            (block.contains("doc_a") || block.contains("doc_b")))
+        assert(pairAttaches == 2,
+          s"q_minhash_calib: expected exactly 2 pair-stream attach joins, saw $pairAttaches:\n$fresh")
+      }
     }
   }
 
