@@ -152,6 +152,9 @@ object Bench {
     // the fingerprint-cache write path at volume
     val jobs10xJson = benchJobs10x(spark, sfDir, dropCachedBlocks _)
     loadSamples += loadAvg
+    // streaming service loop: sustained incremental near-dedup records/s
+    val streamingJson = benchStreaming(spark, sfDir, dropCachedBlocks _)
+    loadSamples += loadAvg
 
     val failedJson = if (failed.isEmpty) "" else s""","failed":[${failed.mkString(",")}]"""
     val loadJson = s"""{"start":${r4(loadSamples.head)},"end":${r4(loadSamples.last)},""" +
@@ -164,7 +167,7 @@ object Bench {
       s""""queries":$qs,"queries_median":$qsMedian$failedJson,"load":$loadJson,""" +
       s""""sf":"$sfDir","restructure":$restructureJson,""" +
       s""""sf1x10":$tenXJson,"cleaner":$cleanerJson,"jobs1x10":$jobs10xJson,""" +
-      s""""profile":$profileJson,"oracle":$oracleJson}"""
+      s""""streaming":$streamingJson,"profile":$profileJson,"oracle":$oracleJson}"""
     // file copy survives even if the stdout tail truncates the line
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -270,6 +273,47 @@ object Bench {
       .replace("\n", "\\n").replace("\r", "\\r").replace("\t", "\\t") + "\""
 
   private def r4(x: Double): Double = math.rint(x * 1e4) / 1e4
+
+  /** Standing streaming row: the incremental near-dedup service loop
+    * (StreamingNearDedup.dedupBatch — the exact per-micro-batch step the
+    * foreachBatch driver runs) fed the documents table in `slices`
+    * id-hashed micro-batches against an accumulating history. The number
+    * that matters is sustained records/s across the whole loop: every
+    * batch pays the in-batch LSH dedup PLUS the band probe against all
+    * prior survivors, so a leak (growing history re-scan, cache residue,
+    * unpruned partitions) shows up as a sub-linear rate, not just a slow
+    * single batch. Min-of-2 measured loops after a warm loop; each loop
+    * uses a fresh history dir + epoch.
+    */
+  private def benchStreaming(spark: SparkSession, sfDir: String,
+      dropCachedBlocks: () => Unit): String =
+    try {
+      import org.apache.spark.sql.functions._
+      val docs = Tables.load(spark, sfDir, "documents")
+      val n = docs.count()
+      val slices = 10
+      def onePass(tag: String): Double = {
+        val work = java.nio.file.Files.createTempDirectory(s"graft-bench-stream-$tag")
+        dropCachedBlocks(); System.gc()
+        val t0 = System.nanoTime()
+        (0 until slices).foreach { b =>
+          val _ = graft.streaming.StreamingNearDedup.dedupBatch(
+            docs.filter(pmod(col("doc_id"), lit(slices)) === b), b.toLong,
+            work.toString, epoch = s"bench-$tag")
+        }
+        val sec = (System.nanoTime() - t0) / 1e9
+        org.apache.commons.io.FileUtils.deleteDirectory(work.toFile)
+        sec
+      }
+      val _ = onePass("warm")
+      val runs = Seq(onePass("a"), onePass("b"))
+      val best = runs.min
+      s"""{"records":$n,"batches":$slices,"sec":${r4(best)},""" +
+        s""""records_per_sec":${r4(n / best)},"passes":[${runs.map(r4).mkString(",")}]}"""
+    } catch { case e: Throwable =>
+      Console.err.println(s"[bench] streaming FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+      s"""{"error":${jsonStr(e.toString)}}"""
+    }
 
   /** Standing ≥10× scale row: the headline dedup/ANN/text queries over a
     * 10×-replicated corpus, so the per-round bench records a scaling trend,
