@@ -294,16 +294,16 @@ object Bench {
       val slices = 10
       def onePass(tag: String): Double = {
         val work = java.nio.file.Files.createTempDirectory(s"graft-bench-stream-$tag")
-        dropCachedBlocks(); System.gc()
-        val t0 = System.nanoTime()
-        (0 until slices).foreach { b =>
-          val _ = graft.streaming.StreamingNearDedup.dedupBatch(
-            docs.filter(pmod(col("doc_id"), lit(slices)) === b), b.toLong,
-            work.toString, epoch = s"bench-$tag")
-        }
-        val sec = (System.nanoTime() - t0) / 1e9
-        org.apache.commons.io.FileUtils.deleteDirectory(work.toFile)
-        sec
+        try {
+          dropCachedBlocks(); System.gc()
+          val t0 = System.nanoTime()
+          (0 until slices).foreach { b =>
+            val _ = graft.streaming.StreamingNearDedup.dedupBatch(
+              docs.filter(pmod(col("doc_id"), lit(slices)) === b), b.toLong,
+              work.toString, epoch = s"bench-$tag")
+          }
+          (System.nanoTime() - t0) / 1e9
+        } finally org.apache.commons.io.FileUtils.deleteDirectory(work.toFile)
       }
       val _ = onePass("warm")
       val runs = Seq(onePass("a"), onePass("b"))

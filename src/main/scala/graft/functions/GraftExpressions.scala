@@ -27,12 +27,13 @@ object GraftExpressions {
     * the function's name and the cure, not as a bare NPE or a wrong-width
     * result.
     */
-  private def foldableIntParam(e: Expression, fn: String, what: String): Int = {
+  private def foldableIntParam(e: Expression, fn: String, what: String,
+      min: Int = 1): Int = {
     val v = e.eval(null)
     require(v != null, s"$fn: $what must be a non-null integer literal")
     val l = v.asInstanceOf[Number].longValue()
-    require(l >= 1 && l <= Int.MaxValue.toLong,
-      s"$fn: $what must be in [1, ${Int.MaxValue}], got $l")
+    require(l >= min && l <= Int.MaxValue.toLong,
+      s"$fn: $what must be in [$min, ${Int.MaxValue}], got $l")
     l.toInt
   }
 
@@ -461,8 +462,14 @@ object GraftExpressions {
           s"graft_window_fps needs (array<string>, foldable int, foldable boolean), got ($a, $b, $c)")
       }
     private lazy val w: Int = foldableIntParam(wExpr, "graft_window_fps", "window")
-    private lazy val distinct: Boolean =
-      distinctExpr.eval(null).asInstanceOf[Boolean]
+    private lazy val distinct: Boolean = {
+      // a typed NULL boolean is foldable with the right type; unboxing it
+      // would silently yield false (distinct dropped, counts inflated) —
+      // fail named instead, like the width parameter
+      val v = distinctExpr.eval(null)
+      require(v != null, "graft_window_fps: distinct must be a non-null boolean literal")
+      v.asInstanceOf[Boolean]
+    }
     override def eval(input: InternalRow): Any =
       windowFingerprintsKernel(child.eval(input).asInstanceOf[ArrayData], w, distinct)
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -691,7 +698,9 @@ object GraftExpressions {
       override val inputAggBufferOffset: Int = 0)
       extends TypedImperativeAggregate[TopKIds.Buffer] {
     override def prettyName: String = "graft_topk"
-    private lazy val k: Int = foldableIntParam(kExpr, "graft_topk", "k")
+    // k = 0 is a valid no-op (empty result array) — the heap buffer
+    // supports it and callers sizing k dynamically may hit it
+    private lazy val k: Int = foldableIntParam(kExpr, "graft_topk", "k", min = 0)
     override def children: Seq[Expression] = Seq(score, id, kExpr)
     override def nullable: Boolean = false
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -900,7 +909,8 @@ object GraftExpressions {
       override val inputAggBufferOffset: Int = 0)
       extends TypedImperativeAggregate[TopKPayload.Buffer] {
     override def prettyName: String = "graft_topk_payload"
-    private lazy val k: Int = foldableIntParam(kExpr, "graft_topk_payload", "k")
+    private lazy val k: Int =
+      foldableIntParam(kExpr, "graft_topk_payload", "k", min = 0) // 0 = valid no-op
     override def children: Seq[Expression] = Seq(score, tie, payload, kExpr)
     override def nullable: Boolean = false
     override def dataType: DataType = ArrayType(payload.dataType, containsNull = false)

@@ -107,7 +107,11 @@ object Similarity {
         raise_error(lit(s"$what exceeds $cap rows; it broadcasts whole to " +
           s"every executor — $cure")))
         .otherwise(lit(true)).as("__ok"))
-    batch.crossJoin(broadcast(capCheck)).filter(col("__ok")).drop("__ok")
+    // reference the check column THROUGH the capCheck frame: a bare
+    // col("__ok") would be ambiguous (plan-time failure) for a valid batch
+    // that happens to carry its own __ok column
+    batch.crossJoin(broadcast(capCheck))
+      .filter(capCheck("__ok")).drop(capCheck("__ok"))
   }
 
   private def requireIntegralId(idType: DataType, what: String): Unit =

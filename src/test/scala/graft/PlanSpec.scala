@@ -218,10 +218,11 @@ class PlanSpec extends SparkSpec {
           (l.contains("bigram") || l.contains("token")))
       assert(!pairExchange,
         s"$q: (doc, elem) exchange reappeared — corpus pair stream shuffled:\n$plan")
-      // the bigram query's frequency attach IS a window (partitioned by
-      // the bigram key — pinned in its own executed-plan test below); the
-      // unigram/vocab queries stay window-free
-      if (q != "q_bigram_logprob")
+      // the bigram and unigram frequency attaches ARE windows (partitioned
+      // by the elem key — pinned in their own executed-plan tests below);
+      // the vocab query stays window-free (its top-1000 vocabulary is a
+      // TakeOrdered cut + broadcast, not expressible as a window attach)
+      if (q == "q_vocab_coverage")
         assert(!plan.contains("Window ("), s"$q: unexpected window:\n$plan")
     }
   }
@@ -407,19 +408,27 @@ class PlanSpec extends SparkSpec {
       s"pair count lost its map-side partial:\n$plan")
   }
 
-  test("q_unigram_logprob: vocab broadcast — scoring scan, no shuffle-join fallback") {
+  test("q_unigram_logprob: join-free freq window, single tokenizing scan") {
     val df = SparkEntry.queries("q_unigram_logprob")(spark, sf)
     df.collect()
     val executed = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
     val finalPlan = executed.split("== Initial Plan ==").head
-    assert(finalPlan.contains("BroadcastHashJoin"), s"vocab join not broadcast:\n$finalPlan")
-    assert(!finalPlan.contains("SortMergeJoin"), "vocab join fell back to a shuffle join")
-    // the per-(doc, token) counts are row-local now: the old (doc, token)
-    // corpus exchange — and with it the ReusedExchange/tokenize-once
-    // contract this test used to pin — is gone entirely; the row-local
-    // kernel pin lives in the "row-local counts, no (doc,elem) exchange"
-    // test above (the executed-plan TREE printed here omits expression
-    // detail, so the kernel is asserted on the formatted pre-AQE plan)
+    // the frequency attaches by a sum window over the token partition of
+    // the row-local (doc, token) stream — the old broadcast(freq) shape
+    // paid a SECOND corpus scan + tokenize for the vocabulary build branch
+    // (row-local counts left it no exchange to reuse; measured 0.73 →
+    // 0.46 s at sf0.1 and 0.71 → 0.47 s at 10×, 6 → 4 jobs)
+    assert(!finalPlan.contains("Join"), s"unigram freq attach grew a join back:\n$finalPlan")
+    assert(!finalPlan.contains("BroadcastExchange"),
+      s"unigram freq attach broadcast a table:\n$finalPlan")
+    assert(finalPlan.contains("Window"), s"unigram freq window missing:\n$finalPlan")
+    val tokenExchange = executed.linesIterator.exists(l =>
+      l.contains("Arguments: hashpartitioning") && l.contains("token"))
+    assert(tokenExchange, s"no token-keyed exchange under the freq window:\n$executed")
+    // exactly ONE scan of the documents table: the second tokenizing scan
+    // (the build branch of the old broadcast join) must not come back
+    val scans = finalPlan.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 1, s"expected a single documents scan, saw $scans:\n$finalPlan")
   }
 
   test("q_bigram_logprob: row-local pair counts; join-free freq window, NEVER broadcast") {

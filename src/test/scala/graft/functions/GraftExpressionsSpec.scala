@@ -56,13 +56,14 @@ class GraftExpressionsSpec extends SparkSpec {
       // EVERY registered function resolves through the extension (the two
       // registration paths share one list; a spark-sql/JDBC deployment
       // must not lag the driver-side registry)
+      // derived from the registry itself — a hand-maintained list here
+      // silently lagged it (graft_elem_counts was missing), which is the
+      // exact gap this test exists to close for newly registered functions
       val viaRegister = {
         GraftExpressions.register(spark)
-        Seq("graft_rolling_hash", "graft_simhash64", "graft_adjacent_pairs", "graft_ngrams",
-          "graft_ws_tokens", "graft_cdc_bounds", "graft_window_fps", "graft_dot", "graft_l2sq",
-          "graft_nearest_cells", "graft_topk", "graft_vec_sum_long", "graft_topk_payload",
-          "graft_root_shape", "graft_bloom_agg", "graft_bloom_might_contain")
+        GraftExpressions.sqlFunctions.map(_._1)
       }
+      assert(viaRegister.size >= 17 && viaRegister.contains("graft_elem_counts"))
       viaRegister.foreach { fn =>
         assert(s2.sessionState.functionRegistry.functionExists(
           org.apache.spark.sql.catalyst.FunctionIdentifier(fn)),
@@ -136,6 +137,24 @@ class GraftExpressionsSpec extends SparkSpec {
     val e4 = intercept[Throwable](
       spark.sql("SELECT graft_window_fps(array('a','b'), cast(null AS int), false)").collect())
     assert(messages(e4).contains("graft_window_fps"), messages(e4))
+    // same for a typed NULL distinct flag: unboxing would silently yield
+    // false (distinct dropped, inflated counts downstream)
+    val e5 = intercept[Throwable](
+      spark.sql("SELECT graft_window_fps(array('a','b'), 2, cast(null AS boolean))").collect())
+    assert(messages(e5).contains("graft_window_fps"), messages(e5))
+  }
+
+  test("graft_topk / graft_topk_payload: k = 0 is a valid no-op, k = -1 fails named") {
+    GraftExpressions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_topk(s, i, 0) AS t, graft_topk_payload(s, i, i, 0) AS p " +
+        "FROM VALUES (1.0D, 1L), (2.0D, 2L) AS v(s, i)").collect()(0)
+    assert(r.getSeq[Long](0).isEmpty && r.getSeq[Long](1).isEmpty)
+    val e = intercept[Throwable](
+      spark.sql("SELECT graft_topk(s, i, -1) FROM VALUES (1.0D, 1L) AS v(s, i)").collect())
+    def messages(t: Throwable): String =
+      if (t == null) "" else Option(t.getMessage).getOrElse("") + "\n" + messages(t.getCause)
+    assert(messages(e).contains("graft_topk"), messages(e))
   }
 
   test("graft_elem_counts from SQL: struct field names, counts, and analysis-time type check") {

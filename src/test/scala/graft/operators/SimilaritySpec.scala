@@ -333,6 +333,12 @@ class SimilaritySpec extends SparkSpec {
     assert(g.count() == 0, "empty batch must pass the in-plan cap check")
     val atCap = Similarity.probeGuarded(vecs, 4, "probe batch", "cure")
     assert(atCap.count() == 4, "at-cap batch must pass and keep every row")
+    // a batch that already carries a __ok column must not make the guard's
+    // internal filter ambiguous (the check column is referenced through
+    // the capCheck frame, not by bare name)
+    val withOk = vecs.withColumn("__ok", lit(false))
+    val g2 = Similarity.probeGuarded(withOk, 10, "probe batch", "cure")
+    assert(g2.columns.toSeq == withOk.columns.toSeq && g2.count() == 4)
   }
 
   test("cosineNearDupAgainst: oversized probe batch fails fast naming the blocked alternative") {
