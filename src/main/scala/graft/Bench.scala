@@ -157,6 +157,16 @@ object Bench {
     loadSamples += loadAvg
 
     val failedJson = if (failed.isEmpty) "" else s""","failed":[${failed.mkString(",")}]"""
+    // CONTENTION-PROOF headline: both sides of the ratio are sums of
+    // per-query MINS over interleaved passes (the Spark side's `value` is
+    // min-of-passCount sweeps; the oracle script's `total` is likewise its
+    // per-query min sum), so one co-tenant burst during either side's
+    // sweep cannot masquerade as a plan regression — the per-pass arrays
+    // stay in the artifact for spread inspection.
+    val oracleTotalMin = """"total"\s*:\s*(-?[0-9.eE+]+)""".r
+      .findFirstMatchIn(oracleJson).map(_.group(1)).getOrElse("null")
+    val ratioPairedMin = oracleTotalMin.toDoubleOption.filter(_ > 0)
+      .map(ot => r4(total / ot).toString).getOrElse("null")
     val loadJson = s"""{"start":${r4(loadSamples.head)},"end":${r4(loadSamples.last)},""" +
       s""""max":${r4(loadSamples.max)},"cpus":$cpus}"""
     val profileJson = names.map { name =>
@@ -164,6 +174,7 @@ object Bench {
       "\"" + name + "\":{\"jobs\":" + j + ",\"shufw_mb\":" + mb + "}"
     }.mkString("{", ",", "}")
     val line = s"""{"metric":"total","value":$total,"unit":"sec","total_median":$totalMedian,""" +
+      s""""ratio_paired_min":$ratioPairedMin,"oracle_total_min":$oracleTotalMin,""" +
       s""""queries":$qs,"queries_median":$qsMedian$failedJson,"load":$loadJson,""" +
       s""""sf":"$sfDir","restructure":$restructureJson,""" +
       s""""sf1x10":$tenXJson,"cleaner":$cleanerJson,"jobs1x10":$jobs10xJson,""" +
@@ -180,8 +191,6 @@ object Bench {
     // slowest-N (with an explicit queries_omitted count) if the line would
     // still overflow the capture window.
     Console.err.println(line)
-    val oracleTotalNum = """"total"\s*:\s*(-?[0-9.eE+]+)""".r
-      .findFirstMatchIn(oracleJson).map(_.group(1)).getOrElse("null")
     def r2(x: Double): Double = math.rint(x * 100) / 100
     def compact(budget: Int): String = {
       val bySlowest = results.sortBy { case (_, v, _, ok) => if (ok) -v else 1.0 }
@@ -192,7 +201,8 @@ object Bench {
         val omitted = results.size - n
         val omittedJson = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
         s"""{"metric":"total","value":${r2(total)},"unit":"sec",""" +
-          s""""total_median":${r2(totalMedian)},"oracle_total":$oracleTotalNum,""" +
+          s""""total_median":${r2(totalMedian)},"oracle_total":$oracleTotalMin,""" +
+          s""""ratio_paired_min":$ratioPairedMin,""" +
           s""""sf":${jsonStr(sfDir)},"queries":$qj$omittedJson$failedJson}"""
       }
       var n = results.size
@@ -290,26 +300,59 @@ object Bench {
     try {
       import org.apache.spark.sql.functions._
       val docs = Tables.load(spark, sfDir, "documents")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val n = docs.count()
+      // batch-SIZE sweep at a FIXED batch count: the per-batch overhead
+      // floor (LSH probe scheduling, history listing, parquet commit) is
+      // constant per batch, so sustained records/s must rise with batch
+      // size if — and only if — the floor amortizes. 1×/4×/16× batch
+      // sizes: quarter corpus / full corpus / 4×-replicated corpus
+      // (disjoint id+token spaces — BenchSupport.replicatedDocs, the same
+      // workload-honest scheme as sf1x10), 10 micro-batches each.
       val slices = 10
-      def onePass(tag: String): Double = {
+      // the quarter corpus slices modulo 40 (doc_id%40 ∈ [0,10) selects the
+      // quarter AND gives 10 equal batches); a %4-then-%10 scheme would
+      // leave every odd batch empty
+      val configs = Seq(
+        ("batch_1x", docs.filter(pmod(col("doc_id"), lit(40)) < 10), 40),
+        ("batch_4x", docs, slices),
+        ("batch_16x", BenchSupport.replicatedDocs(docs, 4), slices))
+      def onePass(tag: String, d: org.apache.spark.sql.DataFrame, m: Int): Double = {
         val work = java.nio.file.Files.createTempDirectory(s"graft-bench-stream-$tag")
         try {
           dropCachedBlocks(); System.gc()
           val t0 = System.nanoTime()
           (0 until slices).foreach { b =>
             val _ = graft.streaming.StreamingNearDedup.dedupBatch(
-              docs.filter(pmod(col("doc_id"), lit(slices)) === b), b.toLong,
+              d.filter(pmod(col("doc_id"), lit(m)) === b), b.toLong,
               work.toString, epoch = s"bench-$tag")
           }
           (System.nanoTime() - t0) / 1e9
         } finally org.apache.commons.io.FileUtils.deleteDirectory(work.toFile)
       }
-      val _ = onePass("warm")
-      val runs = Seq(onePass("a"), onePass("b"))
-      val best = runs.min
-      s"""{"records":$n,"batches":$slices,"sec":${r4(best)},""" +
-        s""""records_per_sec":${r4(n / best)},"passes":[${runs.map(r4).mkString(",")}]}"""
+      // one warm loop (codegen/JIT for the per-batch plans — same shapes
+      // across configs), then min-of-2 measured loops per batch size
+      val _ = onePass("warm", configs.head._2, configs.head._3)
+      val rows = configs.map { case (tag, d, m) =>
+        val cn = d.count()
+        val runs = Seq(onePass(s"$tag-a", d, m), onePass(s"$tag-b", d, m))
+        val best = runs.min
+        (tag, cn, best, runs)
+      }
+      // dropCachedBlocks between passes unpersists `docs` too; that only
+      // costs a re-read of the base table inside the measured loop, which
+      // every config pays identically
+      docs.unpersist(false)
+      val sweepJson = rows.map { case (tag, cn, best, runs) =>
+        s"""{"label":${jsonStr(tag)},"records":$cn,"batches":$slices,""" +
+          s""""batch_records":${cn / slices},"sec":${r4(best)},""" +
+          s""""records_per_sec":${r4(cn / best)},"passes":[${runs.map(r4).mkString(",")}]}"""
+      }.mkString("[", ",", "]")
+      // top-level fields keep the prior rounds' shape (the full-corpus row)
+      val (_, bn, bbest, bruns) = rows(1)
+      s"""{"records":$bn,"batches":$slices,"sec":${r4(bbest)},""" +
+        s""""records_per_sec":${r4(bn / bbest)},"passes":[${bruns.map(r4).mkString(",")}],""" +
+        s""""batch_sweep":$sweepJson}"""
     } catch { case e: Throwable =>
       Console.err.println(s"[bench] streaming FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
       s"""{"error":${jsonStr(e.toString)}}"""
@@ -332,13 +375,18 @@ object Bench {
       dropCachedBlocks: () => Unit): String =
     try {
       val rep = 10
-      val work = BenchSupport.replicateCorpus(spark, sfDir, rep, "graft-bench-10x")
+      val work = BenchSupport.replicateCorpus(spark, sfDir, rep, "graft-bench-10x",
+        withTpch = true)
       // headline dedup/ANN/text set PLUS the two corpus-aggregation sf0.1
       // laggards (q_tfidf, q_bigram_logprob) — their "scheduling floor
       // amortizes at scale" claim needs the same both-sides-at-10× evidence
-      // the dedup family has
+      // the dedup family has — PLUS the two worst remaining sf0.1 ratios
+      // with ≥0.9 s absolute (q_bloom_dedup 60×, q_top_orders 15× — both
+      // profiled as floor-bound, ≤0.5 MiB shuffle; these rows put the
+      // amortization claim on the record for them too)
       val names = Seq("q_corpus_dedup", "q_minhash_pairs", "q_repeated_spans",
-        "q_ivfpq_topk", "q_tfidf", "q_bigram_logprob")
+        "q_ivfpq_topk", "q_tfidf", "q_bigram_logprob",
+        "q_bloom_dedup", "q_top_orders")
       def once(name: String): Double = {
         dropCachedBlocks()
         // GC BEFORE the clock starts: by this point the JVM carries ~15 min
@@ -390,8 +438,13 @@ object Bench {
       val passesJson = names.map { name =>
         "\"" + name + "\":[" + allRuns(name).map(r4).mkString(",") + "]"
       }.mkString("{", ",", "}")
+      // same paired-min ratio as the headline: per-query mins on both sides
+      val sparkSum = timed.collect { case (_, v) if v >= 0 => v }.sum
+      val ratio10 = """"total"\s*:\s*(-?[0-9.eE+]+)""".r
+        .findFirstMatchIn(oracle10).map(_.group(1)).flatMap(_.toDoubleOption)
+        .filter(_ > 0).map(ot => r4(sparkSum / ot).toString).getOrElse("null")
       s"""{"replication":$rep,"base_sf":${jsonStr(sfDir)},"queries":$qs,""" +
-        s""""passes":$passesJson,"oracle":$oracle10}"""
+        s""""ratio_paired_min":$ratio10,"passes":$passesJson,"oracle":$oracle10}"""
     } catch { case e: Throwable =>
       Console.err.println(s"[bench] 10x setup FAILED: ${e.getClass.getName}: ${e.getMessage}")
       s"""{"error":${jsonStr(s"${e.getClass.getSimpleName}: ${e.getMessage}")}}"""
@@ -496,10 +549,10 @@ object Bench {
     * `"error"` field (and stderr detail) instead of an empty object that
     * reads as "section silently missing".
     */
-  private final case class RunStats(timerJson: String, sec: Double, n: Long,
+  private[graft] final case class RunStats(timerJson: String, sec: Double, n: Long,
     bins: Int, sec2: Double, n2: Long)
 
-  private class RestructureBench(runOnce: () => RunStats, setupError: Option[Throwable]) {
+  private[graft] class RestructureBench(runOnce: () => RunStats, setupError: Option[Throwable]) {
     private val runs = scala.collection.mutable.ArrayBuffer.empty[Either[Throwable, RunStats]]
     def runMeasured(): Unit = if (setupError.isEmpty) {
       runs += (try Right(runOnce())
@@ -538,7 +591,7 @@ object Bench {
     }
   }
 
-  private def prepareRestructure(spark: SparkSession, sfDir: String): RestructureBench =
+  private[graft] def prepareRestructure(spark: SparkSession, sfDir: String): RestructureBench =
     try {
       import org.apache.spark.sql.functions._
       import scala.jdk.CollectionConverters._

@@ -878,44 +878,19 @@ object SparkEntry {
     * expression), so the ranking is stable. df attaches by a count window
     * over the token partition of the row-local tf stream — no join.
     */
-  private def qTfidf(implicit s: SparkSession, d: String): DataFrame = {
-    val docs = graft.operators.Scale.widen(t("documents"))
-    // per-(doc, token) counts are ROW-LOCAL (a document's tokens live in
-    // one row — graft_elem_counts), so the tf table needs NO corpus-wide
-    // (doc, token) exchange and no occurrence-stream hash aggregation:
-    // explode emits pre-counted distinct pairs straight from the scan
-    // stage.
-    val tf = docs
-      .select(col("doc_id"),
-        explode(graft.functions.GraftExpressions.elemCounts(
-          TextFunctions.words(col("text")))).as("__tc"))
-      .select(col("doc_id"), col("__tc.t").as("token"), col("__tc.c").as("tf"))
-    // df attaches by a count window over the token partition instead of a
-    // groupBy(token)+join-back: tf rows are already distinct per (doc,
-    // token), so the window count IS the document frequency, and the whole
-    // query needs exactly two exchanges of the (doc, token) stream — by
-    // token for df, by doc for the ranking — with no second tokenizing
-    // scan (the old broadcast(df) build branch re-ran scan+tokenize) and
-    // no join. Hot-token ceiling: the window partition for "the" holds at
-    // most ONE pre-collapsed row per document — the same per-key row bound
-    // the equivalent join's probe side has; the window streams it O(n).
-    // Measured at 10×: 0.87 s vs 1.21 s for the broadcast-join shape.
-    val withDf = tf.withColumn("df",
-      count(lit(1)).over(Window.partitionBy(col("token"))))
-    // per-doc top-3 by row_number: the scored rows are hash-partitioned by
-    // doc_id across the cluster (not funneled anywhere) and sorted within
-    // partitions; measured faster than the bounded-heap aggregate at both
-    // 1× and 10× — the heap's TypedImperativeAggregate pays per-group
-    // buffer serde outside codegen, and both shapes shuffle the same rows.
-    val score = col("tf").cast(DoubleType) / col("df").cast(DoubleType)
-    withDf
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy(col("doc_id")).orderBy(score.desc, col("token").asc))
-        .cast(LongType))
-      .filter(col("rnk") <= 3)
-      .select(col("doc_id"), col("token"), col("tf"), col("df"), col("rnk"))
+  private def qTfidf(implicit s: SparkSession, d: String): DataFrame =
+    // per-(doc, token) counts are ROW-LOCAL (graft_elem_counts) and df
+    // attaches by the default Window shape — one exchange of the collapsed
+    // stream, no join, no second tokenizing scan; the attach-shape
+    // crossovers (Join for ≥10⁹-doc hot keys, BroadcastVocab for bounded
+    // vocabularies on wide streams) are the TextLm.FreqAttach knob, with
+    // the selection rule and measured A/Bs in TextLm's scaladoc + PLANS.md.
+    // Per-doc top-3 by row_number: measured faster than the bounded-heap
+    // aggregate at 1× and 10× (the heap's TypedImperativeAggregate pays
+    // per-group buffer serde outside codegen; both shuffle the same rows).
+    graft.operators.TextLm.tfidfTopK(
+        graft.operators.Scale.widen(t("documents")), "doc_id", "text", k = 3)
       .orderBy(col("doc_id"), col("rnk"))
-  }
 
   /** Digit-run redaction: scrub numeric spans and count them — the
     * pattern-scrub primitive (emails/ids/phones follow the same shape);
@@ -1145,26 +1120,11 @@ object SparkEntry {
     * (doc, token), so the hottest window partition holds at most one row
     * per document (see qTfidf).
     */
-  private def qUnigramLogprob(implicit s: SparkSession, d: String): DataFrame = {
-    // row-local per-(doc, token) counts — see qTfidf: no (doc, token)
-    // occurrence-stream exchange
-    val dt = t("documents")
-      .select(col("doc_id"),
-        explode(graft.functions.GraftExpressions.elemCounts(
-          TextFunctions.words(col("text")))).as("__tc"))
-      .select(col("doc_id"), col("__tc.t").as("token"), col("__tc.c").as("c"))
-    dt.withColumn("__bucket",
-        (length(conv(sum(col("c")).over(Window.partitionBy(col("token"))), 10, 2)) - 1)
-          .cast(LongType))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("c")).as("n_tokens"),
-        sum(col("c") * col("__bucket")).as("sum_bucket"))
-      .withColumn("avg_bucket_e4",
-        floor(col("sum_bucket").cast(DoubleType) * 1e4 / col("n_tokens").cast(DoubleType))
-          .cast(LongType))
-      .select(col("doc_id"), col("n_tokens"), col("sum_bucket"), col("avg_bucket_e4"))
+  private def qUnigramLogprob(implicit s: SparkSession, d: String): DataFrame =
+    // row-local per-(doc, token) counts + the default Window freq attach —
+    // see TextLm (the FreqAttach knob holds the measured alternatives)
+    graft.operators.TextLm.unigramBucketScore(t("documents"), "doc_id", "text")
       .orderBy(col("doc_id"))
-  }
 
   /** Bigram-LM quality scoring — the unigram bucket score extended to
     * adjacent token pairs (a closer perplexity proxy: word-order breakage
@@ -1179,44 +1139,14 @@ object SparkEntry {
     * vocabulary, a corpus-scale BIGRAM vocabulary grows ~linearly with
     * corpus size.
     */
-  private def qBigramLogprob(implicit s: SparkSession, d: String): DataFrame = {
-    // row-local per-(doc, bigram) counts: AdjacentPairs builds the pair
-    // array and graft_elem_counts collapses it in the same scan-stage
-    // projection — no (doc, bigram) exchange, no occurrence-stream hash
-    // aggregation (see qTfidf; this was the engine's widest 10×-vs-oracle
-    // gap, a constant-factor serialization cost on two corpus-pair
-    // shuffles of which this shape keeps at most one)
-    val db = t("documents")
-      .select(col("doc_id"), TextFunctions.words(col("text")).as("__ws"))
-      .filter(size(col("__ws")) >= 2)
-      .select(col("doc_id"),
-        explode(graft.functions.GraftExpressions.elemCounts(
-          graft.functions.GraftExpressions.adjacentPairs(col("__ws")))).as("__bc"))
-      .select(col("doc_id"), col("__bc.t").as("bigram"), col("__bc.c").as("c"))
-    // corpus frequency attaches by a sum window over the bigram partition
-    // instead of a groupBy(bigram)+join-back: one exchange and one sort of
-    // the pre-collapsed pair stream, no second aggregate branch, no join —
-    // measured 0.65 s vs 1.35 s (merge-pinned join) at 10×, and the shape
-    // holds at every scale because the exchange IS the hash-partition-by-
-    // bigram contract the join would have needed anyway. Hot-key ceiling:
-    // db rows are pre-collapsed per (doc, bigram) (graft_elem_counts), so
-    // the window partition for "of the" holds at most ONE row per document
-    // — exactly the per-key bound the SMJ probe side had — and the running
-    // sum streams it O(n). (A broadcast of the freq aggregate is the shape
-    // to avoid: measured 2.7 s at 10× from the driver-side build, and at
-    // real corpus vocabularies it would not fit.)
-    db.withColumn("__bucket",
-        (length(conv(sum(col("c")).over(Window.partitionBy(col("bigram"))), 10, 2)) - 1)
-          .cast(LongType))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("c")).as("n_bigrams"),
-        sum(col("c") * col("__bucket")).as("sum_bucket"))
-      .withColumn("avg_bucket_e4",
-        floor(col("sum_bucket").cast(DoubleType) * 1e4 / col("n_bigrams").cast(DoubleType))
-          .cast(LongType))
-      .select(col("doc_id"), col("n_bigrams"), col("sum_bucket"), col("avg_bucket_e4"))
+  private def qBigramLogprob(implicit s: SparkSession, d: String): DataFrame =
+    // row-local per-(doc, bigram) counts (AdjacentPairs + graft_elem_counts
+    // in the scan-stage projection) + the default Window freq attach —
+    // measured 0.65 s vs 1.35 s (merge-pinned join) vs 2.7 s (broadcast
+    // vocab) at 10×; the alternatives live behind TextLm.FreqAttach with
+    // the selection rule in its scaladoc
+    graft.operators.TextLm.bigramBucketScore(t("documents"), "doc_id", "text")
       .orderBy(col("doc_id"))
-  }
 
   /** ANN recall evaluation: recall@3 of the IVF index against exact
     * brute-force ground truth, per query — the index-quality gate a

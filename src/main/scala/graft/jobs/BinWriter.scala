@@ -47,12 +47,22 @@ private[jobs] object BinWriter {
           // also returns false (src is gone) — so before failing the task,
           // accept a present target with no remaining src as a committed
           // rename rather than throwing a misleading error for work that
-          // succeeded. The exists() reads assume read-after-write
+          // succeeded. Acceptance is length-checked: the temp's size is
+          // captured BEFORE the rename attempts (src is gone afterwards),
+          // and a target whose length differs — a foreign writer's file or
+          // a partial copy — still fails the task instead of being adopted
+          // as this task's commit. The reads assume read-after-write
           // consistency (HDFS, ABFS, and S3 since 2020 all provide it); on
           // a store without it a stale read could mis-accept, and the
           // idempotent bin replay on task retry is the backstop.
-          if (!fs.rename(src, target) && !fs.rename(src, target) &&
-              !(fs.exists(target) && !fs.exists(src)))
+          val srcLen =
+            try fs.getFileStatus(src).getLen
+            catch { case _: java.io.FileNotFoundException => -1L }
+          def committed: Boolean = !fs.exists(src) && {
+            try fs.getFileStatus(target).getLen == srcLen
+            catch { case _: java.io.FileNotFoundException => false }
+          }
+          if (!fs.rename(src, target) && !fs.rename(src, target) && !committed)
             throw new java.io.IOException(s"failed to commit $src -> $target")
       }
     }

@@ -355,6 +355,12 @@ object Similarity {
     * loss), no index build, no shuffle of the corpus. For batch sizes past
     * a few thousand, assign both sides to IVF cells first and use
     * [[cosineNearDupPairs]]'s blocked join instead.
+    *
+    * @note failure contract of `maxBatchRows`: the cap check is IN-PLAN
+    *       ([[probeGuarded]]) — an over-cap batch fails at EXECUTION time
+    *       as a `SparkException` wrapping the raise_error message, not as
+    *       an eager `IllegalArgumentException` at call time, and a frame
+    *       that is built but never executed skips the guard entirely.
     */
   def cosineNearDupAgainst(
       history: DataFrame, batch: DataFrame, threshold: Double,

@@ -278,21 +278,27 @@ object TextDedup {
     * `groupBy(fp)` — never a second shuffle to dedup `(id, fp)` pairs,
     * and never a count-distinct over the raw window stream.
     *
-    * PRECONDITION: `idCol` identifies a ROW-unique document (exactly one
-    * text row per id) — every caller in this engine satisfies it. A frame
-    * with the same id on several rows (chunked corpus, upstream duplicate
-    * rows) makes `n_docs` count ROWS, not documents, so a span repeated
-    * only across one document's chunks would pass `minDocs` and be masked
-    * by [[maskRepeatedSpans]]; concatenate chunks or dedup rows first.
+    * PRECONDITION (default mode): `idCol` identifies a ROW-unique document
+    * (exactly one text row per id) — every caller in this engine satisfies
+    * it. A frame with the same id on several rows (chunked corpus, upstream
+    * duplicate rows) makes `n_docs` count ROWS, not documents, so a span
+    * repeated only across one document's chunks would pass `minDocs` and be
+    * masked by [[maskRepeatedSpans]]. For multi-row-per-id inputs pass
+    * `docExact = true`: a cross-row `(id, fp)` distinct restores exact
+    * per-DOCUMENT counts at the cost of a second keyed exchange of the
+    * fingerprint stream (the row-local kernel dedup only collapses repeats
+    * within one row) — concatenating chunks first keeps the one-exchange
+    * plan and is preferred where possible.
     */
   def repeatedSpans(df: DataFrame, idCol: String, textCol: String,
-      windowTokens: Int = 8, minDocs: Int = 2): DataFrame = {
+      windowTokens: Int = 8, minDocs: Int = 2, docExact: Boolean = false): DataFrame = {
     require(windowTokens >= 1 && minDocs >= 1, s"windowTokens=$windowTokens, minDocs=$minDocs")
     import graft.functions.TextFunctions
     val toks = TextFunctions.words(col(textCol))
     val w = windowTokens
-    val fps = Scale.widen(df).select(col(idCol),
+    val fps0 = Scale.widen(df).select(col(idCol),
       explode(windowFingerprints(toks, w, distinct = true)).as("fp"))
+    val fps = if (docExact) fps0.distinct() else fps0
     fps
       .groupBy(col("fp"))
       .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("min_doc_id"))
@@ -312,11 +318,24 @@ object TextDedup {
     * shuffle keyed by doc); the final token surgery is row-local
     * higher-order functions (filter/transform/exists — all codegen'd,
     * no UDF).
+    *
+    * `docExact` passes through to [[repeatedSpans]] (multi-row-per-id
+    * frames — see its precondition note).
+    *
+    * @note failure contract of the `maxSpanRows` cap: the check is IN-PLAN
+    *       ([[Similarity.probeGuarded]]), so an over-cap span set fails at
+    *       EXECUTION time as a `SparkException` wrapping the raise_error
+    *       message — not as an eager `IllegalArgumentException` at call
+    *       time — and a frame that is built but never executed skips the
+    *       guard entirely. Callers that caught `IllegalArgumentException`
+    *       around the call site must catch the execution-time failure
+    *       instead.
     */
   def maskRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
       windowTokens: Int = 8, minDocs: Int = 2,
-      maxSpanRows: Int = MaxSpanFingerprintRows): DataFrame = {
-    val spans = repeatedSpans(df, idCol, textCol, windowTokens, minDocs).select(col("fp"))
+      maxSpanRows: Int = MaxSpanFingerprintRows, docExact: Boolean = false): DataFrame = {
+    val spans = repeatedSpans(df, idCol, textCol, windowTokens, minDocs, docExact)
+      .select(col("fp"))
     // same fail-fast-with-cure contract as decontaminateAgainst — the
     // repeated-span table is duplicate-bounded (fps seen in ≥ minDocs
     // docs), but a templated corpus can push it past what belongs on the
@@ -343,6 +362,12 @@ object TextDedup {
     * corpus) and broadcasts, mirroring the contamination probe's contract;
     * the train side streams through one fingerprint scan + the row-local
     * surgery of [[maskSpansByFingerprints]].
+    *
+    * @note failure contract of the eval-set size cap: IN-PLAN
+    *       ([[Similarity.probeGuarded]]) — an over-cap eval suite fails at
+    *       execution time as a `SparkException` (raise_error), not as an
+    *       eager `IllegalArgumentException` at call time, and a never-
+    *       executed frame skips the guard. See [[maskRepeatedSpans]].
     */
   def decontaminateAgainst(train: DataFrame, evalDf: DataFrame,
       idCol: String, textCol: String, windowTokens: Int = 8): DataFrame = {

@@ -42,6 +42,33 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("repeatedSpans docExact: duplicate-id (chunked) frames count documents, not rows") {
+    // one document in two chunk ROWS sharing the same id, each carrying the
+    // same 4-token span; a second distinct document without it. Default
+    // mode counts rows (the documented row-unique-id precondition), so the
+    // within-document chunk repeat reaches minDocs=2; docExact dedups
+    // (id, fp) first and correctly reports NO cross-document span.
+    val chunked = Seq(
+      (1L, "prefix words common span body here alpha"),
+      (1L, "common span body here beta trailing text"),
+      (2L, "entirely unrelated content in this row")).toDF("doc_id", "text")
+    val loose = TextDedup.repeatedSpans(chunked, "doc_id", "text", windowTokens = 4)
+    assert(loose.count() > 0L, "default mode should count rows (precondition violated on purpose)")
+    val exact = TextDedup.repeatedSpans(chunked, "doc_id", "text",
+      windowTokens = 4, docExact = true)
+    assert(exact.count() == 0L, "docExact must collapse same-id chunk repeats")
+    // and a genuine cross-document span still reaches minDocs under docExact
+    val crossDoc = Seq(
+      (1L, "prefix words common span body here alpha"),
+      (1L, "common span body here beta trailing text"),
+      (2L, "other doc with common span body here too")).toDF("doc_id", "text")
+    val exactHits = TextDedup.repeatedSpans(crossDoc, "doc_id", "text",
+      windowTokens = 4, docExact = true)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(exactHits.nonEmpty && exactHits.forall { case (n, minId) => n == 2L && minId == 1L },
+      s"unexpected docExact spans: ${exactHits.toSeq}")
+  }
+
   test("maskRepeatedSpans removes exactly the shared-passage tokens, keeps unique content") {
     val docs = Seq(
       (1L, "unique alpha beta shared passage body one two three four gamma tail"),

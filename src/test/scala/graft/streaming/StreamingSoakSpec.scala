@@ -130,6 +130,77 @@ class StreamingSoakSpec extends SparkSpec {
       s"embedding per-batch latency trending up: early ${early}ms, late ${late}ms")
   }
 
+  test("50-batch soak under TTL retention + mid-soak replay: bounded layout, no expired span resurrects") {
+    // the combined mode the separate compaction and replay tests each cover
+    // alone: ttlBatches retention active for the WHOLE soak, plus a
+    // foreachBatch crash-replay in the middle. Asserts (a) replay is
+    // idempotent under TTL (history neither doubles nor loses rows),
+    // (b) expired partitions stay expired — after the final retention pass
+    // no partition older than the watermark exists and a duplicate of an
+    // expired-era document re-enters (the documented TTL cost) while
+    // in-window duplicates stay suppressed, (c) the partition/file layout
+    // is bounded by the TTL window, not the batch count.
+    val work = Files.createTempDirectory("graft-soak-ttl")
+    val historyDir = work.resolve("history").toString
+    def text(b: Int, i: Int): String =
+      (0 until 12).map(j => s"s${b}_${i}_$j").mkString(" ")
+    val batches = 50
+    val ttl = 12L
+    val compactEvery = 8
+    def partExists(id: Int): Boolean =
+      new java.io.File(historyDir, s"batch=soakt-$id").isDirectory
+    val perBatchSurvivors = scala.collection.mutable.Map.empty[Int, Long]
+    (0 until batches).foreach { b =>
+      val fresh = (0 until 4).map(i => (b * 100L + i, text(b, i)))
+      // recent dup: previous batch, always inside the TTL window -> suppressed.
+      // deep dup: a doc 20 batches back — suppressed only while its
+      // partition still exists (retention mode deletes, never consolidates,
+      // so on-disk presence IS the ground truth for what can suppress).
+      // Only from b=22 on, so every deep target b-20 ≥ 2 is used exactly
+      // once — a repeated target's re-entered copy would suppress the next
+      // repeat from a FRESH partition and break the on-disk oracle.
+      val deep = b - 20
+      val hasDeep = b >= 22
+      val dups =
+        (if (b >= 2) Seq((b * 100L + 91L, text(b - 1, 1))) else Nil) ++
+        (if (hasDeep) Seq((b * 100L + 90L, text(deep, 0))) else Nil)
+      val deepSuppressed = hasDeep && partExists(deep)
+      val df = (fresh ++ dups).toDF("doc_id", "text")
+      def runBatch() = StreamingNearDedup.dedupBatch(df, b.toLong, historyDir,
+        epoch = "soakt", compactEvery = compactEvery, ttlBatches = ttl)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val survivors = runBatch()
+      val expected = fresh.map(_._1).toSet ++
+        (if (hasDeep && !deepSuppressed) Set(b * 100L + 90L) else Set.empty[Long])
+      assert(survivors == expected,
+        s"batch $b survivors $survivors != expected $expected (deepSuppressed=$deepSuppressed)")
+      // mid-soak crash replay of THIS batch id: same survivors, history not
+      // doubled (the batch's own partition is overwritten, not appended)
+      if (b == 41) {
+        val before = StreamingNearDedup.readHistory(spark, historyDir).get.count()
+        val replayed = runBatch()
+        assert(replayed == survivors, s"replay diverged at batch $b")
+        val after = StreamingNearDedup.readHistory(spark, historyDir).get.count()
+        assert(after == before, s"replay changed history count: $before -> $after")
+      }
+      perBatchSurvivors(b) = survivors.size.toLong
+    }
+    // final retention pass ran at batch 48 (upTo 46): everything older than
+    // 46 - ttl = 34 is gone, nothing consolidated, foreign tails bounded
+    val partDirs = new java.io.File(historyDir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch=")).map(_.getName).toSeq
+    val ids = partDirs.map(_.stripPrefix("batch=soakt-").toLong)
+    assert(ids.forall(_ >= 34L), s"expired partition resurrected: $partDirs")
+    assert(partDirs.size <= ttl.toInt + compactEvery + 2, s"TTL layout unbounded: $partDirs")
+    assert(!partDirs.exists(_.contains("-c")), s"retention mode must not consolidate: $partDirs")
+    val files = dataFiles(java.nio.file.Paths.get(historyDir))
+    assert(files.size <= partDirs.size * 2, s"files per partition unbounded: ${files.size}")
+    // history holds exactly the surviving batches' rows — replay added none
+    val historyCount = StreamingNearDedup.readHistory(spark, historyDir).get.count()
+    val expectedCount = ids.map(id => perBatchSurvivors(id.toInt)).sum
+    assert(historyCount == expectedCount, s"history $historyCount != expected $expectedCount")
+  }
+
   test("compactHistory TTL retention mode: expires old partitions without merging, spares foreign epochs") {
     val work = Files.createTempDirectory("graft-ttl")
     val historyDir = work.resolve("history").toString
