@@ -38,6 +38,24 @@ object Scratch {
       spark.stop(); return
     }
     val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
+    // SCRATCH_REPLICATE=10: run the named queries against the same
+    // workload-honest replicated corpus the bench's sf1x10 section uses
+    val sfDir0 = sfDir
+    val sfDirEff = sys.env.getOrElse("SCRATCH_REPLICATE", "1").toInt match {
+      case r if r > 1 =>
+        BenchSupport.replicateCorpus(spark, sfDir0, r, "graft-scratch-rep",
+          withTpch = true).toString
+      case _ => sfDir0
+    }
+    val sfDir2 = sfDirEff
+    profileQueries(spark, sfDir2, names)
+    if (sfDir2 != sfDir0)
+      try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(sfDir2))
+      catch { case _: Throwable => }
+    spark.stop()
+  }
+
+  private def profileQueries(spark: SparkSession, sfDir: String, names: Seq[String]): Unit = {
     if (sys.env.get("SCRATCH_EXPLAIN").contains("1")) names.foreach { name =>
       println(s"==== $name ====")
       println(SparkEntry.queries(name)(spark, sfDir).queryExecution
@@ -81,7 +99,6 @@ object Scratch {
       val wall = (System.nanoTime() - t0) / 1e9
       println(f"QUERY $name%-22s $wall%8.3f s  jobs=${nJobs.get}%3d jobWall=${jobWall.get / 1e9}%7.3f driverGap=${wall - jobWall.get / 1e9}%7.3f")
     }
-    spark.stop()
   }
 
   /** sf1-equivalent heavy-query sweep: the documents/embeddings tables
