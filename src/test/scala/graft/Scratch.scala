@@ -25,6 +25,10 @@ object Scratch {
       spark.stop(); return
     }
     if (args.headOption.contains("minhash")) { profileMinhash(spark, sfDir); spark.stop(); return }
+    if (args.headOption.contains("toporders")) {
+      profileTopOrders(spark, sfDir, args.lift(1).map(_.toInt).getOrElse(10))
+      spark.stop(); return
+    }
     if (args.headOption.contains("ccbroadcast")) {
       profileCcBroadcast(spark, args.lift(1).map(_.toInt).getOrElse(1000000))
       spark.stop(); return
@@ -303,6 +307,45 @@ object Scratch {
       Similarity.cosineNearDupAgainst(ehistory, ebatch, threshold = 0.95).count()
     }
     ehistory.unpersist()
+  }
+
+  /** A/B the q_top_orders join topology at `replicate`×: AQE-adaptive
+    * (the landed shape — SMJ-planned exchanges materialize, then runtime
+    * stats convert both joins to broadcast) vs plan-time broadcast hints
+    * (no exchange ever planned — the mid-scale-optimal shape whose build
+    * side is NOT bounded by contract and therefore stays unpinned).
+    */
+  private def profileTopOrders(spark: SparkSession, sfDir: String, replicate: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    val dir =
+      if (replicate <= 1) sfDir
+      else BenchSupport.replicateCorpus(spark, sfDir, replicate, "graft-scratch-tpo",
+        withTpch = true).toString
+    def cents(c: org.apache.spark.sql.Column) = round(c * 100).cast("long")
+    def variant(bcast: Boolean): org.apache.spark.sql.DataFrame = {
+      val cust = Tables.load(spark, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val j1 = (if (bcast) broadcast(cust) else cust)
+        .join(Tables.load(spark, dir, "orders"), col("c_custkey") === col("o_custkey"))
+      val j2 = (if (bcast) broadcast(j1) else j1)
+        .join(Tables.load(spark, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      j2.groupBy(col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"))
+        .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue_cents"))
+        .orderBy(col("revenue_cents").desc, col("o_orderkey").asc)
+        .limit(10)
+    }
+    Seq(false, true).foreach { b => variant(b).count() } // warm both shapes
+    (1 to 3).foreach { _ =>
+      Seq(false, true).foreach { b =>
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        variant(b).count()
+        println(f"TOPORDERS bcast=$b%-5s ${(System.nanoTime() - t0) / 1e9}%7.3f s")
+      }
+    }
+    if (dir != sfDir)
+      try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      catch { case _: Throwable => }
   }
 
   private def profileMinhash(spark: SparkSession, sfDir: String): Unit = {
