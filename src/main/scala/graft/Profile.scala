@@ -48,7 +48,8 @@ object Profile {
     // touching the query.
     val rep = sys.env.getOrElse("SPARK_GRAFT_REPLICATE", "1").toInt
     val dir = if (rep <= 1) sfDir
-      else BenchSupport.replicateCorpus(spark, sfDir, rep, "graft-prof-rep").toString
+      else BenchSupport.replicateCorpus(spark, sfDir, rep, "graft-prof-rep",
+        withTpch = true).toString
     val planDir = new java.io.File("/tmp/graft-plans")
     val _ = planDir.mkdirs()
     names.foreach { name =>

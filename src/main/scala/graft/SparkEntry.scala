@@ -532,12 +532,17 @@ object SparkEntry {
   private def qBloomDedup(implicit s: SparkSession, d: String): DataFrame = {
     val fp = md5(col("text").cast(BinaryType)).as("fp")
     val docs = t("documents").select(col("doc_id"), fp)
+    // sized to the ACTUAL history cardinality, measured (a metadata-cheap
+    // single-column count — the action a real incremental pipeline has
+    // anyway, since it tracks its history size): a fixed size either
+    // saturates at larger corpora (a 100k filter over a 333k-key 10×
+    // history pushes fpp toward ~50% and degrades the probe to the plain
+    // anti-join) or embeds a needlessly large digest literal at small ones.
+    val histCount = docs.filter(col("doc_id") % 3 =!= 0).count()
     graft.operators.Dedup.bloomDedupAgainst(
         history = docs.filter(col("doc_id") % 3 =!= 0),
         batch = docs.filter(col("doc_id") % 3 === 0), keyCol = "fp",
-        // sized to the actual history key count (the 1M default embeds a
-        // 1.2 MB digest literal in the probe plan — pure overhead here)
-        expectedItems = 100000L)
+        expectedItems = math.max(100000L, histCount))
       .select(col("doc_id"), col("fp"))
       .orderBy(col("doc_id"))
   }

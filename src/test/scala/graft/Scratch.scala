@@ -44,17 +44,14 @@ object Scratch {
     val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
     // SCRATCH_REPLICATE=10: run the named queries against the same
     // workload-honest replicated corpus the bench's sf1x10 section uses
-    val sfDir0 = sfDir
-    val sfDirEff = sys.env.getOrElse("SCRATCH_REPLICATE", "1").toInt match {
-      case r if r > 1 =>
-        BenchSupport.replicateCorpus(spark, sfDir0, r, "graft-scratch-rep",
-          withTpch = true).toString
-      case _ => sfDir0
-    }
-    val sfDir2 = sfDirEff
-    profileQueries(spark, sfDir2, names)
-    if (sfDir2 != sfDir0)
-      try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(sfDir2))
+    val rep = sys.env.getOrElse("SCRATCH_REPLICATE", "1").toInt
+    val dir =
+      if (rep <= 1) sfDir
+      else BenchSupport.replicateCorpus(spark, sfDir, rep, "graft-scratch-rep",
+        withTpch = true).toString
+    try profileQueries(spark, dir, names)
+    finally if (dir != sfDir)
+      try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
       catch { case _: Throwable => }
     spark.stop()
   }
