@@ -897,6 +897,25 @@ object SparkEntry {
         graft.operators.Scale.widen(t("documents")), "doc_id", "text", k = 3)
       .orderBy(col("doc_id"), col("rnk"))
 
+  /** The [[graft.operators.TextLm.FreqAttach.Join]] shape of [[qTfidf]]
+    * under the SAME oracle: the skew-splittable SMJ alternative stays
+    * correctness-gated per round, not only spec-gated.
+    */
+  private def qTfidfJoinShape(implicit s: SparkSession, d: String): DataFrame =
+    graft.operators.TextLm.tfidfTopK(
+        graft.operators.Scale.widen(t("documents")), "doc_id", "text", k = 3,
+        shape = graft.operators.TextLm.FreqAttach.Join)
+      .orderBy(col("doc_id"), col("rnk"))
+
+  /** The [[graft.operators.TextLm.FreqAttach.BroadcastVocab]] shape of
+    * [[qUnigramLogprob]] under the SAME oracle (the bounded-vocabulary
+    * alternative — tokenizes twice, never shuffles the collapsed stream).
+    */
+  private def qUnigramBcast(implicit s: SparkSession, d: String): DataFrame =
+    graft.operators.TextLm.unigramBucketScore(t("documents"), "doc_id", "text",
+        shape = graft.operators.TextLm.FreqAttach.BroadcastVocab)
+      .orderBy(col("doc_id"))
+
   /** Digit-run redaction: scrub numeric spans and count them — the
     * pattern-scrub primitive (emails/ids/phones follow the same shape);
     * counts and the redacted fingerprint are engine-checkable.
@@ -1453,6 +1472,8 @@ object SparkEntry {
     "q_zorder"           -> mk(qZorder(_, _)),
     "q_repetition"       -> mk(qRepetition(_, _)),
     "q_tfidf"            -> mk(qTfidf(_, _)),
+    "q_tfidf_joinshape"  -> mk(qTfidfJoinShape(_, _)),
+    "q_unigram_bcast"    -> mk(qUnigramBcast(_, _)),
     "q_redact"           -> mk(qRedact(_, _)),
     "q_quantize"         -> mk(qQuantize(_, _)),
     "q_top_orders"       -> mk(qTopOrders(_, _)),
@@ -2315,7 +2336,18 @@ object SparkEntry {
            |FROM m ORDER BY lang, source""".stripMargin)
   }
 
-  def oracleSql: Map[String, String] = llmOracles ++ Map(
+  def oracleSql: Map[String, String] = {
+    val base = oracleSqlBase
+    // the TextLm alternative freq-attach shapes run under the SAME oracle
+    // text as their default-shape counterparts: identical results from a
+    // different physical plan, so the knob is correctness-gated by the
+    // driver every round, not only spec-gated
+    base +
+      ("q_tfidf_joinshape" -> base("q_tfidf")) +
+      ("q_unigram_bcast" -> base("q_unigram_logprob"))
+  }
+
+  private def oracleSqlBase: Map[String, String] = llmOracles ++ Map(
     "q_agg_pricing" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
         |CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
