@@ -172,6 +172,49 @@ class BinWriterSpec extends AnyFunSuite {
       Seq("h", "other-bin"))
   }
 
+  test("renameOver fallback: false-reporting rename accepted only when target matches the temp's length") {
+    // a scheme with no FileContext binding exercises the delete+rename
+    // fallback; the mock reports FALSE from rename while (a) actually
+    // committing, (b) committing a truncated/foreign target, (c) doing
+    // nothing — only (a) may be accepted as this task's commit
+    import org.apache.hadoop.fs.{Path => HPath}
+    class FlakyFs(mode: String) extends org.apache.hadoop.fs.RawLocalFileSystem {
+      override def getScheme: String = "flaky"
+      override def getUri: java.net.URI = java.net.URI.create("flaky:///")
+      override def rename(src: HPath, dst: HPath): Boolean = {
+        mode match {
+          // moved, reports false (retry with src gone: plain false, as a
+          // real store would — RawLocalFileSystem's copy path would throw)
+          case "transient" => if (exists(src)) super.rename(src, dst)
+          case "corrupt" => // foreign/partial target appears, temp lost
+            val out = create(dst, true); out.write("xx".getBytes); out.close()
+            delete(src, false)
+          case _ => // no-op: rename genuinely failed, temp stays
+        }
+        false
+      }
+    }
+    val conf = new org.apache.hadoop.conf.Configuration()
+    def run(mode: String): (java.nio.file.Path, () => Unit) = {
+      val dir = Files.createTempDirectory(s"graft-bw-flaky-$mode")
+      val src = dir.resolve("src.tmp"); Files.writeString(src, "payload\n")
+      val fs = new FlakyFs(mode); fs.initialize(fs.getUri, conf)
+      val target = dir.resolve("target.csv")
+      (target, () => BinWriter.renameOver(fs, conf,
+        new HPath(src.toString), new HPath(target.toString)))
+    }
+    // (a) transient: move happened, lengths match -> accepted quietly
+    val (t1, go1) = run("transient")
+    go1()
+    assert(Files.readString(t1) == "payload\n")
+    // (b) corrupt: src gone but target length differs -> must FAIL the task
+    val (_, go2) = run("corrupt")
+    intercept[java.io.IOException](go2())
+    // (c) no-op: temp still present, nothing committed -> must FAIL
+    val (_, go3) = run("noop")
+    intercept[java.io.IOException](go3())
+  }
+
   test("keep-first dedup: first occurrence wins, streaming order") {
     val root = Files.createTempDirectory("graft-bw6").toString
     val rows = Iterator(
