@@ -143,23 +143,13 @@ object Scratch {
         docs.filter(col("doc_id") % 10 =!= 0), docs.filter(col("doc_id") % 10 === 0),
         "text", expectedItems = 1000000L).count()
     }
-    time("tfidf-shape (tokens+tf+df)") {
-      val tokens = docs.select(col("doc_id"),
-        explode(graft.functions.TextFunctions.words(col("text"))).as("token"))
-      val tf = tokens.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
-      tf.filter(col("tf") > 0).groupBy(col("token")).agg(count(lit(1))).count()
+    // the SHIPPED tf/LM operators (TextLm window-attach shapes), not the
+    // pre-round-13 join formulations this harness used to inline
+    time("tfidf top-3 (TextLm)") {
+      graft.operators.TextLm.tfidfTopK(docs, "doc_id", "text").count()
     }
-    time("bigram-logprob shape") {
-      val nBg = size(col("__ws")) - 1
-      val db = docs.select(col("doc_id"),
-          graft.functions.TextFunctions.words(col("text")).as("__ws"))
-        .filter(size(col("__ws")) >= 2)
-        .select(col("doc_id"), explode(zip_with(
-          slice(col("__ws"), lit(1), nBg), slice(col("__ws"), lit(2), nBg),
-          (a, b) => concat(a, lit(" "), b))).as("bigram"))
-        .groupBy(col("doc_id"), col("bigram")).agg(count(lit(1)).as("c"))
-      val f = db.filter(col("c") > 0).groupBy(col("bigram")).agg(sum(col("c")).as("__f"))
-      db.join(f, "bigram").groupBy(col("doc_id")).agg(sum(col("c"))).count()
+    time("bigram-logprob (TextLm)") {
+      graft.operators.TextLm.bigramBucketScore(docs, "doc_id", "text").count()
     }
     time("chunk-dedup shape") {
       val withWs = docs.select(col("doc_id"),
