@@ -293,7 +293,12 @@ object Bench {
     */
   private def pairedMinRatio(sparkTotal: Double, sparkAllOk: Boolean,
       oracleJson: String): String = {
-    val oracleHasFailure = """:\s*-1(\.0)?\s*[,}\]]""".r.findFirstIn(oracleJson).isDefined
+    // oracle_bench.py emits an EXPLICIT "failed": [names] array; key
+    // validity off that, not off scanning the document for -1 sentinels
+    // (per-pass arrays legitimately contain -1.0). A missing/unparseable
+    // "failed" key is treated as a failure — conservative null, never a
+    // silently mis-kept ratio.
+    val oracleHasFailure = """"failed"\s*:\s*\[\s*\]""".r.findFirstIn(oracleJson).isEmpty
     if (!sparkAllOk || oracleHasFailure) "null"
     else extractOracleTotal(oracleJson).flatMap(_.toDoubleOption).filter(_ > 0)
       .map(ot => r4(sparkTotal / ot).toString).getOrElse("null")

@@ -9,7 +9,11 @@ import org.apache.spark.sql.SparkSession
   * code the full bench interleaves between query sweeps) and prints the
   * section JSON plus load markers. Keeping the harness identical on both
   * sides of an A/B (this file drops into the control checkout unchanged)
-  * means the only variable is the commit under test.
+  * means the only variable is the commit under test. COMPILES AGAINST:
+  * control commits at or after the round-14 visibility relaxation of
+  * `Bench.prepareRestructure`/`RestructureBench` to `private[graft]`;
+  * for OLDER control commits, also backport that one-line visibility
+  * change (it does not touch measured code).
   *
   * Usage: SPARK_GRAFT_SF_DIR=… SPARK_GRAFT_AB_RUNS=3 runMain graft.RestructureAB
   */

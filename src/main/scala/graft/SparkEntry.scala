@@ -532,17 +532,17 @@ object SparkEntry {
   private def qBloomDedup(implicit s: SparkSession, d: String): DataFrame = {
     val fp = md5(col("text").cast(BinaryType)).as("fp")
     val docs = t("documents").select(col("doc_id"), fp)
-    // sized to the ACTUAL history cardinality, measured (a metadata-cheap
-    // single-column count — the action a real incremental pipeline has
-    // anyway, since it tracks its history size): a fixed size either
-    // saturates at larger corpora (a 100k filter over a 333k-key 10×
-    // history pushes fpp toward ~50% and degrades the probe to the plain
-    // anti-join) or embeds a needlessly large digest literal at small ones.
-    val histCount = docs.filter(col("doc_id") % 3 =!= 0).count()
+    // auto-sized (expectedItems = 0) to the MEASURED history cardinality
+    // inside the operator: a fixed size either saturates at larger corpora
+    // (a 100k filter over a 333k-key 10× history pushes fpp toward ~50%
+    // and degrades the probe to the plain anti-join) or embeds a
+    // needlessly large digest literal at small ones. NOTE: bloomDedupAgainst
+    // is EAGER by contract (sizing count + digest collect at frame
+    // CONSTRUCTION) — the one queries-map entry whose builder runs Spark
+    // jobs before the frame is executed.
     graft.operators.Dedup.bloomDedupAgainst(
         history = docs.filter(col("doc_id") % 3 =!= 0),
-        batch = docs.filter(col("doc_id") % 3 === 0), keyCol = "fp",
-        expectedItems = math.max(100000L, histCount))
+        batch = docs.filter(col("doc_id") % 3 === 0), keyCol = "fp")
       .select(col("doc_id"), col("fp"))
       .orderBy(col("doc_id"))
   }
@@ -1415,6 +1415,13 @@ object SparkEntry {
 
   // ------------------------------------------------------------- registry
 
+  /** One entry per implemented operator. CONTRACT: builders are lazy plan
+    * constructors — with one documented exception, `q_bloom_dedup`, whose
+    * operator ([[graft.operators.Dedup.bloomDedupAgainst]]) is eager by
+    * design (digest + sizing count collected at frame construction), so
+    * merely building that entry's frame (SCRATCH_EXPLAIN, schema
+    * inspection) runs Spark jobs.
+    */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_agg_pricing"      -> mk(qAggPricing(_, _)),
     "q_time_binning"     -> mk(qTimeBinning(_, _)),

@@ -39,6 +39,25 @@ private[jobs] object BinWriter {
         case Some(fc) =>
           fc.rename(fs.makeQualified(src), fs.makeQualified(target), Options.Rename.OVERWRITE)
         case None =>
+          // capture the temp's length BEFORE touching anything: it gates
+          // both the overwrite delete below (src already gone -> there is
+          // nothing to move, so the existing target must NOT be deleted)
+          // and the false-reporting-rename acceptance after
+          val srcLen =
+            try fs.getFileStatus(src).getLen
+            catch { case _: java.io.FileNotFoundException => -1L }
+          // src gone BEFORE the first rename (srcLen = -1): e.g. a
+          // speculative duplicate attempt whose twin already committed.
+          // A present target is accepted as the commit (ours or the
+          // twin's; the bin's bytes are rebuilt deterministically from the
+          // same sorted rows, so either writer's file is the same
+          // content); no target at all is a real failure.
+          if (srcLen < 0) {
+            if (!fs.exists(target))
+              throw new java.io.IOException(s"failed to commit $src -> $target " +
+                "(temp already absent before first rename and no committed target found)")
+            return
+          }
           if (fs.exists(target)) fs.delete(target, false)
           // CHECK the boolean: a silently failed rename here loses the
           // bin's freshly written temp (task reports success, file absent).
@@ -51,19 +70,22 @@ private[jobs] object BinWriter {
           // captured BEFORE the rename attempts (src is gone afterwards),
           // and a target whose length differs — a foreign writer's file or
           // a partial copy — still fails the task instead of being adopted
-          // as this task's commit. The reads assume read-after-write
-          // consistency (HDFS, ABFS, and S3 since 2020 all provide it); on
-          // a store without it a stale read could mis-accept, and the
-          // idempotent bin replay on task retry is the backstop.
-          val srcLen =
-            try fs.getFileStatus(src).getLen
-            catch { case _: java.io.FileNotFoundException => -1L }
+          // as this task's commit. RESIDUAL RISK (documented, accepted): a
+          // foreign writer's file of coincidentally EQUAL length is still
+          // adopted — distinguishing it would need a content digest of the
+          // temp before every rename, a full extra read of every bin to
+          // guard a path that only runs after two failed renames. The reads
+          // assume read-after-write consistency (HDFS, ABFS, and S3 since
+          // 2020 all provide it); on a store without it a stale read could
+          // mis-accept, and the idempotent bin replay on task retry is the
+          // backstop.
           def committed: Boolean = !fs.exists(src) && {
             try fs.getFileStatus(target).getLen == srcLen
             catch { case _: java.io.FileNotFoundException => false }
           }
           if (!fs.rename(src, target) && !fs.rename(src, target) && !committed)
-            throw new java.io.IOException(s"failed to commit $src -> $target")
+            throw new java.io.IOException(s"failed to commit $src -> $target " +
+              s"(no target of the temp's length ($srcLen) appeared)")
       }
     }
 

@@ -61,21 +61,33 @@ object Dedup {
     * re-derives per batch from one linear history scan, or is persisted
     * and re-used across batches by the caller (the filter is mergeable).
     *
-    * For very large histories size `expectedItems` to the real key count:
-    * an undersized filter degrades fpp (more verify volume), never
-    * correctness. `numBits` is capped by Spark's
-    * `spark.sql.optimizer.runtime.bloomFilter.maxNumBits` (default 8 MB).
+    * Sizing: `expectedItems = 0` (the default) measures the history key
+    * count with one metadata-cheap count — the number a real incremental
+    * pipeline tracks anyway — and sizes the digest to `max(100k, count)`;
+    * pass an explicit positive value to skip that action (e.g. when the
+    * caller already knows the cardinality). An undersized filter degrades
+    * fpp (more verify volume), never correctness. `numBits` is capped by
+    * Spark's `spark.sql.optimizer.runtime.bloomFilter.maxNumBits`
+    * (default 8 MB).
+    *
+    * CONTRACT: this operator is EAGER — merely CONSTRUCTING the returned
+    * frame runs Spark jobs on the driver (the sizing count when auto-sized,
+    * and always the one-row digest aggregation collected as a plan
+    * literal). It is not a free plan-builder like the other operators.
     */
   def bloomDedupAgainst(history: DataFrame, batch: DataFrame, keyCol: String,
-      expectedItems: Long = 1000000L, fpp: Double = 0.03): DataFrame = {
+      expectedItems: Long = 0L, fpp: Double = 0.03): DataFrame = {
     import graft.functions.GraftExpressions
-    require(expectedItems > 0 && fpp > 0 && fpp < 1,
+    require(expectedItems >= 0 && fpp > 0 && fpp < 1,
       s"expectedItems=$expectedItems, fpp=$fpp out of range")
     GraftExpressions.register(history.sparkSession)
+    val sizedItems =
+      if (expectedItems > 0) expectedItems
+      else math.max(100000L, history.select(col(keyCol)).count())
     val numBits = math.ceil(
-      -expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong
+      -sizedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong
     val digest = Scale.widen(history).select(col(keyCol))
-      .agg(GraftExpressions.bloomAgg(col(keyCol), expectedItems, numBits).as("bf"))
+      .agg(GraftExpressions.bloomAgg(col(keyCol), sizedItems, numBits).as("bf"))
       .head().getAs[Array[Byte]](0)
     // null digest = empty history: everything in the batch is new
     if (digest == null) return batch

@@ -213,6 +213,21 @@ class BinWriterSpec extends AnyFunSuite {
     // (c) no-op: temp still present, nothing committed -> must FAIL
     val (_, go3) = run("noop")
     intercept[java.io.IOException](go3())
+    // (d) src gone BEFORE the first rename with a committed target (e.g. a
+    // speculative twin already committed): length acceptance is impossible
+    // (srcLen = -1) -> fall back to existence acceptance, pass quietly
+    val (t4, go4) = run("noop")
+    val d4 = t4.getParent
+    Files.writeString(t4, "twin-committed\n")
+    Files.delete(d4.resolve("src.tmp"))
+    go4()
+    assert(Files.readString(t4) == "twin-committed\n")
+    // (e) src gone before the first rename and NO target -> fail, with the
+    // srcLen-specific message, not the length-mismatch one
+    val (t5, go5) = run("noop")
+    Files.delete(t5.getParent.resolve("src.tmp"))
+    val e5 = intercept[java.io.IOException](go5())
+    assert(e5.getMessage.contains("temp already absent"), e5.getMessage)
   }
 
   test("keep-first dedup: first occurrence wins, streaming order") {

@@ -38,6 +38,11 @@ class DedupSpec extends SparkSpec {
         .select("id").collect().map(_.getLong(0)).toSet
       assert(got == expect, s"fpp=$fpp items=$items")
     }
+    // auto-sizing (expectedItems = 0, the default): measures the history
+    // key count inside the operator — result identical to explicit sizing
+    val auto = Dedup.bloomDedupAgainst(history, batch, "k")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(auto == expect)
     // empty history: the whole batch survives (null digest short-circuit)
     val none = Dedup.bloomDedupAgainst(history.filter(lit(false)), batch, "k")
     assert(none.count() == 100L)

@@ -50,8 +50,13 @@ def main(sf_dir, sql_json, passes=2):
     # per-pass times alongside the min: a noise burst in one pass is then
     # legible in the artifact instead of silently inflating/deflating "min"
     all_passes = {n: [round(x, 4) for x in v] for n, v in times.items()}
+    # explicit failure list — the Scala side keys its paired-min validity
+    # off THIS, not off scanning the document for -1 sentinels (which
+    # legitimately appear in per-pass arrays)
+    failed = sorted(n for n, v in best.items() if v < 0)
     print(json.dumps({"total": total, "threads": int(threads),
-                      "queries": best, "passes": all_passes}))
+                      "failed": failed, "queries": best,
+                      "passes": all_passes}))
     return 0
 
 
