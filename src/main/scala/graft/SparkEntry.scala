@@ -577,6 +577,27 @@ object SparkEntry {
     graft.operators.TextDedup.repeatedSpans(t("documents"), "doc_id", "text")
       .orderBy(col("fp"))
 
+  /** repeatedSpans in `docExact` mode over a CHUNKED corpus (each document
+    * split into two half-token chunks → two rows per doc_id, the
+    * multi-row-per-id shape the mode exists for): n_docs must count
+    * distinct DOCUMENTS, so a span repeated only across one document's own
+    * chunks must not pass minDocs. The oracle recomputes the same chunking
+    * and takes DISTINCT (doc_id, fp) across chunk rows — exactly the
+    * cross-row distinct the mode adds.
+    */
+  private def qSpansChunked(implicit s: SparkSession, d: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val half = floor(size(col("ws")) / lit(2)).cast(IntegerType)
+    val chunked = t("documents")
+      .select(col("doc_id"), TextFunctions.words(col("text")).as("ws"))
+      .select(col("doc_id"), explode(array(
+        slice(col("ws"), lit(1), half),
+        slice(col("ws"), half + lit(1), size(col("ws")) - half))).as("cw"))
+      .select(col("doc_id"), concat_ws(" ", col("cw")).as("text"))
+    graft.operators.TextDedup.repeatedSpans(chunked, "doc_id", "text", docExact = true)
+      .orderBy(col("fp"))
+  }
+
   /** Repeated-span masking (TextDedup.maskRepeatedSpans): documents with
     * their globally-repeated 8-token passages removed. The oracle rebuilds
     * the same mask from list functions; texts compare as md5 to keep the
@@ -1448,6 +1469,7 @@ object SparkEntry {
     "q_incremental_dedup" -> mk(qIncrementalDedup(_, _)),
     "q_bloom_dedup"      -> mk(qBloomDedup(_, _)),
     "q_repeated_spans"   -> mk(qRepeatedSpans(_, _)),
+    "q_spans_chunked"    -> mk(qSpansChunked(_, _)),
     "q_mask_spans"       -> mk(qMaskSpans(_, _)),
     "q_corpus_dedup"     -> mk(qCorpusDedup(_, _)),
     "q_split_leakfree"   -> mk(qSplitLeakfree(_, _)),
@@ -1637,6 +1659,16 @@ object SparkEntry {
            |pos AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 7)) AS i FROM w),
            |wins AS (SELECT DISTINCT doc_id,
            |    md5(array_to_string(ws[i:i+7], ' ')) AS fp FROM pos)
+           |SELECT fp, count(*) AS n_docs, min(doc_id) AS min_doc_id
+           |FROM wins GROUP BY fp HAVING count(*) >= 2
+           |ORDER BY fp""".stripMargin,
+      "q_spans_chunked" ->
+        s"""WITH ${Frag.wordsCte},
+           |chunks AS (SELECT doc_id,
+           |    unnest([ws[1:len(ws)//2], ws[len(ws)//2+1:len(ws)]]) AS cw FROM w),
+           |pos AS (SELECT doc_id, cw, unnest(generate_series(1, len(cw) - 7)) AS i FROM chunks),
+           |wins AS (SELECT DISTINCT doc_id,
+           |    md5(array_to_string(cw[i:i+7], ' ')) AS fp FROM pos)
            |SELECT fp, count(*) AS n_docs, min(doc_id) AS min_doc_id
            |FROM wins GROUP BY fp HAVING count(*) >= 2
            |ORDER BY fp""".stripMargin,
