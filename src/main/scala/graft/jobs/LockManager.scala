@@ -65,10 +65,24 @@ final class LockManager(fs: FileSystem, lockDir: String, ttlMillis: Long = 24L *
     val p = lockPath(name)
     def createExclusive(): Boolean =
       try {
-        val out = fs.create(p, false) // atomic create-no-overwrite
-        try out.write(s"$owner\n${System.currentTimeMillis() + ttlMillis}"
-          .getBytes(StandardCharsets.UTF_8))
-        finally out.close()
+        val payload = s"$owner\n${System.currentTimeMillis() + ttlMillis}"
+          .getBytes(StandardCharsets.UTF_8)
+        if (fs.getScheme == "file") {
+          // Hadoop's local create(path, overwrite=false) is CHECK-then-act
+          // (exists() + plain O_CREAT|O_TRUNC open) — two replicas racing
+          // the same lock can BOTH pass the check and both believe they
+          // hold it. O_EXCL via nio is the actual atomic primitive here.
+          // (HDFS/ABFS create-no-overwrite is atomic server-side and keeps
+          // the Hadoop path below.)
+          val nio = java.nio.file.Paths.get(p.toUri.getPath)
+          val out = java.nio.file.Files.newOutputStream(nio,
+            java.nio.file.StandardOpenOption.CREATE_NEW,
+            java.nio.file.StandardOpenOption.WRITE)
+          try out.write(payload) finally out.close()
+        } else {
+          val out = fs.create(p, false) // atomic create-no-overwrite
+          try out.write(payload) finally out.close()
+        }
         true
       } catch { case _: java.io.IOException => false }
     if (createExclusive()) return true

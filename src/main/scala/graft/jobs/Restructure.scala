@@ -108,6 +108,20 @@ object Restructure {
       val tCfg = cfg.topicConfig(topic)
       if (tCfg.exclude) None
       else {
+        // Ledger freshness under the topic lock (multi-instance only):
+        // another replica may have committed this topic between OUR ledger
+        // load at run start and this lock acquisition — the lock orders
+        // processing but not the snapshot, and filtering candidates
+        // against the stale snapshot would re-extract the other replica's
+        // files (the locks are advisory; THIS re-read is what makes the
+        // ledger the correctness mechanism across instances). One
+        // metadata-sized read per topic batch, paid only when locks are
+        // configured; single-instance runs skip it.
+        if (locks.nonEmpty) store match {
+          case Some(s) =>
+            s.get(cfg.ledger).map(OffsetRangeSet.fromJson).foreach(ledger.mergeFrom)
+          case None => ledger.mergeFrom(loadLedger(fs, cfg.ledger))
+        }
         // S7/P10/P13: unseen ∧ old-enough ∧ limit
         val candidates = files
           .map(st => (st, TopicFiles.parseFilename(st.getPath.getName)))

@@ -36,6 +36,15 @@ final class OffsetRangeSet {
 
   def topicPartitions: Seq[(String, Int)] = synchronized { map.keys.toSeq.sortBy(identity) }
 
+  /** Union every interval of `other` into this set (multi-instance ledger
+    * refresh: another replica's commits merge in under the topic lock).
+    * `other` must not be concurrently mutated during the merge.
+    */
+  def mergeFrom(other: OffsetRangeSet): Unit =
+    other.topicPartitions.foreach { case (t, p) =>
+      other(t, p).intervals.foreach { case (f, to, lp) => add(t, p, f, to, lp) }
+    }
+
   def toJson: String = synchronized {
     val sb = new StringBuilder("{\"partitions\":[")
     var first = true

@@ -1,0 +1,139 @@
+package graft.jobs
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration._
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.{Path => HPath}
+
+import graft.SparkSpec
+
+/** Two-instance concurrency e2e (round-14 verdict task #4): two concurrent
+  * `Restructure.run` drivers on ONE shared input + output + filesystem
+  * ledger + `LockManager` lock dir — the deployment the reference proves
+  * with `RedisRemoteLockManagerTest`; our lock/ledger components were
+  * spec'd per-component only. The invariants must hold under EVERY
+  * interleaving: the topic extracts exactly once (lock-skip, or
+  * coverage-skip after the under-lock ledger refresh), output is
+  * byte-exact with no duplicated rows, and the ledger lands the exact
+  * merged interval. Plus the mid-run-failure handoff: a replica that dies
+  * inside topic processing releases its lock and commits nothing, and the
+  * next replica replays cleanly.
+  */
+class MultiInstanceE2eSpec extends SparkSpec {
+
+  private val fixtures = Paths.get("/root/reference/src/integrationTest/resources")
+  private val serverStatusFiles = Seq(
+    "application_server_status/partition=1/application_server_status+1+0000000018+0000000020.avro",
+    "application_server_status/partition=1/application_server_status+1+0000000021.avro")
+  private val topic = "application_server_status"
+  private val firstOut =
+    s"STAGING_PROJECT/1543bc93-3c17-4381-89a5-c5d6272b827c/$topic/CONNECTED"
+  private val golden1300 =
+    """key.projectId,key.userId,key.sourceId,value.time,value.serverStatus,value.ipAddress
+      |STAGING_PROJECT,1543bc93-3c17-4381-89a5-c5d6272b827c,99caf236-bbe6-4eed-9c63-fba77349821d,1.58021982003E9,CONNECTED,
+      |STAGING_PROJECT,1543bc93-3c17-4381-89a5-c5d6272b827c,99caf236-bbe6-4eed-9c63-fba77349821d,1.58021982003E9,CONNECTED,
+      |""".stripMargin
+
+  private def copyIn(in: Path, files: Seq[String]): Unit = files.foreach { f =>
+    val dst = in.resolve(f)
+    Files.createDirectories(dst.getParent)
+    Files.copy(fixtures.resolve(f), dst, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def cfg(in: Path, out: Path) = RestructureJobConfig(
+    inputRoot = in.toString,
+    outputRoot = out.toString,
+    lockDir = Some(out.resolve("_locks").toString),
+    topics = Map(topic -> TopicJobConfig(
+      pathTemplate = Some("${projectId}/${userId}/${topic}/${value:serverStatus}/${filename}"))))
+
+  private def hadoopFs(out: Path) =
+    new HPath(out.toString).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  test("two concurrent replicas: exactly-once extraction, byte-exact output, exact merged ledger interval") {
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    // several fresh rounds: the interleaving (lock-skip vs coverage-skip vs
+    // full overlap) varies run to run; the invariants may not
+    (1 to 3).foreach { round =>
+      val work = Files.createTempDirectory(s"graft-multi-$round")
+      val in = work.resolve("in"); val out = work.resolve("out")
+      copyIn(in, serverStatusFiles)
+      val c = cfg(in, out)
+      val pair = Await.result(Future.sequence(Seq(
+        Future(Restructure.run(spark, c)),
+        Future(Restructure.run(spark, c)))), 5.minutes)
+      assert(pair.flatMap(_.failedTopics).isEmpty,
+        s"round $round: ${pair.flatMap(_.failedTopics)}")
+      // exactly ONE replica extracted the topic — the other either lost the
+      // lock (skipped this iteration) or, having acquired it after the
+      // winner's commit, found every candidate covered by the refreshed
+      // ledger and produced no batch
+      val processedBy = pair.count(_.processedTopics.exists(_.topic == topic))
+      assert(processedBy == 1, s"round $round: topic processed by $processedBy replicas")
+      // no duplicated rows through any interleaving
+      assert(new String(Files.readAllBytes(out.resolve(s"$firstOut/20200128_1300.csv")),
+        "UTF-8") == golden1300, s"round $round: bin content diverged")
+      // persisted ledger holds exactly the one merged interval [18, 23]
+      // (the open-ended offsets-21+ object carries 3 records, closing at 23)
+      val ledger = Restructure.loadLedger(hadoopFs(out), c.ledger)
+      val ivs = ledger(topic, 1).intervals.map(i => (i._1, i._2))
+      assert(ivs == Seq((18L, 23L)), s"round $round: ledger intervals $ivs")
+      // locks released: no .lock files remain
+      val locks = out.resolve("_locks")
+      val left =
+        if (Files.isDirectory(locks))
+          Files.list(locks).iterator().asScala.map(_.getFileName.toString).toSeq
+        else Nil
+      assert(left.isEmpty, s"round $round: leftover locks $left")
+    }
+  }
+
+  test("replica skips a topic locked by another instance, then processes after release") {
+    val work = Files.createTempDirectory("graft-multi-skip")
+    val in = work.resolve("in"); val out = work.resolve("out")
+    copyIn(in, serverStatusFiles)
+    val c = cfg(in, out)
+    val fs = hadoopFs(out)
+    val foreign = new LockManager(fs, c.lockDir.get)
+    assert(foreign.tryAcquire(topic))
+    try {
+      val blocked = Restructure.run(spark, c)
+      // skipped, NOT failed — the service loop retries next iteration
+      assert(blocked.processedTopics.isEmpty && blocked.failedTopics.isEmpty)
+      assert(!Files.exists(out.resolve(firstOut)))
+    } finally foreign.release(topic)
+    val after = Restructure.run(spark, c)
+    assert(after.processedTopics.map(_.topic) == Seq(topic))
+    assert(new String(Files.readAllBytes(out.resolve(s"$firstOut/20200128_1300.csv")),
+      "UTF-8") == golden1300)
+  }
+
+  test("mid-run failure: lock released for handoff, nothing ledger-committed, next instance replays") {
+    val work = Files.createTempDirectory("graft-multi-fail")
+    val in = work.resolve("in"); val out = work.resolve("out")
+    // a corrupt Avro object with a valid ingestion filename: the replica
+    // acquires the topic lock, fails INSIDE processing, and must hand off
+    copyIn(in, serverStatusFiles.take(1))
+    val avro = in.resolve(serverStatusFiles.head)
+    Files.write(avro, "definitely not avro".getBytes("UTF-8"))
+    val c = cfg(in, out)
+    val failed = Restructure.run(spark, c)
+    assert(failed.failedTopics.map(_._1) == Seq(topic))
+    assert(!failed.ledger.contains(topic, 1, 18, 20, java.time.Instant.EPOCH))
+    // clean handoff: the lock file is gone despite the failure
+    val locks = out.resolve("_locks")
+    val left =
+      if (Files.isDirectory(locks))
+        Files.list(locks).iterator().asScala.map(_.getFileName.toString).toSeq
+      else Nil
+    assert(left.isEmpty, s"leftover locks after failure: $left")
+    // the next replica (healthy object restored) acquires and replays
+    copyIn(in, serverStatusFiles.take(1))
+    val retry = Restructure.run(spark, c)
+    assert(retry.failedTopics.isEmpty)
+    assert(retry.processedTopics.map(_.topic) == Seq(topic))
+    assert(retry.ledger.contains(topic, 1, 18, 20, java.time.Instant.EPOCH))
+  }
+}
