@@ -372,11 +372,40 @@ object Bench {
           s""""batch_records":${cn / slices},"sec":${r4(best)},""" +
           s""""records_per_sec":${r4(cn / best)},"passes":[${runs.map(r4).mkString(",")}]}"""
       }.mkString("[", ",", "]")
+      // Floor ATTRIBUTION (round-14 verdict task #3): one instrumented
+      // full-corpus loop decomposes the measured ~1.5 s/batch floor into
+      // the shipped step's own phases via dedupBatch's phaseSink —
+      // in-batch LSH dedup, history listing/partition discovery, the
+      // history-probe execution, and the parquet commit; "other" is loop
+      // wall minus attributed phases (driver plan construction + loop
+      // scheduling). Per-batch averages over the 10-batch loop.
+      val phaseTotals = scala.collection.mutable.LinkedHashMap[String, Double](
+        "inbatch_dedup" -> 0.0, "history_list" -> 0.0,
+        "probe_exec" -> 0.0, "commit" -> 0.0)
+      val decompWall = {
+        val work = java.nio.file.Files.createTempDirectory("graft-bench-stream-decomp")
+        try {
+          dropCachedBlocks(); System.gc()
+          val d = configs(1)._2
+          val t0 = System.nanoTime()
+          (0 until slices).foreach { b =>
+            val _ = graft.streaming.StreamingNearDedup.dedupBatch(
+              d.filter(pmod(col("doc_id"), lit(slices)) === b), b.toLong,
+              work.toString, epoch = "bench-decomp",
+              phaseSink = (n, s) => phaseTotals(n) = phaseTotals.getOrElse(n, 0.0) + s)
+          }
+          (System.nanoTime() - t0) / 1e9
+        } finally org.apache.commons.io.FileUtils.deleteDirectory(work.toFile)
+      }
+      val attributed = phaseTotals.values.sum
+      val decompJson = (phaseTotals.toSeq :+ ("other" -> (decompWall - attributed)))
+        .map { case (n, s) => s"${jsonStr(n)}:${r4(s / slices)}" }
+        .mkString(s"""{"loop_sec":${r4(decompWall)},"per_batch":{""", ",", "}}")
       // top-level fields keep the prior rounds' shape (the full-corpus row)
       val (_, bn, bbest, bruns) = rows(1)
       s"""{"records":$bn,"batches":$slices,"sec":${r4(bbest)},""" +
         s""""records_per_sec":${r4(bn / bbest)},"passes":[${bruns.map(r4).mkString(",")}],""" +
-        s""""batch_sweep":$sweepJson}"""
+        s""""batch_sweep":$sweepJson,"floor_decomposition":$decompJson}"""
     } catch { case e: Throwable =>
       Console.err.println(s"[bench] streaming FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
       s"""{"error":${jsonStr(e.toString)}}"""

@@ -45,7 +45,17 @@ object StreamingNearDedup {
       idCol: String = "doc_id", textCol: String = "text",
       shingleN: Int = 3, k: Int = 12, bands: Int = 6, rowsPerBand: Int = 2,
       num: Int = 1, den: Int = 2, epoch: String = "b",
-      compactEvery: Int = 16, ttlBatches: Long = 0L): DataFrame = {
+      compactEvery: Int = 16, ttlBatches: Long = 0L,
+      // per-phase wall-time sink (phase name, seconds) for floor
+      // attribution — a plain callback so the bench decomposes the SHIPPED
+      // step instead of a re-implementation; no-op (and no cost) by default
+      phaseSink: (String, Double) => Unit = (_, _) => ()): DataFrame = {
+    def phase[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      phaseSink(name, (System.nanoTime() - t0) / 1e9)
+      r
+    }
     val partitionKey = s"$epoch-$batchId"
     val spark = batch.sparkSession
     val rows = batch.select(col(idCol), col(textCol))
@@ -53,17 +63,27 @@ object StreamingNearDedup {
     var kept: DataFrame = null
     try {
       // 1. in-batch near-dedup (keep the minimum id per duplicate cluster)
-      kept = rows.join(
-        TextDedup.dedupCorpus(rows, idCol, textCol, shingleN, k, bands, rowsPerBand, num, den),
-        Seq(idCol), "left_semi")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      kept.count()
+      phase("inbatch_dedup") {
+        kept = rows.join(
+          TextDedup.dedupCorpus(rows, idCol, textCol, shingleN, k, bands, rowsPerBand, num, den),
+          Seq(idCol), "left_semi")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // NO eager count: the probe executes as ONE plan at the
+        // localCheckpoint below, whose first scan fills this cache; a
+        // concurrent consumer stage can at worst recompute the final
+        // post-shuffle map stage (kept's own shuffle files are reused), while
+        // the separate materializing action cost 4 scheduling round-trips
+        // per batch — removing it measured ~12% off the per-batch floor at
+        // micro-batch sizes and equal-or-better at full-corpus batches
+        // (round-15 floor decomposition, PLANS.md)
+      }
 
       // 2-3. probe the history; exact-verify candidates by shingle Jaccard.
       // The batch's OWN partition is excluded: on a foreachBatch replay it
       // already holds this batch's previous survivors, which would
       // self-duplicate every doc (and empty the partition on overwrite)
-      val history = readHistory(spark, historyDir, excludeKey = Some(partitionKey))
+      val history = phase("history_list")(
+        readHistory(spark, historyDir, excludeKey = Some(partitionKey)))
       val survivors = history match {
         case None => kept
         case Some(h) =>
@@ -93,16 +113,19 @@ object StreamingNearDedup {
       // each batch would otherwise add O(partitions) tiny files that every
       // later probe must list and open (retention mode never merges, so
       // files-per-batch is the bound there)
-      val out = survivors.localCheckpoint(true)
-      out.coalesce(math.max(1, spark.sparkContext.defaultParallelism / 8))
-        .write.mode("overwrite")
-        .parquet(s"$historyDir/batch=$partitionKey")
+      val out = phase("probe_exec")(survivors.localCheckpoint(true))
+      phase("commit") {
+        out.coalesce(math.max(1, spark.sparkContext.defaultParallelism / 8))
+          .write.mode("overwrite")
+          .parquet(s"$historyDir/batch=$partitionKey")
+      }
       // 5. periodic history compaction: without it the partition count (and
       // with it every later batch's probe-scan file count) grows one dir +
       // O(shuffle partitions) files PER BATCH, forever
       if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
-        compactHistory(spark, historyDir, epoch, upToBatchId = batchId - 2,
-          ttlBatches = ttlBatches)
+        phase("compact")(
+          compactHistory(spark, historyDir, epoch, upToBatchId = batchId - 2,
+            ttlBatches = ttlBatches))
       out
     } finally {
       if (kept != null) kept.unpersist(false)
@@ -137,7 +160,8 @@ object StreamingNearDedup {
         clusters.filter(col(idCol) === col("cluster")).select(col(idCol)),
         Seq(idCol), "left_semi")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      kept.count()
+      // no eager count — same single-plan cache-fill rationale as the text
+      // path's step 1
       val survivors = readHistory(spark, historyDir, excludeKey = Some(partitionKey)) match {
         case None => kept
         case Some(h) =>
