@@ -224,7 +224,7 @@ object Bench {
   private def benchOracle(sfDir: String): String =
     runOracleSweep(sfDir, SparkEntry.oracleSql)
 
-  private def runOracleSweep(sfDir: String, sql: Map[String, String],
+  private[graft] def runOracleSweep(sfDir: String, sql: Map[String, String],
       passes: Int = 2): String =
     try {
       val entries = sql.toSeq.sortBy(_._1)
