@@ -330,6 +330,63 @@ object Scratch {
         println(f"TOPORDERS bcast=$b%-5s ${(System.nanoTime() - t0) / 1e9}%7.3f s")
       }
     }
+    // Steady-state constant-factor ATTRIBUTION (round-14 verdict task #6):
+    // component walls splitting scan vs join vs agg. Scans force column
+    // materialization with sums (a bare count() short-circuits to parquet
+    // row-group metadata); joins add one stage at a time on the AQE plan;
+    // the prefix-subtraction gives each stage's marginal cost. min-of-2
+    // per component after the warm above.
+    val cores = spark.sparkContext.defaultParallelism
+    def timed(label: String)(f: => Long): (String, Double, Long) = {
+      val runs = (1 to 2).map { _ =>
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        val n = f
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      val (w, n) = runs.minBy(_._1)
+      println(f"TOPO-DECOMP $label%-28s $w%7.3f s  rows=$n%9d  ${n / w / cores / 1000}%8.1f krows/s/core")
+      (label, w, n)
+    }
+    def cust = Tables.load(spark, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    def ords = Tables.load(spark, dir, "orders")
+    def li = Tables.load(spark, dir, "lineitem")
+    val comps = Seq(
+      timed("scan customer(filtered)") {
+        cust.agg(count(col("c_custkey"))).collect()(0).getLong(0)
+      },
+      timed("scan orders(2 cols)") {
+        ords.agg(count(col("o_custkey")), sum(col("o_orderkey").cast("double")))
+          .collect()(0).getLong(0)
+      },
+      timed("scan lineitem(3 cols)") {
+        li.agg(count(col("l_orderkey")), sum(col("l_extendedprice")),
+          sum(col("l_discount"))).collect()(0).getLong(0)
+      },
+      timed("+join cust-orders") {
+        cust.join(ords, col("c_custkey") === col("o_custkey")).count()
+      },
+      timed("+join lineitem") {
+        cust.join(ords, col("c_custkey") === col("o_custkey"))
+          .join(li, col("o_orderkey") === col("l_orderkey")).count()
+      },
+      timed("full (agg+topN)") { variant(false).count() })
+    val w = comps.map(c => c._1 -> c._2).toMap
+    println(f"TOPO-MARGINAL join1=${w("+join cust-orders") - w("scan customer(filtered)") - w("scan orders(2 cols)")}%.3f s " +
+      f"join2=${w("+join lineitem") - w("+join cust-orders") - w("scan lineitem(3 cols)")}%.3f s " +
+      f"agg+topN=${w("full (agg+topN)") - w("+join lineitem")}%.3f s")
+    // codegen/vectorization audit of the EXECUTED plan: every scan batched,
+    // joins+agg inside WholeStageCodegen
+    val df = variant(false); df.collect()
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      .split("== Initial Plan ==").head
+    // formatted-mode markers: a vectorized scan surfaces as ColumnarToRow
+    // feeding codegen; `* ` prefixes every whole-stage-codegen'd operator
+    val scans = plan.linesIterator.count(_.contains("Scan parquet"))
+    val columnar = plan.linesIterator.count(_.contains("ColumnarToRow"))
+    val codegen = plan.linesIterator.count(_.trim.matches("""[:+\- ]*\* .*"""))
+    println(s"TOPO-PLAN scans=$scans columnar_scans=$columnar codegen_ops=$codegen")
     if (dir != sfDir)
       try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
       catch { case _: Throwable => }
