@@ -136,6 +136,10 @@ object Bench {
     // the cleaner verify+delete over a tree the restructure path just wrote
     val tenXJson = benchTenX(spark, sfDir, dropCachedBlocks _)
     loadSamples += loadAvg
+    // NATIVE sf1 (ScaleGen-generated — real file counts and cardinalities,
+    // not replication): the same heavy subset, both sides
+    val sfNativeJson = benchSfNative(spark, dropCachedBlocks _)
+    loadSamples += loadAvg
     val cleanerJson = benchCleaner(spark, sfDir, dropCachedBlocks _)
     loadSamples += loadAvg
     // Spark-vs-oracle pairing inside the SAME artifact: run the identical
@@ -175,7 +179,7 @@ object Bench {
       s""""ratio_paired_min":$ratioPairedMin,"oracle_total_min":$oracleTotalMin,""" +
       s""""queries":$qs,"queries_median":$qsMedian$failedJson,"load":$loadJson,""" +
       s""""sf":"$sfDir","restructure":$restructureJson,""" +
-      s""""sf1x10":$tenXJson,"cleaner":$cleanerJson,"jobs1x10":$jobs10xJson,""" +
+      s""""sf1x10":$tenXJson,"sf1_native":$sfNativeJson,"cleaner":$cleanerJson,"jobs1x10":$jobs10xJson,""" +
       s""""streaming":$streamingJson,"profile":$profileJson,"oracle":$oracleJson}"""
     // file copy survives even if the stdout tail truncates the line
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
@@ -198,9 +202,13 @@ object Bench {
         }.mkString("{", ",", "}")
         val omitted = results.size - n
         val omittedJson = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
+        // the native-sf1 paired ratio rides the compact line too: it is the
+        // one scale headline the budget can afford verbatim
+        val nativeRatio = """"ratio_paired_min"\s*:\s*([0-9.]+|null)""".r
+          .findFirstMatchIn(sfNativeJson).map(_.group(1)).getOrElse("null")
         s"""{"metric":"total","value":${r2(total)},"unit":"sec",""" +
           s""""total_median":${r2(totalMedian)},"oracle_total":$oracleTotalMin,""" +
-          s""""ratio_paired_min":$ratioPairedMin,""" +
+          s""""ratio_paired_min":$ratioPairedMin,"ratio_sf1_native":$nativeRatio,""" +
           s""""sf":${jsonStr(sfDir)},"queries":$qj$omittedJson$failedJson}"""
       }
       var n = results.size
@@ -437,9 +445,48 @@ object Bench {
       // with ≥0.9 s absolute (q_bloom_dedup 60×, q_top_orders 15× — both
       // profiled as floor-bound, ≤0.5 MiB shuffle; these rows put the
       // amortization claim on the record for them too)
-      val names = Seq("q_corpus_dedup", "q_minhash_pairs", "q_repeated_spans",
-        "q_ivfpq_topk", "q_tfidf", "q_bigram_logprob",
-        "q_bloom_dedup", "q_top_orders")
+      measureScaledSet(spark, work.toString, TenXNames, dropCachedBlocks,
+        prefixFields = s""""replication":$rep,"base_sf":${jsonStr(sfDir)},""",
+        cleanup = () => org.apache.commons.io.FileUtils.deleteDirectory(work.toFile))
+    } catch { case e: Throwable =>
+      Console.err.println(s"[bench] 10x setup FAILED: ${e.getClass.getName}: ${e.getMessage}")
+      s"""{"error":${jsonStr(s"${e.getClass.getSimpleName}: ${e.getMessage}")}}"""
+    }
+
+  /** The heavy scale subset shared by the sf1x10 (replicated) and
+    * sf1_native (ScaleGen-generated) sections.
+    */
+  private val TenXNames = Seq("q_corpus_dedup", "q_minhash_pairs", "q_repeated_spans",
+    "q_ivfpq_topk", "q_tfidf", "q_bigram_logprob",
+    "q_bloom_dedup", "q_top_orders")
+
+  /** NATIVE larger scale point (round-14 verdict task #5): generate sf1
+    * with [[ScaleGen]] — real file counts, parquet layout, and
+    * cardinalities grown naturally, NOT ×10 replication of sf0.1 — and run
+    * the same heavy subset both-sides on it. Generation is untimed setup;
+    * its seconds are recorded for context.
+    */
+  private def benchSfNative(spark: SparkSession, dropCachedBlocks: () => Unit): String =
+    try {
+      val work = java.nio.file.Files.createTempDirectory("graft-bench-sf1native")
+      val g0 = System.nanoTime()
+      ScaleGen.generate(spark, work.toString, 10.0)
+      val genSec = (System.nanoTime() - g0) / 1e9
+      measureScaledSet(spark, work.toString, TenXNames, dropCachedBlocks,
+        prefixFields = s""""generator":"ScaleGen","sf_ratio_vs_sf01":10,"gen_sec":${r4(genSec)},""",
+        cleanup = () => org.apache.commons.io.FileUtils.deleteDirectory(work.toFile))
+    } catch { case e: Throwable =>
+      Console.err.println(s"[bench] sf1-native setup FAILED: ${e.getClass.getName}: ${e.getMessage}")
+      s"""{"error":${jsonStr(s"${e.getClass.getSimpleName}: ${e.getMessage}")}}"""
+    }
+
+  /** Interleaved min-of-N measurement of `names` over `dir`, oracle-paired
+    * on the same dir — ONE implementation for every scaled section so the
+    * pass discipline and failure semantics cannot drift.
+    */
+  private def measureScaledSet(spark: SparkSession, dir: String, names: Seq[String],
+      dropCachedBlocks: () => Unit, prefixFields: String,
+      cleanup: () => Unit): String = {
       def once(name: String): Double = {
         dropCachedBlocks()
         // GC BEFORE the clock starts: by this point the JVM carries ~15 min
@@ -451,9 +498,9 @@ object Bench {
         // across passes — debt, not noise, so min-of-N could not absorb it.
         System.gc()
         val t0 = System.nanoTime()
-        try { SparkEntry.queries(name)(spark, work.toString).count() }
+        try { SparkEntry.queries(name)(spark, dir).count() }
         catch { case e: Throwable =>
-          Console.err.println(s"[bench] 10x FAILED $name: ${e.getClass.getSimpleName}: ${e.getMessage}")
+          Console.err.println(s"[bench] scaled FAILED $name: ${e.getClass.getSimpleName}: ${e.getMessage}")
           return -1.0
         }
         (System.nanoTime() - t0) / 1e9
@@ -477,13 +524,13 @@ object Bench {
         val runs = allRuns(name)
         name -> (if (runs.exists(_ < 0)) -1.0 else r4(runs.min))
       }
-      // oracle pairing on the SAME 10×-replicated corpus: the "Spark's
-      // per-job overhead amortizes at scale" argument needs both sides of
-      // the ratio measured at 10×, not just Spark's (3 passes + per-pass
+      // oracle pairing on the SAME scaled corpus: the "Spark's per-job
+      // overhead amortizes at scale" argument needs both sides of the
+      // ratio measured at scale, not just Spark's (3 passes + per-pass
       // array, mirroring the Spark side's noise legibility)
-      val oracle10 = runOracleSweep(work.toString,
+      val oracle10 = runOracleSweep(dir,
         SparkEntry.oracleSql.view.filterKeys(names.contains).toMap, passes = 3)
-      org.apache.commons.io.FileUtils.deleteDirectory(work.toFile)
+      cleanup()
       val qs = timed.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
       // every pass alongside the min: a 4× same-code spread (round 12's
       // final artifact vs its three committed snapshots) is then legible
@@ -494,12 +541,9 @@ object Bench {
       // same paired-min ratio as the headline: per-query mins on both sides
       val sparkSum = timed.collect { case (_, v) if v >= 0 => v }.sum
       val ratio10 = pairedMinRatio(sparkSum, timed.forall(_._2 >= 0), oracle10)
-      s"""{"replication":$rep,"base_sf":${jsonStr(sfDir)},"queries":$qs,""" +
+      s"""{$prefixFields"queries":$qs,""" +
         s""""ratio_paired_min":$ratio10,"passes":$passesJson,"oracle":$oracle10}"""
-    } catch { case e: Throwable =>
-      Console.err.println(s"[bench] 10x setup FAILED: ${e.getClass.getName}: ${e.getMessage}")
-      s"""{"error":${jsonStr(s"${e.getClass.getSimpleName}: ${e.getMessage}")}}"""
-    }
+  }
 
   /** Standing cleaner row: verify+delete over a restructure tree written
     * for the purpose (setup untimed). Files carry CLOSED offset ranges in

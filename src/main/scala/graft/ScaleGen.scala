@@ -1,0 +1,156 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic NATIVE scale-factor generator for the bench's larger-scale
+  * section: the driver's TESTDATA tooling is not shipped, so this
+  * re-creates its tables at bigger sf from the OBSERVED sf0.1 schemas and
+  * distributions (TESTDATA.md; distribution probe in PLANS.md round-15) —
+  * real cardinalities, real file counts, and natural parquet row-group
+  * layout, as opposed to the sf1x10 section's ×10 replication of sf0.1.
+  *
+  * Everything derives from xxhash64 of the row id — no RNG state, no
+  * driver loops — so generation is one distributed projection per table
+  * and the same (dir, sf) is bit-identical across runs.
+  *
+  * Mirrored structure that the heavy queries' work depends on:
+  *  - documents: 31-word vocabulary, 10-100 tokens/doc, lang skew
+  *    (en 41%, 4×~15%), 20 contiguous sources, ~5% of docs are token-level
+  *    mutations (8% substitution — tuned so the planted pairs land at
+  *    jaccard ≥ 0.5 like the base corpus: 256 such pairs / 5000 docs at
+  *    sf0.1, this generator ~230/5000) of a uniformly random earlier
+  *    doc, a rate CONSTANT per doc so pair counts grow linearly like a
+  *    real corpus;
+  *  - embeddings: 10 balanced clusters of unit-normalized 64-dim vectors;
+  *  - TPC-H-ish customer/orders/lineitem with the observed segment/status/
+  *    flag splits, date ranges, and ~4 lineitems per order.
+  */
+object ScaleGen {
+
+  private val Vocab = Seq("a", "agg", "batch", "big", "column", "customer",
+    "data", "dup", "fast", "filter", "group", "hash", "join", "key", "line",
+    "merge", "order", "part", "query", "row", "scan", "slow", "small",
+    "sort", "spark", "stream", "table", "the", "value", "vector", "window")
+
+  /** Uniform in [0,1) derived from (expr, salt). */
+  private def u(c: Column, salt: String): Column =
+    pmod(xxhash64(c, lit(salt)), lit(1L << 24)).cast("double") / (1L << 24).toDouble
+
+  private def pick(c: Column, salt: String, choices: Seq[String]): Column = {
+    val arr = array(choices.map(lit): _*)
+    element_at(arr, (pmod(xxhash64(c, lit(salt)), lit(choices.size)) + 1).cast("int"))
+  }
+
+  /** The deterministic token array of document `id` (pure function of the
+    * id, so a near-dup can rebuild its partner's tokens without a join).
+    */
+  private def toks(id: Column): Column = {
+    val n = (lit(10) + pmod(xxhash64(id, lit("len")), lit(91))).cast("int")
+    val vocabArr = array(Vocab.map(lit): _*)
+    transform(sequence(lit(1), n), j =>
+      element_at(vocabArr,
+        (pmod(xxhash64(id, j, lit("tok")), lit(Vocab.size)) + 1).cast("int")))
+  }
+
+  /** Generate all tables the heavy bench subset reads into `outDir`
+    * (documents, embeddings, customer, orders, lineitem, nation, region),
+    * scaled so `sfRatio` = 1.0 reproduces sf0.1's cardinalities (10.0 =
+    * native sf1). Returns outDir.
+    */
+  def generate(spark: SparkSession, outDir: String, sfRatio: Double): String = {
+    val nDocs = (5000 * sfRatio).toLong
+    val nEmb = (2000 * sfRatio).toLong
+    val nCust = (15000 * sfRatio).toLong
+    val nOrd = (150000 * sfRatio).toLong
+    val nLine = (600000 * sfRatio).toLong
+    val nPart = (20000 * sfRatio).toLong
+    val nSupp = (1000 * sfRatio).toLong
+    def parts(rows: Long): Int =
+      math.max(1, math.min(spark.sparkContext.defaultParallelism,
+        (rows / 200000L).toInt + 1))
+    def write(df: DataFrame, name: String, rows: Long): Unit =
+      df.repartition(parts(rows)).write.mode("overwrite")
+        .parquet(s"$outDir/$name.parquet")
+
+    // ---- documents: ~5% near-dup mutations of a random earlier doc
+    val id = col("id")
+    val isDup = (u(id, "dup") < 0.05) && (id > 0)
+    val partner = pmod(xxhash64(id, lit("part")), greatest(id, lit(1L)))
+    val baseToks = when(isDup, toks(partner)).otherwise(toks(id))
+    val vocabArr = array(Vocab.map(lit): _*)
+    val mutated = when(isDup,
+      zip_with(baseToks, sequence(lit(1), size(baseToks)), (t, j) =>
+        when(pmod(xxhash64(id, j, lit("mut")), lit(100)) < 8,
+          element_at(vocabArr,
+            (pmod(xxhash64(id, j, lit("mut2")), lit(Vocab.size)) + 1).cast("int")))
+          .otherwise(t)))
+      .otherwise(baseToks)
+    val text = concat_ws(" ", mutated)
+    val lang = when(u(id, "lang") < 0.41, "en")
+      .otherwise(pick(id, "lang2", Seq("zh", "es", "fr", "de")))
+    val docs = spark.range(nDocs).select(
+      id.as("doc_id"), text.as("text"), lang.as("lang"),
+      concat(lit("src"), floor(id / lit(math.max(1L, nDocs / 20)))
+        .cast("long")).as("source"),
+      length(text).as("n_chars"))
+    write(docs, "documents", nDocs)
+
+    // ---- embeddings: 10 clusters, unit-normalized 64-dim
+    val label = pmod(xxhash64(id, lit("lbl")), lit(10)).cast("int")
+    val raw = transform(sequence(lit(0), lit(63)), k => {
+      val center = u(label.cast("long") * 64 + k.cast("long"), "ctr") * 2.0 - 1.0
+      val noise = u(id * 64 + k.cast("long"), "nz") * 2.0 - 1.0
+      center + noise * lit(0.5)
+    })
+    val nrm = sqrt(aggregate(raw, lit(0.0), (acc, x) => acc + x * x))
+    val emb = spark.range(nEmb).select(
+      id.as("vec_id"),
+      transform(raw, x => (x / nrm).cast("float")).as("embedding"),
+      label.as("label"))
+    write(emb, "embeddings", nEmb)
+
+    // ---- TPC-H-ish
+    val cust = spark.range(nCust).select(
+      id.as("c_custkey"),
+      format_string("Customer#%09d", id).as("c_name"),
+      pmod(xxhash64(id, lit("nat")), lit(25)).cast("int").as("c_nationkey"),
+      round(u(id, "bal") * 11000 - 1000, 2).as("c_acctbal"),
+      pick(id, "seg", Seq("BUILDING", "AUTOMOBILE", "MACHINERY",
+        "HOUSEHOLD", "FURNITURE")).as("c_mktsegment"))
+    write(cust, "customer", nCust)
+
+    val ords = spark.range(nOrd).select(
+      id.as("o_orderkey"),
+      pmod(xxhash64(id, lit("cust")), lit(nCust)).as("o_custkey"),
+      pick(id, "stat", Seq("O", "P", "F")).as("o_orderstatus"),
+      round(u(id, "tot") * 100000 + 1000, 2).as("o_totalprice"),
+      to_timestamp(date_add(to_date(lit("1995-01-01")),
+        (u(id, "od") * 2404).cast("int"))).as("o_orderdate"),
+      pick(id, "prio", Seq("1-URGENT", "2-HIGH", "3-MEDIUM",
+        "4-NOT SPECIFIED", "5-LOW")).as("o_orderpriority"))
+    write(ords, "orders", nOrd)
+
+    val li = spark.range(nLine).select(
+      pmod(xxhash64(id, lit("ord")), lit(nOrd)).as("l_orderkey"),
+      pmod(xxhash64(id, lit("pk")), lit(nPart)).as("l_partkey"),
+      pmod(xxhash64(id, lit("sk")), lit(nSupp)).as("l_suppkey"),
+      (pmod(xxhash64(id, lit("ln")), lit(7)) + 1).cast("int").as("l_linenumber"),
+      (pmod(xxhash64(id, lit("qty")), lit(50)) + 1).cast("double").as("l_quantity"),
+      round(u(id, "px") * 104099 + 901, 2).as("l_extendedprice"),
+      round(u(id, "disc") * 0.1, 2).as("l_discount"),
+      round(u(id, "tax") * 0.08, 2).as("l_tax"),
+      pick(id, "rf", Seq("A", "N", "R")).as("l_returnflag"),
+      pick(id, "ls", Seq("O", "F")).as("l_linestatus"),
+      to_timestamp(date_add(to_date(lit("1995-01-02")),
+        (u(id, "sd") * 2498).cast("int"))).as("l_shipdate"))
+    write(li, "lineitem", nLine)
+
+    // fixed-cardinality dimensions copy through from the base testdata
+    Seq("nation", "region").foreach { t =>
+      spark.read.parquet(s"/root/testdata/sf0.1/$t.parquet")
+        .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+    }
+    outDir
+  }
+}
