@@ -138,7 +138,7 @@ object Bench {
     loadSamples += loadAvg
     // NATIVE sf1 (ScaleGen-generated — real file counts and cardinalities,
     // not replication): the same heavy subset, both sides
-    val sfNativeJson = benchSfNative(spark, dropCachedBlocks _)
+    val (sfNativeJson, sfNativeRatio) = benchSfNative(spark, sfDir, dropCachedBlocks _)
     loadSamples += loadAvg
     val cleanerJson = benchCleaner(spark, sfDir, dropCachedBlocks _)
     loadSamples += loadAvg
@@ -203,12 +203,11 @@ object Bench {
         val omitted = results.size - n
         val omittedJson = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
         // the native-sf1 paired ratio rides the compact line too: it is the
-        // one scale headline the budget can afford verbatim
-        val nativeRatio = """"ratio_paired_min"\s*:\s*([0-9.]+|null)""".r
-          .findFirstMatchIn(sfNativeJson).map(_.group(1)).getOrElse("null")
+        // one scale headline the budget can afford verbatim (returned
+        // structurally by measureScaledSet — never re-parsed from JSON)
         s"""{"metric":"total","value":${r2(total)},"unit":"sec",""" +
           s""""total_median":${r2(totalMedian)},"oracle_total":$oracleTotalMin,""" +
-          s""""ratio_paired_min":$ratioPairedMin,"ratio_sf1_native":$nativeRatio,""" +
+          s""""ratio_paired_min":$ratioPairedMin,"ratio_sf1_native":$sfNativeRatio,""" +
           s""""sf":${jsonStr(sfDir)},"queries":$qj$omittedJson$failedJson}"""
       }
       var n = results.size
@@ -447,7 +446,7 @@ object Bench {
       // amortization claim on the record for them too)
       measureScaledSet(spark, work.toString, TenXNames, dropCachedBlocks,
         prefixFields = s""""replication":$rep,"base_sf":${jsonStr(sfDir)},""",
-        cleanup = () => org.apache.commons.io.FileUtils.deleteDirectory(work.toFile))
+        cleanup = () => org.apache.commons.io.FileUtils.deleteDirectory(work.toFile))._1
     } catch { case e: Throwable =>
       Console.err.println(s"[bench] 10x setup FAILED: ${e.getClass.getName}: ${e.getMessage}")
       s"""{"error":${jsonStr(s"${e.getClass.getSimpleName}: ${e.getMessage}")}}"""
@@ -466,18 +465,19 @@ object Bench {
     * the same heavy subset both-sides on it. Generation is untimed setup;
     * its seconds are recorded for context.
     */
-  private def benchSfNative(spark: SparkSession, dropCachedBlocks: () => Unit): String =
+  private def benchSfNative(spark: SparkSession, sfDir: String,
+      dropCachedBlocks: () => Unit): (String, String) =
     try {
       val work = java.nio.file.Files.createTempDirectory("graft-bench-sf1native")
       val g0 = System.nanoTime()
-      ScaleGen.generate(spark, work.toString, 10.0)
+      ScaleGen.generate(spark, work.toString, 10.0, baseDir = sfDir)
       val genSec = (System.nanoTime() - g0) / 1e9
       measureScaledSet(spark, work.toString, TenXNames, dropCachedBlocks,
         prefixFields = s""""generator":"ScaleGen","sf_ratio_vs_sf01":10,"gen_sec":${r4(genSec)},""",
         cleanup = () => org.apache.commons.io.FileUtils.deleteDirectory(work.toFile))
     } catch { case e: Throwable =>
       Console.err.println(s"[bench] sf1-native setup FAILED: ${e.getClass.getName}: ${e.getMessage}")
-      s"""{"error":${jsonStr(s"${e.getClass.getSimpleName}: ${e.getMessage}")}}"""
+      (s"""{"error":${jsonStr(s"${e.getClass.getSimpleName}: ${e.getMessage}")}}""", "null")
     }
 
   /** Interleaved min-of-N measurement of `names` over `dir`, oracle-paired
@@ -486,7 +486,7 @@ object Bench {
     */
   private def measureScaledSet(spark: SparkSession, dir: String, names: Seq[String],
       dropCachedBlocks: () => Unit, prefixFields: String,
-      cleanup: () => Unit): String = {
+      cleanup: () => Unit): (String, String) = try {
       def once(name: String): Double = {
         dropCachedBlocks()
         // GC BEFORE the clock starts: by this point the JVM carries ~15 min
@@ -530,7 +530,6 @@ object Bench {
       // array, mirroring the Spark side's noise legibility)
       val oracle10 = runOracleSweep(dir,
         SparkEntry.oracleSql.view.filterKeys(names.contains).toMap, passes = 3)
-      cleanup()
       val qs = timed.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
       // every pass alongside the min: a 4× same-code spread (round 12's
       // final artifact vs its three committed snapshots) is then legible
@@ -541,9 +540,10 @@ object Bench {
       // same paired-min ratio as the headline: per-query mins on both sides
       val sparkSum = timed.collect { case (_, v) if v >= 0 => v }.sum
       val ratio10 = pairedMinRatio(sparkSum, timed.forall(_._2 >= 0), oracle10)
-      s"""{$prefixFields"queries":$qs,""" +
-        s""""ratio_paired_min":$ratio10,"passes":$passesJson,"oracle":$oracle10}"""
-  }
+      (s"""{$prefixFields"queries":$qs,""" +
+        s""""ratio_paired_min":$ratio10,"passes":$passesJson,"oracle":$oracle10}""",
+        ratio10)
+  } finally cleanup() // a throw anywhere above must not leak the multi-GB scaled dir
 
   /** Standing cleaner row: verify+delete over a restructure tree written
     * for the purpose (setup untimed). Files carry CLOSED offset ranges in

@@ -56,9 +56,11 @@ object ScaleGen {
   /** Generate all tables the heavy bench subset reads into `outDir`
     * (documents, embeddings, customer, orders, lineitem, nation, region),
     * scaled so `sfRatio` = 1.0 reproduces sf0.1's cardinalities (10.0 =
-    * native sf1). Returns outDir.
+    * native sf1). `baseDir` supplies the fixed-cardinality dimensions
+    * (nation/region copy through unscaled). Returns outDir.
     */
-  def generate(spark: SparkSession, outDir: String, sfRatio: Double): String = {
+  def generate(spark: SparkSession, outDir: String, sfRatio: Double,
+      baseDir: String): String = {
     val nDocs = (5000 * sfRatio).toLong
     val nEmb = (2000 * sfRatio).toLong
     val nCust = (15000 * sfRatio).toLong
@@ -148,7 +150,7 @@ object ScaleGen {
 
     // fixed-cardinality dimensions copy through from the base testdata
     Seq("nation", "region").foreach { t =>
-      spark.read.parquet(s"/root/testdata/sf0.1/$t.parquet")
+      spark.read.parquet(s"$baseDir/$t.parquet")
         .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$t.parquet")
     }
     outDir

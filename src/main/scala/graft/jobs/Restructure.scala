@@ -115,8 +115,11 @@ object Restructure {
         // against the stale snapshot would re-extract the other replica's
         // files (the locks are advisory; THIS re-read is what makes the
         // ledger the correctness mechanism across instances). One
-        // metadata-sized read per topic batch, paid only when locks are
-        // configured; single-instance runs skip it.
+        // metadata-sized read per topic batch, paid whenever locks are
+        // configured — which includes every store-backed deployment (the
+        // reference's Redis deployments are inherently multi-replica, so a
+        // peer may exist even when this process believes it is alone);
+        // only lockless filesystem runs skip it.
         if (locks.nonEmpty) store match {
           case Some(s) =>
             s.get(cfg.ledger).map(OffsetRangeSet.fromJson).foreach(ledger.mergeFrom)
@@ -1021,7 +1024,15 @@ object Restructure {
   def saveLedger(fs: FileSystem, path: String, ledger: OffsetRangeSet): Unit = {
     val p = new HPath(path)
     fs.mkdirs(p.getParent)
-    val out = fs.create(p, true)
+    // write-temp-then-rename: an in-place create(p, true) truncates before
+    // writing, so a concurrent reader (another replica's under-lock ledger
+    // refresh — the multi-instance protocol reads this file while peers
+    // flush) could see an empty/partial document and spuriously fail its
+    // topic. The atomic swap makes every read see a complete old or new
+    // ledger.
+    val tmp = new HPath(p.getParent, s".${p.getName}.tmp-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
     try out.write(ledger.toJson.getBytes("UTF-8")) finally out.close()
+    BinWriter.renameOver(fs, fs.getConf, tmp, p)
   }
 }

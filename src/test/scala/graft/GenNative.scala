@@ -16,8 +16,9 @@ object GenNative {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val t0 = System.nanoTime()
-    ScaleGen.generate(spark, out, ratio)
+    ScaleGen.generate(spark, out, ratio, baseDir = base)
     println(f"[gen] wrote $out at ratio $ratio in ${(System.nanoTime() - t0) / 1e9}%.1f s")
     spark.stop()
   }
