@@ -56,7 +56,34 @@ private[jobs] object BinWriter {
             if (!fs.exists(target))
               throw new java.io.IOException(s"failed to commit $src -> $target " +
                 "(temp already absent before first rename and no committed target found)")
+            // bare-existence adoption: with the temp gone there is nothing
+            // left to validate against, so this acceptance is weaker than
+            // the fingerprinted one below — make it visible in the task log
+            Console.err.println(s"[graft] adopting existing $target as commit: " +
+              s"temp $src absent before first rename (speculative twin or replay); " +
+              "no content validation possible")
             return
+          }
+          // Content fingerprint of the temp BEFORE the renames (src is gone
+          // afterwards): first + last block, two ranged reads of a file this
+          // task just wrote — not the full-bin re-read the length-only check
+          // was avoiding. This closes the equal-length-foreign-file residual:
+          // acceptance below requires the target to match the temp's length
+          // AND its head/tail bytes.
+          val fpBlock = 8192
+          val (srcHead, srcTail) = {
+            val headLen = math.min(fpBlock.toLong, srcLen).toInt
+            val tailLen = math.min(fpBlock.toLong, srcLen - headLen).toInt
+            val head = new Array[Byte](headLen)
+            val tail = new Array[Byte](tailLen)
+            if (srcLen > 0) {
+              val in = fs.open(src)
+              try {
+                in.readFully(0L, head, 0, headLen)
+                if (tailLen > 0) in.readFully(srcLen - tailLen, tail, 0, tailLen)
+              } finally in.close()
+            }
+            (head, tail)
           }
           if (fs.exists(target)) fs.delete(target, false)
           // CHECK the boolean: a silently failed rename here loses the
@@ -66,26 +93,34 @@ private[jobs] object BinWriter {
           // also returns false (src is gone) — so before failing the task,
           // accept a present target with no remaining src as a committed
           // rename rather than throwing a misleading error for work that
-          // succeeded. Acceptance is length-checked: the temp's size is
-          // captured BEFORE the rename attempts (src is gone afterwards),
-          // and a target whose length differs — a foreign writer's file or
-          // a partial copy — still fails the task instead of being adopted
-          // as this task's commit. RESIDUAL RISK (documented, accepted): a
-          // foreign writer's file of coincidentally EQUAL length is still
-          // adopted — distinguishing it would need a content digest of the
-          // temp before every rename, a full extra read of every bin to
-          // guard a path that only runs after two failed renames. The reads
+          // succeeded. Acceptance requires the target to match the temp's
+          // pre-captured length AND first/last-block bytes, so a foreign
+          // writer's file — even of coincidentally equal length — fails the
+          // task instead of being adopted as this task's commit. The reads
           // assume read-after-write consistency (HDFS, ABFS, and S3 since
           // 2020 all provide it); on a store without it a stale read could
           // mis-accept, and the idempotent bin replay on task retry is the
           // backstop.
           def committed: Boolean = !fs.exists(src) && {
-            try fs.getFileStatus(target).getLen == srcLen
-            catch { case _: java.io.FileNotFoundException => false }
+            try {
+              fs.getFileStatus(target).getLen == srcLen && (srcLen == 0 || {
+                val head = new Array[Byte](srcHead.length)
+                val tail = new Array[Byte](srcTail.length)
+                val in = fs.open(target)
+                try {
+                  in.readFully(0L, head, 0, head.length)
+                  if (tail.length > 0)
+                    in.readFully(srcLen - tail.length, tail, 0, tail.length)
+                } finally in.close()
+                java.util.Arrays.equals(head, srcHead) &&
+                  java.util.Arrays.equals(tail, srcTail)
+              })
+            } catch { case _: java.io.FileNotFoundException => false }
           }
           if (!fs.rename(src, target) && !fs.rename(src, target) && !committed)
             throw new java.io.IOException(s"failed to commit $src -> $target " +
-              s"(no target of the temp's length ($srcLen) appeared)")
+              s"(no target matching the temp's length ($srcLen) and " +
+              "first/last-block fingerprint appeared)")
       }
     }
 

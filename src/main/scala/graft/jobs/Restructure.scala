@@ -73,11 +73,6 @@ object Restructure {
     // commit (reference flushes offsets per write transaction,
     // OffsetRedisPersistence.kt:69-91), so a crash mid-run cannot re-extract
     // already-committed topics; the end-of-run flush remains as a safety net
-    val flushLock = new Object
-    def flushLedger(): Unit =
-      Timer.time("accounting.flush")(flushLock.synchronized(
-        store.fold(saveLedger(fs, cfg.ledger, ledger))(_.set(cfg.ledger, ledger.toJson))))
-
     // multi-instance admission control (reference: per-topic Redis SET NX
     // lock, RedisRemoteLockManager.kt:18-44): a topic locked by another
     // replica is skipped this iteration; the ledger stays the correctness
@@ -86,6 +81,47 @@ object Restructure {
       case Some(s) => Some(new StoreLocks(s, cfg.redisLockPrefix))
       case None => cfg.lockDir.map(d => new LockManager(fs, d))
     }
+
+    val flushLock = new Object
+    def flushLedger(): Unit =
+      Timer.time("accounting.flush")(flushLock.synchronized {
+        // Cross-topic lost-update guard (multi-instance only): per-topic
+        // locks let two replicas processing DIFFERENT topics flush
+        // concurrently, and a bare whole-document save would clobber the
+        // peer's just-committed intervals (its files re-extract next run —
+        // duplicate rows when dedup is off). Re-merge the persisted ledger
+        // into ours before saving so every flush writes a superset of what
+        // it read, and serialize the read-merge-write across replicas with
+        // a dedicated ledger lock (a name containing '!' cannot collide
+        // with a Kafka topic lock — topic names are [a-zA-Z0-9._-]). The
+        // MERGE is the correctness mechanism; the lock only closes the
+        // read-to-write window between peers, so if a peer starves us we
+        // still merge-and-save — at worst the races of the unlocked scheme,
+        // never worse.
+        def mergeAndSave(): Unit = {
+          store match {
+            case Some(s) =>
+              s.get(cfg.ledger).map(OffsetRangeSet.fromJson).foreach(ledger.mergeFrom)
+              s.set(cfg.ledger, ledger.toJson)
+            case None =>
+              ledger.mergeFrom(loadLedgerAwaitVisible(fs, cfg.ledger))
+              saveLedger(fs, cfg.ledger, ledger)
+          }
+        }
+        locks match {
+          case Some(lm) =>
+            var attempts = 0
+            var done = lm.withLock(LedgerFlushLockName)(mergeAndSave()).isDefined
+            while (!done && attempts < 40) {
+              attempts += 1
+              Thread.sleep(25)
+              done = lm.withLock(LedgerFlushLockName)(mergeAndSave()).isDefined
+            }
+            if (!done) mergeAndSave()
+          case None =>
+            store.fold(saveLedger(fs, cfg.ledger, ledger))(_.set(cfg.ledger, ledger.toJson))
+        }
+      })
 
     // per-topic failure isolation (reference RadarKafkaRestructure.kt:100-103
     // "Failed to map topic", warn + continue): one corrupt file or bad
@@ -123,7 +159,7 @@ object Restructure {
         if (locks.nonEmpty) store match {
           case Some(s) =>
             s.get(cfg.ledger).map(OffsetRangeSet.fromJson).foreach(ledger.mergeFrom)
-          case None => ledger.mergeFrom(loadLedger(fs, cfg.ledger))
+          case None => ledger.mergeFrom(loadLedgerAwaitVisible(fs, cfg.ledger))
         }
         // S7/P10/P13: unseen ∧ old-enough ∧ limit
         val candidates = files
@@ -1005,6 +1041,35 @@ object Restructure {
         }
       }
     } catch { case _: Exception => } // reclamation is best-effort, never fails a run
+
+  /** Serializes the cross-replica ledger read-merge-write in [[run]]'s
+    * flush; '!' is illegal in Kafka topic names, so this can never collide
+    * with a per-topic lock.
+    */
+  private[jobs] val LedgerFlushLockName = "graft!ledger-flush"
+
+  /** [[loadLedger]] for multi-instance readers: `saveLedger`'s swap is
+    * atomic only under FileContext rename — the fallback is
+    * delete-then-rename, leaving a window where the ledger file is MISSING
+    * and a bare load would mis-read zero coverage (silent re-extraction, a
+    * quieter variant of the truncating-create race saveLedger fixed). When
+    * the file is absent but its parent directory exists (so a ledger HAS
+    * been written before), treat the absence as transient and retry
+    * briefly; first-run absence (no parent) stays an immediate empty set.
+    */
+  private[jobs] def loadLedgerAwaitVisible(fs: FileSystem, path: String): OffsetRangeSet = {
+    val p = new HPath(path)
+    // bounded: a first multi-instance run whose ledger parent pre-exists
+    // (e.g. offsets.json directly under an existing output root) pays this
+    // wait once per topic until the first flush creates the file
+    var attempt = 0
+    while (attempt < 5 && !fs.exists(p) &&
+        (p.getParent != null && fs.exists(p.getParent))) {
+      attempt += 1
+      Thread.sleep(25)
+    }
+    loadLedger(fs, path)
+  }
 
   def loadLedger(fs: FileSystem, path: String): OffsetRangeSet = {
     val p = new HPath(path)

@@ -47,6 +47,22 @@ class FlakyLocalFileSystem extends RawLocalFileSystem {
         delete(src, false)
         FlakyLocalFileSystem.foreignPlants.incrementAndGet()
         false
+      case "equal-length-foreign" =>
+        // the adversarial variant of foreign-target: the planted file has
+        // the temp's EXACT length but different bytes (each byte inverted).
+        // Round 15's length-only acceptance ADOPTED this as a commit — the
+        // documented residual; the first/last-block fingerprint must refuse
+        // it and fail the topic
+        val st = getFileStatus(src)
+        val bytes = new Array[Byte](st.getLen.toInt)
+        val inS = open(src)
+        try inS.readFully(0, bytes) finally inS.close()
+        bytes.indices.foreach(i => bytes(i) = (~bytes(i)).toByte)
+        val out = create(dst, true)
+        try out.write(bytes) finally out.close()
+        delete(src, false)
+        FlakyLocalFileSystem.equalLengthPlants.incrementAndGet()
+        false
       case _ => super.rename(src, dst)
     }
   }
@@ -58,7 +74,10 @@ object FlakyLocalFileSystem {
   val mode = new AtomicReference[String]("off")
   val falseReports = new AtomicInteger(0)
   val foreignPlants = new AtomicInteger(0)
-  def reset(): Unit = { mode.set("off"); falseReports.set(0); foreignPlants.set(0) }
+  val equalLengthPlants = new AtomicInteger(0)
+  def reset(): Unit = {
+    mode.set("off"); falseReports.set(0); foreignPlants.set(0); equalLengthPlants.set(0)
+  }
 }
 
 /** E2e restructure through a NON-rename-atomic store (round-14 verdict
@@ -177,6 +196,31 @@ class FlakyStoreE2eSpec extends SparkSpec {
       val expected = golden1300.linesIterator.take(2).mkString("", "\n", "\n")
       assert(new String(Files.readAllBytes(out.resolve(s"$firstOut/20200128_1300.csv")),
         "UTF-8") == expected)
+    }
+  }
+
+  test("e2e: EQUAL-LENGTH foreign target is refused by the content fingerprint and fails the topic") {
+    val work = Files.createTempDirectory("graft-flaky-eqlen")
+    val in = work.resolve("in"); val out = work.resolve("out")
+    copyIn(in, serverStatusFiles.take(1))
+    withFlaky("equal-length-foreign") {
+      val result = Restructure.run(spark, cfg(in, out))
+      // round 15 ADOPTED this file (length matched); the fingerprint now
+      // fails the topic instead — no ledger commit, evidence intact
+      assert(result.failedTopics.map(_._1) == Seq("application_server_status"),
+        result.failedTopics.toString)
+      assert(!result.ledger.contains("application_server_status", 1, 18, 20,
+        java.time.Instant.EPOCH))
+      assert(FlakyLocalFileSystem.equalLengthPlants.get() >= 1)
+      val planted = outFiles(out).filterNot(_.endsWith(".json"))
+      assert(planted.nonEmpty)
+      planted.foreach { f =>
+        val bytes = Files.readAllBytes(out.resolve(f))
+        // still the foreign writer's inverted bytes — neither adopted as a
+        // commit nor overwritten by a retry
+        assert(!new String(bytes, "UTF-8").startsWith("key.projectId"),
+          s"planted file $f was replaced by real content")
+      }
     }
   }
 

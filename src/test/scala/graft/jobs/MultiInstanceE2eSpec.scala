@@ -90,6 +90,50 @@ class MultiInstanceE2eSpec extends SparkSpec {
     }
   }
 
+  test("two replicas on DIFFERENT topics: no cross-topic ledger lost-update") {
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    // the round-15 ADVICE race: per-topic locks ALLOW two replicas to
+    // process different topics concurrently, and each one's ledger flush is
+    // a whole-document write — without the flush-time re-merge (+ dedicated
+    // ledger lock), the later flush clobbers the earlier replica's
+    // just-committed intervals and its files silently re-extract next run.
+    // The per-topic listing split below forces exactly that deployment:
+    // each replica only ever sees (and locks) its own topic.
+    val accelTopic = "android_phone_acceleration"
+    val accelFile =
+      s"$accelTopic/partition=0/$accelTopic+0+0003018784.avro"
+    (1 to 3).foreach { round =>
+      val work = Files.createTempDirectory(s"graft-multi-2topic-$round")
+      val in = work.resolve("in"); val out = work.resolve("out")
+      copyIn(in, serverStatusFiles :+ accelFile)
+      val c = cfg(in, out)
+      val all = graft.sources.TopicFiles.listTopicsAll(spark, Seq(in.toString))
+      assert(all.keySet == Set(topic, accelTopic))
+      val pair = Await.result(Future.sequence(Seq(
+        Future(Restructure.run(spark, c, listing = Some(all.view.filterKeys(_ == topic).toMap))),
+        Future(Restructure.run(spark, c, listing = Some(all.view.filterKeys(_ == accelTopic).toMap))))),
+        5.minutes)
+      assert(pair.flatMap(_.failedTopics).isEmpty, s"round $round: ${pair.flatMap(_.failedTopics)}")
+      assert(pair.map(_.processedTopics.map(_.topic)).toSet ==
+        Set(Seq(topic), Seq(accelTopic)), s"round $round: ${pair.map(_.processedTopics)}")
+      // the PERSISTED ledger must hold BOTH replicas' intervals — this is
+      // the row a lost-update deletes
+      val ledger = Restructure.loadLedger(hadoopFs(out), c.ledger)
+      val ivs1 = ledger(topic, 1).intervals.map(i => (i._1, i._2))
+      assert(ivs1 == Seq((18L, 23L)), s"round $round: $topic intervals $ivs1")
+      val ivs2 = ledger(accelTopic, 0).intervals.map(i => (i._1, i._2))
+      assert(ivs2.nonEmpty && ivs2.head._1 == 3018784L,
+        s"round $round: $accelTopic intervals $ivs2")
+      // neither the topic locks nor the ledger-flush lock linger
+      val locks = out.resolve("_locks")
+      val left =
+        if (Files.isDirectory(locks))
+          Files.list(locks).iterator().asScala.map(_.getFileName.toString).toSeq
+        else Nil
+      assert(left.isEmpty, s"round $round: leftover locks $left")
+    }
+  }
+
   test("replica skips a topic locked by another instance, then processes after release") {
     val work = Files.createTempDirectory("graft-multi-skip")
     val in = work.resolve("in"); val out = work.resolve("out")
