@@ -140,6 +140,23 @@ object Bench {
     // not replication): the same heavy subset, both sides
     val (sfNativeJson, sfNativeRatio) = benchSfNative(spark, sfDir, dropCachedBlocks _)
     loadSamples += loadAvg
+    // second native point (sf3): turns "nothing super-linear" into a
+    // two-point native curve — real multi-hundred-file listings and 18M-row
+    // lineitem shuffles. The paired oracle EXCLUDES q_corpus_dedup (its
+    // recursive-CTE connected components already collapses at sf1, 90 s/
+    // pass; at sf3 it would blow the sweep budget) — instead ONE capped
+    // attempt is recorded separately as "oracle_cc" so the collapse itself
+    // stays on the record.
+    val (sf3NativeJson, sf3NativeRatio) = benchSfNative(spark, sfDir, dropCachedBlocks _,
+      sfRatio = 30.0, tag = "sf3native",
+      oracleNames = TenXNames.filterNot(_ == "q_corpus_dedup"),
+      postFields = dir => {
+        val cc = runOracleSweep(dir,
+          SparkEntry.oracleSql.view.filterKeys(_ == "q_corpus_dedup").toMap,
+          passes = 1, timeoutMin = 10)
+        s""""oracle_cc_excluded_from_ratio":true,"oracle_cc":$cc,"""
+      })
+    loadSamples += loadAvg
     val cleanerJson = benchCleaner(spark, sfDir, dropCachedBlocks _)
     loadSamples += loadAvg
     // Spark-vs-oracle pairing inside the SAME artifact: run the identical
@@ -179,7 +196,8 @@ object Bench {
       s""""ratio_paired_min":$ratioPairedMin,"oracle_total_min":$oracleTotalMin,""" +
       s""""queries":$qs,"queries_median":$qsMedian$failedJson,"load":$loadJson,""" +
       s""""sf":"$sfDir","restructure":$restructureJson,""" +
-      s""""sf1x10":$tenXJson,"sf1_native":$sfNativeJson,"cleaner":$cleanerJson,"jobs1x10":$jobs10xJson,""" +
+      s""""sf1x10":$tenXJson,"sf1_native":$sfNativeJson,"sf3_native":$sf3NativeJson,""" +
+      s""""cleaner":$cleanerJson,"jobs1x10":$jobs10xJson,""" +
       s""""streaming":$streamingJson,"profile":$profileJson,"oracle":$oracleJson}"""
     // file copy survives even if the stdout tail truncates the line
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
@@ -208,6 +226,7 @@ object Bench {
         s"""{"metric":"total","value":${r2(total)},"unit":"sec",""" +
           s""""total_median":${r2(totalMedian)},"oracle_total":$oracleTotalMin,""" +
           s""""ratio_paired_min":$ratioPairedMin,"ratio_sf1_native":$sfNativeRatio,""" +
+          s""""ratio_sf3_native":$sf3NativeRatio,""" +
           s""""sf":${jsonStr(sfDir)},"queries":$qj$omittedJson$failedJson}"""
       }
       var n = results.size
@@ -232,7 +251,7 @@ object Bench {
     runOracleSweep(sfDir, SparkEntry.oracleSql)
 
   private[graft] def runOracleSweep(sfDir: String, sql: Map[String, String],
-      passes: Int = 2): String =
+      passes: Int = 2, timeoutMin: Int = 20): String =
     try {
       val entries = sql.toSeq.sortBy(_._1)
         .map { case (k, v) => jsonStr(k) + ":" + jsonStr(v) }
@@ -255,9 +274,9 @@ object Bench {
             pb.redirectError(errFile.toFile)
             val proc = pb.start()
             proc.getOutputStream.close()
-            if (!proc.waitFor(20, java.util.concurrent.TimeUnit.MINUTES)) {
+            if (!proc.waitFor(timeoutMin.toLong, java.util.concurrent.TimeUnit.MINUTES)) {
               proc.destroyForcibly()
-              Console.err.println("[bench] oracle sweep timed out after 20 min")
+              Console.err.println(s"[bench] oracle sweep timed out after $timeoutMin min")
               "null"
             } else {
               val out = new String(java.nio.file.Files.readAllBytes(outFile),
@@ -466,17 +485,30 @@ object Bench {
     * its seconds are recorded for context.
     */
   private def benchSfNative(spark: SparkSession, sfDir: String,
-      dropCachedBlocks: () => Unit): (String, String) =
+      dropCachedBlocks: () => Unit, sfRatio: Double = 10.0,
+      tag: String = "sf1native", oracleNames: Seq[String] = TenXNames,
+      postFields: String => String = _ => ""): (String, String) =
     try {
-      val work = java.nio.file.Files.createTempDirectory("graft-bench-sf1native")
-      val g0 = System.nanoTime()
-      ScaleGen.generate(spark, work.toString, 10.0, baseDir = sfDir)
-      val genSec = (System.nanoTime() - g0) / 1e9
+      val work = java.nio.file.Files.createTempDirectory(s"graft-bench-$tag")
+      // generation runs under its own guard: a throw here (disk full, OOM
+      // at larger ratios) must delete the partially written multi-GB dir —
+      // measureScaledSet's finally-cleanup only covers the measured phase
+      val genSec =
+        try {
+          val g0 = System.nanoTime()
+          ScaleGen.generate(spark, work.toString, sfRatio, baseDir = sfDir)
+          (System.nanoTime() - g0) / 1e9
+        } catch { case e: Throwable =>
+          try org.apache.commons.io.FileUtils.deleteDirectory(work.toFile)
+          catch { case _: Throwable => }
+          throw e
+        }
       measureScaledSet(spark, work.toString, TenXNames, dropCachedBlocks,
-        prefixFields = s""""generator":"ScaleGen","sf_ratio_vs_sf01":10,"gen_sec":${r4(genSec)},""",
-        cleanup = () => org.apache.commons.io.FileUtils.deleteDirectory(work.toFile))
+        prefixFields = s""""generator":"ScaleGen","sf_ratio_vs_sf01":$sfRatio,"gen_sec":${r4(genSec)},""",
+        cleanup = () => org.apache.commons.io.FileUtils.deleteDirectory(work.toFile),
+        oracleNames = oracleNames, postFields = postFields)
     } catch { case e: Throwable =>
-      Console.err.println(s"[bench] sf1-native setup FAILED: ${e.getClass.getName}: ${e.getMessage}")
+      Console.err.println(s"[bench] $tag setup FAILED: ${e.getClass.getName}: ${e.getMessage}")
       (s"""{"error":${jsonStr(s"${e.getClass.getSimpleName}: ${e.getMessage}")}}""", "null")
     }
 
@@ -486,7 +518,12 @@ object Bench {
     */
   private def measureScaledSet(spark: SparkSession, dir: String, names: Seq[String],
       dropCachedBlocks: () => Unit, prefixFields: String,
-      cleanup: () => Unit): (String, String) = try {
+      cleanup: () => Unit, oracleNames: Seq[String] = null,
+      postFields: String => String = _ => ""): (String, String) = try {
+      val pairedNames = Option(oracleNames).getOrElse(names)
+      def loadAvg: Double =
+        java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+      val sectionLoads = scala.collection.mutable.ArrayBuffer(loadAvg)
       def once(name: String): Double = {
         dropCachedBlocks()
         // GC BEFORE the clock starts: by this point the JVM carries ~15 min
@@ -511,11 +548,14 @@ object Bench {
       // can still be 100% noise (round 12's final artifact recorded 8.9 s
       // for a query three same-code snapshots put at 1.76-2.76 s) —
       // min-of-5 puts the fast rows' noise floor below their signal
-      val base = Seq(names.map(once), names.map(once), names.map(once))
+      def sweep(ns: Seq[String]): Seq[Double] = {
+        val r = ns.map(once); sectionLoads += loadAvg; r
+      }
+      val base = Seq(sweep(names), sweep(names), sweep(names))
       val subThree = names.zipWithIndex.filter { case (_, i) =>
         val runs = base.map(_(i)); runs.forall(_ >= 0) && runs.min < 3.0
       }.map(_._1)
-      val extra = Seq(subThree.map(once), subThree.map(once))
+      val extra = Seq(sweep(subThree), sweep(subThree))
       val allRuns: Map[String, Seq[Double]] = names.zipWithIndex.map { case (name, i) =>
         val e = subThree.indexOf(name)
         name -> (base.map(_(i)) ++ (if (e >= 0) extra.map(_(e)) else Nil))
@@ -529,7 +569,7 @@ object Bench {
       // ratio measured at scale, not just Spark's (3 passes + per-pass
       // array, mirroring the Spark side's noise legibility)
       val oracle10 = runOracleSweep(dir,
-        SparkEntry.oracleSql.view.filterKeys(names.contains).toMap, passes = 3)
+        SparkEntry.oracleSql.view.filterKeys(pairedNames.contains).toMap, passes = 3)
       val qs = timed.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
       // every pass alongside the min: a 4× same-code spread (round 12's
       // final artifact vs its three committed snapshots) is then legible
@@ -538,9 +578,35 @@ object Bench {
         "\"" + name + "\":[" + allRuns(name).map(r4).mkString(",") + "]"
       }.mkString("{", ",", "}")
       // same paired-min ratio as the headline: per-query mins on both sides
-      val sparkSum = timed.collect { case (_, v) if v >= 0 => v }.sum
+      // (over the oracle-PAIRED subset when the caller excluded a query)
+      val sparkSum = timed.collect { case (k, v) if v >= 0 && pairedNames.contains(k) => v }.sum
       val ratio10 = pairedMinRatio(sparkSum, timed.forall(_._2 >= 0), oracle10)
-      (s"""{$prefixFields"queries":$qs,""" +
+      // CONTENTION FLAG (the headline's clean-window rule, extended to
+      // every scaled section): min-vs-median spread over the interleaved
+      // passes, per query and summed. Co-tenancy inflates the 32-thread
+      // Spark side asymmetrically (round 15: same-code sf1x10 read 1.42
+      // and 1.94 across windows; q_corpus_dedup passes [16.1, 5.5, 37.0]),
+      // so a section whose medians run far above its mins was measured on
+      // a dirty window and its ratio must not be read as a plan number.
+      // Rule (PLANS.md round-16): the committed head artifact's scaled
+      // ratios come from a sweep whose sections are NOT contended.
+      def median(xs: Seq[Double]): Double = {
+        val s = xs.sorted
+        if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+      }
+      val okRuns = names.map(allRuns).filter(_.forall(_ >= 0))
+      val sumMin = okRuns.map(_.min).sum
+      val sumMed = okRuns.map(median).sum
+      val sectionSpread = if (sumMin > 0) sumMed / sumMin else 1.0
+      val maxQuerySpread = okRuns.filter(_.min > 0).map(r => median(r) / r.min)
+        .foldLeft(1.0)(math.max)
+      val contended = sectionSpread > 1.5 || maxQuerySpread > 2.5
+      val contentionJson =
+        s""""load":{"start":${r4(sectionLoads.head)},"end":${r4(sectionLoads.last)},""" +
+        s""""max":${r4(sectionLoads.max)}},""" +
+        s""""spread_median_over_min":${r4(sectionSpread)},""" +
+        s""""max_query_spread":${r4(maxQuerySpread)},"contended":$contended,"""
+      (s"""{$prefixFields$contentionJson${postFields(dir)}"queries":$qs,""" +
         s""""ratio_paired_min":$ratio10,"passes":$passesJson,"oracle":$oracle10}""",
         ratio10)
   } finally cleanup() // a throw anywhere above must not leak the multi-GB scaled dir

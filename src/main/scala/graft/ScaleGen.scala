@@ -53,11 +53,12 @@ object ScaleGen {
         (pmod(xxhash64(id, j, lit("tok")), lit(Vocab.size)) + 1).cast("int")))
   }
 
-  /** Generate all tables the heavy bench subset reads into `outDir`
-    * (documents, embeddings, customer, orders, lineitem, nation, region),
-    * scaled so `sfRatio` = 1.0 reproduces sf0.1's cardinalities (10.0 =
-    * native sf1). `baseDir` supplies the fixed-cardinality dimensions
-    * (nation/region copy through unscaled). Returns outDir.
+  /** Generate ALL ten TESTDATA tables into `outDir` (documents, embeddings,
+    * customer, supplier, part, orders, lineitem, events, nation, region) —
+    * enough for the FULL oracle query set, not just the heavy bench
+    * subset — scaled so `sfRatio` = 1.0 reproduces sf0.1's cardinalities
+    * (10.0 = native sf1). `baseDir` supplies the fixed-cardinality
+    * dimensions (nation/region copy through unscaled). Returns outDir.
     */
   def generate(spark: SparkSession, outDir: String, sfRatio: Double,
       baseDir: String): String = {
@@ -133,11 +134,23 @@ object ScaleGen {
         "4-NOT SPECIFIED", "5-LOW")).as("o_orderpriority"))
     write(ords, "orders", nOrd)
 
+    // (l_orderkey, l_linenumber) is UNIQUE by construction: exactly 4 lines
+    // per order (the observed ~4 average) with 4 DISTINCT linenumbers from
+    // a per-order (base + i·stride) mod 7 walk (stride coprime to 7 ⇒ no
+    // repeats). The base data's duplicate (order, line) pairs make any
+    // cross-engine ORDER BY over those two columns tie-UNSTABLE — single-
+    // file data happens to agree, but a multi-file native dir diverges on
+    // part-file read order (q_flatten_nested caught this at ratio 1.0).
+    val ordKey = pmod(floor(id / 4), lit(math.max(1L, nOrd)))
+    val lineNo = (pmod(
+      pmod(xxhash64(ordKey, lit("lb")), lit(7)) +
+        pmod(id, lit(4)) * (pmod(xxhash64(ordKey, lit("ls")), lit(6)) + 1),
+      lit(7)) + 1).cast("int")
     val li = spark.range(nLine).select(
-      pmod(xxhash64(id, lit("ord")), lit(nOrd)).as("l_orderkey"),
+      ordKey.as("l_orderkey"),
       pmod(xxhash64(id, lit("pk")), lit(nPart)).as("l_partkey"),
       pmod(xxhash64(id, lit("sk")), lit(nSupp)).as("l_suppkey"),
-      (pmod(xxhash64(id, lit("ln")), lit(7)) + 1).cast("int").as("l_linenumber"),
+      lineNo.as("l_linenumber"),
       (pmod(xxhash64(id, lit("qty")), lit(50)) + 1).cast("double").as("l_quantity"),
       round(u(id, "px") * 104099 + 901, 2).as("l_extendedprice"),
       round(u(id, "disc") * 0.1, 2).as("l_discount"),
@@ -147,6 +160,58 @@ object ScaleGen {
       to_timestamp(date_add(to_date(lit("1995-01-02")),
         (u(id, "sd") * 2498).cast("int"))).as("l_shipdate"))
     write(li, "lineitem", nLine)
+
+    // ---- part: observed name/brand/type/size/price shapes (p_retailprice
+    // is the key-periodic 900 + (key mod 1000)/10 ramp the base data shows)
+    val partDf = spark.range(nPart).select(
+      id.as("p_partkey"),
+      concat_ws(" ",
+        pick(id, "adj", Seq("red", "small", "hot", "cold", "old", "new",
+          "large", "blue")),
+        pick(id, "noun", Seq("gear", "gizmo", "widget", "ring", "plate",
+          "anvil", "bolt", "rod"))).as("p_name"),
+      concat(lit("Brand#"),
+        (pmod(xxhash64(id, lit("brand")), lit(25)) + 1).cast("int")).as("p_brand"),
+      pick(id, "ptype", Seq("ECONOMY", "LARGE", "MEDIUM", "PROMO", "SMALL",
+        "STANDARD")).as("p_type"),
+      (pmod(xxhash64(id, lit("size")), lit(50)) + 1).cast("int").as("p_size"),
+      (lit(900.0) + pmod(id, lit(1000)).cast("double") / 10.0).as("p_retailprice"))
+    write(partDf, "part", nPart)
+
+    // ---- supplier
+    val supp = spark.range(nSupp).select(
+      id.as("s_suppkey"),
+      format_string("Supplier#%09d", id).as("s_name"),
+      pmod(xxhash64(id, lit("snat")), lit(25)).cast("int").as("s_nationkey"),
+      round(u(id, "sbal") * 11000 - 1000, 2).as("s_acctbal"))
+    write(supp, "supplier", nSupp)
+
+    // ---- events: the observed 30-day stream (sf0.1: 100k events, 1.5k
+    // users, ~exponential inter-arrival mean 25.9 s, value ~Exp(mean 50),
+    // props = {"k": 0..99}). Scaling grows DENSITY (more users → more
+    // events/day) over the fixed span, like a real product's stream; ts is
+    // a jittered monotone grid (gap ∈ (0, 2·mean), never negative —
+    // cumsum-of-exponentials would need a window, not a projection).
+    // Written as TIMESTAMP_NTZ to mirror the base data's physical type
+    // (isAdjustedToUTC=false; Tables.normalizeEventsTs handles both).
+    val nEvents = (100000 * sfRatio).toLong
+    val nUsers = math.max(1L, (1500 * sfRatio).toLong)
+    val spanMicros = 30L * 86400 * 1000000
+    val meanGapMicros = spanMicros.toDouble / nEvents
+    val startMicros = java.time.Instant.parse("2024-01-01T00:00:00Z")
+      .getEpochSecond * 1000000L
+    val events = spark.range(nEvents).select(
+      id.as("event_id"),
+      timestamp_micros(lit(startMicros) +
+        ((id.cast("double") + u(id, "jit")) * meanGapMicros).cast("long"))
+        .cast("timestamp_ntz").as("ts"),
+      pmod(xxhash64(id, lit("usr")), lit(nUsers)).as("user_id"),
+      pick(id, "et", Seq("view", "click", "purchase", "signup", "error"))
+        .as("event_type"),
+      round(-log(lit(1.0) - u(id, "val")) * 50.0, 2).as("value"),
+      format_string("{\"k\": %d}",
+        pmod(xxhash64(id, lit("prop")), lit(100)).cast("int")).as("props"))
+    write(events, "events", nEvents)
 
     // fixed-cardinality dimensions copy through from the base testdata
     Seq("nation", "region").foreach { t =>

@@ -532,12 +532,13 @@ object SparkEntry {
   private def qBloomDedup(implicit s: SparkSession, d: String): DataFrame = {
     val fp = md5(col("text").cast(BinaryType)).as("fp")
     val docs = t("documents").select(col("doc_id"), fp)
-    // auto-sized (expectedItems = 0) to the MEASURED history cardinality
-    // inside the operator: a fixed size either saturates at larger corpora
+    // auto-sized (expectedItems = 0): the operator measures the history
+    // cardinality INSIDE the digest aggregation (fused count — one history
+    // scan, not count + build) and rebuilds exactly-sized only beyond its
+    // 1M-item auto-capacity; a fixed size would saturate at larger corpora
     // (a 100k filter over a 333k-key 10× history pushes fpp toward ~50%
-    // and degrades the probe to the plain anti-join) or embeds a
-    // needlessly large digest literal at small ones. NOTE: bloomDedupAgainst
-    // is EAGER by contract (sizing count + digest collect at frame
+    // and degrades the probe to the plain anti-join). NOTE:
+    // bloomDedupAgainst is EAGER by contract (the digest collects at frame
     // CONSTRUCTION) — the one queries-map entry whose builder runs Spark
     // jobs before the frame is executed.
     graft.operators.Dedup.bloomDedupAgainst(

@@ -61,19 +61,26 @@ object Dedup {
     * re-derives per batch from one linear history scan, or is persisted
     * and re-used across batches by the caller (the filter is mergeable).
     *
-    * Sizing: `expectedItems = 0` (the default) measures the history key
-    * count with one metadata-cheap count — the number a real incremental
-    * pipeline tracks anyway — and sizes the digest to `max(100k, count)`;
-    * pass an explicit positive value to skip that action (e.g. when the
-    * caller already knows the cardinality). An undersized filter degrades
-    * fpp (more verify volume), never correctness. `numBits` is capped by
+    * Sizing: `expectedItems = 0` (the default) sizes the digest WITHOUT a
+    * separate counting pass — the ONE digest aggregation carries
+    * `count(keyCol)` alongside the Bloom partials (both map-side-combine
+    * into the same single-row exchange), built at [[AutoSizeCapacity]]
+    * capacity. Histories at or under the capacity are done in that one
+    * linear scan; a history whose measured count overflows it rebuilds the
+    * digest exactly-sized in a second pass (those histories paid
+    * count + build = two scans before this fusion too, so the fused path
+    * is never worse and saves a full history scan in the common case).
+    * Pass an explicit positive value to pin the size (e.g. when the caller
+    * already tracks the cardinality). An undersized filter degrades fpp
+    * (more verify volume), never correctness. `numBits` is capped by
     * Spark's `spark.sql.optimizer.runtime.bloomFilter.maxNumBits`
     * (default 8 MB).
     *
     * CONTRACT: this operator is EAGER — merely CONSTRUCTING the returned
-    * frame runs Spark jobs on the driver (the sizing count when auto-sized,
-    * and always the one-row digest aggregation collected as a plan
-    * literal). It is not a free plan-builder like the other operators.
+    * frame runs a Spark job on the driver (the one-row digest aggregation
+    * collected as a plan literal; a second one only for auto-sized
+    * histories beyond [[AutoSizeCapacity]]). It is not a free plan-builder
+    * like the other operators.
     */
   def bloomDedupAgainst(history: DataFrame, batch: DataFrame, keyCol: String,
       expectedItems: Long = 0L, fpp: Double = 0.03): DataFrame = {
@@ -81,23 +88,57 @@ object Dedup {
     require(expectedItems >= 0 && fpp > 0 && fpp < 1,
       s"expectedItems=$expectedItems, fpp=$fpp out of range")
     GraftExpressions.register(history.sparkSession)
-    val sizedItems =
-      if (expectedItems > 0) expectedItems
-      else math.max(100000L, history.select(col(keyCol)).count())
-    val numBits = math.ceil(
-      -sizedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong
-    val digest = Scale.widen(history).select(col(keyCol))
-      .agg(GraftExpressions.bloomAgg(col(keyCol), sizedItems, numBits).as("bf"))
-      .head().getAs[Array[Byte]](0)
+    def numBitsFor(items: Long): Long = math.ceil(
+      -items * math.log(fpp) / (math.log(2) * math.log(2))).toLong
+    // NO Scale.widen here: the digest aggregation is one linear hash pass
+    // whose parallelism follows the scan's natural splits — at 100 TB those
+    // are ample, and at small scale the pass is sub-second single-core.
+    // widen's partition-count peek compiles a full physical plan per call
+    // (measured ~0.3 s of pure driver overhead on this sub-second operator).
+    def build(items: Long): Array[Byte] =
+      history.select(col(keyCol))
+        .agg(GraftExpressions.bloomAgg(col(keyCol), items, numBitsFor(items)).as("bf"))
+        .head().getAs[Array[Byte]](0)
+    val digest =
+      if (expectedItems > 0) build(expectedItems)
+      else {
+        // fused sizing: count rides the digest aggregation's own scan
+        val row = history.select(col(keyCol))
+          .agg(
+            GraftExpressions.bloomAgg(
+              col(keyCol), AutoSizeCapacity, numBitsFor(AutoSizeCapacity)).as("bf"),
+            count(col(keyCol)).as("__n"))
+          .head()
+        val n = row.getLong(1)
+        if (n <= AutoSizeCapacity) row.getAs[Array[Byte]](0) else build(n)
+      }
     // null digest = empty history: everything in the batch is new
     if (digest == null) return batch
     val mightContain = GraftExpressions.bloomMightContain(lit(digest), col(keyCol))
     val definiteNew = batch.filter(!mightContain)
     val hits = batch.filter(mightContain)
+    // NO pre-distinct on the history side: an anti join's verdict ignores
+    // build-side duplicates, an incremental-dedup history is near-unique by
+    // construction (appended batch survivors), and the distinct is a full
+    // extra hash-aggregate over the biggest table in the plan — measured 2×
+    // the verify-join wall at 10× sf0.1. (A caller with a mass-duplicate
+    // history trades slightly higher join-shuffle volume, never wrongness.)
     val verified = hits.join(
-      history.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
+      history.select(col(keyCol)), Seq(keyCol), "left_anti")
     definiteNew.unionByName(verified)
   }
+
+  /** Auto-size capacity of the fused one-pass sizing in
+    * [[bloomDedupAgainst]]: 256k items ≈ a 228 KB digest at the default 3%
+    * fpp. The digest aggregate allocates its FULL bitmap in every map-side
+    * partial, so capacity is also the per-partial exchange weight (32
+    * partials × 228 KB ≈ 7 MB — a 1M capacity measured ~2× the one-pass
+    * agg wall from the 29 MB partial merge alone). Under-capacity
+    * histories get BETTER than the target fpp (same bits, fewer items);
+    * over-capacity ones rebuild exactly-sized in a second pass — the same
+    * two scans the pre-fusion formulation always paid.
+    */
+  val AutoSizeCapacity: Long = 1L << 18
 
   /** The reference's key-projection rule (format/CsvAvroConverterFactory.kt:
     * 203-221): use `distinctFields` if all are present in the frame, else the

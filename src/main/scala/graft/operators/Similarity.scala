@@ -421,7 +421,23 @@ object Similarity {
       .as[(Long, Long)]
     var stars = contractPartitions(edges)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var cnt = stars.count()
+    // FUSED count+collect: the ONE materializing job that fills the persist
+    // also returns each partition's exact count plus its first ≤100001 star
+    // edges — so the common small-graph case (every micro-batch, most bench
+    // corpora) needs NO second collect job before the driver-side finish.
+    // Bounded: ≤ 100001 rows × partitions ≈ tens of MB transient worst-case,
+    // and only when the graph is NOT small (the kept arrays are discarded).
+    val packed = stars.rdd.mapPartitions { it =>
+      val buf = new scala.collection.mutable.ArrayBuffer[(Long, Long)](64)
+      var n = 0L
+      it.foreach { e => n += 1; if (n <= 100001L) buf += e }
+      Iterator((n, buf.toArray))
+    }.collect()
+    var cnt = packed.iterator.map(_._1).sum
+    // complete only if no partition truncated its slice (total ≤ 100k ⇒
+    // every partition emitted all rows, since each kept up to 100001)
+    val packedRows: Array[(Long, Long)] =
+      if (cnt <= 100000L) packed.iterator.flatMap(_._2).toArray else null
     var parts = stars.rdd.getNumPartitions
     // shrink levels while each task's slice stays within the memory bound
     while (cnt > maxLocalEdges && parts > 1 &&
@@ -438,8 +454,10 @@ object Similarity {
         // small contracted graph: the mapping would be broadcast (= pulled
         // to the driver) anyway, so finish the union-find driver-side
         // directly from the collected stars — saves the coalesce(1)
-        // contraction job, its checkpoint, and the broadcast build
-        val local = stars.collect()
+        // contraction job, its checkpoint, and the broadcast build.
+        // packedRows is null only if the shrink LOOP replaced stars (the
+        // initial graph was huge but contracted under 100k) — collect then.
+        val local = if (packedRows != null) packedRows else stars.collect()
         val parent = scala.collection.mutable.HashMap.empty[Long, Long]
         def find(x0: Long): Long = {
           var x = x0

@@ -49,7 +49,17 @@ object StreamingNearDedup {
       // per-phase wall-time sink (phase name, seconds) for floor
       // attribution — a plain callback so the bench decomposes the SHIPPED
       // step instead of a re-implementation; no-op (and no cost) by default
-      phaseSink: (String, Double) => Unit = (_, _) => ()): DataFrame = {
+      phaseSink: (String, Double) => Unit = (_, _) => (),
+      // AQE OFF by default for the step's plans: every broadcast in the
+      // probe is EXPLICIT, the batch side is bounded by contract, and the
+      // hot-bucket collapse guard (not runtime skew-join) is the in-batch
+      // skew protection — so AQE's only contribution per micro-batch is
+      // one scheduled JOB PER EXCHANGE, and the per-job scheduling floor
+      // is the measured per-batch bottleneck (round-15 decomposition:
+      // ~33 jobs × ~55 ms). Measured with the floor harness: 34.4 →
+      // 13.4 jobs/batch and -36% full-corpus loop wall. Pass true to
+      // re-enable (e.g. outsized non-contract batches on a skewed corpus).
+      adaptive: Boolean = false): DataFrame = withAdaptive(batch.sparkSession, adaptive) {
     def phase[T](name: String)(f: => T): T = {
       val t0 = System.nanoTime()
       val r = f
@@ -83,7 +93,8 @@ object StreamingNearDedup {
       // already holds this batch's previous survivors, which would
       // self-duplicate every doc (and empty the partition on overwrite)
       val history = phase("history_list")(
-        readHistory(spark, historyDir, excludeKey = Some(partitionKey)))
+        readHistory(spark, historyDir, excludeKey = Some(partitionKey),
+          dataSchema = Some(rows.schema)))
       val survivors = history match {
         case None => kept
         case Some(h) =>
@@ -142,7 +153,10 @@ object StreamingNearDedup {
   def dedupEmbeddingBatch(batch: DataFrame, batchId: Long, historyDir: String,
       threshold: Double = 0.95, idCol: String = "vec_id",
       vecCol: String = "embedding", epoch: String = "b",
-      compactEvery: Int = 16, ttlBatches: Long = 0L): DataFrame = {
+      compactEvery: Int = 16, ttlBatches: Long = 0L,
+      // see dedupBatch: the step's plans are broadcast-explicit and
+      // bounded, so AQE only adds a scheduled job per exchange here
+      adaptive: Boolean = false): DataFrame = withAdaptive(batch.sparkSession, adaptive) {
     import graft.operators.Similarity
     val partitionKey = s"$epoch-$batchId"
     val spark = batch.sparkSession
@@ -162,7 +176,8 @@ object StreamingNearDedup {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // no eager count — same single-plan cache-fill rationale as the text
       // path's step 1
-      val survivors = readHistory(spark, historyDir, excludeKey = Some(partitionKey)) match {
+      val survivors = readHistory(spark, historyDir, excludeKey = Some(partitionKey),
+          dataSchema = Some(rows.schema)) match {
         case None => kept
         case Some(h) =>
           val dupIds = Similarity.cosineNearDupAgainst(h, kept, threshold, idCol, vecCol)
@@ -272,15 +287,38 @@ object StreamingNearDedup {
       .start()
   }
 
+  /** Toggle AQE around a synchronous step, restoring the previous value.
+    * The step's returned frames are MATERIALIZED inside (localCheckpoint +
+    * parquet commit), so nothing escapes that would execute under the
+    * restored conf. Session-scoped by nature: a concurrent query on the
+    * same session during the step sees the override — foreachBatch runs
+    * batches serially, which is the intended context.
+    */
+  private def withAdaptive[T](spark: SparkSession, enabled: Boolean)(f: => T): T = {
+    val key = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.get(key, "true")
+    if (prev.equalsIgnoreCase(enabled.toString)) f
+    else {
+      spark.conf.set(key, enabled.toString)
+      try f finally spark.conf.set(key, prev)
+    }
+  }
+
   private[streaming] def readHistory(spark: SparkSession, historyDir: String,
-      excludeKey: Option[String] = None): Option[DataFrame] = {
+      excludeKey: Option[String] = None,
+      dataSchema: Option[org.apache.spark.sql.types.StructType] = None): Option[DataFrame] = {
     val p = new org.apache.hadoop.fs.Path(historyDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p) || fs.listStatus(p).isEmpty) None
     else {
       // partition discovery surfaces `batch=<key>` as a column; the filter
-      // partition-prunes (never lists the excluded directory's files)
-      val all = spark.read.parquet(historyDir)
+      // partition-prunes (never lists the excluded directory's files).
+      // An explicit data schema (the per-batch callers know it — history
+      // rows are prior batches' survivors) skips the footer-inference job
+      // Spark otherwise schedules per batch; the `batch` partition column
+      // is discovered and appended either way.
+      val reader = dataSchema.fold(spark.read)(s => spark.read.schema(s))
+      val all = reader.parquet(historyDir)
       val pruned = excludeKey.fold(all)(key => all.filter(col("batch") =!= key))
       Some(pruned.drop("batch"))
     }

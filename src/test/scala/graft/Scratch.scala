@@ -37,6 +37,10 @@ object Scratch {
       profileIncremental(spark, sfDir, args.lift(1).map(_.toInt).getOrElse(100))
       spark.stop(); return
     }
+    if (args.headOption.contains("bloom")) {
+      profileBloom(spark, sfDir, args.lift(1).map(_.toInt).getOrElse(1))
+      spark.stop(); return
+    }
     if (args.headOption.contains("heavy")) {
       profileHeavy(spark, sfDir, args.lift(1).map(_.toInt).getOrElse(10))
       spark.stop(); return
@@ -191,6 +195,71 @@ object Scratch {
         emb.select(col("vec_id")).filter(col("vec_id") < 64), k = 10, nprobe = 4).count()
     }
     emb.unpersist()
+  }
+
+  /** q_bloom_dedup constant-factor attribution (round-15 verdict task #2):
+    * per-stage walls for the Bloom-guarded incremental dedup — the fused
+    * digest+count aggregation (the operator's one eager action), the OLD
+    * two-action formulation (separate sizing count + digest build) for the
+    * before/after, and the probe+verify execution — at 1× and `replicate`×.
+    */
+  private def profileBloom(spark: SparkSession, sfDir: String, replicate: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.functions.GraftExpressions
+    GraftExpressions.register(spark)
+    val dir =
+      if (replicate <= 1) sfDir
+      else BenchSupport.replicateCorpus(spark, sfDir, replicate, "graft-scratch-bloom",
+        withTpch = false).toString
+    val fp = md5(col("text").cast(org.apache.spark.sql.types.BinaryType)).as("fp")
+    def docs = Tables.load(spark, dir, "documents").select(col("doc_id"), fp)
+    def history = docs.filter(col("doc_id") % 3 =!= 0)
+    def batch = docs.filter(col("doc_id") % 3 === 0)
+    def timed(label: String)(f: => Any): Double = {
+      val runs = (1 to 3).map { _ =>
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      println(f"BLOOM-DECOMP $label%-34s min=${runs.min}%7.3f s  passes=${runs.map(r => f"$r%.3f").mkString(",")}")
+      runs.min
+    }
+    // warm every shape once
+    graft.operators.Dedup.bloomDedupAgainst(history, batch, "fp").count()
+    val nHist = history.count()
+    println(s"BLOOM-DECOMP history=$nHist batch=${batch.count()} (replicate=$replicate)")
+    def numBitsFor(items: Long): Double =
+      math.ceil(-items * math.log(0.03) / (math.log(2) * math.log(2)))
+    timed("OLD sizing count (action 1/2)") { history.select(col("fp")).count() }
+    timed("OLD digest build (action 2/2)") {
+      val items = math.max(100000L, nHist)
+      history.select(col("fp"))
+        .agg(GraftExpressions.bloomAgg(col("fp"), items, numBitsFor(items).toLong).as("bf"))
+        .head()
+    }
+    timed("FUSED digest+count (one pass)") {
+      val cap = graft.operators.Dedup.AutoSizeCapacity
+      history.select(col("fp"))
+        .agg(GraftExpressions.bloomAgg(col("fp"), cap, numBitsFor(cap).toLong).as("bf"),
+          count(col("fp")).as("__n"))
+        .head()
+    }
+    val eagerSec = timed("construct (eager digest only)") {
+      graft.operators.Dedup.bloomDedupAgainst(history, batch, "fp")
+    }
+    val fullSec = timed("full query (construct+probe+verify)") {
+      graft.operators.Dedup.bloomDedupAgainst(history, batch, "fp").count()
+    }
+    // the probe+verify execution is the full wall minus the eager digest
+    println(f"BLOOM-DECOMP probe+verify (full - eager)     ${fullSec - eagerSec}%7.3f s")
+    timed("oracle-shape anti join (no bloom)") {
+      batch.join(history.select(col("fp")).distinct(), Seq("fp"), "left_anti").count()
+    }
+    timed("anti join, no distinct build side") {
+      batch.join(history.select(col("fp")), Seq("fp"), "left_anti").count()
+    }
+    if (dir != sfDir)
+      try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      catch { case _: Throwable => }
   }
 
   /** Measures what connectedComponents' mapping broadcast actually costs

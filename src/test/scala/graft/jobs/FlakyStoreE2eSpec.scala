@@ -21,6 +21,22 @@ class FlakyLocalFileSystem extends RawLocalFileSystem {
   override def getScheme: String = "flaky"
   override def getUri: URI = FlakyLocalFileSystem.FsUri
   override def rename(src: HPath, dst: HPath): Boolean = {
+    // PARQUET-COMMIT misbehavior (streaming history writes): budget-limited
+    // false reports on FileOutputCommitter renames (attempt/task dirs under
+    // `_temporary`) — the move completes server-side but the store reports
+    // failure, the committer throws, and the caller sees a failed write it
+    // must replay. Checked BEFORE the BinWriter gate: these temps are
+    // directories named by the committer, not `.name.tmp-*` files.
+    if (FlakyLocalFileSystem.mode.get() == "parquet-commit-false" &&
+        src.toString.contains("_temporary")) {
+      if (FlakyLocalFileSystem.parquetFalseBudget.get() > 0 &&
+          FlakyLocalFileSystem.parquetFalseBudget.getAndDecrement() > 0) {
+        super.rename(src, dst)
+        FlakyLocalFileSystem.parquetFalseReports.incrementAndGet()
+        return false
+      }
+      return super.rename(src, dst)
+    }
     // misbehave only on BIN commit temps: ledger flushes ride the same
     // temp+rename protocol since round 15, but poisoning them would fail
     // the run at the (unisolated) end-of-run flush instead of exercising
@@ -75,8 +91,13 @@ object FlakyLocalFileSystem {
   val falseReports = new AtomicInteger(0)
   val foreignPlants = new AtomicInteger(0)
   val equalLengthPlants = new AtomicInteger(0)
+  // parquet-commit-false mode: how many committer renames may still
+  // misbehave (bounded so a replay eventually succeeds), and how many did
+  val parquetFalseBudget = new AtomicInteger(0)
+  val parquetFalseReports = new AtomicInteger(0)
   def reset(): Unit = {
     mode.set("off"); falseReports.set(0); foreignPlants.set(0); equalLengthPlants.set(0)
+    parquetFalseBudget.set(0); parquetFalseReports.set(0)
   }
 }
 
