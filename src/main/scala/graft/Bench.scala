@@ -150,11 +150,20 @@ object Bench {
     val (sf3NativeJson, sf3NativeRatio) = benchSfNative(spark, sfDir, dropCachedBlocks _,
       sfRatio = 30.0, tag = "sf3native",
       oracleNames = TenXNames.filterNot(_ == "q_corpus_dedup"),
+      oraclePasses = 2,
       postFields = dir => {
+        val capMin = 6
         val cc = runOracleSweep(dir,
           SparkEntry.oracleSql.view.filterKeys(_ == "q_corpus_dedup").toMap,
-          passes = 1, timeoutMin = 10)
-        s""""oracle_cc_excluded_from_ratio":true,"oracle_cc":$cc,"""
+          passes = 1, timeoutMin = capMin)
+        // a timed-out CC attempt is itself the evidence (the recursive-CTE
+        // oracle collapses where the contraction CC holds) — record it
+        // structurally, DISTINCT from plain absence (no duckdb, script
+        // error), which stays null
+        val ccJson =
+          if (cc == "timeout") s"""{"timed_out_after_min":$capMin}"""
+          else embeddableOracle(cc)
+        s""""oracle_cc_excluded_from_ratio":true,"oracle_cc":$ccJson,"""
       })
     loadSamples += loadAvg
     val cleanerJson = benchCleaner(spark, sfDir, dropCachedBlocks _)
@@ -165,7 +174,7 @@ object Bench {
     // one commit. The harness is the DRIVER-side python+duckdb (shelled
     // out, never a library dependency); a host without it degrades to
     // "oracle": null rather than failing the bench.
-    val oracleJson = benchOracle(sfDir)
+    val oracleJson = embeddableOracle(benchOracle(sfDir))
     loadSamples += loadAvg
     // jobs at 10×: the sf1x10 section scales the QUERY side; this scales
     // the two JOBS — cleaner verification over a 10×-replicated event
@@ -277,7 +286,10 @@ object Bench {
             if (!proc.waitFor(timeoutMin.toLong, java.util.concurrent.TimeUnit.MINUTES)) {
               proc.destroyForcibly()
               Console.err.println(s"[bench] oracle sweep timed out after $timeoutMin min")
-              "null"
+              // distinct sentinel: a TIMEOUT is evidence (the workload blew
+              // its budget), a "null" is absence (no duckdb, script error).
+              // Callers embedding into JSON must map both via oracleJson().
+              "timeout"
             } else {
               val out = new String(java.nio.file.Files.readAllBytes(outFile),
                 java.nio.charset.StandardCharsets.UTF_8).trim
@@ -301,6 +313,12 @@ object Bench {
       Console.err.println(s"[bench] oracle sweep FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
       "null"
     }
+
+  /** Embeddable JSON for a [[runOracleSweep]] result: the non-JSON
+    * sentinels ("timeout", "null") both map to JSON null.
+    */
+  private def embeddableOracle(sweep: String): String =
+    if (sweep.startsWith("{")) sweep else "null"
 
   /** The oracle sweep's `"total"` (its sum of per-query mins) as the raw
     * numeric string, or None when the sweep is absent/unparseable.
@@ -487,6 +505,7 @@ object Bench {
   private def benchSfNative(spark: SparkSession, sfDir: String,
       dropCachedBlocks: () => Unit, sfRatio: Double = 10.0,
       tag: String = "sf1native", oracleNames: Seq[String] = TenXNames,
+      oraclePasses: Int = 3,
       postFields: String => String = _ => ""): (String, String) =
     try {
       val work = java.nio.file.Files.createTempDirectory(s"graft-bench-$tag")
@@ -506,7 +525,8 @@ object Bench {
       measureScaledSet(spark, work.toString, TenXNames, dropCachedBlocks,
         prefixFields = s""""generator":"ScaleGen","sf_ratio_vs_sf01":$sfRatio,"gen_sec":${r4(genSec)},""",
         cleanup = () => org.apache.commons.io.FileUtils.deleteDirectory(work.toFile),
-        oracleNames = oracleNames, postFields = postFields)
+        oracleNames = oracleNames, oraclePasses = oraclePasses,
+        postFields = postFields)
     } catch { case e: Throwable =>
       Console.err.println(s"[bench] $tag setup FAILED: ${e.getClass.getName}: ${e.getMessage}")
       (s"""{"error":${jsonStr(s"${e.getClass.getSimpleName}: ${e.getMessage}")}}""", "null")
@@ -519,6 +539,7 @@ object Bench {
   private def measureScaledSet(spark: SparkSession, dir: String, names: Seq[String],
       dropCachedBlocks: () => Unit, prefixFields: String,
       cleanup: () => Unit, oracleNames: Seq[String] = null,
+      oraclePasses: Int = 3,
       postFields: String => String = _ => ""): (String, String) = try {
       val pairedNames = Option(oracleNames).getOrElse(names)
       def loadAvg: Double =
@@ -568,8 +589,9 @@ object Bench {
       // overhead amortizes at scale" argument needs both sides of the
       // ratio measured at scale, not just Spark's (3 passes + per-pass
       // array, mirroring the Spark side's noise legibility)
-      val oracle10 = runOracleSweep(dir,
-        SparkEntry.oracleSql.view.filterKeys(pairedNames.contains).toMap, passes = 3)
+      val oracle10 = embeddableOracle(runOracleSweep(dir,
+        SparkEntry.oracleSql.view.filterKeys(pairedNames.contains).toMap,
+        passes = oraclePasses))
       val qs = timed.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
       // every pass alongside the min: a 4× same-code spread (round 12's
       // final artifact vs its three committed snapshots) is then legible
@@ -578,9 +600,12 @@ object Bench {
         "\"" + name + "\":[" + allRuns(name).map(r4).mkString(",") + "]"
       }.mkString("{", ",", "}")
       // same paired-min ratio as the headline: per-query mins on both sides
-      // (over the oracle-PAIRED subset when the caller excluded a query)
+      // (over the oracle-PAIRED subset when the caller excluded a query —
+      // the validity gate matches: a failure of an EXCLUDED query is
+      // visible as its -1 but must not null a fully-paired ratio)
       val sparkSum = timed.collect { case (k, v) if v >= 0 && pairedNames.contains(k) => v }.sum
-      val ratio10 = pairedMinRatio(sparkSum, timed.forall(_._2 >= 0), oracle10)
+      val ratio10 = pairedMinRatio(sparkSum,
+        timed.forall { case (k, v) => v >= 0 || !pairedNames.contains(k) }, oracle10)
       // CONTENTION FLAG (the headline's clean-window rule, extended to
       // every scaled section): min-vs-median spread over the interleaved
       // passes, per query and summed. Co-tenancy inflates the 32-thread

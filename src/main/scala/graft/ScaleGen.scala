@@ -66,7 +66,11 @@ object ScaleGen {
     val nEmb = (2000 * sfRatio).toLong
     val nCust = (15000 * sfRatio).toLong
     val nOrd = (150000 * sfRatio).toLong
-    val nLine = (600000 * sfRatio).toLong
+    // DERIVED, not independently truncated: lineitem's (orderkey, linenumber)
+    // uniqueness construction needs nLine = 4·nOrd EXACTLY — a fractional
+    // sfRatio truncating the two independently would leave tail rows
+    // wrapping onto order 0 with duplicate linenumbers
+    val nLine = 4 * nOrd
     val nPart = (20000 * sfRatio).toLong
     val nSupp = (1000 * sfRatio).toLong
     def parts(rows: Long): Int =

@@ -534,8 +534,10 @@ object SparkEntry {
     val docs = t("documents").select(col("doc_id"), fp)
     // auto-sized (expectedItems = 0): the operator measures the history
     // cardinality INSIDE the digest aggregation (fused count — one history
-    // scan, not count + build) and rebuilds exactly-sized only beyond its
-    // 1M-item auto-capacity; a fixed size would saturate at larger corpora
+    // scan, not count + build, for histories up to the 256k-item
+    // AutoSizeCapacity; beyond it — e.g. a 333k-key 10× history — it
+    // rebuilds exactly-sized, the same two scans the old count+build
+    // always paid); a fixed size would saturate at larger corpora
     // (a 100k filter over a 333k-key 10× history pushes fpp toward ~50%
     // and degrades the probe to the plain anti-join). NOTE:
     // bloomDedupAgainst is EAGER by contract (the digest collects at frame

@@ -425,20 +425,24 @@ object Similarity {
     // also returns each partition's exact count plus its first ≤100001 star
     // edges — so the common small-graph case (every micro-batch, most bench
     // corpora) needs NO second collect job before the driver-side finish.
-    // Bounded: ≤ 100001 rows × partitions ≈ tens of MB transient worst-case,
-    // and only when the graph is NOT small (the kept arrays are discarded).
+    // The data piggyback is GATED on partition count: worst-case transfer
+    // is partitions × 100001 edges, so beyond 32 partitions (where the
+    // saved ~55 ms scheduling round-trip is noise anyway) the job ships
+    // counts only — a 2000-partition 100 TB star set must never push
+    // multiple GB at the driver just to learn it is not small.
+    var parts = stars.rdd.getNumPartitions
+    val packData = parts <= 32
     val packed = stars.rdd.mapPartitions { it =>
       val buf = new scala.collection.mutable.ArrayBuffer[(Long, Long)](64)
       var n = 0L
-      it.foreach { e => n += 1; if (n <= 100001L) buf += e }
+      it.foreach { e => n += 1; if (packData && n <= 100001L) buf += e }
       Iterator((n, buf.toArray))
     }.collect()
     var cnt = packed.iterator.map(_._1).sum
     // complete only if no partition truncated its slice (total ≤ 100k ⇒
     // every partition emitted all rows, since each kept up to 100001)
     val packedRows: Array[(Long, Long)] =
-      if (cnt <= 100000L) packed.iterator.flatMap(_._2).toArray else null
-    var parts = stars.rdd.getNumPartitions
+      if (packData && cnt <= 100000L) packed.iterator.flatMap(_._2).toArray else null
     // shrink levels while each task's slice stays within the memory bound
     while (cnt > maxLocalEdges && parts > 1 &&
         math.max(1, parts / 8) >= (cnt + maxLocalEdges - 1) / maxLocalEdges) {
