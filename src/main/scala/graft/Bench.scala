@@ -111,10 +111,6 @@ object Bench {
       }
       sweep
     }
-    def median(xs: Seq[Double]): Double = {
-      val s = xs.sorted
-      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
-    }
     val results = names.zipWithIndex.map { case (name, i) =>
       val runs = sweeps.map(_(i))
       (name, runs.map(_._1).min, median(runs.map(_._1)), runs.forall(_._2))
@@ -166,6 +162,34 @@ object Bench {
         s""""oracle_cc_excluded_from_ratio":true,"oracle_cc":$ccJson,"""
       })
     loadSamples += loadAvg
+    // THIRD native point (sf10 ≈ 1.7 GB, ratio 100 vs sf0.1): OFF by
+    // default — its generation + sweeps add ~10 min — enabled with
+    // SPARK_GRAFT_SF10=1 for one-shot native-curve extension runs. The
+    // paired oracle excludes q_corpus_dedup (its recursive-CTE CC already
+    // times out at sf3) AND q_minhash_pairs (66 s/pass at sf3,
+    // super-linear) — each gets ONE capped attempt recorded structurally,
+    // same treatment as sf3's oracle_cc.
+    val sf10NativeJson: Option[String] =
+      if (!sys.env.get("SPARK_GRAFT_SF10").contains("1")) None
+      else Some(benchSfNative(spark, sfDir, dropCachedBlocks _,
+        sfRatio = 100.0, tag = "sf10native",
+        oracleNames = TenXNames.filterNot(n =>
+          n == "q_corpus_dedup" || n == "q_minhash_pairs"),
+        oraclePasses = 2,
+        postFields = dir => {
+          val capMin = 10
+          def capped(q: String): String = {
+            val res = runOracleSweep(dir,
+              SparkEntry.oracleSql.view.filterKeys(_ == q).toMap,
+              passes = 1, timeoutMin = capMin)
+            if (res == "timeout") s"""{"timed_out_after_min":$capMin}"""
+            else embeddableOracle(res)
+          }
+          s""""oracle_cc_excluded_from_ratio":true,"oracle_cc":${capped("q_corpus_dedup")},""" +
+            s""""oracle_minhash_excluded_from_ratio":true,""" +
+            s""""oracle_minhash":${capped("q_minhash_pairs")},"""
+        })._1)
+    sf10NativeJson.foreach(_ => loadSamples += loadAvg)
     val cleanerJson = benchCleaner(spark, sfDir, dropCachedBlocks _)
     loadSamples += loadAvg
     // Spark-vs-oracle pairing inside the SAME artifact: run the identical
@@ -206,6 +230,7 @@ object Bench {
       s""""queries":$qs,"queries_median":$qsMedian$failedJson,"load":$loadJson,""" +
       s""""sf":"$sfDir","restructure":$restructureJson,""" +
       s""""sf1x10":$tenXJson,"sf1_native":$sfNativeJson,"sf3_native":$sf3NativeJson,""" +
+      sf10NativeJson.map(j => s""""sf10_native":$j,""").getOrElse("") +
       s""""cleaner":$cleanerJson,"jobs1x10":$jobs10xJson,""" +
       s""""streaming":$streamingJson,"profile":$profileJson,"oracle":$oracleJson}"""
     // file copy survives even if the stdout tail truncates the line
@@ -353,6 +378,11 @@ object Bench {
       .replace("\n", "\\n").replace("\r", "\\r").replace("\t", "\\t") + "\""
 
   private def r4(x: Double): Double = math.rint(x * 1e4) / 1e4
+
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+  }
 
   /** Standing streaming row: the incremental near-dedup service loop
     * (StreamingNearDedup.dedupBatch — the exact per-micro-batch step the
@@ -615,10 +645,6 @@ object Bench {
       // a dirty window and its ratio must not be read as a plan number.
       // Rule (PLANS.md round-16): the committed head artifact's scaled
       // ratios come from a sweep whose sections are NOT contended.
-      def median(xs: Seq[Double]): Double = {
-        val s = xs.sorted
-        if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
-      }
       val okRuns = names.map(allRuns).filter(_.forall(_ >= 0))
       val sumMin = okRuns.map(_.min).sum
       val sumMed = okRuns.map(median).sum

@@ -17,14 +17,77 @@ private[jobs] object BinWriter {
   private val fileContexts =
     new java.util.concurrent.ConcurrentHashMap[URI, Option[org.apache.hadoop.fs.FileContext]]()
 
+  /** Head/tail content fingerprint of a written temp: its byte length plus
+    * the first `min(FpBlock, len)` and last `min(FpBlock, len - headLen)`
+    * raw bytes. Used by the non-FileContext commit fallback to validate a
+    * false-reporting rename's target by content, not just length.
+    */
+  private[jobs] final case class Fingerprint(len: Long, head: Array[Byte], tail: Array[Byte])
+
+  private[jobs] final val FpBlock = 8192
+
+  /** OutputStream wrapper retaining the first and rolling-last [[FpBlock]]
+    * raw bytes plus the byte count while streaming to `underlying` — the
+    * commit fallback's fingerprint then costs zero extra I/O instead of an
+    * open + two ranged reads of the temp this same task just wrote (on s3a
+    * that re-read is two GETs per bin, on the happy path).
+    */
+  private[jobs] final class FingerprintStream(underlying: java.io.OutputStream)
+      extends java.io.OutputStream {
+    private var len = 0L
+    private val head = new Array[Byte](FpBlock)
+    private val ring = new Array[Byte](FpBlock)
+    override def write(b: Int): Unit = {
+      if (len < FpBlock) head(len.toInt) = b.toByte
+      ring((len % FpBlock).toInt) = b.toByte
+      len += 1
+      underlying.write(b)
+    }
+    override def write(b: Array[Byte], off: Int, n: Int): Unit = {
+      if (len < FpBlock) {
+        val c = math.min(n.toLong, FpBlock - len).toInt
+        System.arraycopy(b, off, head, len.toInt, c)
+      }
+      // only the final min(n, FpBlock) bytes of this write can survive in
+      // the ring; earlier ones would be overwritten within the same call
+      var i = math.max(0, n - FpBlock)
+      var pos = ((len + i) % FpBlock).toInt
+      while (i < n) {
+        ring(pos) = b(off + i)
+        pos += 1; if (pos == FpBlock) pos = 0
+        i += 1
+      }
+      len += n
+      underlying.write(b, off, n)
+    }
+    override def flush(): Unit = underlying.flush()
+    override def close(): Unit = underlying.close()
+    /** Call after close(): the stream's final length and head/tail bytes. */
+    def fingerprint: Fingerprint = {
+      val headLen = math.min(FpBlock.toLong, len).toInt
+      val tailLen = math.min(FpBlock.toLong, len - headLen).toInt
+      val t = new Array[Byte](tailLen)
+      var pos = ((len - tailLen) % FpBlock).toInt
+      var i = 0
+      while (i < tailLen) { t(i) = ring(pos); pos += 1; if (pos == FpBlock) pos = 0; i += 1 }
+      Fingerprint(len, java.util.Arrays.copyOf(head, headLen), t)
+    }
+  }
+
+  def renameOver(fs: FileSystem, conf: Configuration, src: HPath, target: HPath): Unit =
+    renameOver(fs, conf, src, target, None)
+
   /** K8 atomic replace (reference parity: `Files.move(ATOMIC_MOVE,
     * REPLACE_EXISTING)`, target/LocalTargetStorage.kt:100-122). Local FS is
     * one nio syscall (FileContext would fork an `ls` per target stat);
     * other filesystems use a cached FileContext with `Rename.OVERWRITE`;
     * those with no FileContext binding (s3a — where rename is a copy and
-    * nothing is atomic anyway) fall back to delete+rename.
+    * nothing is atomic anyway) fall back to delete+rename. `fp` is the
+    * temp's write-time fingerprint when the caller captured one (the bin
+    * writer does); without it the fallback reads head/tail from the temp.
     */
-  def renameOver(fs: FileSystem, conf: Configuration, src: HPath, target: HPath): Unit =
+  def renameOver(fs: FileSystem, conf: Configuration, src: HPath, target: HPath,
+      fp: Option[Fingerprint]): Unit =
     if (fs.getScheme == "file") {
       java.nio.file.Files.move(
         java.nio.file.Paths.get(src.toUri.getPath),
@@ -52,38 +115,53 @@ private[jobs] object BinWriter {
           // twin's; the bin's bytes are rebuilt deterministically from the
           // same sorted rows, so either writer's file is the same
           // content); no target at all is a real failure.
-          if (srcLen < 0) {
+          // bare-existence adoption: with the temp gone there is nothing
+          // left to validate against, so this acceptance is weaker than
+          // the fingerprinted one below — make it visible in the task log
+          def adoptOrFail(why: String): Unit =
             if (!fs.exists(target))
-              throw new java.io.IOException(s"failed to commit $src -> $target " +
-                "(temp already absent before first rename and no committed target found)")
-            // bare-existence adoption: with the temp gone there is nothing
-            // left to validate against, so this acceptance is weaker than
-            // the fingerprinted one below — make it visible in the task log
-            Console.err.println(s"[graft] adopting existing $target as commit: " +
-              s"temp $src absent before first rename (speculative twin or replay); " +
-              "no content validation possible")
+              throw new java.io.IOException(
+                s"failed to commit $src -> $target ($why and no committed target found)")
+            else
+              Console.err.println(s"[graft] adopting existing $target as commit: " +
+                s"$why (speculative twin or replay); no content validation possible")
+          if (srcLen < 0) {
+            adoptOrFail("temp already absent before first rename")
             return
           }
           // Content fingerprint of the temp BEFORE the renames (src is gone
-          // afterwards): first + last block, two ranged reads of a file this
-          // task just wrote — not the full-bin re-read the length-only check
-          // was avoiding. This closes the equal-length-foreign-file residual:
-          // acceptance below requires the target to match the temp's length
-          // AND its head/tail bytes.
-          val fpBlock = 8192
-          val (srcHead, srcTail) = {
-            val headLen = math.min(fpBlock.toLong, srcLen).toInt
-            val tailLen = math.min(fpBlock.toLong, srcLen - headLen).toInt
-            val head = new Array[Byte](headLen)
-            val tail = new Array[Byte](tailLen)
-            if (srcLen > 0) {
-              val in = fs.open(src)
+          // afterwards): write-time-captured when the caller passed one
+          // (zero I/O), else first + last block via two ranged reads of a
+          // file this task just wrote — not the full-bin re-read the
+          // length-only check was avoiding. This closes the
+          // equal-length-foreign-file residual: acceptance below requires
+          // the target to match the temp's length AND its head/tail bytes.
+          // A temp vanishing between the stat above and the ranged read
+          // (external dot-temp cleanup) lands in the same adoption path as
+          // srcLen < 0, not a raw FileNotFoundException task failure.
+          val fpRead: Option[Fingerprint] = fp.filter(_.len == srcLen) match {
+            case s @ Some(_) => s
+            case None =>
               try {
-                in.readFully(0L, head, 0, headLen)
-                if (tailLen > 0) in.readFully(srcLen - tailLen, tail, 0, tailLen)
-              } finally in.close()
-            }
-            (head, tail)
+                val headLen = math.min(FpBlock.toLong, srcLen).toInt
+                val tailLen = math.min(FpBlock.toLong, srcLen - headLen).toInt
+                val head = new Array[Byte](headLen)
+                val tail = new Array[Byte](tailLen)
+                if (srcLen > 0) {
+                  val in = fs.open(src)
+                  try {
+                    in.readFully(0L, head, 0, headLen)
+                    if (tailLen > 0) in.readFully(srcLen - tailLen, tail, 0, tailLen)
+                  } finally in.close()
+                }
+                Some(Fingerprint(srcLen, head, tail))
+              } catch { case _: java.io.FileNotFoundException => None }
+          }
+          val fpv = fpRead match {
+            case Some(v) => v
+            case None =>
+              adoptOrFail("temp vanished between its length stat and the fingerprint read")
+              return
           }
           if (fs.exists(target)) fs.delete(target, false)
           // CHECK the boolean: a silently failed rename here loses the
@@ -104,16 +182,16 @@ private[jobs] object BinWriter {
           def committed: Boolean = !fs.exists(src) && {
             try {
               fs.getFileStatus(target).getLen == srcLen && (srcLen == 0 || {
-                val head = new Array[Byte](srcHead.length)
-                val tail = new Array[Byte](srcTail.length)
+                val head = new Array[Byte](fpv.head.length)
+                val tail = new Array[Byte](fpv.tail.length)
                 val in = fs.open(target)
                 try {
                   in.readFully(0L, head, 0, head.length)
                   if (tail.length > 0)
                     in.readFully(srcLen - tail.length, tail, 0, tail.length)
                 } finally in.close()
-                java.util.Arrays.equals(head, srcHead) &&
-                  java.util.Arrays.equals(tail, srcTail)
+                java.util.Arrays.equals(head, fpv.head) &&
+                  java.util.Arrays.equals(tail, fpv.tail)
               })
             } catch { case _: java.io.FileNotFoundException => false }
           }
@@ -173,6 +251,7 @@ private[jobs] object BinWriter {
     var tmp: HPath = null
     var target: HPath = null
     var out: java.io.BufferedWriter = null
+    var fpStream: FingerprintStream = null
     // keep-first: keys already written to the current bin (stream, O(keys));
     // keep-last: surviving line per key in last-occurrence order (remove +
     // re-insert on duplicate = the reference's surviving-index order)
@@ -195,7 +274,7 @@ private[jobs] object BinWriter {
       }
       seen.clear()
       out.close() // cascades: flush chars → finish gzip/zip → close stream
-      renameOver(fs, conf, tmp, target)
+      renameOver(fs, conf, tmp, target, Option(fpStream).map(_.fingerprint))
       chown(target)
       written += current
       out = null
@@ -253,10 +332,12 @@ private[jobs] object BinWriter {
       tmp = new HPath(target.getParent,
         s".${target.getName}.tmp-$runTag${java.util.UUID.randomUUID()}")
       // local FS: plain FileOutputStream — skip the Hadoop stream wrapper
-      // (same rationale as renameOver's nio move)
+      // (same rationale as renameOver's nio move). Non-local commits go
+      // through renameOver's fallback, so capture the head/tail fingerprint
+      // while the bytes stream out instead of re-reading the temp later.
       val raw: java.io.OutputStream =
-        if (localFs) new java.io.FileOutputStream(tmp.toUri.getPath)
-        else fs.create(tmp, true)
+        if (localFs) { fpStream = null; new java.io.FileOutputStream(tmp.toUri.getPath) }
+        else { fpStream = new FingerprintStream(fs.create(tmp, true)); fpStream }
       val stream: java.io.OutputStream =
         if (zip) {
           // K6: single entry named after the file, level 7

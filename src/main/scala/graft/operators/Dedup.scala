@@ -70,6 +70,10 @@ object Dedup {
     * digest exactly-sized in a second pass (those histories paid
     * count + build = two scans before this fusion too, so the fused path
     * is never worse and saves a full history scan in the common case).
+    * A TINY history (≤ capacity/32 keys) also rebuilds exactly-sized —
+    * the second scan is near-free at that cardinality and it keeps a
+    * bounded-small-history caller from shipping a 228 KB capacity digest
+    * per batch forever.
     * Pass an explicit positive value to pin the size (e.g. when the caller
     * already tracks the cardinality). An undersized filter degrades fpp
     * (more verify volume), never correctness. `numBits` is capped by
@@ -110,7 +114,18 @@ object Dedup {
             count(col(keyCol)).as("__n"))
           .head()
         val n = row.getLong(1)
-        if (n <= AutoSizeCapacity) row.getAs[Array[Byte]](0) else build(n)
+        // TINY histories (≤ capacity/32 = 8k keys) rebuild exactly-sized:
+        // the capacity digest is ~228 KB regardless of n, and for a caller
+        // probing against a small bounded history every batch that literal
+        // (and every map-side partial of any later re-derivation) stays
+        // 30× larger than needed forever. The rebuild's second scan is
+        // over ≤8k rows — microseconds of work against one job's ~50 ms
+        // scheduling floor, paid only while the history is actually tiny.
+        // Between 8k and capacity the one-pass digest is kept as built
+        // (better-than-target fpp, no second job).
+        if (n > AutoSizeCapacity || (n > 0 && n <= AutoSizeCapacity / 32))
+          build(math.max(n, 1024L))
+        else row.getAs[Array[Byte]](0)
       }
     // null digest = empty history: everything in the batch is new
     if (digest == null) return batch

@@ -443,8 +443,12 @@ object Similarity {
     // every partition emitted all rows, since each kept up to 100001)
     val packedRows: Array[(Long, Long)] =
       if (packData && cnt <= 100000L) packed.iterator.flatMap(_._2).toArray else null
-    // shrink levels while each task's slice stays within the memory bound
-    while (cnt > maxLocalEdges && parts > 1 &&
+    // shrink levels while each task's slice stays within the memory bound.
+    // packedRows != null means the COMPLETE (≤100k-edge) star set is
+    // already at the driver and the union-find finisher below will use it
+    // — shrinking further (possible when the caller passes maxLocalEdges
+    // < 100k) would be contraction jobs whose output the finisher ignores.
+    while (packedRows == null && cnt > maxLocalEdges && parts > 1 &&
         math.max(1, parts / 8) >= (cnt + maxLocalEdges - 1) / maxLocalEdges) {
       parts = math.max(1, parts / 8)
       val next = contractPartitions(stars.repartition(parts))
@@ -459,8 +463,9 @@ object Similarity {
         // to the driver) anyway, so finish the union-find driver-side
         // directly from the collected stars — saves the coalesce(1)
         // contraction job, its checkpoint, and the broadcast build.
-        // packedRows is null only if the shrink LOOP replaced stars (the
-        // initial graph was huge but contracted under 100k) — collect then.
+        // packedRows is null only if the shrink LOOP ran (guarded above on
+        // packedRows == null) and contracted a huge graph under 100k —
+        // collect the contracted stars then.
         val local = if (packedRows != null) packedRows else stars.collect()
         val parent = scala.collection.mutable.HashMap.empty[Long, Long]
         def find(x0: Long): Long = {

@@ -287,20 +287,52 @@ object StreamingNearDedup {
       .start()
   }
 
+  /** Per-session reference count for the AQE override: `depth` concurrent
+    * steps requesting the SAME value share one set/restore pair; a step
+    * requesting the OPPOSITE value waits until the holders drain. Weak keys
+    * so the map never pins a SparkSession.
+    */
+  private final class AqGuard {
+    var depth = 0
+    var value: String = _
+    var prev: String = _
+  }
+  private val aqGuards: java.util.Map[SparkSession, AqGuard] =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, AqGuard]())
+
   /** Toggle AQE around a synchronous step, restoring the previous value.
     * The step's returned frames are MATERIALIZED inside (localCheckpoint +
     * parquet commit), so nothing escapes that would execute under the
-    * restored conf. Session-scoped by nature: a concurrent query on the
-    * same session during the step sees the override — foreachBatch runs
-    * batches serially, which is the intended context.
+    * restored conf. Session-scoped by nature: an unrelated interactive
+    * query on the same session during a step sees the override. Concurrent
+    * STEPS on one session (e.g. a text `run` and an embedding
+    * `runEmbedding` stream sharing a session — each stream's own
+    * foreachBatch is serial, but two streams are not) are safe: same-value
+    * steps share one reference-counted set/restore (no mid-step restore
+    * from a sibling's finally), and an opposite-value step blocks until
+    * the current holders finish rather than flipping the conf under them.
     */
-  private def withAdaptive[T](spark: SparkSession, enabled: Boolean)(f: => T): T = {
+  private[streaming] def withAdaptive[T](spark: SparkSession, enabled: Boolean)(f: => T): T = {
     val key = "spark.sql.adaptive.enabled"
-    val prev = spark.conf.get(key, "true")
-    if (prev.equalsIgnoreCase(enabled.toString)) f
-    else {
-      spark.conf.set(key, enabled.toString)
-      try f finally spark.conf.set(key, prev)
+    val want = enabled.toString
+    val g = aqGuards.computeIfAbsent(spark, _ => new AqGuard)
+    g.synchronized {
+      while (g.depth > 0 && g.value != want) g.wait()
+      if (g.depth == 0) {
+        g.prev = spark.conf.get(key, "true")
+        g.value = want
+        if (!g.prev.equalsIgnoreCase(want)) spark.conf.set(key, want)
+      }
+      g.depth += 1
+    }
+    try f
+    finally g.synchronized {
+      g.depth -= 1
+      if (g.depth == 0) {
+        if (!g.prev.equalsIgnoreCase(g.value)) spark.conf.set(key, g.prev)
+        g.notifyAll()
+      }
     }
   }
 

@@ -230,6 +230,119 @@ class BinWriterSpec extends AnyFunSuite {
     assert(e5.getMessage.contains("temp already absent"), e5.getMessage)
   }
 
+  test("FingerprintStream: head/tail/length match the written bytes across chunkings") {
+    val rnd = new java.util.Random(7)
+    for (len <- Seq(0, 1, 10, 8191, 8192, 8193, 16384, 16385, 50000)) {
+      val data = new Array[Byte](len); rnd.nextBytes(data)
+      val sink = new java.io.ByteArrayOutputStream()
+      val fps = new BinWriter.FingerprintStream(sink)
+      // mixed single-byte and ragged bulk writes to exercise the ring math
+      var off = 0
+      while (off < len) {
+        if (off % 13 == 0 && off + 1 <= len) { fps.write(data(off)); off += 1 }
+        else {
+          val n = math.min(1 + rnd.nextInt(9000), len - off)
+          fps.write(data, off, n); off += n
+        }
+      }
+      fps.close()
+      assert(java.util.Arrays.equals(sink.toByteArray, data), s"len=$len passthrough")
+      val fp = fps.fingerprint
+      val headLen = math.min(BinWriter.FpBlock, len)
+      val tailLen = math.min(BinWriter.FpBlock, len - headLen)
+      assert(fp.len == len)
+      assert(java.util.Arrays.equals(fp.head, java.util.Arrays.copyOfRange(data, 0, headLen)),
+        s"len=$len head")
+      assert(java.util.Arrays.equals(fp.tail,
+        java.util.Arrays.copyOfRange(data, len - tailLen, len)), s"len=$len tail")
+    }
+  }
+
+  test("renameOver fallback: write-time fingerprint validates without re-reading; a vanished temp adopts, not FNFEs") {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val conf = new org.apache.hadoop.conf.Configuration()
+    // (a) caller-provided fingerprint: a transient false-reporting rename
+    // that really committed is accepted with NO open() of the temp — the
+    // fs counts opens of the temp path to prove the zero-re-read claim
+    class CountingFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+      override def getScheme: String = "flaky"
+      override def getUri: java.net.URI = java.net.URI.create("flaky:///")
+      var srcOpens = 0
+      var srcName: String = ""
+      override def open(f: HPath, b: Int): org.apache.hadoop.fs.FSDataInputStream = {
+        if (f.getName == srcName) srcOpens += 1
+        super.open(f, b)
+      }
+      override def rename(src: HPath, dst: HPath): Boolean = {
+        if (exists(src)) super.rename(src, dst); false
+      }
+    }
+    def fpOf(bytes: Array[Byte]): BinWriter.Fingerprint = {
+      val s = new BinWriter.FingerprintStream(java.io.OutputStream.nullOutputStream())
+      s.write(bytes); s.close(); s.fingerprint
+    }
+    val dir1 = Files.createTempDirectory("graft-bw-fp1")
+    val payload = "fingerprinted-payload\n".getBytes
+    Files.write(dir1.resolve("src.tmp"), payload)
+    val fs1 = new CountingFs; fs1.initialize(fs1.getUri, conf); fs1.srcName = "src.tmp"
+    BinWriter.renameOver(fs1, conf, new HPath(dir1.resolve("src.tmp").toString),
+      new HPath(dir1.resolve("t.csv").toString), Some(fpOf(payload)))
+    assert(Files.readAllBytes(dir1.resolve("t.csv")).sameElements(payload))
+    assert(fs1.srcOpens == 0, "fingerprinted commit must not re-read the temp")
+    // (b) caller fingerprint rejects an equal-length foreign target
+    class ForeignFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+      override def getScheme: String = "flaky"
+      override def getUri: java.net.URI = java.net.URI.create("flaky:///")
+      override def rename(src: HPath, dst: HPath): Boolean = {
+        if (exists(src)) {
+          val len = getFileStatus(src).getLen.toInt
+          val out = create(dst, true); out.write(new Array[Byte](len)); out.close()
+          delete(src, false)
+        }
+        false
+      }
+    }
+    val dir2 = Files.createTempDirectory("graft-bw-fp2")
+    Files.write(dir2.resolve("src.tmp"), payload)
+    val fs2 = new ForeignFs; fs2.initialize(fs2.getUri, conf)
+    intercept[java.io.IOException] {
+      BinWriter.renameOver(fs2, conf, new HPath(dir2.resolve("src.tmp").toString),
+        new HPath(dir2.resolve("t.csv").toString), Some(fpOf(payload)))
+    }
+    // (c) NO caller fingerprint and the temp vanishes between its length
+    // stat and the fingerprint read (external dot-temp cleanup): with a
+    // committed target present this must land in the adoption path, not
+    // throw a raw FileNotFoundException
+    class VanishFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+      override def getScheme: String = "flaky"
+      override def getUri: java.net.URI = java.net.URI.create("flaky:///")
+      var vanishOnOpen: String = ""
+      override def open(f: HPath, b: Int): org.apache.hadoop.fs.FSDataInputStream =
+        if (f.getName == vanishOnOpen) {
+          delete(f, false)
+          throw new java.io.FileNotFoundException(f.toString)
+        } else super.open(f, b)
+      override def rename(src: HPath, dst: HPath): Boolean = false
+    }
+    val dir3 = Files.createTempDirectory("graft-bw-fp3")
+    Files.write(dir3.resolve("src.tmp"), payload)
+    Files.writeString(dir3.resolve("t.csv"), "twin-committed\n")
+    val fs3 = new VanishFs; fs3.initialize(fs3.getUri, conf); fs3.vanishOnOpen = "src.tmp"
+    BinWriter.renameOver(fs3, conf, new HPath(dir3.resolve("src.tmp").toString),
+      new HPath(dir3.resolve("t.csv").toString))
+    assert(Files.readString(dir3.resolve("t.csv")) == "twin-committed\n")
+    // (c') same vanish with no committed target: a real failure, with the
+    // vanish-specific message rather than a raw FNFE
+    val dir4 = Files.createTempDirectory("graft-bw-fp4")
+    Files.write(dir4.resolve("src.tmp"), payload)
+    val fs4 = new VanishFs; fs4.initialize(fs4.getUri, conf); fs4.vanishOnOpen = "src.tmp"
+    val e = intercept[java.io.IOException] {
+      BinWriter.renameOver(fs4, conf, new HPath(dir4.resolve("src.tmp").toString),
+        new HPath(dir4.resolve("t.csv").toString))
+    }
+    assert(e.getMessage.contains("vanished between"), e.getMessage)
+  }
+
   test("keep-first dedup: first occurrence wins, streaming order") {
     val root = Files.createTempDirectory("graft-bw6").toString
     val rows = Iterator(

@@ -104,6 +104,41 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("connectedComponents: driver-packed small graph skips the shrink loop (one job, no wasted contraction)") {
+    // 15 DISJOINT edges repartitioned to 16 partitions: contraction keeps
+    // exactly 15 star edges, so with maxLocalEdges = 10 the old shrink-loop
+    // condition held (15 > 10, parts/8 = 2 >= ceil(15/10)) even though the
+    // complete edge set was already packed at the driver — each level was a
+    // repartition + contraction + count whose output the finisher ignored.
+    // Post-guard the call runs only the fused count+collect (plus AQE's
+    // per-exchange stage jobs for the .rdd conversion): no shrink-level
+    // `count at Similarity` job may appear, and the job total stays at the
+    // AQE-shaped 3 instead of growing per wasted level.
+    val pairs = (0L until 15L).map(i => (2 * i, 2 * i + 1))
+      .toDF("vec_a", "vec_b").repartition(16)
+    val verts = (0L until 30L).toDF("vec_id")
+    val stageNames = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val jobs = new java.util.concurrent.atomic.AtomicInteger()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet()
+        js.stageInfos.foreach(si => stageNames.add(si.name))
+      }
+    }
+    var mapping: org.apache.spark.sql.DataFrame = null
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      mapping = Similarity.connectedComponents(pairs, verts, maxLocalEdges = 10L)
+      Thread.sleep(300) // let queued listener events drain
+    } finally spark.sparkContext.removeSparkListener(listener)
+    import scala.jdk.CollectionConverters._
+    assert(!stageNames.asScala.exists(_.contains("count at ")),
+      s"shrink-level count job ran on a driver-packed graph: ${stageNames.asScala}")
+    assert(jobs.get() <= 3, s"expected <=3 jobs (fused collect + AQE stages), saw ${jobs.get()}")
+    val got = mapping.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L until 15L).forall(i => got(2 * i) == 2 * i && got(2 * i + 1) == 2 * i))
+  }
+
   test("ivfTopKProbed: probing every cell recovers the brute-force ranking") {
     val centroids = vecs.filter(col("vec_id") < 2)
     val queries = vecs.select(col("vec_id")).filter(col("vec_id") === 0)

@@ -240,4 +240,45 @@ class StreamingSpec extends SparkSpec {
     assert(next.count == 2)
     assert(Files.readAllLines(bin).size == afterFirst.size + 1) // +1 data row per user bin
   }
+
+  test("withAdaptive: concurrent same-value steps share one override; opposite value waits; conf restored") {
+    val key = "spark.sql.adaptive.enabled"
+    val orig = spark.conf.get(key, "true")
+    try {
+      spark.conf.set(key, "true")
+      val inA = new java.util.concurrent.CountDownLatch(1)
+      val releaseA = new java.util.concurrent.CountDownLatch(1)
+      val bSawFalse = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val cRanAfterA = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val aDone = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val a = new Thread(() => StreamingNearDedup.withAdaptive(spark, enabled = false) {
+        inA.countDown()
+        releaseA.await(10, java.util.concurrent.TimeUnit.SECONDS)
+        aDone.set(true)
+      })
+      a.start()
+      assert(inA.await(10, java.util.concurrent.TimeUnit.SECONDS))
+      // B wants the SAME value while A holds it: must run immediately,
+      // and A's eventual exit must NOT flip the conf back mid-B — but here
+      // B finishes first, and the conf must STAY false (A still holds it)
+      val b = new Thread(() => StreamingNearDedup.withAdaptive(spark, enabled = false) {
+        bSawFalse.set(spark.conf.get(key) == "false")
+      })
+      b.start(); b.join(10000)
+      assert(bSawFalse.get, "same-value concurrent step must see the override")
+      assert(spark.conf.get(key) == "false",
+        "first-exiting same-value holder must not restore while a sibling holds")
+      // C wants the OPPOSITE value: must block until A drains
+      val c = new Thread(() => StreamingNearDedup.withAdaptive(spark, enabled = true) {
+        cRanAfterA.set(aDone.get && spark.conf.get(key) == "true")
+      })
+      c.start()
+      Thread.sleep(200)
+      assert(c.isAlive, "opposite-value step must wait for the current holders")
+      releaseA.countDown()
+      a.join(10000); c.join(10000)
+      assert(cRanAfterA.get, "opposite-value step must run after the holder exits, under its own value")
+      assert(spark.conf.get(key) == "true", "conf must be restored after all steps")
+    } finally spark.conf.set(key, orig)
+  }
 }
