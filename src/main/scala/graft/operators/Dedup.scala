@@ -66,14 +66,15 @@ object Dedup {
     * `count(keyCol)` alongside the Bloom partials (both map-side-combine
     * into the same single-row exchange), built at [[AutoSizeCapacity]]
     * capacity. Histories at or under the capacity are done in that one
-    * linear scan; a history whose measured count overflows it rebuilds the
-    * digest exactly-sized in a second pass (those histories paid
-    * count + build = two scans before this fusion too, so the fused path
-    * is never worse and saves a full history scan in the common case).
-    * A TINY history (≤ capacity/32 keys) also rebuilds exactly-sized —
-    * the second scan is near-free at that cardinality and it keeps a
-    * bounded-small-history caller from shipping a 228 KB capacity digest
-    * per batch forever.
+    * linear scan, then the digest is FOLDED down to the measured
+    * cardinality's size driver-side ([[foldDigest]] — bit-exact equivalent
+    * to a direct exact-size build, no second scan), so a small bounded
+    * history never ships the 256 KB capacity bitmap as its per-plan
+    * literal. A history whose measured count overflows the capacity
+    * rebuilds the digest exactly-sized in a second pass (those histories
+    * paid count + build = two scans before this fusion too, so the fused
+    * path is never worse and saves a full history scan in the common
+    * case).
     * Pass an explicit positive value to pin the size (e.g. when the caller
     * already tracks the cardinality). An undersized filter degrades fpp
     * (more verify volume), never correctness. `numBits` is capped by
@@ -106,26 +107,27 @@ object Dedup {
     val digest =
       if (expectedItems > 0) build(expectedItems)
       else {
-        // fused sizing: count rides the digest aggregation's own scan
+        // fused sizing: count rides the digest aggregation's own scan.
+        // The capacity build uses a POWER-OF-TWO bit count (≥ the fpp
+        // formula's size) so the measured-n digest can then be FOLDED down
+        // to exact size driver-side — zero extra scan, zero extra job.
+        val capBits = nextPow2(numBitsFor(AutoSizeCapacity))
         val row = history.select(col(keyCol))
           .agg(
-            GraftExpressions.bloomAgg(
-              col(keyCol), AutoSizeCapacity, numBitsFor(AutoSizeCapacity)).as("bf"),
+            GraftExpressions.bloomAgg(col(keyCol), AutoSizeCapacity, capBits).as("bf"),
             count(col(keyCol)).as("__n"))
           .head()
         val n = row.getLong(1)
-        // TINY histories (≤ capacity/32 = 8k keys) rebuild exactly-sized:
-        // the capacity digest is ~228 KB regardless of n, and for a caller
-        // probing against a small bounded history every batch that literal
-        // (and every map-side partial of any later re-derivation) stays
-        // 30× larger than needed forever. The rebuild's second scan is
-        // over ≤8k rows — microseconds of work against one job's ~50 ms
-        // scheduling floor, paid only while the history is actually tiny.
-        // Between 8k and capacity the one-pass digest is kept as built
-        // (better-than-target fpp, no second job).
-        if (n > AutoSizeCapacity || (n > 0 && n <= AutoSizeCapacity / 32))
-          build(math.max(n, 1024L))
-        else row.getAs[Array[Byte]](0)
+        // over-capacity: rebuild exactly-sized in a second pass (the same
+        // two scans the pre-fusion formulation always paid). At or under
+        // capacity: fold the capacity digest in half until it reaches the
+        // measured cardinality's size — a 3k-key history's plan literal is
+        // then ~4 KB instead of the 256 KB capacity bitmap, without the
+        // second job a rebuild would schedule per batch forever on a
+        // bounded-small-history caller.
+        if (n > AutoSizeCapacity) build(n)
+        else if (n == 0) row.getAs[Array[Byte]](0)
+        else foldDigest(row.getAs[Array[Byte]](0), numBitsFor(n))
       }
     // null digest = empty history: everything in the batch is new
     if (digest == null) return batch
@@ -144,16 +146,64 @@ object Dedup {
   }
 
   /** Auto-size capacity of the fused one-pass sizing in
-    * [[bloomDedupAgainst]]: 256k items ≈ a 228 KB digest at the default 3%
-    * fpp. The digest aggregate allocates its FULL bitmap in every map-side
-    * partial, so capacity is also the per-partial exchange weight (32
-    * partials × 228 KB ≈ 7 MB — a 1M capacity measured ~2× the one-pass
-    * agg wall from the 29 MB partial merge alone). Under-capacity
-    * histories get BETTER than the target fpp (same bits, fewer items);
-    * over-capacity ones rebuild exactly-sized in a second pass — the same
-    * two scans the pre-fusion formulation always paid.
+    * [[bloomDedupAgainst]]: 256k items ≈ a 256 KB (2²¹-bit, power-of-two
+    * for foldability) digest at the default 3% fpp. The digest aggregate
+    * allocates its FULL bitmap in every map-side partial, so capacity is
+    * also the per-partial exchange weight (32 partials × 256 KB ≈ 8 MB —
+    * a 1M capacity measured ~2× the one-pass agg wall from the 29 MB
+    * partial merge alone). Under-capacity histories FOLD the digest down
+    * to the measured cardinality's size ([[foldDigest]]); over-capacity
+    * ones rebuild exactly-sized in a second pass — the same two scans the
+    * pre-fusion formulation always paid.
     */
   val AutoSizeCapacity: Long = 1L << 18
+
+  private def nextPow2(x: Long): Long =
+    java.lang.Long.highestOneBit(math.max(1L, x - 1)) << 1
+
+  /** Shrink a Spark sketch `BloomFilterImpl` digest by OR-folding its bit
+    * array in half until another halving would drop below `targetBits`.
+    * Folding B → B/2 is BIT-EXACT equivalent to having built at B/2 with
+    * the same hash count: a set bit at `h mod B` lands on `(h mod B) mod
+    * (B/2) = h mod (B/2)`, which is exactly where a direct B/2 build would
+    * set it — so no false negatives ever, and the false-positive rate is
+    * the direct-build rate at the folded size — BOTH sketch versions index
+    * bits as `hash % bitSize` (verified against the shipped
+    * BloomFilterImpl/V2 bytecode). Serialized layouts handled: V1 (int
+    * version, int numHashFunctions, int wordCount, longs) and V2 (same
+    * plus an int seed before the word count), big-endian; any other
+    * version is returned unchanged (correctness never depends on folding,
+    * only literal size does).
+    */
+  private[operators] def foldDigest(digest: Array[Byte], targetBits: Long): Array[Byte] = {
+    if (digest == null) return digest
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(digest))
+    val version = in.readInt()
+    if (version != 1 && version != 2) return digest
+    val k = in.readInt()
+    val seed = if (version == 2) Some(in.readInt()) else None
+    val words = in.readInt()
+    val data = new Array[Long](words)
+    var i = 0
+    while (i < words) { data(i) = in.readLong(); i += 1 }
+    var w = words
+    while (w % 2 == 0 && (w / 2) * 64L >= targetBits) {
+      val half = w / 2
+      var j = 0
+      while (j < half) { data(j) |= data(j + half); j += 1 }
+      w = half
+    }
+    if (w == words) return digest
+    val bos = new java.io.ByteArrayOutputStream(16 + w * 8)
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(version); out.writeInt(k)
+    seed.foreach(out.writeInt)
+    out.writeInt(w)
+    var j = 0
+    while (j < w) { out.writeLong(data(j)); j += 1 }
+    out.flush()
+    bos.toByteArray
+  }
 
   /** The reference's key-projection rule (format/CsvAvroConverterFactory.kt:
     * 203-221): use `distinctFields` if all are present in the frame, else the

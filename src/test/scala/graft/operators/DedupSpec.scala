@@ -54,7 +54,7 @@ class DedupSpec extends SparkSpec {
     }
   }
 
-  test("bloomDedupAgainst auto-sizing: exact result in every sizing branch (tiny rebuild, one-pass keep, over-capacity rebuild)") {
+  test("bloomDedupAgainst auto-sizing: exact result in every sizing branch (deep fold, shallow fold, over-capacity rebuild)") {
     // n > AutoSizeCapacity (262144) drives the over-capacity second-pass
     // rebuild — the branch only a >256k-key history reaches, previously
     // exercised solely by the 10× bench where a wrong digest would degrade
@@ -66,21 +66,46 @@ class DedupSpec extends SparkSpec {
     val got = Dedup.bloomDedupAgainst(history, batch, "k")
       .select("id").collect().map(_.getLong(0)).toSet
     assert(got == (nOver until nOver + 1000).toSet)
-    // mid-range (8k < n <= capacity): the fused one-pass digest is kept
+    // mid-range (20k keys): the fused capacity digest folds 2^21 -> 2^18
+    // bits; the probe must stay exact through the fold
     val midHistory = spark.range(20000).select(concat(lit("m-"), col("id")).as("k"))
     val midBatch = spark.range(19000, 21000)
       .select(col("id"), concat(lit("m-"), col("id")).as("k"))
     val gotMid = Dedup.bloomDedupAgainst(midHistory, midBatch, "k")
       .select("id").collect().map(_.getLong(0)).toSet
     assert(gotMid == (20000L until 21000L).toSet)
-    // tiny (n <= capacity/32): exactly-sized rebuild — covered for content
-    // here and by the 500-row auto case in the spec above
+    // tiny (100 keys): the deepest fold (2^21 -> 1024 bits, a ~140-byte
+    // plan literal instead of the 256 KB capacity bitmap)
     val tinyHistory = spark.range(100).select(concat(lit("t-"), col("id")).as("k"))
     val tinyBatch = spark.range(50, 150)
       .select(col("id"), concat(lit("t-"), col("id")).as("k"))
     val gotTiny = Dedup.bloomDedupAgainst(tinyHistory, tinyBatch, "k")
       .select("id").collect().map(_.getLong(0)).toSet
     assert(gotTiny == (100L until 150L).toSet)
+  }
+
+  test("foldDigest: folded digest is a valid sketch filter — exact shrink, zero false negatives, sane fpp") {
+    import org.apache.spark.util.sketch.BloomFilter
+    // mirror the operator's tuning: 8 bits/item at build (k = 6), folded
+    // to the measured cardinality's size — same bits/item ratio
+    val bf = BloomFilter.create(8192, 1L << 16) // 65536 bits, 1024 words
+    val keys = (0 until 1000).map(i => s"fold-key-$i")
+    keys.foreach(bf.putString)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    val full = bos.toByteArray
+    val folded = Dedup.foldDigest(full, targetBits = 7300) // numBitsFor(1000) at 3%
+    assert(folded.length < full.length / 7, s"${folded.length} vs ${full.length}")
+    val f2 = BloomFilter.readFrom(new java.io.ByteArrayInputStream(folded))
+    assert(f2.bitSize() == 8192, s"expected fold to 8192 bits, got ${f2.bitSize()}")
+    // NO false negatives, ever (folding is bit-exact direct-build-at-B/2)
+    assert(keys.forall(f2.mightContainString), "fold introduced a false negative")
+    // fpp stays build-grade at the same bits/item (~3% target; allow 10%)
+    val fps = (0 until 10000).count(i => f2.mightContainString(s"absent-$i"))
+    assert(fps < 1000, s"folded fpp degenerated: $fps/10000")
+    // no-op when another halving would dip below the target
+    val same = Dedup.foldDigest(full, targetBits = 40000)
+    assert(same.sameElements(full))
   }
 
   test("keyColumns: distinctFields, else complement of ignoreFields, else all") {
