@@ -17,6 +17,16 @@ private[jobs] object BinWriter {
   private val fileContexts =
     new java.util.concurrent.ConcurrentHashMap[URI, Option[org.apache.hadoop.fs.FileContext]]()
 
+  /** Cached FileContext lookup — shared by [[renameOver]] (which commits
+    * through it when available) and [[writePartition]] (which only pays the
+    * fingerprint capture when it is NOT: the FileContext path never reads
+    * the fingerprint).
+    */
+  private def fileContextFor(fs: FileSystem, conf: Configuration): Option[org.apache.hadoop.fs.FileContext] =
+    fileContexts.computeIfAbsent(fs.getUri, uri =>
+      try Some(org.apache.hadoop.fs.FileContext.getFileContext(uri, conf))
+      catch { case _: org.apache.hadoop.fs.UnsupportedFileSystemException => None })
+
   /** Head/tail content fingerprint of a written temp: its byte length plus
     * the first `min(FpBlock, len)` and last `min(FpBlock, len - headLen)`
     * raw bytes. Used by the non-FileContext commit fallback to validate a
@@ -85,9 +95,10 @@ private[jobs] object BinWriter {
     * nothing is atomic anyway) fall back to delete+rename. `fp` is the
     * temp's write-time fingerprint when the caller captured one (the bin
     * writer does); without it the fallback reads head/tail from the temp.
+    * By-name so the FileContext and local paths never materialize it.
     */
   def renameOver(fs: FileSystem, conf: Configuration, src: HPath, target: HPath,
-      fp: Option[Fingerprint]): Unit =
+      fp: => Option[Fingerprint]): Unit =
     if (fs.getScheme == "file") {
       java.nio.file.Files.move(
         java.nio.file.Paths.get(src.toUri.getPath),
@@ -95,10 +106,7 @@ private[jobs] object BinWriter {
         java.nio.file.StandardCopyOption.ATOMIC_MOVE,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     } else {
-      val fcOpt = fileContexts.computeIfAbsent(fs.getUri, uri =>
-        try Some(org.apache.hadoop.fs.FileContext.getFileContext(uri, conf))
-        catch { case _: org.apache.hadoop.fs.UnsupportedFileSystemException => None })
-      fcOpt match {
+      fileContextFor(fs, conf) match {
         case Some(fc) =>
           fc.rename(fs.makeQualified(src), fs.makeQualified(target), Options.Rename.OVERWRITE)
         case None =>
@@ -332,12 +340,19 @@ private[jobs] object BinWriter {
       tmp = new HPath(target.getParent,
         s".${target.getName}.tmp-$runTag${java.util.UUID.randomUUID()}")
       // local FS: plain FileOutputStream — skip the Hadoop stream wrapper
-      // (same rationale as renameOver's nio move). Non-local commits go
-      // through renameOver's fallback, so capture the head/tail fingerprint
-      // while the bytes stream out instead of re-reading the temp later.
+      // (same rationale as renameOver's nio move). Commits that will take
+      // renameOver's delete+rename FALLBACK (no FileContext binding — s3a
+      // and friends) capture the head/tail fingerprint while the bytes
+      // stream out instead of re-reading the temp later; local and
+      // FileContext stores never read it, so they skip the ring work too.
       val raw: java.io.OutputStream =
         if (localFs) { fpStream = null; new java.io.FileOutputStream(tmp.toUri.getPath) }
-        else { fpStream = new FingerprintStream(fs.create(tmp, true)); fpStream }
+        else {
+          val created = fs.create(tmp, true)
+          fpStream =
+            if (fileContextFor(fs, conf).isEmpty) new FingerprintStream(created) else null
+          if (fpStream != null) fpStream else created
+        }
       val stream: java.io.OutputStream =
         if (zip) {
           // K6: single entry named after the file, level 7

@@ -296,6 +296,12 @@ object StreamingNearDedup {
     var depth = 0
     var value: String = _
     var prev: String = _
+    // threads blocked wanting a DIFFERENT value than the current holders':
+    // while any are queued, new same-value entrants must also wait (no
+    // barging), so continuously-overlapping same-value steps cannot starve
+    // an opposite-value waiter forever — holders drain, the queue races
+    // once, and blocked entrants re-check
+    var opposedWaiters = 0
   }
   private val aqGuards: java.util.Map[SparkSession, AqGuard] =
     java.util.Collections.synchronizedMap(
@@ -311,14 +317,30 @@ object StreamingNearDedup {
     * foreachBatch is serial, but two streams are not) are safe: same-value
     * steps share one reference-counted set/restore (no mid-step restore
     * from a sibling's finally), and an opposite-value step blocks until
-    * the current holders finish rather than flipping the conf under them.
+    * the current holders finish rather than flipping the conf under them —
+    * with no barging: while an opposite-value step is queued, new
+    * same-value entrants wait too, so continuously-overlapping steps
+    * cannot starve it.
     */
   private[streaming] def withAdaptive[T](spark: SparkSession, enabled: Boolean)(f: => T): T = {
     val key = "spark.sql.adaptive.enabled"
     val want = enabled.toString
     val g = aqGuards.computeIfAbsent(spark, _ => new AqGuard)
     g.synchronized {
-      while (g.depth > 0 && g.value != want) g.wait()
+      // re-evaluate opposition each round: the holder value can flip while
+      // queued (the monitor is held between decrement and re-registration,
+      // so the count never flickers visibly to other threads)
+      while (g.depth > 0 && (g.value != want || g.opposedWaiters > 0)) {
+        val opposedNow = g.value != want
+        if (opposedNow) g.opposedWaiters += 1
+        try g.wait()
+        finally if (opposedNow) {
+          g.opposedWaiters -= 1
+          // an interrupted opposed waiter must release entrants blocked
+          // solely on the no-barge count (spurious wakes are harmless)
+          if (g.opposedWaiters == 0) g.notifyAll()
+        }
+      }
       if (g.depth == 0) {
         g.prev = spark.conf.get(key, "true")
         g.value = want

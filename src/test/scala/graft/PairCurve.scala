@@ -15,9 +15,10 @@ object PairCurve {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.ui.enabled", false).getOrCreate()
+    val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     for (ratio <- Seq(10.0, 30.0, 100.0)) {
       val dir = java.nio.file.Files.createTempDirectory(s"graft-paircurve").toString
-      ScaleGen.generate(spark, dir, ratio, baseDir = "/root/testdata/sf0.1")
+      ScaleGen.generate(spark, dir, ratio, baseDir = baseDir)
       val docs = Tables.load(spark, dir, "documents")
       val nDocs = docs.count()
       val pairs = SparkEntry.queries("q_minhash_pairs")(spark, dir).count()
