@@ -275,9 +275,21 @@ class StreamingSpec extends SparkSpec {
       c.start()
       Thread.sleep(200)
       assert(c.isAlive, "opposite-value step must wait for the current holders")
+      // D wants the SAME value as the holder A — but with C queued it must
+      // wait too (no barging), or overlapping same-value steps could
+      // starve C forever
+      val dRan = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val d = new Thread(() => StreamingNearDedup.withAdaptive(spark, enabled = false) {
+        dRan.set(spark.conf.get(key) == "false")
+      })
+      d.start()
+      Thread.sleep(200)
+      assert(d.isAlive && !dRan.get,
+        "same-value entrant must not barge past a queued opposite-value waiter")
       releaseA.countDown()
-      a.join(10000); c.join(10000)
+      a.join(10000); c.join(10000); d.join(10000)
       assert(cRanAfterA.get, "opposite-value step must run after the holder exits, under its own value")
+      assert(dRan.get, "the deferred same-value step must still run, under its value")
       assert(spark.conf.get(key) == "true", "conf must be restored after all steps")
     } finally spark.conf.set(key, orig)
   }
