@@ -206,6 +206,11 @@ object Bench {
     // the fingerprint-cache write path at volume
     val jobs10xJson = benchJobs10x(spark, sfDir, dropCachedBlocks _)
     loadSamples += loadAvg
+    // opt-in 20k-bin write-path row (generation + two full runs ≈ minutes)
+    val binsJson: Option[String] =
+      if (!sys.env.get("SPARK_GRAFT_BINS").contains("1")) None
+      else Some(benchBins(spark, dropCachedBlocks _))
+    binsJson.foreach(_ => loadSamples += loadAvg)
     // streaming service loop: sustained incremental near-dedup records/s
     val streamingJson = benchStreaming(spark, sfDir, dropCachedBlocks _)
     loadSamples += loadAvg
@@ -232,6 +237,7 @@ object Bench {
       s""""sf1x10":$tenXJson,"sf1_native":$sfNativeJson,"sf3_native":$sf3NativeJson,""" +
       sf10NativeJson.map(j => s""""sf10_native":$j,""").getOrElse("") +
       s""""cleaner":$cleanerJson,"jobs1x10":$jobs10xJson,""" +
+      binsJson.map(j => s""""restructure_bins":$j,""").getOrElse("") +
       s""""streaming":$streamingJson,"profile":$profileJson,"oracle":$oracleJson}"""
     // file copy survives even if the stdout tail truncates the line
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
@@ -456,8 +462,20 @@ object Bench {
       val phaseTotals = scala.collection.mutable.LinkedHashMap[String, Double](
         "inbatch_dedup" -> 0.0, "history_list" -> 0.0,
         "probe_exec" -> 0.0, "commit" -> 0.0)
+      // STANDING jobs/batch metric (round-16 verdict task #6): each removed
+      // job bought ~55 ms/batch in rounds 15-16, so a regression here is a
+      // latency regression at micro-batch sizes — count Spark jobs over the
+      // instrumented loop and keep the ratio in the artifact
+      val jobCount = new java.util.concurrent.atomic.AtomicInteger()
+      val jobListener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          val _ = jobCount.incrementAndGet()
+        }
+      }
       val decompWall = {
         val work = java.nio.file.Files.createTempDirectory("graft-bench-stream-decomp")
+        spark.sparkContext.addSparkListener(jobListener)
         try {
           dropCachedBlocks(); System.gc()
           val d = configs(1)._2
@@ -468,13 +486,20 @@ object Bench {
               work.toString, epoch = "bench-decomp",
               phaseSink = (n, s) => phaseTotals(n) = phaseTotals.getOrElse(n, 0.0) + s)
           }
-          (System.nanoTime() - t0) / 1e9
-        } finally org.apache.commons.io.FileUtils.deleteDirectory(work.toFile)
+          val wall = (System.nanoTime() - t0) / 1e9
+          Thread.sleep(300) // async listener bus: let queued job events drain
+          wall
+        } finally {
+          spark.sparkContext.removeSparkListener(jobListener)
+          org.apache.commons.io.FileUtils.deleteDirectory(work.toFile)
+        }
       }
+      val jobsPerBatch = r4(jobCount.get.toDouble / slices)
       val attributed = phaseTotals.values.sum
       val decompJson = (phaseTotals.toSeq :+ ("other" -> (decompWall - attributed)))
         .map { case (n, s) => s"${jsonStr(n)}:${r4(s / slices)}" }
-        .mkString(s"""{"loop_sec":${r4(decompWall)},"per_batch":{""", ",", "}}")
+        .mkString(s"""{"loop_sec":${r4(decompWall)},"jobs_per_batch":$jobsPerBatch,""" +
+          """"per_batch":{""", ",", "}}")
       // top-level fields keep the prior rounds' shape (the full-corpus row)
       val (_, bn, bbest, bruns) = rows(1)
       s"""{"records":$bn,"batches":$slices,"sec":${r4(bbest)},""" +
@@ -552,11 +577,32 @@ object Bench {
           catch { case _: Throwable => }
           throw e
         }
+      // PAIR-GRAPH VOLUME, emitted by the bench itself so every BENCH_rN
+      // is self-attributing (round-16 verdict task #2): the dedup family's
+      // true work measure is the LSH candidate-pair graph, which densifies
+      // super-linearly in docs (one shared vocabulary, like real corpora —
+      // measured 63k/566k/6.23M pairs across sf1/sf3/sf10, ~98× pairs for
+      // 10× docs), so a reader of the walls alone would mis-read
+      // q_corpus_dedup's growth as super-linear when it is strongly
+      // SUB-linear per pair. Untimed, computed AFTER the measured sweeps.
+      val pairFields: String => String = dir => {
+        val volume =
+          try {
+            val docs = Tables.load(spark, dir, "documents").count()
+            val pairs = SparkEntry.queries("q_minhash_pairs")(spark, dir).count()
+            s""""docs":$docs,"candidate_pairs":$pairs,""" +
+              s""""pairs_per_doc":${r4(pairs.toDouble / math.max(1L, docs))},"""
+          } catch { case e: Throwable =>
+            Console.err.println(s"[bench] $tag pair-volume FAILED: ${e.getMessage}")
+            s""""candidate_pairs":null,"""
+          }
+        volume + postFields(dir)
+      }
       measureScaledSet(spark, work.toString, TenXNames, dropCachedBlocks,
         prefixFields = s""""generator":"ScaleGen","sf_ratio_vs_sf01":$sfRatio,"gen_sec":${r4(genSec)},""",
         cleanup = () => org.apache.commons.io.FileUtils.deleteDirectory(work.toFile),
         oracleNames = oracleNames, oraclePasses = oraclePasses,
-        postFields = postFields)
+        postFields = pairFields)
     } catch { case e: Throwable =>
       Console.err.println(s"[bench] $tag setup FAILED: ${e.getClass.getName}: ${e.getMessage}")
       (s"""{"error":${jsonStr(s"${e.getClass.getSimpleName}: ${e.getMessage}")}}""", "null")
@@ -908,6 +954,95 @@ object Bench {
       Console.err.println(s"[bench] restructure setup FAILED: ${e.getClass.getName}: ${e.getMessage}")
       e.printStackTrace()
       new RestructureBench(() => sys.error("restructure setup failed"), Some(e))
+    }
+
+  /** Opt-in (`SPARK_GRAFT_BINS=1`) bin-count scaling row (round-16 verdict
+    * task #5): the standing restructure bench writes ~1.5k bins, but the
+    * write path's design arguments (per-parent mkdirs memo, sidecar sweep
+    * election, fingerprint gating) are amortization claims about TENS of
+    * thousands of bins — so measure them. A synthetic 16-partition topic
+    * with exactly `users × hours` (200 × 100 = 20k) hourly bins, ~20
+    * records each, runs the full job twice: cold write (empty tree) and
+    * append (every bin merge-rewrites), with the per-stage Timer on both
+    * phases. One measured pass per phase — a scaling-trend row, not the
+    * noise-controlled headline.
+    */
+  private def benchBins(spark: SparkSession, dropCachedBlocks: () => Unit): String =
+    try {
+      val users = 200
+      val hours = 100
+      val rowsPerBin = 20
+      val n = users * hours * rowsPerBin
+      val schemaJson =
+        """{"type":"record","name":"EventRecord","fields":[
+          |{"name":"key","type":{"type":"record","name":"K","fields":[
+          |  {"name":"projectId","type":["null","string"],"default":null},
+          |  {"name":"userId","type":"string"},{"name":"sourceId","type":"string"}]}},
+          |{"name":"value","type":{"type":"record","name":"V","fields":[
+          |  {"name":"time","type":"double"},{"name":"eventType","type":"string"},
+          |  {"name":"value","type":"double"}]}}]}""".stripMargin
+      val schema = new org.apache.avro.Schema.Parser().parse(schemaJson)
+      val work = java.nio.file.Files.createTempDirectory("graft-bench-bins")
+      val counters = new Array[Long](16)
+      val baseT = 1.6e9
+      def writeSlice(from: Int, until: Int): Unit = {
+        val writers = (0 until 16).map { p =>
+          val dir = work.resolve(s"in/events/partition=$p")
+          java.nio.file.Files.createDirectories(dir)
+          val w = new org.apache.avro.file.DataFileWriter[org.apache.avro.generic.GenericRecord](
+            new org.apache.avro.generic.GenericDatumWriter[org.apache.avro.generic.GenericRecord](schema))
+          w.create(schema, dir.resolve(f"events+$p+${counters(p)}%010d.avro").toFile)
+          w
+        }
+        (from until until).foreach { j =>
+          // bin coordinates: (user, hour) cycle fastest so both slices
+          // touch EVERY bin — the append phase then merge-rewrites all 20k
+          val user = j % users
+          val hour = (j / users) % hours
+          val p = user % 16
+          val k = new org.apache.avro.generic.GenericData.Record(schema.getField("key").schema)
+          k.put("projectId", "bench"); k.put("userId", f"u$user%03d"); k.put("sourceId", "s0")
+          val v = new org.apache.avro.generic.GenericData.Record(schema.getField("value").schema)
+          v.put("time", baseT + hour * 3600.0 + (j / (users * hours)) % 3600)
+          v.put("eventType", "bench"); v.put("value", j.toDouble)
+          val rec = new org.apache.avro.generic.GenericData.Record(schema)
+          rec.put("key", k); rec.put("value", v)
+          writers(p).append(rec)
+          counters(p) += 1
+        }
+        writers.foreach(_.close())
+      }
+      val cfg = graft.jobs.RestructureJobConfig(
+        inputRoot = work.resolve("in").toString,
+        outputRoot = work.resolve("out").toString,
+        dedup = true, timeBinFormat = "yyyyMMdd_HH00")
+      def timedRun(): (Double, Long, Int, String) = {
+        dropCachedBlocks(); System.gc()
+        graft.util.Timer.reset()
+        graft.util.Timer.enabled = true
+        val t0 = System.nanoTime()
+        val result = graft.jobs.Restructure.run(spark, cfg)
+        val sec = (System.nanoTime() - t0) / 1e9
+        graft.util.Timer.enabled = false
+        (sec, result.processedTopics.map(_.records).sum,
+          result.processedTopics.map(_.bins.count).sum.toInt, graft.util.Timer.toJson)
+      }
+      try {
+        // cold: 80% of rows, every bin created
+        writeSlice(0, (n * 0.8).toInt)
+        val (coldSec, coldN, coldBins, coldTimer) = timedRun()
+        // append: remaining 20%, every bin merge-rewritten
+        writeSlice((n * 0.8).toInt, n)
+        val (appSec, appN, appBins, appTimer) = timedRun()
+        s"""{"bins":$coldBins,"records":$coldN,"sec":${r4(coldSec)},""" +
+          s""""records_per_sec":${r4(coldN / coldSec)},"timer":$coldTimer,""" +
+          s""""append":{"bins":$appBins,"records":$appN,"sec":${r4(appSec)},""" +
+          s""""records_per_sec":${r4(appN / appSec)},"timer":$appTimer}}"""
+      } finally org.apache.commons.io.FileUtils.deleteDirectory(work.toFile)
+    } catch { case e: Throwable =>
+      Console.err.println(s"[bench] bins bench FAILED: ${e.getClass.getName}: ${e.getMessage}")
+      e.printStackTrace()
+      s"""{"error":${jsonStr(s"${e.getClass.getSimpleName}: ${e.getMessage}")}}"""
     }
 
   /** Jobs at 10× (companion to the query-side `sf1x10` section): the

@@ -28,6 +28,27 @@ import org.apache.spark.sql.functions._
   */
 object ScaleGen {
 
+  /** CLI for the standing native-verification flow (tools/native_verify.sh):
+    * `graft.ScaleGen <outDir> <sfRatio> [baseDir]` — generate all ten
+    * tables into outDir at the given ratio (1.0 = sf0.1 cardinalities).
+    */
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: graft.ScaleGen <outDir> <sfRatio> [baseDir]")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val t0 = System.nanoTime()
+    generate(spark, args(0), args(1).toDouble,
+      baseDir = if (args.length > 2) args(2) else "/root/testdata/sf0.1")
+    println(f"[scalegen] generated ratio=${args(1)} at ${args(0)} in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    spark.stop()
+  }
+
   private val Vocab = Seq("a", "agg", "batch", "big", "column", "customer",
     "data", "dup", "fast", "filter", "group", "hash", "join", "key", "line",
     "merge", "order", "part", "query", "row", "scan", "slow", "small",

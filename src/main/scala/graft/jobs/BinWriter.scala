@@ -117,22 +117,74 @@ private[jobs] object BinWriter {
           val srcLen =
             try fs.getFileStatus(src).getLen
             catch { case _: java.io.FileNotFoundException => -1L }
-          // src gone BEFORE the first rename (srcLen = -1): e.g. a
-          // speculative duplicate attempt whose twin already committed.
-          // A present target is accepted as the commit (ours or the
-          // twin's; the bin's bytes are rebuilt deterministically from the
-          // same sorted rows, so either writer's file is the same
-          // content); no target at all is a real failure.
-          // bare-existence adoption: with the temp gone there is nothing
-          // left to validate against, so this acceptance is weaker than
-          // the fingerprinted one below — make it visible in the task log
-          def adoptOrFail(why: String): Unit =
-            if (!fs.exists(target))
-              throw new java.io.IOException(
-                s"failed to commit $src -> $target ($why and no committed target found)")
-            else
-              Console.err.println(s"[graft] adopting existing $target as commit: " +
-                s"$why (speculative twin or replay); no content validation possible")
+          // the write-time fingerprint, materialized ONCE for this whole
+          // fallback (the by-name parameter spares only the FileContext
+          // and local paths). When the caller streamed the bytes itself
+          // (the bin writer), this is the authoritative content evidence —
+          // usable even after the temp is gone.
+          val fpHeld: Option[Fingerprint] = fp
+          // Does the target's content match fingerprint `v`? Length plus
+          // first/last-block bytes, the same ranged reads everywhere in
+          // this fallback. Assumes read-after-write consistency (HDFS,
+          // ABFS, and S3 since 2020 all provide it); on a store without it
+          // a stale read could mis-judge, and the idempotent bin replay on
+          // task retry is the backstop.
+          def targetMatches(v: Fingerprint): Boolean =
+            try {
+              fs.getFileStatus(target).getLen == v.len && (v.len == 0 || {
+                val head = new Array[Byte](v.head.length)
+                val tail = new Array[Byte](v.tail.length)
+                val in = fs.open(target)
+                try {
+                  in.readFully(0L, head, 0, head.length)
+                  if (tail.length > 0)
+                    in.readFully(v.len - tail.length, tail, 0, tail.length)
+                } finally in.close()
+                java.util.Arrays.equals(head, v.head) &&
+                  java.util.Arrays.equals(tail, v.tail)
+              })
+            } catch { case _: java.io.FileNotFoundException => false }
+          // src gone BEFORE the first rename (srcLen = -1) or between its
+          // stat and the fingerprint read: e.g. a speculative duplicate
+          // attempt whose twin already committed, or external dot-temp
+          // cleanup. A present target may be adopted as the commit (ours
+          // or the twin's; the bin's bytes are rebuilt deterministically
+          // from the same sorted rows, so either writer's file is the same
+          // content) — but NEVER unvalidated when validation is possible:
+          // with the write-time fingerprint in hand the target must match
+          // its length and head/tail bytes; with only the temp's stat'd
+          // length, the target must at least match that length. Only a
+          // fingerprint-less caller with srcLen unknown falls back to
+          // bare-existence adoption (weaker — made visible in the task
+          // log). A validation miss throws so the idempotent bin replay on
+          // task retry rewrites the bin deterministically instead of
+          // accepting a foreign writer's bytes.
+          def adoptOrFail(why: String): Unit = (fpHeld, srcLen) match {
+            case (Some(v), _) =>
+              if (targetMatches(v))
+                Console.err.println(s"[graft] adopting existing $target as commit: " +
+                  s"$why; content matches this task's write-time fingerprint")
+              else
+                throw new java.io.IOException(s"failed to commit $src -> $target " +
+                  s"($why and no target matching the write-time fingerprint found)")
+            case (None, len) if len >= 0 =>
+              val tLen =
+                try fs.getFileStatus(target).getLen
+                catch { case _: java.io.FileNotFoundException => -1L }
+              if (tLen == len)
+                Console.err.println(s"[graft] adopting existing $target as commit: " +
+                  s"$why; length matches the temp's ($len) — no content fingerprint available")
+              else
+                throw new java.io.IOException(s"failed to commit $src -> $target " +
+                  s"($why and no target matching the temp's length ($len) found)")
+            case _ =>
+              if (!fs.exists(target))
+                throw new java.io.IOException(
+                  s"failed to commit $src -> $target ($why and no committed target found)")
+              else
+                Console.err.println(s"[graft] adopting existing $target as commit: " +
+                  s"$why (speculative twin or replay); no content validation possible")
+          }
           if (srcLen < 0) {
             adoptOrFail("temp already absent before first rename")
             return
@@ -145,9 +197,11 @@ private[jobs] object BinWriter {
           // equal-length-foreign-file residual: acceptance below requires
           // the target to match the temp's length AND its head/tail bytes.
           // A temp vanishing between the stat above and the ranged read
-          // (external dot-temp cleanup) lands in the same adoption path as
-          // srcLen < 0, not a raw FileNotFoundException task failure.
-          val fpRead: Option[Fingerprint] = fp.filter(_.len == srcLen) match {
+          // (external dot-temp cleanup) lands in the same VALIDATED
+          // adoption path as srcLen < 0 — here srcLen is known, so at
+          // minimum the target's length must match it — not a raw
+          // FileNotFoundException task failure.
+          val fpRead: Option[Fingerprint] = fpHeld.filter(_.len == srcLen) match {
             case s @ Some(_) => s
             case None =>
               try {
@@ -182,27 +236,8 @@ private[jobs] object BinWriter {
           // succeeded. Acceptance requires the target to match the temp's
           // pre-captured length AND first/last-block bytes, so a foreign
           // writer's file — even of coincidentally equal length — fails the
-          // task instead of being adopted as this task's commit. The reads
-          // assume read-after-write consistency (HDFS, ABFS, and S3 since
-          // 2020 all provide it); on a store without it a stale read could
-          // mis-accept, and the idempotent bin replay on task retry is the
-          // backstop.
-          def committed: Boolean = !fs.exists(src) && {
-            try {
-              fs.getFileStatus(target).getLen == srcLen && (srcLen == 0 || {
-                val head = new Array[Byte](fpv.head.length)
-                val tail = new Array[Byte](fpv.tail.length)
-                val in = fs.open(target)
-                try {
-                  in.readFully(0L, head, 0, head.length)
-                  if (tail.length > 0)
-                    in.readFully(srcLen - tail.length, tail, 0, tail.length)
-                } finally in.close()
-                java.util.Arrays.equals(head, fpv.head) &&
-                  java.util.Arrays.equals(tail, fpv.tail)
-              })
-            } catch { case _: java.io.FileNotFoundException => false }
-          }
+          // task instead of being adopted as this task's commit.
+          def committed: Boolean = !fs.exists(src) && targetMatches(fpv)
           if (!fs.rename(src, target) && !fs.rename(src, target) && !committed)
             throw new java.io.IOException(s"failed to commit $src -> $target " +
               s"(no target matching the temp's length ($srcLen) and " +

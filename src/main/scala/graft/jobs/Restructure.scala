@@ -81,6 +81,10 @@ object Restructure {
       case Some(s) => Some(new StoreLocks(s, cfg.redisLockPrefix))
       case None => cfg.lockDir.map(d => new LockManager(fs, d))
     }
+    // dedicated seconds-TTL manager for the flush lock (the hold is
+    // millisecond-scale; a 24 h TTL would leave a crashed holder's peers
+    // flushing merge-only-unlocked for a day before the stale-break)
+    val flushLocks: Option[RemoteLocks] = flushLockManager(store, cfg, fs)
 
     val flushLock = new Object
     def flushLedger(): Unit =
@@ -108,7 +112,7 @@ object Restructure {
               saveLedger(fs, cfg.ledger, ledger)
           }
         }
-        locks match {
+        flushLocks match {
           case Some(lm) =>
             var attempts = 0
             var done = lm.withLock(LedgerFlushLockName)(mergeAndSave()).isDefined
@@ -1047,6 +1051,24 @@ object Restructure {
     * with a per-topic lock.
     */
   private[jobs] val LedgerFlushLockName = "graft!ledger-flush"
+
+  /** TTL for [[LedgerFlushLockName]] — seconds, NOT the 24 h topic-lock
+    * default: the hold is a millisecond-scale read+merge+write, so a
+    * replica crashing inside it must degrade its peers to the merge-only
+    * unlocked scheme for seconds (until the stale-break re-serializes the
+    * flush), not for a day.
+    */
+  private[jobs] val LedgerFlushLockTtlMs = 15000L
+
+  /** The lock manager [[run]]'s flush serializes through — same backend as
+    * the per-topic locks, but with [[LedgerFlushLockTtlMs]]. Factored so a
+    * spec can pin the wiring (the TTL a flush acquisition actually writes).
+    */
+  private[jobs] def flushLockManager(store: Option[graft.ledger.LedgerStore],
+      cfg: RestructureJobConfig, fs: FileSystem): Option[RemoteLocks] = store match {
+    case Some(s) => Some(new StoreLocks(s, cfg.redisLockPrefix, LedgerFlushLockTtlMs))
+    case None => cfg.lockDir.map(d => new LockManager(fs, d, LedgerFlushLockTtlMs))
+  }
 
   /** [[loadLedger]] for multi-instance readers: `saveLedger`'s swap is
     * atomic only under FileContext rename — the fallback is

@@ -298,10 +298,21 @@ object StreamingNearDedup {
     var prev: String = _
     // threads blocked wanting a DIFFERENT value than the current holders':
     // while any are queued, new same-value entrants must also wait (no
-    // barging), so continuously-overlapping same-value steps cannot starve
-    // an opposite-value waiter forever — holders drain, the queue races
-    // once, and blocked entrants re-check
+    // barging); at drain the opposed value is recorded as next-admitted
+    // (`handoff`), so same-value waiters re-block until an opposed-value
+    // step has entered — the handoff is DETERMINISTIC, not a notifyAll
+    // race the opposed waiter could lose to every same-value waiter under
+    // continuously overlapping steps
     var opposedWaiters = 0
+    // the value opposed waiters want (binary conf: all concurrently-opposed
+    // waiters necessarily agree)
+    var opposedWant: String = _
+    // set at drain while opposed waiters are queued: only a step wanting
+    // THIS value may become the next holder. Cleared by that step on entry,
+    // or by the last opposed waiter leaving the queue (interrupt path —
+    // the same monitor hold that decrements the count to zero, so threads
+    // blocked solely on the stale handoff are always released)
+    var handoff: String = null
   }
   private val aqGuards: java.util.Map[SparkSession, AqGuard] =
     java.util.Collections.synchronizedMap(
@@ -318,9 +329,12 @@ object StreamingNearDedup {
     * steps share one reference-counted set/restore (no mid-step restore
     * from a sibling's finally), and an opposite-value step blocks until
     * the current holders finish rather than flipping the conf under them —
-    * with no barging: while an opposite-value step is queued, new
-    * same-value entrants wait too, so continuously-overlapping steps
-    * cannot starve it.
+    * with no barging AND a deterministic handoff: while an opposite-value
+    * step is queued, new same-value entrants wait too, and when the
+    * holders drain the opposed value is recorded as next-admitted, so the
+    * opposed step cannot lose the monitor-reacquisition race to queued
+    * same-value waiters either — continuously-overlapping same-value
+    * steps are held until an opposed step has entered.
     */
   private[streaming] def withAdaptive[T](spark: SparkSession, enabled: Boolean)(f: => T): T = {
     val key = "spark.sql.adaptive.enabled"
@@ -330,18 +344,30 @@ object StreamingNearDedup {
       // re-evaluate opposition each round: the holder value can flip while
       // queued (the monitor is held between decrement and re-registration,
       // so the count never flickers visibly to other threads)
-      while (g.depth > 0 && (g.value != want || g.opposedWaiters > 0)) {
-        val opposedNow = g.value != want
-        if (opposedNow) g.opposedWaiters += 1
+      while ((g.depth > 0 && (g.value != want || g.opposedWaiters > 0)) ||
+             (g.depth == 0 && g.handoff != null && g.handoff != want)) {
+        val opposedNow = g.depth > 0 && g.value != want
+        if (opposedNow) { g.opposedWaiters += 1; g.opposedWant = want }
         try g.wait()
         finally if (opposedNow) {
           g.opposedWaiters -= 1
-          // an interrupted opposed waiter must release entrants blocked
-          // solely on the no-barge count (spurious wakes are harmless)
-          if (g.opposedWaiters == 0) g.notifyAll()
+          // last opposed waiter leaving the queue: on the normal wake it
+          // proceeds to take the slot under THIS same monitor hold (the
+          // loop re-check and entry run before the monitor is released),
+          // so clearing the handoff here is safe — and on the interrupt
+          // path it is REQUIRED, releasing entrants blocked solely on the
+          // no-barge count or a handoff nobody will ever claim
+          if (g.opposedWaiters == 0) {
+            g.handoff = null
+            g.notifyAll()
+          }
         }
       }
       if (g.depth == 0) {
+        // claiming a handoff addressed to this value admits this thread as
+        // the opposed step the drain promised the slot to (or an equivalent
+        // same-value entrant — indistinguishable to the conf)
+        if (g.handoff == want) g.handoff = null
         g.prev = spark.conf.get(key, "true")
         g.value = want
         if (!g.prev.equalsIgnoreCase(want)) spark.conf.set(key, want)
@@ -353,6 +379,10 @@ object StreamingNearDedup {
       g.depth -= 1
       if (g.depth == 0) {
         if (!g.prev.equalsIgnoreCase(g.value)) spark.conf.set(key, g.prev)
+        // deterministic no-barge handoff: with opposed waiters queued, only
+        // a step wanting their value may enter next — queued same-value
+        // waiters that win the notifyAll race re-block on the handoff
+        if (g.opposedWaiters > 0) g.handoff = g.opposedWant
         g.notifyAll()
       }
     }

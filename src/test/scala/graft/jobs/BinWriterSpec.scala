@@ -311,8 +311,9 @@ class BinWriterSpec extends AnyFunSuite {
     }
     // (c) NO caller fingerprint and the temp vanishes between its length
     // stat and the fingerprint read (external dot-temp cleanup): with a
-    // committed target present this must land in the adoption path, not
-    // throw a raw FileNotFoundException
+    // committed target of the temp's stat'd LENGTH present this must land
+    // in the adoption path, not throw a raw FileNotFoundException — the
+    // length is the strongest evidence still available
     class VanishFs extends org.apache.hadoop.fs.RawLocalFileSystem {
       override def getScheme: String = "flaky"
       override def getUri: java.net.URI = java.net.URI.create("flaky:///")
@@ -324,13 +325,30 @@ class BinWriterSpec extends AnyFunSuite {
         } else super.open(f, b)
       override def rename(src: HPath, dst: HPath): Boolean = false
     }
+    val twinBytes = "twin-wrote-same-length\n".getBytes
+    assert(twinBytes.length != payload.length) // (c2) below relies on the mismatch
     val dir3 = Files.createTempDirectory("graft-bw-fp3")
     Files.write(dir3.resolve("src.tmp"), payload)
-    Files.writeString(dir3.resolve("t.csv"), "twin-committed\n")
+    Files.write(dir3.resolve("t.csv"), new Array[Byte](payload.length)) // equal length
     val fs3 = new VanishFs; fs3.initialize(fs3.getUri, conf); fs3.vanishOnOpen = "src.tmp"
     BinWriter.renameOver(fs3, conf, new HPath(dir3.resolve("src.tmp").toString),
       new HPath(dir3.resolve("t.csv").toString))
-    assert(Files.readString(dir3.resolve("t.csv")) == "twin-committed\n")
+    assert(Files.readAllBytes(dir3.resolve("t.csv")).length == payload.length)
+    // (c2) same vanish, target length DIFFERS from the temp's stat'd
+    // length: a foreign writer's file — must fail the task so the
+    // idempotent retry rewrites the bin, not adopt it
+    val dir3b = Files.createTempDirectory("graft-bw-fp3b")
+    Files.write(dir3b.resolve("src.tmp"), payload)
+    Files.write(dir3b.resolve("t.csv"), twinBytes)
+    val fs3b = new VanishFs; fs3b.initialize(fs3b.getUri, conf); fs3b.vanishOnOpen = "src.tmp"
+    val e3b = intercept[java.io.IOException] {
+      BinWriter.renameOver(fs3b, conf, new HPath(dir3b.resolve("src.tmp").toString),
+        new HPath(dir3b.resolve("t.csv").toString))
+    }
+    assert(e3b.getMessage.contains("matching the temp's length"), e3b.getMessage)
+    // evidence preserved: the foreign file is not deleted by the refusal
+    assert(java.util.Arrays.equals(Files.readAllBytes(dir3b.resolve("t.csv")), twinBytes))
+    val inverted = payload.map(b => (~b).toByte)
     // (c') same vanish with no committed target: a real failure, with the
     // vanish-specific message rather than a raw FNFE
     val dir4 = Files.createTempDirectory("graft-bw-fp4")
@@ -341,6 +359,21 @@ class BinWriterSpec extends AnyFunSuite {
         new HPath(dir4.resolve("t.csv").toString))
     }
     assert(e.getMessage.contains("vanished between"), e.getMessage)
+    // (d) temp absent BEFORE the first stat (srcLen unknown) WITH the
+    // write-time fingerprint: a foreign target is refused, the twin's
+    // identical bytes are adopted
+    val dir5 = Files.createTempDirectory("graft-bw-fp5")
+    Files.write(dir5.resolve("t.csv"), inverted)
+    val fs5 = new VanishFs; fs5.initialize(fs5.getUri, conf)
+    val e5 = intercept[java.io.IOException] {
+      BinWriter.renameOver(fs5, conf, new HPath(dir5.resolve("src.tmp").toString),
+        new HPath(dir5.resolve("t.csv").toString), Some(fpOf(payload)))
+    }
+    assert(e5.getMessage.contains("write-time fingerprint"), e5.getMessage)
+    Files.write(dir5.resolve("t.csv"), payload)
+    BinWriter.renameOver(fs5, conf, new HPath(dir5.resolve("src.tmp").toString),
+      new HPath(dir5.resolve("t.csv").toString), Some(fpOf(payload)))
+    assert(Files.readAllBytes(dir5.resolve("t.csv")).sameElements(payload))
   }
 
   test("keep-first dedup: first occurrence wins, streaming order") {

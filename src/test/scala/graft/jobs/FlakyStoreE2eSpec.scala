@@ -20,6 +20,38 @@ import graft.SparkSpec
 class FlakyLocalFileSystem extends RawLocalFileSystem {
   override def getScheme: String = "flaky"
   override def getUri: URI = FlakyLocalFileSystem.FsUri
+
+  // SWEEP-BEFORE-COMMIT misbehavior: an external dot-temp cleanup deletes
+  // the bin temp BEFORE renameOver's first stat (srcLen = -1 path), while
+  // the target already carries either a speculative twin's IDENTICAL bytes
+  // ("sweep-temp-twin" — must be adopted via the write-time fingerprint) or
+  // a foreign writer's same-length INVERTED bytes ("sweep-temp-foreign" —
+  // only the content fingerprint can refuse it; length matches). Plain
+  // java.io/nio operations avoid re-entering the Hadoop layer.
+  override def getFileStatus(f: HPath): org.apache.hadoop.fs.FileStatus = {
+    val m = FlakyLocalFileSystem.mode.get()
+    if ((m == "sweep-temp-twin" || m == "sweep-temp-foreign") &&
+        f.getName.startsWith(".") && f.getName.contains(".tmp-")) {
+      val local = java.nio.file.Paths.get(f.toUri.getPath)
+      // only a CLOSED temp (bytes flushed) — create-time stats pass through
+      if (java.nio.file.Files.exists(local) && java.nio.file.Files.size(local) > 0) {
+        val cut = f.getName.lastIndexOf(".tmp-")
+        val target = java.nio.file.Paths.get(
+          new HPath(f.getParent, f.getName.substring(1, cut)).toUri.getPath)
+        val bytes = java.nio.file.Files.readAllBytes(local)
+        val planted =
+          if (m == "sweep-temp-twin") bytes
+          else bytes.map(b => (~b).toByte) // same length, different content
+        java.nio.file.Files.write(target, planted)
+        FlakyLocalFileSystem.plantRecords.add((target.toString, planted))
+        java.nio.file.Files.delete(local)
+        FlakyLocalFileSystem.sweepPlants.incrementAndGet()
+        throw new java.io.FileNotFoundException(f.toString)
+      }
+    }
+    super.getFileStatus(f)
+  }
+
   override def rename(src: HPath, dst: HPath): Boolean = {
     // PARQUET-COMMIT misbehavior (streaming history writes): budget-limited
     // false reports on FileOutputCommitter renames (attempt/task dirs under
@@ -60,6 +92,10 @@ class FlakyLocalFileSystem extends RawLocalFileSystem {
         // length appears at the target — acceptance must refuse it
         val out = create(dst, true)
         try out.write(FlakyLocalFileSystem.ForeignBytes) finally out.close()
+        // recorded only after the plant's write CLOSED: this plant is
+        // complete, so the spec may demand byte-identical survival of it
+        FlakyLocalFileSystem.plantRecords.add(
+          (dst.toUri.getPath, FlakyLocalFileSystem.ForeignBytes))
         delete(src, false)
         FlakyLocalFileSystem.foreignPlants.incrementAndGet()
         false
@@ -76,6 +112,7 @@ class FlakyLocalFileSystem extends RawLocalFileSystem {
         bytes.indices.foreach(i => bytes(i) = (~bytes(i)).toByte)
         val out = create(dst, true)
         try out.write(bytes) finally out.close()
+        FlakyLocalFileSystem.plantRecords.add((dst.toUri.getPath, bytes))
         delete(src, false)
         FlakyLocalFileSystem.equalLengthPlants.incrementAndGet()
         false
@@ -91,12 +128,20 @@ object FlakyLocalFileSystem {
   val falseReports = new AtomicInteger(0)
   val foreignPlants = new AtomicInteger(0)
   val equalLengthPlants = new AtomicInteger(0)
+  val sweepPlants = new AtomicInteger(0)
+  // (local path, planted bytes) of every plant whose write CLOSED before
+  // the mock returned: these are complete by construction, so specs can
+  // assert byte-identical survival of them and reserve prefix tolerance
+  // for unrecorded plants (a sibling task killed mid-write by the job
+  // abort)
+  val plantRecords = new java.util.concurrent.ConcurrentLinkedQueue[(String, Array[Byte])]()
   // parquet-commit-false mode: how many committer renames may still
   // misbehave (bounded so a replay eventually succeeds), and how many did
   val parquetFalseBudget = new AtomicInteger(0)
   val parquetFalseReports = new AtomicInteger(0)
   def reset(): Unit = {
     mode.set("off"); falseReports.set(0); foreignPlants.set(0); equalLengthPlants.set(0)
+    sweepPlants.set(0); plantRecords.clear()
     parquetFalseBudget.set(0); parquetFalseReports.set(0)
   }
 }
@@ -195,20 +240,27 @@ class FlakyStoreE2eSpec extends SparkSpec {
         java.time.Instant.EPOCH))
       assert(FlakyLocalFileSystem.foreignPlants.get() >= 1)
       // the foreign writer's file was neither adopted nor deleted: the
-      // evidence is still in place. The bin whose commit threw has a
-      // COMPLETE plant by construction (its rename mock returned before
-      // the IOException); a SIBLING task killed by the job abort can leave
-      // its own plant truncated mid-write (the mock's create+write is not
-      // atomic under task kill), so tolerate a strict PREFIX of the
-      // foreign bytes — still catching both real violations: an adopted
-      // commit is golden CSV (not a prefix of "zz"), a destroyed plant is
-      // an absent file
+      // evidence is still in place. Every plant RECORDED by the mock
+      // completed its write before the mock returned — in particular the
+      // bin whose commit threw — so those files must survive
+      // BYTE-IDENTICAL (a zero-length or truncated survivor there would
+      // mean the code under test modified the evidence). Only UNRECORDED
+      // plants (a sibling task killed by the job abort mid-write) get
+      // prefix tolerance.
+      val recorded = FlakyLocalFileSystem.plantRecords.asScala.toSeq
+      assert(recorded.nonEmpty, "no complete plant recorded")
+      recorded.foreach { case (p, bytes) =>
+        val f = Paths.get(p)
+        assert(Files.exists(f), s"complete foreign plant $p destroyed")
+        assert(java.util.Arrays.equals(Files.readAllBytes(f), bytes),
+          s"complete foreign plant $p modified: " +
+            s"'${new String(Files.readAllBytes(f), "UTF-8").take(40)}'")
+      }
+      val recordedPaths = recorded.map(_._1).toSet
       val foreign = outFiles(out).filterNot(_.endsWith(".json"))
       assert(foreign.nonEmpty)
-      val planted = foreign.map(f => Files.readAllBytes(out.resolve(f)))
-      assert(planted.exists(java.util.Arrays.equals(_, FlakyLocalFileSystem.ForeignBytes)),
-        "no intact foreign plant survived the failed run")
-      planted.foreach { b =>
+      foreign.map(out.resolve).filterNot(p => recordedPaths(p.toString)).foreach { p =>
+        val b = Files.readAllBytes(p)
         val pfx = java.util.Arrays.copyOf(FlakyLocalFileSystem.ForeignBytes, b.length)
         assert(b.length <= FlakyLocalFileSystem.ForeignBytes.length &&
           java.util.Arrays.equals(b, pfx),
@@ -254,6 +306,52 @@ class FlakyStoreE2eSpec extends SparkSpec {
         assert(!new String(bytes, "UTF-8").startsWith("key.projectId"),
           s"planted file $f was replaced by real content")
       }
+    }
+  }
+
+  test("e2e: temp swept before first stat + same-length FOREIGN target => fingerprint refuses, topic FAILS") {
+    val work = Files.createTempDirectory("graft-flaky-sweepf")
+    val in = work.resolve("in"); val out = work.resolve("out")
+    copyIn(in, serverStatusFiles.take(1))
+    withFlaky("sweep-temp-foreign") {
+      val result = Restructure.run(spark, cfg(in, out))
+      // srcLen is unknowable (the temp vanished before the first stat) and
+      // the planted file has the temp's exact LENGTH — only the write-time
+      // fingerprint can refuse it, and it must: topic fails, no ledger
+      // commit, evidence intact
+      assert(result.failedTopics.map(_._1) == Seq("application_server_status"),
+        result.failedTopics.toString)
+      assert(!result.ledger.contains("application_server_status", 1, 18, 20,
+        java.time.Instant.EPOCH))
+      assert(FlakyLocalFileSystem.sweepPlants.get() >= 1)
+      val recorded = FlakyLocalFileSystem.plantRecords.asScala.toSeq
+      assert(recorded.nonEmpty)
+      recorded.foreach { case (p, bytes) =>
+        val f = Paths.get(p)
+        assert(Files.exists(f), s"complete foreign plant $p destroyed")
+        assert(java.util.Arrays.equals(Files.readAllBytes(f), bytes),
+          s"complete foreign plant $p modified (adopted or overwritten)")
+      }
+    }
+  }
+
+  test("e2e: temp swept before first stat + twin's IDENTICAL bytes => adopted, output and ledger exact") {
+    val work = Files.createTempDirectory("graft-flaky-sweept")
+    val in = work.resolve("in"); val out = work.resolve("out")
+    copyIn(in, serverStatusFiles)
+    withFlaky("sweep-temp-twin") {
+      val result = Restructure.run(spark, cfg(in, out))
+      // the write-time fingerprint validates the twin's bytes — the run
+      // completes as if the rename had succeeded
+      assert(result.failedTopics.isEmpty, result.failedTopics.toString)
+      assert(FlakyLocalFileSystem.sweepPlants.get() >= 2,
+        s"sweep path never exercised: ${FlakyLocalFileSystem.sweepPlants.get()}")
+      assert(new String(Files.readAllBytes(out.resolve(s"$firstOut/20200128_1300.csv")),
+        "UTF-8") == golden1300)
+      assert(result.ledger.contains("application_server_status", 1, 18, 20,
+        java.time.Instant.EPOCH))
+      assert(result.ledger.contains("application_server_status", 1, 21, 21,
+        java.time.Instant.EPOCH))
     }
   }
 

@@ -44,6 +44,39 @@ class LockManagerSpec extends AnyFunSuite {
     assert(a.tryAcquire("t"))
   }
 
+  test("ledger-flush lock: seconds-scale TTL wired, crashed holder breakable in seconds not a day") {
+    val dir = Files.createTempDirectory("graft-lock5").toString
+    val cfg = RestructureJobConfig(inputRoot = s"$dir/in", outputRoot = s"$dir/out",
+      lockDir = Some(dir))
+    // the manager run() actually builds for the flush lock
+    val flush = Restructure.flushLockManager(None, cfg, fs)
+    assert(flush.nonEmpty)
+    // a holder that CRASHES inside the hold: acquire and never release
+    val before = System.currentTimeMillis()
+    assert(flush.get.asInstanceOf[LockManager].tryAcquire(Restructure.LedgerFlushLockName))
+    // the lock file's expiry is seconds ahead — the peers' stale-break
+    // window — not the 24 h topic default
+    val p = new HPath(dir, s"${Restructure.LedgerFlushLockName}.lock")
+    val payload = {
+      val in = fs.open(p)
+      try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    }
+    val expiry = payload.trim.split('\n')(1).toLong
+    assert(expiry - before <= Restructure.LedgerFlushLockTtlMs + 2000,
+      s"flush lock expiry ${expiry - before} ms ahead — not seconds-scale")
+    assert(expiry > before, "expiry must still be in the future at acquisition")
+    // a peer cannot take it while fresh...
+    val peer = Restructure.flushLockManager(None, cfg, fs).get
+    assert(peer.withLock(Restructure.LedgerFlushLockName)(1).isEmpty)
+    // ...but once the seconds-scale TTL has elapsed (simulated by rewinding
+    // the persisted expiry by exactly the TTL), the stale-break engages and
+    // the peer's flush re-serializes — within seconds of the crash
+    val rewound = s"${payload.trim.split('\n')(0)}\n${before - 1}"
+    val out = fs.create(p, true)
+    try out.write(rewound.getBytes("UTF-8")) finally out.close()
+    assert(peer.withLock(Restructure.LedgerFlushLockName)(1).contains(1))
+  }
+
   test("restructure honours lockDir: a held topic lock skips the topic") {
     val work = Files.createTempDirectory("graft-lock4")
     // minimal avro input

@@ -134,7 +134,13 @@ class SimilaritySpec extends SparkSpec {
     import scala.jdk.CollectionConverters._
     assert(!stageNames.asScala.exists(_.contains("count at ")),
       s"shrink-level count job ran on a driver-packed graph: ${stageNames.asScala}")
-    assert(jobs.get() <= 3, s"expected <=3 jobs (fused collect + AQE stages), saw ${jobs.get()}")
+    // PRIMARY check is the stage-name assertion above (no shrink-level
+    // count job) — that alone proves the guard. The job-count bound is a
+    // loose regression tripwire only: AQE stage materialization and .rdd
+    // conversion job shapes shift across Spark versions/confs (Spark 4.1
+    // measures 3), so the bound stays far from the current value — a
+    // REVIVED shrink loop adds >=3 jobs per level and still trips it.
+    assert(jobs.get() <= 8, s"job count blew past the AQE-shaped handful, saw ${jobs.get()}")
     val got = mapping.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert((0L until 15L).forall(i => got(2 * i) == 2 * i && got(2 * i + 1) == 2 * i))
   }

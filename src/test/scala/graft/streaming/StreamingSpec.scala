@@ -251,6 +251,7 @@ class StreamingSpec extends SparkSpec {
       val bSawFalse = new java.util.concurrent.atomic.AtomicBoolean(false)
       val cRanAfterA = new java.util.concurrent.atomic.AtomicBoolean(false)
       val aDone = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val entryOrder = new java.util.concurrent.ConcurrentLinkedQueue[String]()
       val a = new Thread(() => StreamingNearDedup.withAdaptive(spark, enabled = false) {
         inA.countDown()
         releaseA.await(10, java.util.concurrent.TimeUnit.SECONDS)
@@ -270,6 +271,7 @@ class StreamingSpec extends SparkSpec {
         "first-exiting same-value holder must not restore while a sibling holds")
       // C wants the OPPOSITE value: must block until A drains
       val c = new Thread(() => StreamingNearDedup.withAdaptive(spark, enabled = true) {
+        entryOrder.add("c")
         cRanAfterA.set(aDone.get && spark.conf.get(key) == "true")
       })
       c.start()
@@ -280,6 +282,7 @@ class StreamingSpec extends SparkSpec {
       // starve C forever
       val dRan = new java.util.concurrent.atomic.AtomicBoolean(false)
       val d = new Thread(() => StreamingNearDedup.withAdaptive(spark, enabled = false) {
+        entryOrder.add("d")
         dRan.set(spark.conf.get(key) == "false")
       })
       d.start()
@@ -290,6 +293,12 @@ class StreamingSpec extends SparkSpec {
       a.join(10000); c.join(10000); d.join(10000)
       assert(cRanAfterA.get, "opposite-value step must run after the holder exits, under its own value")
       assert(dRan.get, "the deferred same-value step must still run, under its value")
+      // DETERMINISTIC handoff: at A's drain the opposed value is recorded
+      // as next-admitted, so C cannot lose the monitor-reacquisition race
+      // to the queued same-value D — not just "C eventually runs" but "C
+      // runs FIRST", every schedule
+      assert(entryOrder.toArray.toSeq == Seq("c", "d"),
+        s"drain must hand off to the opposed waiter first: $entryOrder")
       assert(spark.conf.get(key) == "true", "conf must be restored after all steps")
     } finally spark.conf.set(key, orig)
   }

@@ -1,0 +1,36 @@
+#!/usr/bin/env bash
+# Standing native-dir correctness evidence (round-16 verdict task #7):
+# CORRECTNESS_rN rows all come from driver-replicated testdata, and the
+# 83/83 native-dir run was a one-time committed result. This wrapper makes
+# it per-round evidence: re-grow the ScaleGen tables at ratio 1.0
+# (sf0.1-equivalent cardinalities, ~11 s generation), dump every
+# SparkEntry query against the NATIVE dir, compare in DuckDB, and write
+# CORRECTNESS_NATIVE.json at the repo root for the round commit.
+#
+# Usage: tools/native_verify.sh [ratio] [baseDir] [jsonOut]
+set -euo pipefail
+cd "$(dirname "$0")/.."
+RATIO=${1:-1.0}
+BASE=${2:-/root/testdata/sf0.1}
+JSON_OUT=${3:-CORRECTNESS_NATIVE.json}
+GEN=$(mktemp -d /tmp/graft-native-gen-XXXX)
+OUT=$(mktemp -d /tmp/graft-native-out-XXXX)
+trap 'rm -rf "$GEN" "$OUT"' EXIT
+echo "[native-verify] generating ratio=$RATIO from $BASE into $GEN"
+sbt -batch "runMain graft.ScaleGen $GEN $RATIO $BASE" 2>&1 | grep '\[scalegen\]' || true
+echo "[native-verify] dumping queries against the native dir"
+sbt -batch "runMain graft.Verify $GEN $OUT" 2>&1 | grep '\[verify\]' || true
+echo "[native-verify] DuckDB compare"
+python3 tools/check_oracle.py "$GEN" "$OUT" "$JSON_OUT.tmp"
+python3 - "$JSON_OUT" "$RATIO" "$BASE" <<'EOF'
+import json, sys, datetime
+out, ratio, base = sys.argv[1], sys.argv[2], sys.argv[3]
+d = json.load(open(out + ".tmp"))
+d["generator"] = "ScaleGen"
+d["sf_ratio_vs_sf01"] = float(ratio)
+d["base_dir"] = base
+d["generated_utc"] = datetime.datetime.now(datetime.timezone.utc).isoformat(timespec="seconds")
+json.dump(d, open(out, "w"), indent=1, sort_keys=True)
+print(f"[native-verify] wrote {out}: {d['pass']} pass, {d['fail']} fail")
+EOF
+rm -f "$JSON_OUT.tmp"
