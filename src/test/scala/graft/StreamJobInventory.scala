@@ -31,28 +31,53 @@ object StreamJobInventory {
       } finally org.apache.commons.io.FileUtils.deleteDirectory(work.toFile)
     }
     loop("warm") // codegen/JIT outside the inventory
+    // phase windows from the shipped step's own phaseSink (called at phase
+    // END with the duration): a job is attributed to the phase whose
+    // wall-clock window covers its start; async broadcast jobs share one
+    // anonymous callsite, so the phase is most of their identity
+    val windows = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long, Long)]()
     val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
-    val agg = new java.util.concurrent.ConcurrentHashMap[String, (Int, Long)]()
+    // (startMs, signature, durMs) — attributed to phase windows AFTER the
+    // loop (a job usually ends before its covering phase's window is
+    // recorded, since phaseSink fires at phase end)
+    val ended = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String, Long)]()
     val listener = new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit = {
-        // the result stage (highest id) carries the action's callsite —
-        // the job's identity; earlier stages are its exchanges
-        val sig = js.stageInfos.sortBy(_.stageId).lastOption.map(_.name).getOrElse("?")
+        val last = js.stageInfos.sortBy(_.stageId).lastOption.map(_.name).getOrElse("?")
+        val sig =
+          if (last.contains("withThreadLocalCaptured")) "async broadcast/subquery job"
+          else last
         starts.put(js.jobId, (js.time, sig))
       }
       override def onJobEnd(je: SparkListenerJobEnd): Unit = {
         val s = starts.remove(je.jobId)
-        if (s != null) agg.merge(s._2, (1, je.time - s._1),
-          (a, b) => (a._1 + b._1, a._2 + b._2))
+        if (s != null) ended.add((s._1, s._2, je.time - s._1))
       }
     }
     spark.sparkContext.addSparkListener(listener)
+    val work = java.nio.file.Files.createTempDirectory("graft-jobinv-measured")
     val t0 = System.nanoTime()
-    loop("measured")
+    try (0 until slices).foreach { b =>
+      val _ = graft.streaming.StreamingNearDedup.dedupBatch(
+        docs.filter(pmod(col("doc_id"), lit(slices)) === b), b.toLong,
+        work.toString, epoch = "jobinv-measured",
+        phaseSink = (n, s) => {
+          val end = System.currentTimeMillis()
+          windows.add((n, end - (s * 1000).toLong - 1, end + 1))
+        })
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(work.toFile)
     val wall = (System.nanoTime() - t0) / 1e9
     Thread.sleep(500) // drain the async listener bus
     spark.sparkContext.removeSparkListener(listener)
     import scala.jdk.CollectionConverters._
+    val ws = windows.asScala.toSeq
+    val agg = new java.util.HashMap[String, (Int, Long)]()
+    ended.asScala.foreach { case (start, sig, dur) =>
+      val phase = ws.collectFirst {
+        case (n, from, to) if start >= from && start <= to => n
+      }.getOrElse("plan-construction/other")
+      agg.merge(s"[$phase] $sig", (1, dur), (a, b) => (a._1 + b._1, a._2 + b._2))
+    }
     val rows = agg.asScala.toSeq.sortBy(-_._2._2)
     val totalJobs = rows.map(_._2._1).sum
     println(f"INVENTORY loop_wall=$wall%.2fs jobs=$totalJobs jobs_per_batch=${totalJobs.toDouble / slices}%.1f")
