@@ -559,19 +559,107 @@ object Restructure {
     val stripped = regexp_replace(decodeUri(input_file_name()),
       "^" + java.util.regex.Pattern.quote(rootNorm), "")
     val pathExpr = if (zip) regexp_replace(stripped, "\\.unz$", "") else stripped
-    val groups =
-      if (format == "json") Seq(avail.map(_._1)).filter(_.nonEmpty)
-      else avail.groupBy(_._2).values.map(_.map(_._1)).toSeq
-    val frames = groups.map { members =>
-      val paths = members.map(p => s"$scanRoot/$p$suffix")
-      val reader = spark.read
-      val base =
-        if (format == "json") jsonSchema.fold(reader)(reader.schema).json(paths: _*)
-        else reader.option("header", "true").option("inferSchema", "false")
-          .option("multiLine", "true").option("escape", "\"").csv(paths: _*)
-      base.withColumn("__path", pathExpr)
-    }
+    val frames =
+      if (format == "json") {
+        Seq(avail.map(_._1)).filter(_.nonEmpty).map { members =>
+          val paths = members.map(p => s"$scanRoot/$p$suffix")
+          val reader = spark.read
+          jsonSchema.fold(reader)(reader.schema).json(paths: _*)
+            .withColumn("__path", pathExpr)
+        }
+      } else {
+        // CSV bins go through [[readCsvBinFiles]] — a distributed
+        // whole-file Univocity read — instead of spark.read.csv: the
+        // DataFrame CSV source pays ~28 ms of per-file setup, which at a
+        // 20k-tiny-bin append is >20 s of pure overhead per merge chunk
+        // against ~0.1 s of raw IO (PLANS.md round-17 attribution); the
+        // reference-scale 50k-bin store would spend the append in reader
+        // setup. __path is the known relative path directly — the
+        // input_file_name percent-decode dance above remains only for the
+        // JSON branch.
+        avail.groupBy(_._2).toSeq.map { case (h, members) =>
+          readCsvBinFiles(spark, scanRoot, suffix, members.map(_._1), h)
+        }
+      }
     (frames, failed)
+  }
+
+  /** Distributed whole-file CSV read of EXISTING bins (the merge/cleaner
+    * re-read path): each task opens its files directly and parses them with
+    * the same Univocity parser Spark's CSV source uses, configured to match
+    * this codebase's reader options — header row, quote `"` escaped by
+    * doubling, multiLine (embedded newlines inside quotes), permissive
+    * ragged-row handling, empty-and-missing → null (what spark.read.csv
+    * yields for string columns). Whole-file parse bounds task memory by the
+    * largest single bin, exactly like the multiLine=true source it
+    * replaces. Row-for-row parity with spark.read.csv is pinned by
+    * `CsvReadParitySpec` over adversarial content (quoted newlines, doubled
+    * quotes, empty vs missing fields, unicode, CRLF, ragged rows) and by
+    * the merge/quarantine golden e2es.
+    */
+  private[jobs] def readCsvBinFiles(spark: SparkSession, scanRoot: String,
+      suffix: String, members: Seq[String], headerLine: String): DataFrame = {
+    import org.apache.spark.sql.types.{StringType, StructField}
+    def settings(): com.univocity.parsers.csv.CsvParserSettings = {
+      val s = new com.univocity.parsers.csv.CsvParserSettings
+      val fmt = s.getFormat
+      fmt.setDelimiter(',')
+      fmt.setQuote('"')
+      fmt.setQuoteEscape('"')
+      fmt.setCharToEscapeQuoteEscaping('\u0000')
+      fmt.setComment('\u0000')
+      s.setIgnoreLeadingWhitespaces(false)
+      s.setIgnoreTrailingWhitespaces(false)
+      s.setReadInputOnSeparateThread(false)
+      s.setMaxCharsPerColumn(-1)
+      s.setMaxColumns(20480)
+      s.setNullValue("")
+      s.setEmptyValue("")
+      s.setUnescapedQuoteHandling(
+        com.univocity.parsers.csv.UnescapedQuoteHandling.STOP_AT_DELIMITER)
+      s.setLineSeparatorDetectionEnabled(true)
+      s
+    }
+    val cols = new com.univocity.parsers.csv.CsvParser(settings()).parseLine(headerLine)
+    val n = cols.length
+    val confEntries = AvroRead.fsConfEntries(spark)
+    val slices = math.max(1,
+      math.min(members.size, spark.sparkContext.defaultParallelism * 2))
+    val rootLocal = scanRoot
+    val sfx = suffix
+    val rdd = spark.sparkContext.parallelize(members, slices).mapPartitions { it =>
+      val conf = new org.apache.hadoop.conf.Configuration()
+      confEntries.foreach { case (k, v) => conf.set(k, v) }
+      val pfs = new HPath(rootLocal).getFileSystem(conf)
+      val parser = new com.univocity.parsers.csv.CsvParser(settings())
+      it.flatMap { p =>
+        val raw = pfs.open(new HPath(s"$rootLocal/$p$sfx"))
+        val in: java.io.InputStream =
+          if (p.endsWith(".gz")) new java.util.zip.GZIPInputStream(raw) else raw
+        val reader = new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_8)
+        val parsed = try parser.parseAll(reader) finally reader.close()
+        import scala.jdk.CollectionConverters._
+        // first row is the header; short rows pad with null, long rows
+        // truncate — PERMISSIVE's partial-row behavior for our all-string
+        // schema. "" → null matches spark.read.csv's nullValue default.
+        parsed.asScala.iterator.drop(1).map { toks =>
+          val vals = new Array[Any](n + 1)
+          var i = 0
+          while (i < n) {
+            val v = if (toks != null && i < toks.length) toks(i) else null
+            vals(i) = if (v == null || v.isEmpty) null else v
+            i += 1
+          }
+          vals(n) = p
+          org.apache.spark.sql.Row.fromSeq(
+            scala.collection.immutable.ArraySeq.unsafeWrapArray(vals))
+        }
+      }
+    }
+    val schema = StructType(
+      cols.map(c => StructField(c, StringType, nullable = true)).toSeq :+
+        StructField("__path", StringType, nullable = false))
+    spark.createDataFrame(rdd, schema)
   }
 
   /** Stream a set of existing zip bins into `tempRoot`, mirroring their

@@ -423,13 +423,15 @@ class MergeChunkSpec extends SparkSpec {
     try {
       val merged = Restructure.mergeChunk(spark, cfg, fs, prepared,
         bins.map(p => (p, 0, "")), "csv", None, temps)
-      // all 8 bins share one header -> exactly ONE file-source relation in
+      // all 8 bins share one header -> exactly ONE existing-bin read in
       // the plan (plus the in-memory prepared leaf); a per-bin fold would
-      // show 8
+      // show 8. The bespoke whole-file bin reader surfaces as a LogicalRDD
+      // leaf (it was a file-source LogicalRelation before round 17).
       val scans = merged.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.LogicalRDD => r
         case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
       }
-      assert(scans.size == 1, s"expected one scan, got ${scans.size}")
+      assert(scans.size == 1, s"expected one existing-bin read, got ${scans.size}")
     } finally temps.foreach(t => fs.delete(t, true))
   }
 }
