@@ -27,12 +27,18 @@ private[jobs] object BinWriter {
       try Some(org.apache.hadoop.fs.FileContext.getFileContext(uri, conf))
       catch { case _: org.apache.hadoop.fs.UnsupportedFileSystemException => None })
 
-  /** Head/tail content fingerprint of a written temp: its byte length plus
-    * the first `min(FpBlock, len)` and last `min(FpBlock, len - headLen)`
-    * raw bytes. Used by the non-FileContext commit fallback to validate a
-    * false-reporting rename's target by content, not just length.
+  /** Content fingerprint of a written temp: its byte length, the first
+    * `min(FpBlock, len)` and last `min(FpBlock, len - headLen)` raw bytes,
+    * and — when captured at write time by [[FingerprintStream]] — the
+    * CRC32C of EVERY byte. Used by the non-FileContext commit fallback to
+    * validate a false-reporting rename's target by content, not just
+    * length: the crc closes the head/tail check's blind spot (a
+    * same-length file differing only in the middle). `crc` is None when
+    * the fingerprint was reconstructed from ranged reads of the temp
+    * (no cheap full pass available there).
     */
-  private[jobs] final case class Fingerprint(len: Long, head: Array[Byte], tail: Array[Byte])
+  private[jobs] final case class Fingerprint(
+      len: Long, head: Array[Byte], tail: Array[Byte], crc: Option[Long])
 
   private[jobs] final val FpBlock = 8192
 
@@ -47,9 +53,15 @@ private[jobs] object BinWriter {
     private var len = 0L
     private val head = new Array[Byte](FpBlock)
     private val ring = new Array[Byte](FpBlock)
+    // every byte also folds into a CRC32C (hardware-accelerated on
+    // JDK 9+), so the commit fallback can verify FULL content — not just
+    // head/tail blocks — for the cost of one re-read of the target, paid
+    // only on the cold adoption path
+    private val crc32 = new java.util.zip.CRC32C()
     override def write(b: Int): Unit = {
       if (len < FpBlock) head(len.toInt) = b.toByte
       ring((len % FpBlock).toInt) = b.toByte
+      crc32.update(b)
       len += 1
       underlying.write(b)
     }
@@ -58,6 +70,7 @@ private[jobs] object BinWriter {
         val c = math.min(n.toLong, FpBlock - len).toInt
         System.arraycopy(b, off, head, len.toInt, c)
       }
+      crc32.update(b, off, n)
       // only the final min(n, FpBlock) bytes of this write can survive in
       // the ring; earlier ones would be overwritten within the same call
       var i = math.max(0, n - FpBlock)
@@ -80,7 +93,7 @@ private[jobs] object BinWriter {
       var pos = ((len - tailLen) % FpBlock).toInt
       var i = 0
       while (i < tailLen) { t(i) = ring(pos); pos += 1; if (pos == FpBlock) pos = 0; i += 1 }
-      Fingerprint(len, java.util.Arrays.copyOf(head, headLen), t)
+      Fingerprint(len, java.util.Arrays.copyOf(head, headLen), t, Some(crc32.getValue))
     }
   }
 
@@ -124,11 +137,17 @@ private[jobs] object BinWriter {
           // usable even after the temp is gone.
           val fpHeld: Option[Fingerprint] = fp
           // Does the target's content match fingerprint `v`? Length plus
-          // first/last-block bytes, the same ranged reads everywhere in
-          // this fallback. Assumes read-after-write consistency (HDFS,
-          // ABFS, and S3 since 2020 all provide it); on a store without it
-          // a stale read could mis-judge, and the idempotent bin replay on
-          // task retry is the backstop.
+          // first/last-block bytes (two ranged reads, a cheap early
+          // reject), then — when the fingerprint was captured at write
+          // time and so carries a CRC32C of every byte — one streaming
+          // pass over the whole target to verify FULL content. That pass
+          // runs only on this cold fallback/adoption path and reads
+          // exactly one bin; it closes the blind spot where a foreign
+          // same-length file differing only in its middle bytes matched
+          // the head/tail check. Assumes read-after-write consistency
+          // (HDFS, ABFS, and S3 since 2020 all provide it); on a store
+          // without it a stale read could mis-judge, and the idempotent
+          // bin replay on task retry is the backstop.
           def targetMatches(v: Fingerprint): Boolean =
             try {
               fs.getFileStatus(target).getLen == v.len && (v.len == 0 || {
@@ -142,6 +161,15 @@ private[jobs] object BinWriter {
                 } finally in.close()
                 java.util.Arrays.equals(head, v.head) &&
                   java.util.Arrays.equals(tail, v.tail)
+              }) && (v.len == 0 || v.crc.forall { want =>
+                val c = new java.util.zip.CRC32C()
+                val buf = new Array[Byte](65536)
+                val in = fs.open(target)
+                try {
+                  var n = in.read(buf)
+                  while (n >= 0) { if (n > 0) c.update(buf, 0, n); n = in.read(buf) }
+                } finally in.close()
+                c.getValue == want
               })
             } catch { case _: java.io.FileNotFoundException => false }
           // src gone BEFORE the first rename (srcLen = -1) or between its
@@ -216,7 +244,8 @@ private[jobs] object BinWriter {
                     if (tailLen > 0) in.readFully(srcLen - tailLen, tail, 0, tailLen)
                   } finally in.close()
                 }
-                Some(Fingerprint(srcLen, head, tail))
+                // ranged reads see only head/tail — no full pass, no crc
+                Some(Fingerprint(srcLen, head, tail, None))
               } catch { case _: java.io.FileNotFoundException => None }
           }
           val fpv = fpRead match {

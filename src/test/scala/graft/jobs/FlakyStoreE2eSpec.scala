@@ -116,6 +116,28 @@ class FlakyLocalFileSystem extends RawLocalFileSystem {
         delete(src, false)
         FlakyLocalFileSystem.equalLengthPlants.incrementAndGet()
         false
+      case "middle-mutated-foreign" =>
+        // the MAXIMALLY adversarial variant: same length AND identical
+        // first/last FpBlock bytes — only bytes in the middle differ.
+        // The head/tail fingerprint cannot distinguish this plant from
+        // the temp; only the write-time streaming CRC32C can refuse it.
+        // (Meaningful only when the temp is > 2*FpBlock long, which the
+        // driving spec guarantees.)
+        val st = getFileStatus(src)
+        val bytes = new Array[Byte](st.getLen.toInt)
+        val inS = open(src)
+        try inS.readFully(0, bytes) finally inS.close()
+        val lo = graft.jobs.BinWriter.FpBlock
+        val hi = bytes.length - graft.jobs.BinWriter.FpBlock
+        require(hi > lo, s"temp too small for a middle mutation: ${bytes.length}")
+        ((lo + hi) / 2 until math.min(hi, (lo + hi) / 2 + 16))
+          .foreach(i => bytes(i) = (~bytes(i)).toByte)
+        val out = create(dst, true)
+        try out.write(bytes) finally out.close()
+        FlakyLocalFileSystem.plantRecords.add((dst.toUri.getPath, bytes))
+        delete(src, false)
+        FlakyLocalFileSystem.middleMutatedPlants.incrementAndGet()
+        false
       case _ => super.rename(src, dst)
     }
   }
@@ -128,6 +150,7 @@ object FlakyLocalFileSystem {
   val falseReports = new AtomicInteger(0)
   val foreignPlants = new AtomicInteger(0)
   val equalLengthPlants = new AtomicInteger(0)
+  val middleMutatedPlants = new AtomicInteger(0)
   val sweepPlants = new AtomicInteger(0)
   // (local path, planted bytes) of every plant whose write CLOSED before
   // the mock returned: these are complete by construction, so specs can
@@ -141,7 +164,7 @@ object FlakyLocalFileSystem {
   val parquetFalseReports = new AtomicInteger(0)
   def reset(): Unit = {
     mode.set("off"); falseReports.set(0); foreignPlants.set(0); equalLengthPlants.set(0)
-    sweepPlants.set(0); plantRecords.clear()
+    middleMutatedPlants.set(0); sweepPlants.set(0); plantRecords.clear()
     parquetFalseBudget.set(0); parquetFalseReports.set(0)
   }
 }
@@ -352,6 +375,46 @@ class FlakyStoreE2eSpec extends SparkSpec {
         java.time.Instant.EPOCH))
       assert(result.ledger.contains("application_server_status", 1, 21, 21,
         java.time.Instant.EPOCH))
+    }
+  }
+
+  test("commit: same-length same-head/tail MIDDLE-mutated foreign target is refused by the streaming crc") {
+    val work = Files.createTempDirectory("graft-flaky-mid")
+    val out = work.resolve("out"); Files.createDirectories(out)
+    // A bin comfortably larger than 2*FpBlock (16 KiB), so the plant's
+    // mutated bytes lie OUTSIDE both fingerprint blocks: length, head
+    // block, and tail block all match the temp exactly. Before the
+    // write-time CRC32C this plant was ADOPTED as the commit — the
+    // documented round-17 blind spot; now the full-content check must
+    // refuse it and fail the task.
+    val line = "v" * 120
+    val rows = Iterator.tabulate(400)(i => ("topicA/big.csv", i.toString, f"$i%06d,$line"))
+    val confEntries = Map("fs.flaky.impl" -> classOf[FlakyLocalFileSystem].getName)
+    withFlaky("middle-mutated-foreign") {
+      val err = intercept[java.io.IOException] {
+        BinWriter.writePartition(rows, s"flaky:$out", confEntries, Some("h"),
+          gzip = false, zip = false).toList
+      }
+      assert(err.getMessage.contains("failed to commit"), err.getMessage)
+      assert(FlakyLocalFileSystem.middleMutatedPlants.get() >= 1)
+      // evidence intact: the planted file survives byte-identical
+      val recorded = FlakyLocalFileSystem.plantRecords.asScala.toSeq
+      assert(recorded.nonEmpty)
+      recorded.foreach { case (p, bytes) =>
+        val f = Paths.get(p)
+        assert(Files.exists(f), s"complete foreign plant $p destroyed")
+        assert(java.util.Arrays.equals(Files.readAllBytes(f), bytes),
+          s"complete foreign plant $p modified (adopted or overwritten)")
+      }
+    }
+    // control: the same store, same bin size, but the target carries a
+    // byte-identical TWIN — the crc matches and the commit is adopted
+    val rows2 = Iterator.tabulate(400)(i => ("topicB/big.csv", i.toString, f"$i%06d,$line"))
+    withFlaky("report-false") {
+      val written = BinWriter.writePartition(rows2, s"flaky:$out", confEntries,
+        Some("h"), gzip = false, zip = false).toList
+      assert(written == List("topicB/big.csv"))
+      assert(Files.size(out.resolve("topicB/big.csv")) > 2L * BinWriter.FpBlock)
     }
   }
 
