@@ -466,8 +466,8 @@ object Restructure {
   /** One chunk's merge plan: quarantine corrupt targets, then union the
     * chunk's new rows with ONE reader per distinct header (CSV) / one
     * overall (JSON) — O(attempt-schemas) plan nodes per chunk, not
-    * O(bins); the bin path re-derives from input_file_name so all bins of
-    * a group load in a single distributed scan.
+    * O(bins); each reader carries the known relative bin path as `__path`
+    * so all bins of a group load in a single distributed scan.
     *
     * Zip bins (which Spark's readers cannot decompress) are streamed into
     * ONE temp directory on the output filesystem, mirroring their relative
@@ -516,7 +516,7 @@ object Restructure {
     * → bin-path mapping is defined (shared by [[mergeChunk]] and
     * [[Cleaner.verifyTopic]], which previously each built it): one
     * DataFrame per distinct CSV header (one overall for JSON), each
-    * carrying a `__path` column re-derived from `input_file_name`. Zip
+    * carrying the known relative bin path as its `__path` column. Zip
     * bins stream into one dot-prefixed temp directory first (appended to
     * `temps` for recursive post-use cleanup), with each bin's real header
     * read off the unzipped file. Returns (frames, failed): `failed` = zip
@@ -542,30 +542,24 @@ object Restructure {
           unz.collect { case (p, Some(h)) => (p, h) },
           unz.collect { case (p, None) => p })
       }
-    val rootNorm = fs.makeQualified(new HPath(scanRoot)).toUri.getPath
-      .stripSuffix("/") + "/"
-    // input_file_name returns a percent-ENCODED URI (space → %20, literal
-    // % → %25; '+' stays raw — PathCharsSpec pins this) — decode through
-    // URI.getPath, which percent-decodes WITHOUT form semantics (Spark's
-    // url_decode would corrupt '+' to space), before stripping the
-    // unencoded root prefix. Without the decode, any bin path carrying a
-    // URI-escapable character (a `value:` template param with a space, a
-    // plugin attribute with '%') re-bins its EXISTING rows under the
-    // encoded name on every append — silent duplication — and the
-    // cleaner counts those rows missing forever.
-    val decodeUri = udf((u: String) =>
-      if (u == null) null
-      else try new java.net.URI(u).getPath catch { case _: Exception => u })
-    val stripped = regexp_replace(decodeUri(input_file_name()),
-      "^" + java.util.regex.Pattern.quote(rootNorm), "")
-    val pathExpr = if (zip) regexp_replace(stripped, "\\.unz$", "") else stripped
     val frames =
       if (format == "json") {
+        // JSON bins ride [[readJsonBinFiles]] — the same distributed
+        // whole-file recipe as the CSV branch below — instead of
+        // spark.read.json's per-file DataFrame-source setup (~28 ms/file;
+        // the round-17 residual). The known relative path doubles as
+        // `__path` directly, which also retires the input_file_name
+        // percent-decode UDF this branch used to need (bin paths carrying
+        // URI-escapable characters never pass through an encoded URI now).
+        // jsonSchema is always Some on this path (writeJsonBins passes the
+        // typed data schema); the inference fallback survives only for a
+        // hypothetical schemaless caller.
         Seq(avail.map(_._1)).filter(_.nonEmpty).map { members =>
-          val paths = members.map(p => s"$scanRoot/$p$suffix")
-          val reader = spark.read
-          jsonSchema.fold(reader)(reader.schema).json(paths: _*)
-            .withColumn("__path", pathExpr)
+          val sch = jsonSchema.getOrElse(
+            // schemaless caller (none exists today): one inference pass,
+            // then the same bespoke read
+            spark.read.json(members.map(p => s"$scanRoot/$p$suffix"): _*).schema)
+          readJsonBinFiles(spark, scanRoot, suffix, members, sch)
         }
       } else {
         // CSV bins go through [[readCsvBinFiles]] — a distributed
@@ -574,14 +568,74 @@ object Restructure {
         // 20k-tiny-bin append is >20 s of pure overhead per merge chunk
         // against ~0.1 s of raw IO (PLANS.md round-17 attribution); the
         // reference-scale 50k-bin store would spend the append in reader
-        // setup. __path is the known relative path directly — the
-        // input_file_name percent-decode dance above remains only for the
-        // JSON branch.
+        // setup. __path is the known relative path directly.
         avail.groupBy(_._2).toSeq.map { case (h, members) =>
           readCsvBinFiles(spark, scanRoot, suffix, members.map(_._1), h)
         }
       }
     (frames, failed)
+  }
+
+  /** Default bounded open-ahead depth for the bespoke bin readers. */
+  private[graft] val BinOpenAheadDefault = 4
+
+  /** Bounded open-AHEAD over one task's bin files: on an object store every
+    * open is a ~20-50 ms GET round-trip, and a task opening hundreds of
+    * bins sequentially rebuilds a seconds-scale wall at 50k bins (the
+    * round-17 watch item — at S3-class ~30 ms/GET, 50k bins across 64
+    * slices is ~23 s of pure open latency). Up to `ahead` opens run on a
+    * small background pool, overlapping the current file's parse; memory
+    * stays bounded (at most `ahead` OPEN streams ahead, no buffered bytes).
+    * The returned iterator yields (relPath, rawStream) with the stream the
+    * CONSUMER's to close; streams still in flight when the task completes
+    * (success, failure, or partial consumption) are closed by a
+    * task-completion listener. `ahead <= 0` degrades to plain sequential
+    * opens (the bench's A/B baseline).
+    */
+  private def openBinsAhead(pfs: FileSystem, root: String, sfx: String,
+      paths: Array[String], ahead: Int): Iterator[(String, java.io.InputStream)] = {
+    def openOne(p: String): java.io.InputStream = pfs.open(new HPath(s"$root/$p$sfx"))
+    if (ahead <= 0 || paths.length <= 1)
+      return paths.iterator.map(p => (p, openOne(p)))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(ahead, 4), (r: Runnable) => {
+        val t = new Thread(r, "graft-bin-open-ahead"); t.setDaemon(true); t
+      })
+    val futures = new Array[java.util.concurrent.Future[java.io.InputStream]](paths.length)
+    var submitted = 0
+    def submitUpTo(limit: Int): Unit =
+      while (submitted < math.min(limit, paths.length)) {
+        val p = paths(submitted)
+        futures(submitted) = pool.submit(
+          new java.util.concurrent.Callable[java.io.InputStream] {
+            def call(): java.io.InputStream = openOne(p)
+          })
+        submitted += 1
+      }
+    @volatile var cursor = 0
+    val cleaned = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def cleanup(): Unit = if (cleaned.compareAndSet(false, true)) {
+      (cursor until submitted).foreach { i =>
+        try {
+          val f = futures(i)
+          if (f != null) { f.cancel(false); if (!f.isCancelled) f.get().close() }
+        } catch { case _: Exception => }
+      }
+      pool.shutdownNow()
+    }
+    Option(org.apache.spark.TaskContext.get())
+      .foreach(_.addTaskCompletionListener[Unit](_ => cleanup()))
+    new Iterator[(String, java.io.InputStream)] {
+      def hasNext: Boolean = { val h = cursor < paths.length; if (!h) cleanup(); h }
+      def next(): (String, java.io.InputStream) = {
+        val i = cursor
+        submitUpTo(i + 1 + ahead)
+        // advance BEFORE the blocking get: if the open failed, its slot
+        // holds no stream, and cleanup starts from the next in-flight one
+        cursor = i + 1
+        (paths(i), futures(i).get())
+      }
+    }
   }
 
   /** Distributed whole-file CSV read of EXISTING bins (the merge/cleaner
@@ -597,8 +651,9 @@ object Restructure {
     * quotes, empty vs missing fields, unicode, CRLF, ragged rows) and by
     * the merge/quarantine golden e2es.
     */
-  private[jobs] def readCsvBinFiles(spark: SparkSession, scanRoot: String,
-      suffix: String, members: Seq[String], headerLine: String): DataFrame = {
+  private[graft] def readCsvBinFiles(spark: SparkSession, scanRoot: String,
+      suffix: String, members: Seq[String], headerLine: String,
+      openAhead: Int = BinOpenAheadDefault): DataFrame = {
     import org.apache.spark.sql.types.{StringType, StructField}
     def settings(): com.univocity.parsers.csv.CsvParserSettings = {
       val s = new com.univocity.parsers.csv.CsvParserSettings
@@ -620,22 +675,42 @@ object Restructure {
       s.setLineSeparatorDetectionEnabled(true)
       s
     }
-    val cols = new com.univocity.parsers.csv.CsvParser(settings()).parseLine(headerLine)
+    val parsedHeader = new com.univocity.parsers.csv.CsvParser(settings()).parseLine(headerLine)
+    // makeSafeHeader parity with spark.read.csv (CSVDataSource, default
+    // case-INsensitive analysis): empty/null names become _c<i>; names
+    // duplicated (case-insensitively) get their column index appended —
+    // without this, a bin whose flattened header repeats a name would
+    // yield a duplicate-column DataFrame that fails later in unionByName
+    // with an ambiguous-column error instead of merging.
+    val dupNames = parsedHeader.iterator.filter(c => c != null && c.nonEmpty)
+      .map(_.toLowerCase(java.util.Locale.ROOT))
+      .toSeq.groupBy(identity).filter(_._2.size > 1).keySet
+    val cols = parsedHeader.zipWithIndex.map { case (c, i) =>
+      if (c == null || c.isEmpty) s"_c$i"
+      else if (dupNames.contains(c.toLowerCase(java.util.Locale.ROOT))) s"$c$i"
+      else c
+    }
     val n = cols.length
     val confEntries = AvroRead.fsConfEntries(spark)
     val slices = math.max(1,
       math.min(members.size, spark.sparkContext.defaultParallelism * 2))
     val rootLocal = scanRoot
     val sfx = suffix
+    val aheadLocal = openAhead
     val rdd = spark.sparkContext.parallelize(members, slices).mapPartitions { it =>
       val conf = new org.apache.hadoop.conf.Configuration()
       confEntries.foreach { case (k, v) => conf.set(k, v) }
       val pfs = new HPath(rootLocal).getFileSystem(conf)
       val parser = new com.univocity.parsers.csv.CsvParser(settings())
-      it.flatMap { p =>
-        val raw = pfs.open(new HPath(s"$rootLocal/$p$sfx"))
+      openBinsAhead(pfs, rootLocal, sfx, it.toArray, aheadLocal).flatMap { case (p, raw) =>
+        // a corrupt/truncated gzip header throws from the decompressor
+        // CONSTRUCTOR — close the raw FS stream on that path too (the
+        // finally below only covers streams that reached the reader)
         val in: java.io.InputStream =
-          if (p.endsWith(".gz")) new java.util.zip.GZIPInputStream(raw) else raw
+          if (p.endsWith(".gz"))
+            try new java.util.zip.GZIPInputStream(raw)
+            catch { case e: Throwable => raw.close(); throw e }
+          else raw
         val reader = new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_8)
         val parsed = try parser.parseAll(reader) finally reader.close()
         import scala.jdk.CollectionConverters._
@@ -662,9 +737,66 @@ object Restructure {
     spark.createDataFrame(rdd, schema)
   }
 
+  /** Distributed whole-file JSON-lines read of EXISTING bins — the JSON
+    * twin of [[readCsvBinFiles]], killing the same ~28 ms/file
+    * DataFrame-source setup `spark.read.json` pays per existing bin (the
+    * round-17 documented residual; at a 20k-bin JSON append that constant
+    * was the whole wall). Each task opens its files directly, splits them
+    * into lines (JSON-lines bins never embed raw newlines — the writer
+    * escapes them), and the known TYPED schema is applied by
+    * `from_json` — Catalyst's own Jackson parser, i.e. the exact parser
+    * and coercion rules `spark.read.json` uses, so typed parity is by
+    * construction (pinned adversarially in `JsonReadParitySpec`).
+    * Whitespace-only lines are skipped like the DataFrame source does;
+    * a malformed line yields the same all-null PERMISSIVE row. `__path`
+    * is the known relative path directly — no input_file_name decode.
+    */
+  private[jobs] def readJsonBinFiles(spark: SparkSession, scanRoot: String,
+      suffix: String, members: Seq[String], schema: StructType,
+      openAhead: Int = BinOpenAheadDefault): DataFrame = {
+    import org.apache.spark.sql.types.{StringType, StructField}
+    val confEntries = AvroRead.fsConfEntries(spark)
+    val slices = math.max(1,
+      math.min(members.size, spark.sparkContext.defaultParallelism * 2))
+    val rootLocal = scanRoot
+    val sfx = suffix
+    val aheadLocal = openAhead
+    val rdd = spark.sparkContext.parallelize(members, slices).mapPartitions { it =>
+      val conf = new org.apache.hadoop.conf.Configuration()
+      confEntries.foreach { case (k, v) => conf.set(k, v) }
+      val pfs = new HPath(rootLocal).getFileSystem(conf)
+      openBinsAhead(pfs, rootLocal, sfx, it.toArray, aheadLocal).flatMap { case (p, raw) =>
+        val in: java.io.InputStream =
+          if (p.endsWith(".gz"))
+            try new java.util.zip.GZIPInputStream(raw)
+            catch { case e: Throwable => raw.close(); throw e }
+          else raw
+        val reader = new java.io.BufferedReader(
+          new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_8), 65536)
+        // eager whole-file read: deterministic close, task memory bounded
+        // by the largest single bin — same contract as the CSV twin
+        val lines = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+        try {
+          var l = reader.readLine()
+          while (l != null) {
+            if (!l.forall(Character.isWhitespace)) lines += org.apache.spark.sql.Row(l, p)
+            l = reader.readLine()
+          }
+        } finally reader.close()
+        lines.iterator
+      }
+    }
+    val lineDf = spark.createDataFrame(rdd, StructType(Seq(
+      StructField("__line", StringType, nullable = false),
+      StructField("__path", StringType, nullable = false))))
+    lineDf
+      .select(from_json(col("__line"), schema).as("__r"), col("__path"))
+      .select(col("__r.*"), col("__path"))
+  }
+
   /** Stream a set of existing zip bins into `tempRoot`, mirroring their
-    * relative paths with an `.unz` suffix so `input_file_name` maps back
-    * by prefix/suffix strip. Returns one entry per input: `Some(header)`
+    * relative paths with an `.unz` suffix so the bin readers map back by
+    * prefix/suffix strip. Returns one entry per input: `Some(header)`
     * (the first line when `wantHeader`, else "") on success, `None` when
     * the zip fails to stream or its header is unreadable — the CALLER
     * decides what a failure means (restructure quarantines, the cleaner

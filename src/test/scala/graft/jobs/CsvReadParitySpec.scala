@@ -72,6 +72,63 @@ class CsvReadParitySpec extends SparkSpec {
     }
   }
 
+  test("duplicate / case-colliding / empty header names get spark.read.csv's safe renames") {
+    // a bin whose flattened Avro header repeats a name must NOT yield a
+    // duplicate-column DataFrame (mergeChunk's unionByName would fail with
+    // an ambiguous-column error); spark.read.csv dedupes via makeSafeHeader
+    // (append the column index; case-INsensitive by default; empty → _c<i>)
+    // and the bespoke reader must match it exactly
+    val root = Files.createTempDirectory("graft-csv-dupheader")
+    val dupHeader = "a,B,a,b,,x"
+    val content = s"$dupHeader\n1,2,3,4,5,6\n"
+    Files.write(root.resolve("dup.csv"), content.getBytes("UTF-8"))
+    val sparkDf = spark.read.option("header", "true").option("inferSchema", "false")
+      .option("multiLine", "true").option("escape", "\"")
+      .csv(s"$root/dup.csv")
+    val bespokeDf = Restructure.readCsvBinFiles(spark, root.toString, "",
+      Seq("dup.csv"), dupHeader)
+    assert(bespokeDf.columns.dropRight(1).toSeq == sparkDf.columns.toSeq,
+      s"header renames diverge: bespoke ${bespokeDf.columns.toSeq} vs " +
+        s"spark ${sparkDf.columns.toSeq}")
+    // and the frame is actually union-able (the failure mode the rename
+    // prevents)
+    val u = bespokeDf.drop("__path").unionByName(sparkDf, allowMissingColumns = true)
+    assert(u.count() == 2)
+  }
+
+  test("option-surface parity: >2048 columns and a multi-MB field accept like spark.read.csv") {
+    // the two option-surface edges that could drift silently: maxColumns
+    // (bespoke pins 20480 = Spark's CSV default) and maxCharsPerColumn
+    // (bespoke -1 = Spark's default, unlimited). A DynamicShape-flattened
+    // map/array store can genuinely produce such headers/fields.
+    import scala.jdk.CollectionConverters._
+    val root = Files.createTempDirectory("graft-csv-edges")
+    val n = 3000 // > univocity's 512 default and > the 2048 the verdict names
+    val wideHeader = (0 until n).map(i => s"c$i").mkString(",")
+    val wideRows = (0 until 2).map(r => (0 until n).map(c => s"$r-$c").mkString(","))
+    Files.write(root.resolve("wide.csv"),
+      (wideHeader +: wideRows).mkString("", "\n", "\n").getBytes("UTF-8"))
+    val big = "x" * (3 << 20) // 3 MiB single field
+    Files.write(root.resolve("bigfield.csv"),
+      s"$header\n\"$big\",2,3\n1,\"$big\",3\n".getBytes("UTF-8"))
+
+    for ((rel, h) <- Seq(("wide.csv", wideHeader), ("bigfield.csv", header))) {
+      val exp = spark.read.option("header", "true").option("inferSchema", "false")
+        .option("multiLine", "true").option("escape", "\"").csv(s"$root/$rel")
+        .collectAsList().asScala
+        .map(r => (0 until r.length).map(i => String.valueOf(r.get(i))))
+        .sortBy(_.toString)
+      val got = Restructure.readCsvBinFiles(spark, root.toString, "", Seq(rel), h)
+        .drop("__path").collectAsList().asScala
+        .map(r => (0 until r.length).map(i => String.valueOf(r.get(i))))
+        .sortBy(_.toString)
+      assert(got.size == exp.size, s"$rel: ${got.size} vs ${exp.size}")
+      got.zip(exp).foreach { case (g, e) =>
+        assert(g == e, s"$rel row mismatch: ${g.toString.take(120)} vs ${e.toString.take(120)}")
+      }
+    }
+  }
+
   test("bespoke bin reader round-trips real restructure bins byte-for-byte (fuzz corpus)") {
     // the fuzz dimension the hand cases can't cover: strings the CSV
     // WRITER actually produces. Render a nasty frame through the real
