@@ -80,7 +80,7 @@ object Similarity {
     * in-plan was +2 jobs / +0.25 s because the raw batch offers no
     * exchange to share).
     */
-  private[operators] def requireProbeBatch(
+  private[graft] def requireProbeBatch(
       batch: DataFrame, cap: Int, what: String, cure: String): Unit = {
     val n = batch.limit(cap + 1).count()
     require(n <= cap,

@@ -155,6 +155,40 @@ object TextDedup {
       posexplode(bandArr).as(Seq("__band_idx", "__band_hash")): _*)
   }
 
+  /** Row-LOCAL variant of [[bandTableOfSets]]: byte-identical band hashes
+    * (same salted-md5 lanes, same row-concat band md5, pinned by
+    * `TextDedupSpec`) computed per ROW with no explode/groupBy exchange.
+    * The signature agg pipeline exists to bound SHUFFLE volume when the
+    * band table feeds a corpus self-join; a broadcast-PROBE side shuffles
+    * nothing, so for those the agg's exchange is pure cost — this form
+    * keeps the whole probe side inside one codegen'd scan. Docs with an
+    * EMPTY shingle set emit no rows (the agg form drops them at the
+    * explode; emitting null-lane bands here would make all empty docs
+    * mutual candidates). `carryCols` are plain projections (any width —
+    * nothing shuffles, so the narrow-only rule of the agg pipeline does
+    * not apply).
+    */
+  private[graft] def bandTableOfSetsLocal(
+      sets: DataFrame, idCol: String, k: Int, bands: Int, rowsPerBand: Int,
+      carryCols: Seq[String] = Nil): DataFrame = {
+    require(bands * rowsPerBand <= k, "bands*rowsPerBand must be <= k")
+    val nSalts = (k + 3) / 4
+    val salted = sets
+      .where(size(col("__sh")) > 0)
+      .select(col(idCol) +: carryCols.map(col) ++: (0 until nSalts).map(s =>
+        transform(col("__sh"), x => md5(concat(lit(s"$s:"), x))).as(s"__hs$s")): _*)
+    val lanes = (0 until k).map(i =>
+      array_min(transform(col(s"__hs${i / 4}"),
+        h => h.substr(lit((i % 4) * 8 + 1), lit(8)))).as(s"__mh_$i"))
+    val sigs = salted.select(col(idCol) +: carryCols.map(col) ++: lanes: _*)
+    val bandArr = array((0 until bands).map { j =>
+      md5(concat_ws(",",
+        (0 until rowsPerBand).map(r => col(s"__mh_${j * rowsPerBand + r}")): _*))
+    }: _*)
+    sigs.select(col(idCol).as("__id") +: carryCols.map(col) :+
+      posexplode(bandArr).as(Seq("__band_idx", "__band_hash")): _*)
+  }
+
   private[graft] def minhashCandidatePairsFromSets(
       sets: DataFrame, idCol: String,
       k: Int = 12, bands: Int = 6, rowsPerBand: Int = 2,

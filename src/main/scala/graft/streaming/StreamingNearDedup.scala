@@ -59,7 +59,19 @@ object StreamingNearDedup {
       // ~33 jobs × ~55 ms). Measured with the floor harness: 34.4 →
       // 13.4 jobs/batch and -36% full-corpus loop wall. Pass true to
       // re-enable (e.g. outsized non-contract batches on a skewed corpus).
-      adaptive: Boolean = false): DataFrame = withAdaptive(batch.sparkSession, adaptive) {
+      adaptive: Boolean = false,
+      // FUSED history probe (default): the history side computes bands AND
+      // shingle sets row-locally in ONE codegen'd scan (no signature
+      // groupBy exchange, no second hSets scan) against two explicit
+      // batch-side broadcasts — dropping the round-17 inventory's `cands`
+      // broadcast job, which executed the whole history band scan inside a
+      // broadcast exchange. Candidates are identical by construction
+      // (bandTableOfSetsLocal ≡ bandTableOfSets, spec-pinned); a pair
+      // matching on multiple bands verifies per matching band instead of
+      // once, and the trailing distinct absorbs it. `false` keeps the
+      // split probe for A/B (the bench's floor decomposition measures
+      // both).
+      fusedProbe: Boolean = true): DataFrame = withAdaptive(batch.sparkSession, adaptive) {
     def phase[T](name: String)(f: => T): T = {
       val t0 = System.nanoTime()
       val r = f
@@ -97,6 +109,37 @@ object StreamingNearDedup {
           dataSchema = Some(rows.schema)))
       val survivors = history match {
         case None => kept
+        case Some(h) if fusedProbe =>
+          // the same bounded-batch contract the split probe enforced
+          // inside minhashCandidatePairsAgainst
+          graft.operators.Similarity.requireProbeBatch(kept,
+            graft.operators.Similarity.MaxProbeBatchRows, "probe batch",
+            "for large batches run minhashCandidatePairs over the combined " +
+              "corpus (bucketed self-join — never all-pairs) instead of the " +
+              "broadcast probe")
+          val bSetsRaw = TextDedup.distinctShingleSets(kept, idCol, textCol, shingleN)
+          val bBands = TextDedup.bandTableOfSetsLocal(
+            bSetsRaw, idCol, k, bands, rowsPerBand)
+            .select(col("__id").as("__pbid"), col("__band_idx").as("__bband_idx"),
+              col("__band_hash").as("__bband_hash"))
+          val bSets = bSetsRaw.select(col(idCol).as("__bid"), col("__sh").as("__bsh"))
+          // history: ONE row-local scan carrying bands + shingle set —
+          // stream-side width never shuffles; it is generated and consumed
+          // within the same pipelined stage. No signature groupBy
+          // exchange, no second hSets scan, no `cands` broadcast job.
+          val hProbe = TextDedup.bandTableOfSetsLocal(
+            TextDedup.distinctShingleSets(h, idCol, textCol, shingleN),
+            idCol, k, bands, rowsPerBand, carryCols = Seq("__sh"))
+            .withColumnRenamed("__sh", "__hsh")
+          val (inter, union) = TextDedup.jaccardCounts(col("__hsh"), col("__bsh"))
+          val dupIds = hProbe
+            .join(broadcast(bBands),
+              col("__band_idx") === col("__bband_idx") &&
+              col("__band_hash") === col("__bband_hash"))
+            .join(broadcast(bSets), col("__pbid") === col("__bid"))
+            .filter(inter * den >= union * num) // jaccard ≥ num/den, exact
+            .select(col("__bid").as(idCol)).distinct()
+          kept.join(dupIds, Seq(idCol), "left_anti")
         case Some(h) =>
           val cands = TextDedup.minhashCandidatePairsAgainst(
             h, kept, idCol, textCol, shingleN, k, bands, rowsPerBand)

@@ -14,6 +14,41 @@ class TextDedupSpec extends SparkSpec {
     assert(got(1) == Seq("xy"))
   }
 
+  test("bandTableOfSetsLocal: byte-identical band hashes to the agg pipeline, empty sets dropped") {
+    // the row-local probe-side band table (streaming fused probe) must
+    // produce EXACTLY the agg pipeline's buckets — same salted md5 lanes,
+    // same band md5 — or cross-batch candidates silently diverge from the
+    // batch operators'. Includes: multi-doc, duplicate shingles (distinct
+    // sets), short text, a doc whose text yields an empty shingle set.
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (3L, "completely different words entirely here now"),
+      (4L, "xy"),
+      (5L, ""), // empty STRING still shingles to [""] — present in both
+      (6L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val sets = TextDedup.distinctShingleSets(docs, "doc_id", "text", 3)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("__id", "__band_idx", "__band_hash")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+        .sortBy(t => (t._1, t._2)).toSeq
+    val agg = rows(TextDedup.bandTableOfSets(sets, "doc_id", 12, 6, 2))
+    val local = rows(TextDedup.bandTableOfSetsLocal(sets, "doc_id", 12, 6, 2))
+    assert(agg.nonEmpty)
+    assert(local == agg,
+      s"band tables diverge:\n local: ${local.take(8)}\n agg:   ${agg.take(8)}")
+    // doc 6 (null text → null/empty shingle set) appears in neither table:
+    // the agg form drops it at the explode, the local form at its guard
+    assert(!local.exists(_._1 == 6L))
+    assert(local.exists(_._1 == 5L), "empty-string doc must be present in both")
+    // carryCols ride through as plain projections
+    val carried = TextDedup.bandTableOfSetsLocal(
+      sets.withColumn("__tag", col("doc_id") * 10), "doc_id", 12, 6, 2,
+      carryCols = Seq("__tag"))
+    assert(carried.select("__id", "__tag").distinct().collect()
+      .forall(r => r.getLong(1) == r.getLong(0) * 10))
+  }
+
   test("repeatedSpans: cross-doc windows hit, within-doc repeats don't, short docs drop") {
     // doc 1 and 2 share an exact 4-token passage embedded in different text;
     // doc 3 repeats a window TWICE within itself but shares with nobody;
