@@ -7,6 +7,11 @@
 # SparkEntry query against the NATIVE dir, compare in DuckDB, and write
 # CORRECTNESS_NATIVE.json at the repo root for the round commit.
 #
+# Since round 18 graft.Verify runs this whole flow ITSELF at the end of
+# every un-filtered dump (GRAFT_NATIVE_VERIFY=0 disables), so the driver's
+# per-round Verify refreshes the artifact automatically; this script stays
+# as the explicit standalone entry point (and pins ratio/base per-run).
+#
 # Usage: tools/native_verify.sh [ratio] [baseDir] [jsonOut]
 set -euo pipefail
 cd "$(dirname "$0")/.."
@@ -16,10 +21,28 @@ JSON_OUT=${3:-CORRECTNESS_NATIVE.json}
 GEN=$(mktemp -d /tmp/graft-native-gen-XXXX)
 OUT=$(mktemp -d /tmp/graft-native-out-XXXX)
 trap 'rm -rf "$GEN" "$OUT"' EXIT
-echo "[native-verify] generating ratio=$RATIO from $BASE into $GEN"
-sbt -batch "runMain graft.ScaleGen $GEN $RATIO $BASE" 2>&1 | grep '\[scalegen\]' || true
-echo "[native-verify] dumping queries against the native dir"
-sbt -batch "runMain graft.Verify $GEN $OUT" 2>&1 | grep '\[verify\]' || true
+# sbt output goes to a log and the EXIT STATUS is checked explicitly — a
+# `sbt | grep || true` pipeline masked compile/run failures despite
+# pipefail, leaving $GEN empty and dying later in check_oracle.py with a
+# misleading missing-file error after the trap removed the evidence
+SBT_LOG=$(mktemp /tmp/graft-native-sbt-XXXX.log)
+run_sbt() {
+  echo "[native-verify] $1"
+  if ! sbt -batch "$2" >"$SBT_LOG" 2>&1; then
+    echo "[native-verify] FAILED: sbt -batch \"$2\" (log tail below)" >&2
+    tail -n 40 "$SBT_LOG" >&2
+    exit 1
+  fi
+  grep -E "$3" "$SBT_LOG" || true
+}
+run_sbt "generating ratio=$RATIO from $BASE into $GEN" \
+  "runMain graft.ScaleGen $GEN $RATIO $BASE" '\[scalegen\]'
+# GRAFT_NATIVE_VERIFY=0: this Verify call must not recurse into Verify's
+# own embedded native pass (this script IS the native pass)
+export GRAFT_NATIVE_VERIFY=0
+run_sbt "dumping queries against the native dir" \
+  "runMain graft.Verify $GEN $OUT" '\[verify\]'
+rm -f "$SBT_LOG"
 echo "[native-verify] DuckDB compare"
 python3 tools/check_oracle.py "$GEN" "$OUT" "$JSON_OUT.tmp"
 python3 - "$JSON_OUT" "$RATIO" "$BASE" <<'EOF'
