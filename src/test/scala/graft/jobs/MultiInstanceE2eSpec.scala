@@ -154,6 +154,54 @@ class MultiInstanceE2eSpec extends SparkSpec {
       "UTF-8") == golden1300)
   }
 
+  test("crashed replica holding the FLUSH lock: peers degrade to merge-only now, re-serialize after the 15 s TTL") {
+    val work = Files.createTempDirectory("graft-multi-flushttl")
+    val in = work.resolve("in"); val out = work.resolve("out")
+    copyIn(in, serverStatusFiles.take(1))
+    val c = cfg(in, out)
+    val fs = hadoopFs(out)
+    // a replica "crashes" inside its flush: the lock is planted through the
+    // SAME manager wiring run() uses (LedgerFlushLockTtlMs = 15 s) and
+    // never released
+    val crashed = new LockManager(fs, c.lockDir.get, Restructure.LedgerFlushLockTtlMs)
+    val tPlant = System.currentTimeMillis()
+    assert(crashed.tryAcquire(Restructure.LedgerFlushLockName))
+    val lockFile = out.resolve("_locks")
+      .resolve(s"${Restructure.LedgerFlushLockName}.lock")
+    val plantedBytes = Files.readAllBytes(lockFile)
+    // a peer running NOW (lock held, unexpired) must neither fail nor stall
+    // for the TTL: after ~1 s of bounded retries its flush degrades to the
+    // merge-only unlocked scheme, and the ledger still lands exactly
+    val r1 = Restructure.run(spark, c)
+    assert(r1.failedTopics.isEmpty, r1.failedTopics.toString)
+    assert(r1.processedTopics.map(_.topic) == Seq(topic))
+    assert(Restructure.loadLedger(fs, c.ledger)(topic, 1).intervals
+      .map(i => (i._1, i._2)) == Seq((18L, 20L)))
+    assert(System.currentTimeMillis() - tPlant < Restructure.LedgerFlushLockTtlMs,
+      "run 1 took longer than the TTL — it cannot witness the held-lock degrade")
+    // the unexpired foreign lock survived the run byte-identical (no
+    // premature stale-break)
+    assert(java.util.Arrays.equals(Files.readAllBytes(lockFile), plantedBytes),
+      "peer broke an unexpired flush lock")
+    // after the TTL elapses the NEXT peer's flush re-serializes: it
+    // stale-breaks the crashed holder's lock, flushes under its own, and
+    // releases — observable as the planted file being REPLACED/GONE
+    copyIn(in, serverStatusFiles.drop(1))
+    val remain = Restructure.LedgerFlushLockTtlMs - (System.currentTimeMillis() - tPlant)
+    if (remain > 0) Thread.sleep(remain + 300)
+    val r2 = Restructure.run(spark, c)
+    assert(r2.failedTopics.isEmpty, r2.failedTopics.toString)
+    assert(Restructure.loadLedger(fs, c.ledger)(topic, 1).intervals
+      .map(i => (i._1, i._2)) == Seq((18L, 23L)), "merged ledger integrity")
+    assert(!Files.exists(lockFile) ||
+      !java.util.Arrays.equals(Files.readAllBytes(lockFile), plantedBytes),
+      s"flush never re-serialized: the crashed holder's lock survived " +
+        s"${System.currentTimeMillis() - tPlant} ms after plant (TTL " +
+        s"${Restructure.LedgerFlushLockTtlMs})")
+    // and nothing lingers after the releasing flush
+    assert(!Files.exists(lockFile), "re-serialized flush did not release")
+  }
+
   test("mid-run failure: lock released for handoff, nothing ledger-committed, next instance replays") {
     val work = Files.createTempDirectory("graft-multi-fail")
     val in = work.resolve("in"); val out = work.resolve("out")
