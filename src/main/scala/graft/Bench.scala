@@ -2,6 +2,27 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
+/** RawLocalFileSystem injecting a fixed per-open latency — the bench's
+  * object-store stand-in for the bin readers' per-open GET round-trip
+  * ([[Bench]] `bin_open_latency` section). Static delay because local-mode
+  * executors share the driver JVM.
+  */
+class SlowOpenLocalFileSystem extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "slowopen"
+  override def getUri: java.net.URI = SlowOpenLocalFileSystem.FsUri
+  override def open(f: org.apache.hadoop.fs.Path, bufferSize: Int)
+      : org.apache.hadoop.fs.FSDataInputStream = {
+    val d = SlowOpenLocalFileSystem.delayMs
+    if (d > 0) Thread.sleep(d)
+    super.open(f, bufferSize)
+  }
+}
+
+object SlowOpenLocalFileSystem {
+  val FsUri: java.net.URI = java.net.URI.create("slowopen:///")
+  @volatile var delayMs: Long = 0L
+}
+
 /** Benchmark main: one JSON line with per-query wall times at the target
   * scale factor. A warm-up pass runs every query at sf0.001 first (same plan
   * shapes → primes JIT, codegen and catalog caches), so the measured pass
@@ -211,6 +232,9 @@ object Bench {
       if (!sys.env.get("SPARK_GRAFT_BINS").contains("1")) None
       else Some(benchBins(spark, dropCachedBlocks _))
     binsJson.foreach(_ => loadSamples += loadAvg)
+    // standing object-store-open-latency A/B for the bespoke bin readers
+    val openLatJson = benchBinOpenLatency(spark)
+    loadSamples += loadAvg
     // streaming service loop: sustained incremental near-dedup records/s
     val streamingJson = benchStreaming(spark, sfDir, dropCachedBlocks _)
     loadSamples += loadAvg
@@ -238,6 +262,7 @@ object Bench {
       sf10NativeJson.map(j => s""""sf10_native":$j,""").getOrElse("") +
       s""""cleaner":$cleanerJson,"jobs1x10":$jobs10xJson,""" +
       binsJson.map(j => s""""restructure_bins":$j,""").getOrElse("") +
+      s""""bin_open_latency":$openLatJson,""" +
       s""""streaming":$streamingJson,"profile":$profileJson,"oracle":$oracleJson}"""
     // file copy survives even if the stdout tail truncates the line
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
@@ -466,14 +491,15 @@ object Bench {
       // job bought ~55 ms/batch in rounds 15-16, so a regression here is a
       // latency regression at micro-batch sizes — count Spark jobs over the
       // instrumented loop and keep the ratio in the artifact
-      val jobCount = new java.util.concurrent.atomic.AtomicInteger()
-      val jobListener = new org.apache.spark.scheduler.SparkListener {
-        override def onJobStart(
-            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
-          val _ = jobCount.incrementAndGet()
+      def measuredLoop(fused: Boolean, epoch: String,
+          sink: (String, Double) => Unit): (Double, Int) = {
+        val jobCount = new java.util.concurrent.atomic.AtomicInteger()
+        val jobListener = new org.apache.spark.scheduler.SparkListener {
+          override def onJobStart(
+              js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+            val _ = jobCount.incrementAndGet()
+          }
         }
-      }
-      val decompWall = {
         val work = java.nio.file.Files.createTempDirectory("graft-bench-stream-decomp")
         spark.sparkContext.addSparkListener(jobListener)
         try {
@@ -483,22 +509,40 @@ object Bench {
           (0 until slices).foreach { b =>
             val _ = graft.streaming.StreamingNearDedup.dedupBatch(
               d.filter(pmod(col("doc_id"), lit(slices)) === b), b.toLong,
-              work.toString, epoch = "bench-decomp",
-              phaseSink = (n, s) => phaseTotals(n) = phaseTotals.getOrElse(n, 0.0) + s)
+              work.toString, epoch = epoch, phaseSink = sink, fusedProbe = fused)
           }
           val wall = (System.nanoTime() - t0) / 1e9
-          Thread.sleep(300) // async listener bus: let queued job events drain
-          wall
+          // async listener bus: poll until the observed job count has been
+          // stable for 250 ms (bounded at 5 s) — a fixed sleep can drop
+          // events still queued past it on a loaded machine, silently
+          // under-reporting the standing jobs_per_batch metric
+          var last = jobCount.get
+          var stableMs = 0
+          var waitedMs = 0
+          while (stableMs < 250 && waitedMs < 5000) {
+            Thread.sleep(25); waitedMs += 25
+            val now = jobCount.get
+            if (now == last) stableMs += 25 else { last = now; stableMs = 0 }
+          }
+          (wall, jobCount.get)
         } finally {
           spark.sparkContext.removeSparkListener(jobListener)
           org.apache.commons.io.FileUtils.deleteDirectory(work.toFile)
         }
       }
-      val jobsPerBatch = r4(jobCount.get.toDouble / slices)
+      // standing metric: the SHIPPED (fused-probe) step; plus the split
+      // probe as the recorded A/B for the round-17 fusion candidate
+      val (decompWall, decompJobs) = measuredLoop(fused = true, "bench-decomp",
+        (n, s) => phaseTotals(n) = phaseTotals.getOrElse(n, 0.0) + s)
+      val (splitWall, splitJobs) = measuredLoop(fused = false, "bench-decomp-split",
+        (_, _) => ())
+      val jobsPerBatch = r4(decompJobs.toDouble / slices)
       val attributed = phaseTotals.values.sum
       val decompJson = (phaseTotals.toSeq :+ ("other" -> (decompWall - attributed)))
         .map { case (n, s) => s"${jsonStr(n)}:${r4(s / slices)}" }
         .mkString(s"""{"loop_sec":${r4(decompWall)},"jobs_per_batch":$jobsPerBatch,""" +
+          s""""split_probe":{"loop_sec":${r4(splitWall)},""" +
+          s""""jobs_per_batch":${r4(splitJobs.toDouble / slices)}},""" +
           """"per_batch":{""", ",", "}}")
       // top-level fields keep the prior rounds' shape (the full-corpus row)
       val (_, bn, bbest, bruns) = rows(1)
@@ -967,6 +1011,48 @@ object Bench {
     * phases. One measured pass per phase — a scaling-trend row, not the
     * noise-controlled headline.
     */
+  /** Standing object-store-latency point for the bespoke bin readers
+    * (round-17 watch item: a task opening hundreds of bins sequentially
+    * rebuilds a seconds-scale wall on S3-class ~20-50 ms GETs). N tiny
+    * bins re-read through a local FS whose every open sleeps `delay_ms`,
+    * sequential (ahead=0) vs the production bounded open-ahead — the
+    * 50k-bin merge-chunk wall extrapolates linearly from this point.
+    */
+  private def benchBinOpenLatency(spark: SparkSession): String =
+    try {
+      val files = 3200
+      val delayMs = 20L
+      val dir = java.nio.file.Files.createTempDirectory("graft-bench-openlat")
+      try {
+        val header = "k.a,v.b"
+        (0 until files).foreach { i =>
+          java.nio.file.Files.write(dir.resolve(f"bin$i%05d.csv"),
+            s"$header\n$i,x$i\n${i + 1},y$i\n".getBytes("UTF-8"))
+        }
+        spark.sparkContext.hadoopConfiguration.set("fs.slowopen.impl",
+          classOf[SlowOpenLocalFileSystem].getName)
+        val rels = (0 until files).map(i => f"bin$i%05d.csv")
+        def run(ahead: Int): Double = {
+          SlowOpenLocalFileSystem.delayMs = delayMs
+          try {
+            val t0 = System.nanoTime()
+            val n = graft.jobs.Restructure.readCsvBinFiles(spark, s"slowopen:$dir",
+              "", rels, header, openAhead = ahead).count()
+            require(n == files * 2L, s"openlat read $n rows")
+            (System.nanoTime() - t0) / 1e9
+          } finally SlowOpenLocalFileSystem.delayMs = 0L
+        }
+        val seq = run(0)
+        val ahd = run(graft.jobs.Restructure.BinOpenAheadDefault)
+        s"""{"files":$files,"delay_ms":$delayMs,"seq_sec":${r4(seq)},""" +
+          s""""ahead_sec":${r4(ahd)},"ahead":${graft.jobs.Restructure.BinOpenAheadDefault},""" +
+          s""""speedup":${r4(seq / math.max(ahd, 1e-9))}}"""
+      } finally org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    } catch { case e: Throwable =>
+      Console.err.println(s"[bench] bin_open_latency FAILED: ${e.getMessage}")
+      s"""{"error":${jsonStr(e.toString)}}"""
+    }
+
   private def benchBins(spark: SparkSession, dropCachedBlocks: () => Unit): String =
     try {
       val users = 200
