@@ -49,6 +49,47 @@ class TextDedupSpec extends SparkSpec {
       .forall(r => r.getLong(1) == r.getLong(0) * 10))
   }
 
+  test("fused probe plan: history side exchange- and aggregate-free; one shuffle total (the candidate distinct)") {
+    import org.apache.spark.sql.execution.ExplainMode
+    val docs = (1 to 40).map(i =>
+      (i.toLong, s"document number $i with some shared tokens and a few unique one$i two$i"))
+      .toDF("doc_id", "text")
+    val sets = TextDedup.distinctShingleSets(docs, "doc_id", "text", 3)
+    // the claim behind the streaming fusion: the row-local band table is a
+    // pure projection pipeline — no exchange, no aggregate — so a probe's
+    // history side stays inside one codegen'd scan
+    val hProbe = TextDedup.bandTableOfSetsLocal(
+      sets, "doc_id", 12, 6, 2, carryCols = Seq("__sh"))
+      .withColumnRenamed("__sh", "__hsh")
+    val p0 = hProbe.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!p0.linesIterator.exists(_.matches("\\(\\d+\\) Exchange.*")),
+      s"row-local band table must not shuffle:\n$p0")
+    assert(!p0.contains("HashAggregate"),
+      s"row-local band table must not aggregate:\n$p0")
+    // composed exactly as StreamingNearDedup's fused probe: two explicit
+    // batch-side broadcasts, and the only shuffle in the whole candidate
+    // plan is the trailing distinct
+    val bBands = TextDedup.bandTableOfSetsLocal(sets, "doc_id", 12, 6, 2)
+      .select(col("__id").as("__pbid"), col("__band_idx").as("__bband_idx"),
+        col("__band_hash").as("__bband_hash"))
+    val bSets = sets.select(col("doc_id").as("__bid"), col("__sh").as("__bsh"))
+    val (inter, union) = TextDedup.jaccardCounts(col("__hsh"), col("__bsh"))
+    val dupIds = hProbe
+      .join(broadcast(bBands),
+        col("__band_idx") === col("__bband_idx") &&
+        col("__band_hash") === col("__bband_hash"))
+      .join(broadcast(bSets), col("__pbid") === col("__bid"))
+      .filter(inter * 2 >= union * 1)
+      .select(col("__bid").as("doc_id")).distinct()
+    val p1 = dupIds.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    val shuffles = p1.linesIterator.count(_.matches("\\(\\d+\\) Exchange.*"))
+    assert(shuffles == 1, s"fused candidate plan must shuffle once (distinct), found $shuffles:\n$p1")
+    val bcasts = p1.linesIterator.count(l =>
+      l.matches("\\(\\d+\\) BroadcastExchange.*") || l.matches("\\(\\d+\\) ReusedExchange.*"))
+    assert(bcasts == 2, s"expected exactly the two batch-side broadcasts, found $bcasts:\n$p1")
+    assert(!p1.contains("SortMergeJoin") && !p1.contains("NestedLoop"), p1)
+  }
+
   test("repeatedSpans: cross-doc windows hit, within-doc repeats don't, short docs drop") {
     // doc 1 and 2 share an exact 4-token passage embedded in different text;
     // doc 3 repeats a window TWICE within itself but shares with nobody;
