@@ -97,10 +97,22 @@ object TextDedup {
     // map-side partial agg collapses them before the exchange — carrying
     // beats a re-attach join whenever the column is small (see
     // minhashCandidatePairs doc)
+    //
+    // lanes aggregate as NUMERIC mins: min over a variable-width string has
+    // no mutable HashAggregate buffer, so the string form planned as TWO
+    // Sort+SortAggregate pairs around the exchange — sorting the whole
+    // exploded shingle stream twice. An 8-hex-char lane parses exactly into
+    // a long (< 2^32), fixed-width lowercase hex is order-isomorphic to the
+    // unsigned value (so the min is the same lane), and the post-agg
+    // projection restores the identical 8-char lowercase-hex string.
     val aggs = (0 until k).map { i =>
-      min(substring(col(s"__h${i / 4}"), (i % 4) * 8 + 1, 8)).as(s"__mh_$i")
+      min(conv(substring(col(s"__h${i / 4}"), (i % 4) * 8 + 1, 8), 16, 10)
+        .cast("long")).as(s"__mh_$i")
     } ++ carryCols.map(c => first(col(c)).as(c))
     hashed.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+      .select(col(idCol) +: (0 until k).map(i =>
+        lower(lpad(hex(col(s"__mh_$i")), 8, "0")).as(s"__mh_$i")) ++:
+        carryCols.map(col): _*)
   }
 
   /** Candidate near-duplicate pairs (idA < idB) that share at least one LSH
@@ -219,12 +231,18 @@ object TextDedup {
       candidates.count()
       withBands.unpersist(false)
       candidates
-    } else
+    } else {
       // lazy path: a SHUFFLE_HASH hint keeps both sides exchanging on the
       // band key — the two exchange subtrees are identical, so AQE reuses
       // the stage and the shingle→minhash pipeline runs once. (A broadcast
       // join would instead recompute the pipeline for the build side.)
-      pairsOf(bandTable.hint("SHUFFLE_HASH"), bandTable)
+      // ROW-LOCAL bands (byte-identical, spec-pinned): the only exchange
+      // left is the join's own band-key exchange, vs the agg form's extra
+      // Sort+SortAggregate+Exchange (string-lane min has no HashAggregate
+      // buffer) ahead of it.
+      val local = bandTableOfSetsLocal(sets, idCol, k, bands, rowsPerBand, carryCols)
+      pairsOf(local.hint("SHUFFLE_HASH"), local)
+    }
   }
 
   /** Incremental (cross-batch) near-dup candidates: documents of a NEW
@@ -248,9 +266,17 @@ object TextDedup {
     Similarity.requireProbeBatch(batch, maxBatchRows, "probe batch",
       "for large batches run minhashCandidatePairs over the combined corpus " +
         "(bucketed self-join — never all-pairs) instead of the broadcast probe")
-    val hb = bandTableOfSets(
+    // ROW-LOCAL band tables on both sides (the streaming fused probe's
+    // recipe, byte-identical hashes — spec-pinned): neither side of this
+    // broadcast-probe join ever needs a partitioning, so the signature
+    // agg's explode → Sort+SortAggregate → Exchange pipeline (min over
+    // string lanes has no HashAggregate buffer, so it plans as TWO sort
+    // aggregates around a full exchange, on BOTH sides) was pure cost —
+    // the history side now streams through one codegen'd scan and the
+    // batch side broadcasts straight from its scan
+    val hb = bandTableOfSetsLocal(
       distinctShingleSets(history, idCol, textCol, shingleN), idCol, k, bands, rowsPerBand)
-    val bb = bandTableOfSets(
+    val bb = bandTableOfSetsLocal(
       distinctShingleSets(batch, idCol, textCol, shingleN), idCol, k, bands, rowsPerBand)
     hb.alias("h").join(broadcast(bb.alias("b")),
         col("h.__band_idx") === col("b.__band_idx") &&
