@@ -624,7 +624,11 @@ object TextDedup {
     val sets = distinctShingleSets(df, idCol, textCol, shingleN)
       .withColumnRenamed(idCol, "__sid")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bandTable = bandTableOfSets(
+    // band cache built ROW-LOCALLY (byte-identical, spec-pinned): the cache
+    // holds the same (__id, __band_idx, __band_hash) rows either way, but
+    // the local build fills it straight from the sets cache with no
+    // exchange, where the agg build paid the signature exchange first
+    val bandTable = bandTableOfSetsLocal(
         sets.withColumnRenamed("__sid", idCol), idCol, k, bands, rowsPerBand)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val verified = verifiedPairsFromSets(sets, bandTable, num, den)
