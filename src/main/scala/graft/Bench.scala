@@ -163,8 +163,15 @@ object Bench {
       spark.sparkContext.setJobDescription(null)
       ((System.nanoTime() - t0) / 1e9, ok)
     }
-    val noopSweeps = (1 to noopPasses).map { _ => names.map(measureNoop) }
-    noopSweeps.foreach(_ => loadSamples += loadAvg)
+    // load sampled INSIDE the sweep loop (round-19, ADVICE fix): the
+    // strict post-hoc sampling appended N identical samples after every
+    // sweep had finished, so contention DURING the noop section was
+    // invisible to the documented noise-rejection load marker
+    val noopSweeps = (1 to noopPasses).map { _ =>
+      val sweep = names.map(measureNoop)
+      loadSamples += loadAvg
+      sweep
+    }
     val noopResults: Seq[(String, Double, Boolean)] =
       if (noopPasses < 1) Nil
       else names.zipWithIndex.map { case (name, i) =>
@@ -190,8 +197,18 @@ object Bench {
     val tenXJson = benchTenX(spark, sfDir, dropCachedBlocks _)
     loadSamples += loadAvg
     // NATIVE sf1 (ScaleGen-generated — real file counts and cardinalities,
-    // not replication): the same heavy subset, both sides
-    val (sfNativeJson, sfNativeRatio) = benchSfNative(spark, sfDir, dropCachedBlocks _)
+    // not replication): the same heavy subset, both sides. Round-19
+    // additions (verdict tasks #4/#8): the CC/dedup-family heavies join
+    // the per-query count series (so the driver's 8-vs-32-core runs carry
+    // a PARALLELISM signal at a scale where the scheduling floor no
+    // longer dominates), and the top noop-measured kernels get their own
+    // noop-sink rows at sf1 (their count() numbers are scan-pruned).
+    // Oracle pairing and the section ratio stay on the standing TenXNames
+    // subset — additions only, ratio series comparable across rounds.
+    val (sfNativeJson, sfNativeRatio) = benchSfNative(spark, sfDir, dropCachedBlocks _,
+      extraNames = Seq("q_cluster_sizes", "q_dedup_cluster", "q_dedup_quality",
+        "q_split_leakfree", "q_minhash_calib"),
+      noopNames = Seq("q_quantize", "q_mask_spans", "q_decontam_mask", "q_repetition"))
     loadSamples += loadAvg
     // second native point (sf3): turns "nothing super-linear" into a
     // two-point native curve — real multi-hundred-file listings and 18M-row
@@ -332,8 +349,12 @@ object Bench {
         // the native-sf1 paired ratio rides the compact line too: it is the
         // one scale headline the budget can afford verbatim (returned
         // structurally by measureScaledSet — never re-parsed from JSON)
+        // total_noop rides the compact line too (round-19, verdict #8):
+        // one number promotes the honest-kernel series to the headline
+        // without touching the standing queries/value contract
         s"""{"metric":"total","value":${r2(total)},"unit":"sec",""" +
-          s""""total_median":${r2(totalMedian)},"oracle_total":$oracleTotalMin,""" +
+          s""""total_median":${r2(totalMedian)},"total_noop":${r2(noopTotal)},""" +
+          s""""oracle_total":$oracleTotalMin,""" +
           s""""ratio_paired_min":$ratioPairedMin,"ratio_sf1_native":$sfNativeRatio,""" +
           s""""ratio_sf3_native":$sf3NativeRatio,""" +
           s""""sf":${jsonStr(sfDir)},"queries":$qj$omittedJson$failedJson}"""
@@ -649,6 +670,8 @@ object Bench {
       dropCachedBlocks: () => Unit, sfRatio: Double = 10.0,
       tag: String = "sf1native", oracleNames: Seq[String] = TenXNames,
       oraclePasses: Int = 3,
+      extraNames: Seq[String] = Nil,
+      noopNames: Seq[String] = Nil,
       postFields: String => String = _ => ""): (String, String) =
     try {
       val work = java.nio.file.Files.createTempDirectory(s"graft-bench-$tag")
@@ -686,10 +709,11 @@ object Bench {
           }
         volume + postFields(dir)
       }
-      measureScaledSet(spark, work.toString, TenXNames, dropCachedBlocks,
+      measureScaledSet(spark, work.toString, TenXNames ++ extraNames, dropCachedBlocks,
         prefixFields = s""""generator":"ScaleGen","sf_ratio_vs_sf01":$sfRatio,"gen_sec":${r4(genSec)},""",
         cleanup = () => org.apache.commons.io.FileUtils.deleteDirectory(work.toFile),
         oracleNames = oracleNames, oraclePasses = oraclePasses,
+        noopNames = noopNames,
         postFields = pairFields)
     } catch { case e: Throwable =>
       Console.err.println(s"[bench] $tag setup FAILED: ${e.getClass.getName}: ${e.getMessage}")
@@ -704,6 +728,7 @@ object Bench {
       dropCachedBlocks: () => Unit, prefixFields: String,
       cleanup: () => Unit, oracleNames: Seq[String] = null,
       oraclePasses: Int = 3,
+      noopNames: Seq[String] = Nil,
       postFields: String => String = _ => ""): (String, String) = try {
       val pairedNames = Option(oracleNames).getOrElse(names)
       def loadAvg: Double =
@@ -749,6 +774,49 @@ object Bench {
         val runs = allRuns(name)
         name -> (if (runs.exists(_ < 0)) -1.0 else r4(runs.min))
       }
+      // honest-kernel rows at scale (round-19, guide §1.4): the count()
+      // action above prunes final projections, so projection-dominated
+      // kernels (quantize, span masking, repetition) measure as ~scan
+      // here; `noopNames` re-times those under the noop SINK — the same
+      // action the headline queries_noop series uses — so the kernel
+      // costs are on the record at this scale too. Interleaved min-of-2,
+      // file artifact only.
+      def onceNoop(name: String): Double = {
+        dropCachedBlocks()
+        System.gc()
+        spark.sparkContext.setJobDescription(s"scaled-noop: $name")
+        val t0 = System.nanoTime()
+        try {
+          SparkEntry.queries(name)(spark, dir)
+            .write.format("noop").mode("overwrite").save()
+        } catch { case e: Throwable =>
+          Console.err.println(s"[bench] scaled noop FAILED $name: ${e.getClass.getSimpleName}: ${e.getMessage}")
+          return -1.0
+        } finally spark.sparkContext.setJobDescription(null)
+        (System.nanoTime() - t0) / 1e9
+      }
+      val noopRuns: Map[String, Seq[Double]] =
+        if (noopNames.isEmpty) Map.empty
+        else {
+          val sweeps = Seq(noopNames.map(onceNoop), {
+            sectionLoads += loadAvg
+            noopNames.map(onceNoop)
+          })
+          sectionLoads += loadAvg
+          noopNames.zipWithIndex.map { case (n, i) => n -> sweeps.map(_(i)) }.toMap
+        }
+      val noopFields =
+        if (noopNames.isEmpty) ""
+        else {
+          val qn = noopNames.map { n =>
+            val runs = noopRuns(n)
+            "\"" + n + "\":" + (if (runs.exists(_ < 0)) -1.0 else r4(runs.min))
+          }.mkString("{", ",", "}")
+          val pn = noopNames.map { n =>
+            "\"" + n + "\":[" + noopRuns(n).map(r4).mkString(",") + "]"
+          }.mkString("{", ",", "}")
+          s""""queries_noop":$qn,"passes_noop":$pn,"""
+        }
       // oracle pairing on the SAME scaled corpus: the "Spark's per-job
       // overhead amortizes at scale" argument needs both sides of the
       // ratio measured at scale, not just Spark's (3 passes + per-pass
@@ -791,7 +859,7 @@ object Bench {
         s""""max":${r4(sectionLoads.max)}},""" +
         s""""spread_median_over_min":${r4(sectionSpread)},""" +
         s""""max_query_spread":${r4(maxQuerySpread)},"contended":$contended,"""
-      (s"""{$prefixFields$contentionJson${postFields(dir)}"queries":$qs,""" +
+      (s"""{$prefixFields$contentionJson${postFields(dir)}"queries":$qs,$noopFields""" +
         s""""ratio_paired_min":$ratio10,"passes":$passesJson,"oracle":$oracle10}""",
         ratio10)
   } finally cleanup() // a throw anywhere above must not leak the multi-GB scaled dir

@@ -328,26 +328,47 @@ object SparkEntry {
 
   /** Text statistics: token/char/punct/stopword counts. */
   private def qTextStats(implicit s: SparkSession, d: String): DataFrame =
-    t("documents").select(
-      col("doc_id"),
-      TextFunctions.tokenCount(col("text")).cast(LongType).as("n_tokens"),
-      TextFunctions.bpeTokenCount(col("text")).cast(LongType).as("n_bpe_tokens"),
-      length(col("text")).cast(LongType).as("n_chars"),
-      TextFunctions.punctCount(col("text")).cast(LongType).as("n_punct"),
-      TextFunctions.stopwordCount(col("text")).cast(LongType).as("n_stopwords"))
+    // token array BOUND once (r19, guide §1.2): the inline form ran the
+    // whitespace-tokenizer kernel once per consumer (n_tokens +
+    // n_stopwords) in the same generated projection
+    t("documents")
+      .select(col("doc_id"), col("text"), TextFunctions.words(col("text")).as("__ws"))
+      .select(
+        col("doc_id"),
+        size(col("__ws")).cast(LongType).as("n_tokens"),
+        TextFunctions.bpeTokenCount(col("text")).cast(LongType).as("n_bpe_tokens"),
+        length(col("text")).cast(LongType).as("n_chars"),
+        TextFunctions.punctCount(col("text")).cast(LongType).as("n_punct"),
+        TextFunctions.stopwordCountFromWords(col("__ws")).cast(LongType).as("n_stopwords"))
       .orderBy(col("doc_id"))
 
   /** Quality scoring in exact basis points. */
   private def qQualityScore(implicit s: SparkSession, d: String): DataFrame =
     t("documents")
-      .select(col("doc_id"), TextFunctions.qualityScoreBp(col("text")).as("score_bp"))
+      .select(col("doc_id"), col("text"), TextFunctions.words(col("text")).as("__ws"))
+      .select(col("doc_id"),
+        TextFunctions.qualityScoreBpFromWords(col("__ws"), col("text")).as("score_bp"))
       .orderBy(col("doc_id"))
 
   /** Language-ID heuristic (marker-word argmax, fixed tie order). */
-  private def qLangId(implicit s: SparkSession, d: String): DataFrame =
+  private def qLangId(implicit s: SparkSession, d: String): DataFrame = {
+    // token array AND the five marker counts bound to columns (r19, guide
+    // §1.2): inlined, the argmax CASE chain re-evaluated each
+    // size(filter(words(text), markers)) pairwise comparison — 20
+    // tokenizer + filter walks per row in the pre-r19 plan; bound, one
+    // tokenizer pass and five filter walks, then a chain over integers
     t("documents")
-      .select(col("doc_id"), col("lang"), TextFunctions.langId(col("text")).as("predicted"))
+      .select(col("doc_id"), col("lang"), TextFunctions.words(col("text")).as("__ws"))
+      .select(col("doc_id") +: col("lang") +:
+        TextFunctions.langMarkers.map { case (lang, ms) =>
+          size(filter(col("__ws"), w => w.isin(ms.map(x => x: Any): _*))).as(s"__c_$lang")
+        }: _*)
+      .select(col("doc_id"), col("lang"),
+        TextFunctions.langIdFromCounts(
+          TextFunctions.langMarkers.map { case (lang, _) => lang -> col(s"__c_$lang") })
+          .as("predicted"))
       .orderBy(col("doc_id"))
+  }
 
   /** Exact dedup by content-prefix digest (hash groupBy). */
   private def qDedupExact(implicit s: SparkSession, d: String): DataFrame = {
@@ -771,7 +792,9 @@ object SparkEntry {
   private def qDedupQuality(implicit s: SparkSession, d: String): DataFrame = {
     val clusters = TextDedup.corpusClusters(t("documents"), "doc_id", "text")
     val quality = t("documents")
-      .select(col("doc_id"), TextFunctions.qualityScoreBp(col("text")).as("score_bp"))
+      .select(col("doc_id"), col("text"), TextFunctions.words(col("text")).as("__ws"))
+      .select(col("doc_id"),
+        TextFunctions.qualityScoreBpFromWords(col("__ws"), col("text")).as("score_bp"))
     // best-of-cluster via max_by (score desc, id asc — the negated id breaks
     // ties): ONE aggregation with map-side partials instead of a
     // row_number window sorting every cluster's rows
@@ -846,7 +869,10 @@ object SparkEntry {
     */
   private def qTopDocs(implicit s: SparkSession, d: String): DataFrame =
     t("documents")
-      .select(col("doc_id"), col("source"), TextFunctions.qualityScoreBp(col("text")).as("score_bp"))
+      .select(col("doc_id"), col("source"), col("text"),
+        TextFunctions.words(col("text")).as("__ws"))
+      .select(col("doc_id"), col("source"),
+        TextFunctions.qualityScoreBpFromWords(col("__ws"), col("text")).as("score_bp"))
       .groupBy(col("source"))
       .agg(graft.functions.GraftExpressions.topKPayload(
         col("score_bp").cast(DoubleType), col("doc_id"),
@@ -958,14 +984,28 @@ object SparkEntry {
     * codes are bit-identical.
     */
   private def qQuantize(implicit s: SparkSession, d: String): DataFrame = {
-    val v = transform(col("embedding"), x => x.cast(DoubleType))
-    val mn = array_min(v)
-    val mx = array_max(v)
-    val scale = (mx - mn) / lit(255.0)
-    val codes = when(scale === 0.0, transform(v, _ => lit(0L)))
-      .otherwise(transform(v, x => round((x - mn) / scale).cast(LongType)))
+    // BOUND single-pass shape (r19; guide §1.2 per-task work): the inline
+    // formulation repeated the cast-transform ~14× in one Project and —
+    // far worse — re-evaluated array_min/array_max INSIDE the per-element
+    // round lambda, i.e. O(dim²) double passes per row (measured 6.4 s
+    // noop at sf0.1 for a row-local projection). Successive projections
+    // bind each non-cheap subexpression to a column exactly once
+    // (CollapseProject keeps them apart: the refs are used twice and the
+    // HOFs are not `isCheap`), so every step is one O(dim) pass. Same
+    // IEEE double ops in the same order per element — bit-identical codes.
+    val v = col("__v")
+    val scale = (col("qmax") - col("qmin")) / lit(255.0)
+    val codes = col("__codes")
     t("embeddings")
-      .select(col("vec_id"), mn.as("qmin"), mx.as("qmax"),
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast(DoubleType)).as("__v"))
+      .select(col("vec_id"), v,
+        array_min(v).as("qmin"), array_max(v).as("qmax"))
+      .select(col("vec_id"), col("qmin"), col("qmax"),
+        when(scale === 0.0, transform(v, _ => lit(0L)))
+          .otherwise(transform(v,
+            x => round((x - col("qmin")) / scale).cast(LongType))).as("__codes"))
+      .select(col("vec_id"), col("qmin"), col("qmax"),
         aggregate(codes, lit(0L), (a, x) => a + x).as("code_sum"),
         md5(concat_ws(",", transform(codes, _.cast(StringType)))).as("code_fp"))
       .orderBy(col("vec_id"))
@@ -1008,23 +1048,33 @@ object SparkEntry {
     * expressions — zero shuffles.
     */
   private def qRepetition(implicit s: SparkSession, d: String): DataFrame = {
+    // Kernel-based shape (r19; guide §1.2 per-task work). The declarative
+    // form's mode frequency — aggregate(distinct, greatest(acc,
+    // size(filter(ws, ===tok)))) — was O(distinct·n) interpreted HOF work
+    // per document (2.0-2.3 s noop at sf0.1); one graft_elem_counts hash
+    // pass yields the same exact occurrence counts, so the mode is
+    // array_max over the counts. Bigrams likewise: graft_adjacent_pairs is
+    // the identical " "-joined pair list (same kernel the LM family uses),
+    // and n_bigrams = max(n_tokens-1, 0) without materializing the pairs.
+    // All outputs integer-identical; oracle re-proved.
     val withWs = t("documents").select(col("doc_id"),
       TextFunctions.words(col("text")).as("ws"))
     val ws = col("ws")
-    val bg = when(size(ws) < 2, array().cast(ArrayType(StringType)))
-      .otherwise(transform(sequence(lit(0), size(ws) - 2),
-        i => concat(element_at(ws, i + 1), lit(" "), element_at(ws, i + 2))))
-    // mode frequency via the distinct set: per-doc O(distinct·n) but
-    // doc-bounded and codegen'd — no shuffle, unlike an explode+groupBy
-    val topFreq = aggregate(array_distinct(ws), lit(0),
-      (acc, tok) => greatest(acc, size(filter(ws, w => w === tok))))
-    withWs.select(
-      col("doc_id"),
-      size(ws).cast(LongType).as("n_tokens"),
-      size(array_distinct(ws)).cast(LongType).as("n_distinct_tokens"),
-      topFreq.cast(LongType).as("top_token_freq"),
-      size(bg).cast(LongType).as("n_bigrams"),
-      size(array_distinct(bg)).cast(LongType).as("n_distinct_bigrams"))
+    val ec = col("__ec")
+    withWs
+      .select(col("doc_id"),
+        size(ws).cast(LongType).as("n_tokens"),
+        GraftExpressions.elemCounts(ws).as("__ec"),
+        greatest(size(ws) - 1, lit(0)).cast(LongType).as("n_bigrams"),
+        size(GraftExpressions.elemCounts(
+          GraftExpressions.adjacentPairs(ws))).cast(LongType)
+          .as("n_distinct_bigrams"))
+      .select(col("doc_id"), col("n_tokens"),
+        size(ec).cast(LongType).as("n_distinct_tokens"),
+        when(size(ec) === 0, lit(0L))
+          .otherwise(array_max(transform(ec, e => e.getField("c"))))
+          .as("top_token_freq"),
+        col("n_bigrams"), col("n_distinct_bigrams"))
       .orderBy(col("doc_id"))
   }
 

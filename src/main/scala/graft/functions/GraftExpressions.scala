@@ -486,6 +486,95 @@ object GraftExpressions {
       copy(child = c(0), wExpr = c(1), distinctExpr = c(2))
   }
 
+  /** Span-mask surgery kernel (public: called from generated code): tokens
+    * NOT covered by any `w`-token window whose 1-based start position is in
+    * `starts`. Byte-identical to the declarative
+    * `transform(filter(sequence(1, n), i => !exists(starts, s => i >= s &&
+    * i < s + w)), i => element_at(toks, i))` — but one difference-array
+    * coverage pass, O(n + |starts|), where the HOF cascade walks the whole
+    * starts array per token position (O(n·|starts|) interpreted lambda
+    * evals, and the optimizer additionally duplicated the filter tree into
+    * both its consumers). Null/empty inputs → the declarative tree's empty
+    * branches; out-of-range starts (never produced — window starts are
+    * ≤ n-w+1 by construction) mask nothing beyond the token range.
+    */
+  def maskTokensKernel(toks: ArrayData, starts: ArrayData, w: Int): ArrayData = {
+    if (toks == null) return emptyStringArray
+    val n = toks.numElements()
+    if (n == 0) return emptyStringArray
+    val m = if (starts == null) 0 else starts.numElements()
+    // coverage difference array over 1-based positions 1..n
+    val diff = new Array[Int](n + 2)
+    var j = 0
+    while (j < m) {
+      if (!starts.isNullAt(j)) {
+        val s = starts.getInt(j)
+        if (s + w > 1 && s <= n) { // overlaps [1, n]
+          val from = math.max(s, 1)
+          val to = math.min(s + w, n + 1) // exclusive
+          diff(from) += 1
+          diff(to) -= 1
+        }
+      }
+      j += 1
+    }
+    val out = new java.util.ArrayList[Any](n)
+    var cover = 0
+    var i = 1
+    while (i <= n) {
+      cover += diff(i)
+      if (cover == 0)
+        out.add(if (toks.isNullAt(i - 1)) null else toks.getUTF8String(i - 1))
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  /** The tokens surviving span masking — the row-local surgery of
+    * `TextDedup.maskSpansByFingerprints` as one codegen'd pass (see
+    * [[maskTokensKernel]]). Callers derive `masked_text` (concat_ws) and
+    * `n_masked_tokens` (size difference) from the bound result column.
+    */
+  case class MaskTokens(toks: Expression, starts: Expression, wExpr: Expression)
+      extends Expression {
+    override def prettyName: String = "graft_mask_tokens"
+    override def children: Seq[Expression] = Seq(toks, starts, wExpr)
+    override def dataType: DataType = ArrayType(StringType,
+      containsNull = toks.dataType match {
+        case ArrayType(_, cn) => cn
+        case _ => true
+      })
+    override def nullable: Boolean = false
+    override def foldable: Boolean = false
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      (toks.dataType, starts.dataType, wExpr.dataType) match {
+        case (ArrayType(StringType, _), ArrayType(IntegerType, _), IntegerType | LongType)
+          if wExpr.foldable =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case (a, b, c) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_mask_tokens needs (array<string>, array<int>, foldable int), got ($a, $b, $c)")
+      }
+    private lazy val w: Int = foldableIntParam(wExpr, "graft_mask_tokens", "window")
+    override def eval(input: InternalRow): Any =
+      maskTokensKernel(toks.eval(input).asInstanceOf[ArrayData],
+        starts.eval(input).asInstanceOf[ArrayData], w)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val t = toks.genCode(ctx)
+      val s = starts.genCode(ctx)
+      val arrayData = classOf[ArrayData].getName
+      ev.copy(code =
+        code"""
+          ${t.code}
+          ${s.code}
+          boolean ${ev.isNull} = false;
+          $arrayData ${ev.value} = graft.functions.GraftExpressions.maskTokensKernel(
+            ${t.isNull} ? null : (($arrayData) ${t.value}),
+            ${s.isNull} ? null : (($arrayData) ${s.value}), $w);""")
+    }
+    override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): MaskTokens =
+      copy(toks = c(0), starts = c(1), wExpr = c(2))
+  }
+
   /** Strict sequential left-fold dot product over two numeric arrays in
     * double precision — bit-identical to `list_reduce(list_prepend(0.0,
     * products), +)` in the DuckDB oracle, but a tight loop instead of
@@ -1293,6 +1382,8 @@ object GraftExpressions {
       es => WindowMd5Fps(es(0), es(1), es(2))),
     ("graft_elem_counts", "distinct elements of a string array with counts",
       es => ElemCounts(es.head)),
+    ("graft_mask_tokens", "tokens not covered by any w-token window at the given starts",
+      es => MaskTokens(es(0), es(1), es(2))),
     ("graft_dot", "strict sequential dot product of two numeric arrays",
       es => DotProduct(es(0), es(1))),
     ("graft_l2sq", "strict sequential squared L2 distance of two numeric arrays",
@@ -1341,6 +1432,10 @@ object GraftExpressions {
     call_function("graft_window_fps", toks, lit(w), lit(distinct))
   }
   def elemCounts(c: Column): Column = { ensureRegistered(); call_function("graft_elem_counts", c) }
+  def maskTokens(toks: Column, starts: Column, w: Int): Column = {
+    ensureRegistered()
+    call_function("graft_mask_tokens", toks, starts, lit(w))
+  }
   def dotProduct(a: Column, b: Column): Column = { ensureRegistered(); call_function("graft_dot", a, b) }
   def l2Squared(a: Column, b: Column): Column = { ensureRegistered(); call_function("graft_l2sq", a, b) }
   def rootShape(c: Column): Column = { ensureRegistered(); call_function("graft_root_shape", c) }

@@ -574,8 +574,15 @@ object Similarity {
       Option(df.agg(sum(v)).collect()(0).getDecimal(0))
         .getOrElse(java.math.BigDecimal.ZERO)
     }
+    // LAZY checkpoints (r19, guide §7.3 driver round-trips): the eager form
+    // ran TWO actions per fixpoint round — the checkpoint-materializing job
+    // plus the Σrep convergence collect. A lazy localCheckpoint still
+    // truncates the self-joining lineage at the same point (the frame is
+    // LogicalRDD-backed immediately), but its blocks fill under the FIRST
+    // action — the convergence aggregate itself, which scans every
+    // partition — so each round is one job: probe and iterate fused.
     var reps = vertices.select(col(idCol).as("__id"), col(idCol).as("__rep"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var prevSum = repSum(reps)
     var iter = 0
     var changed = true
@@ -591,7 +598,7 @@ object Similarity {
           col("u.__rep") === col("__rid"), "left")
         .select(col("u.__id").as("__id"),
           least(col("u.__rep"), coalesce(col("__rrep"), col("u.__rep"))).as("__rep"))
-        .localCheckpoint(true)
+        .localCheckpoint(false) // materialized by the repSum action below
       val newSum = repSum(updated)
       changed = newSum.compareTo(prevSum) != 0
       prevSum = newSum

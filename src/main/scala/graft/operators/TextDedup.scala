@@ -201,11 +201,19 @@ object TextDedup {
       posexplode(bandArr).as(Seq("__band_idx", "__band_hash")): _*)
   }
 
+  /** PRECONDITION (whole minhash family — this, [[minhashCandidatePairs]],
+    * [[minhashCandidatePairsAgainst]], [[bandTableOfSetsLocal]]): `idCol`
+    * identifies a ROW-unique document, like [[repeatedSpans]]. The
+    * row-local band build emits bands per ROW, so a frame carrying the
+    * same id on several rows would emit duplicate band rows (the retired
+    * agg build merged them in its groupBy) and could surface self-pairs
+    * of one id's rows as spurious candidates. Every caller in this engine
+    * satisfies it; multi-row-per-id corpora must dedupe by id first.
+    */
   private[graft] def minhashCandidatePairsFromSets(
       sets: DataFrame, idCol: String,
       k: Int = 12, bands: Int = 6, rowsPerBand: Int = 2,
       materialize: Boolean = true, carryCols: Seq[String] = Nil): DataFrame = {
-    val bandTable = bandTableOfSets(sets, idCol, k, bands, rowsPerBand, carryCols)
     def pairsOf(a: DataFrame, b: DataFrame): DataFrame =
       a.alias("a").join(b.alias("b"),
           col("a.__band_idx") === col("b.__band_idx") &&
@@ -221,11 +229,16 @@ object TextDedup {
       // the self-join would otherwise recompute the whole shingle→minhash
       // pipeline on both sides; the band table is tiny (bands·|docs| rows)
       // — at cluster scale this is the classic LSH materialization point.
+      // Cache filled from the ROW-LOCAL band build (r19, guide §2.4 — the
+      // corpusClustersDirect recipe): identical rows, spec-pinned, but the
+      // fill runs straight off the scan with no signature explode →
+      // Sort+SortAggregate → Exchange ahead of a byte-identical cache.
       // candidates materialize eagerly (persist + count — NOT
       // localCheckpoint, which compiles the non-AQE plan and ran ~10×
       // slower) so the band cache can be released: a long-running service
       // calling this per batch must not accumulate orphaned cached tables.
-      val withBands = bandTable.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val withBands = bandTableOfSetsLocal(sets, idCol, k, bands, rowsPerBand, carryCols)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val candidates = pairsOf(withBands, withBands)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       candidates.count()
@@ -511,20 +524,30 @@ object TextDedup {
       .select(col(idCol), (col("__i0") + 1).as("__start")) // 1-based
       .groupBy(col(idCol))
       .agg(collect_set(col("__start")).as("__starts"))
-    // row-local surgery: keep token i unless some repeated window covers it
+    // row-local surgery via the graft_mask_tokens kernel (r19; guide §1.2
+    // per-task work): the declarative keep-index tree — filter(sequence(1,
+    // n), i => !exists(starts, covers)) plus a transform(element_at) — was
+    // O(n·|starts|) interpreted HOF evals per document, and the single
+    // wide Project duplicated the whole filter tree into both consumers
+    // (masked_text and the size difference), doubling it again (measured
+    // 3.1-3.4 s noop each for q_mask_spans/q_decontam_mask at sf0.1).
+    // Binding toks and the kept-token kernel result in successive
+    // projections evaluates each exactly once; the kernel is one
+    // difference-array coverage pass, O(n + |starts|), byte-identical
+    // (spec-pinned against the declarative form).
     val ms = coalesce(col("__starts"), array().cast("array<int>"))
-    // sequence(1, 0) would count DOWN — guard empty token lists explicitly
-    val keptIdx = when(size(toks) > 0,
-        filter(sequence(lit(1), size(toks)),
-          i => !exists(ms, s => i >= s && i < s + w)))
-      .otherwise(array().cast("array<int>"))
     df.join(hits, Seq(idCol), "left")
+      .select(col(idCol), col(textCol), toks.as("__toks"), ms.as("__ms"))
+      .select(col(idCol), col(textCol), col("__toks"),
+        graft.functions.GraftExpressions.maskTokens(col("__toks"), col("__ms"), w)
+          .as("__kept"))
       .select(col(idCol),
         // null-in-null-out: a null document stays null, not a fake ""
         when(col(textCol).isNull, lit(null).cast("string"))
-          .otherwise(concat_ws(" ", transform(keptIdx, i => element_at(toks, i))))
+          .otherwise(concat_ws(" ", col("__kept")))
           .as("masked_text"),
-        (size(toks) - size(keptIdx)).cast(org.apache.spark.sql.types.LongType)
+        (size(col("__toks")) - size(col("__kept")))
+          .cast(org.apache.spark.sql.types.LongType)
           .as("n_masked_tokens"))
   }
 

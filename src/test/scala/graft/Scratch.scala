@@ -82,27 +82,47 @@ object Scratch {
     val jobWall = new java.util.concurrent.atomic.AtomicLong()
     val jobStartT = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
     val nJobs = new java.util.concurrent.atomic.AtomicInteger()
+    val jobDesc = new java.util.concurrent.ConcurrentHashMap[Int, String]()
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
         jobStartT.put(js.jobId, System.nanoTime())
+        val d = Option(js.properties)
+          .flatMap(p => Option(p.getProperty("spark.job.description")))
+          .orElse(Option(js.properties)
+            .flatMap(p => Option(p.getProperty("callSite.short"))))
+          .getOrElse("")
+        jobDesc.put(js.jobId, d)
+      }
       override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
         Option(jobStartT.remove(je.jobId)).foreach { t0 =>
           val d = System.nanoTime() - t0
           jobWall.addAndGet(d)
           if (sys.env.get("SCRATCH_JOB_DETAIL").contains("1"))
-            println(f"    job ${je.jobId}%3d ${d / 1e9}%7.3f s")
+            println(f"    job ${je.jobId}%3d ${d / 1e9}%7.3f s  ${Option(jobDesc.remove(je.jobId)).getOrElse("")}")
         }
         nJobs.incrementAndGet()
       }
     })
+    // SCRATCH_NOOP=1: time under the noop SINK (guide §1.4 — eager
+    // materialization of every output column) instead of count(), the same
+    // action the bench's queries_noop series measures. SCRATCH_PASSES=n
+    // repeats the measured action (min reported alongside each pass).
+    val noop = sys.env.get("SCRATCH_NOOP").contains("1")
+    val passes = sys.env.get("SCRATCH_PASSES").flatMap(_.toIntOption).getOrElse(1)
     names.foreach { name =>
-      if (clear) spark.catalog.clearCache()
-      jobWall.set(0); nJobs.set(0)
-      val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir).count()
-      catch { case e: Throwable => println(s"FAIL $name: $e") }
-      val wall = (System.nanoTime() - t0) / 1e9
-      println(f"QUERY $name%-22s $wall%8.3f s  jobs=${nJobs.get}%3d jobWall=${jobWall.get / 1e9}%7.3f driverGap=${wall - jobWall.get / 1e9}%7.3f")
+      val walls = (1 to passes).map { _ =>
+        if (clear) spark.catalog.clearCache()
+        jobWall.set(0); nJobs.set(0)
+        val t0 = System.nanoTime()
+        try {
+          val df = SparkEntry.queries(name)(spark, sfDir)
+          if (noop) df.write.format("noop").mode("overwrite").save() else df.count()
+        } catch { case e: Throwable => println(s"FAIL $name: $e") }
+        val wall = (System.nanoTime() - t0) / 1e9
+        println(f"QUERY $name%-22s $wall%8.3f s  jobs=${nJobs.get}%3d jobWall=${jobWall.get / 1e9}%7.3f driverGap=${wall - jobWall.get / 1e9}%7.3f")
+        wall
+      }
+      if (passes > 1) println(f"MIN   $name%-22s ${walls.min}%8.3f s")
     }
   }
 

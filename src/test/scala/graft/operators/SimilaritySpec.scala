@@ -145,6 +145,66 @@ class SimilaritySpec extends SparkSpec {
     assert((0L until 15L).forall(i => got(2 * i) == 2 * i && got(2 * i + 1) == 2 * i))
   }
 
+  test("hashMinFixpoint: convergence probe fused into the round's materialization (no eager-checkpoint jobs)") {
+    // r19: each fixpoint round used to run TWO actions — the eager
+    // localCheckpoint materialization plus the Σrep convergence collect.
+    // The checkpoint is lazy now and fills under the Σrep aggregate, so no
+    // `localCheckpoint at` job may appear; every round is one action.
+    val pairs = Seq((10L, 11L), (12L, 11L), (13L, 12L), (21L, 20L))
+      .toDF("vec_a", "vec_b").repartition(3)
+    val verts = Seq(10L, 11L, 12L, 13L, 20L, 21L, 30L).toDF("vec_id")
+    // action accounting. Under AQE a LAZY localCheckpoint still executes
+    // the round's intermediate query stages at creation (toRdd builds the
+    // final plan), so it cannot be job-free — what the fold removes is the
+    // EAGER form's materializing count(): its extra job and its full
+    // cached-block pass per round (the Σrep collect then re-read every
+    // block a second time; fused, one pass writes the blocks and sums).
+    // Observable invariant: with the fold, at least one checkpoint action
+    // submits no job at all (the initial reps frame is a plain local scan
+    // with no adaptive stages), so strictly fewer executions run jobs than
+    // actions fire; the eager shape ran a job under EVERY action.
+    val actions = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[String]())
+    val ql = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        actions.add(funcName)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit =
+        actions.add(s"FAILED:$funcName")
+    }
+    val jobExecutions = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val jl = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobExecutions.add(Option(js.properties)
+          .flatMap(p => Option(p.getProperty("spark.sql.execution.rootId"))
+            .orElse(Option(p.getProperty("spark.sql.execution.root.id")))
+            .orElse(Option(p.getProperty("spark.sql.execution.id"))))
+          .getOrElse(s"rdd-job-${js.jobId}"))
+    }
+    var fix: org.apache.spark.sql.DataFrame = null
+    spark.listenerManager.register(ql)
+    spark.sparkContext.addSparkListener(jl)
+    try {
+      fix = Similarity.hashMinFixpoint(pairs, verts, "vec_a", "vec_b", "vec_id",
+        maxIterations = 20)
+      Thread.sleep(300) // let queued listener events drain
+    } finally {
+      spark.sparkContext.removeSparkListener(jl)
+      spark.listenerManager.unregister(ql)
+    }
+    import scala.jdk.CollectionConverters._
+    val acts = actions.asScala.toList
+    val collects = acts.count(_ == "collect")
+    assert(collects >= 2, s"expected Σrep probes, saw $acts")
+    assert(jobExecutions.size < acts.size,
+      s"every action ran jobs (eager checkpoint revived?): " +
+        s"job-running executions=${jobExecutions.size} actions=$acts")
+    val got = fix.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L,
+      20L -> 20L, 21L -> 20L, 30L -> 30L))
+  }
+
   test("ivfTopKProbed: probing every cell recovers the brute-force ranking") {
     val centroids = vecs.filter(col("vec_id") < 2)
     val queries = vecs.select(col("vec_id")).filter(col("vec_id") === 0)
